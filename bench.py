@@ -1,0 +1,79 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed end-to-end (plan + execute + collect); the JVM is
+warmed with one untimed trivial action first so session/codegen startup
+isn't attributed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from etl_pipeline_project_auraverse_spark.queries import QUERIES, load_all  # noqa: E402
+from etl_pipeline_project_auraverse_spark.session import get_spark  # noqa: E402
+
+# Headline set: the scan/agg, join-heavy, window, and extended-scope
+# queries that dominate real workloads. Non-registered names are
+# skipped so the bench keeps working while coverage grows.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier_revenue",
+    "q06_forecast_revenue",
+    "q04_late_ship_priority",
+    "q_revenue_by_part_type",
+    "q_window_top_parts_per_brand",
+    "q_window_running_customer_spend",
+    "q_rollup_status_priority",
+    "q_topk_orders_by_price",
+    "q_dedup_minhash_lsh",
+    "q_knn_bruteforce_cosine",
+    "q_text_quality_scores",
+    "q_sessionize_events",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    load_all()
+    spark = get_spark(app_name="bench")
+
+    # warm up JVM / codegen with an untimed action
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,58 @@
+"""Query registry: every implemented operator registers a named query.
+
+Each query is a ``(spark, sf_dir) -> DataFrame`` callable plus (where
+SQL-expressible) an equivalent ANSI-SQL oracle string that DuckDB can
+run over the same parquet tables. The driver-facing
+``__spark_entry__.py`` re-exports these via ``queries()`` /
+``oracle_sql()``.
+
+Determinism contract (so order-insensitive value hashing against the
+oracle is exact, not approximate):
+
+- Money/double sums go through ``DECIMAL(25,6)`` accumulation
+  (see ``_util.dec_sum``) — decimal addition is associative, so the
+  result is independent of Spark's partitioning and bit-identical to
+  DuckDB's, then rounded and cast back to double.
+- Every top-k query carries a unique tiebreaker column in its ORDER BY.
+- Timestamps stay at >= millisecond granularity and the Spark session
+  runs in UTC (matching DuckDB's naive-UTC timestamps).
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+_MODULES = [
+    "etl_pipeline_project_auraverse_spark.queries.relational",
+    "etl_pipeline_project_auraverse_spark.queries.timeseries",
+    "etl_pipeline_project_auraverse_spark.queries.text",
+    "etl_pipeline_project_auraverse_spark.queries.dedup",
+    "etl_pipeline_project_auraverse_spark.queries.similarity",
+    "etl_pipeline_project_auraverse_spark.queries.profiling",
+]
+
+
+def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: add a query (and optional DuckDB oracle SQL) to the registry."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every query module so registration side effects run."""
+    for mod in _MODULES:
+        importlib.import_module(mod)

@@ -1,0 +1,42 @@
+"""Shared helpers for oracle-checked queries.
+
+The central trick is deterministic floating-point aggregation: Spark
+sums doubles in partition order (nondeterministic across runs/cluster
+sizes), DuckDB sums them in its own order — the raw double sums differ
+in the last bits. We therefore accumulate through DECIMAL(25,6):
+casting each per-row double to decimal is order-independent, decimal
+addition is exact/associative, and both engines produce bit-identical
+results, which we round and cast back to double for a stable schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEC = "decimal(25,6)"
+
+
+def dec_sum(col: Column | str, scale: int = 2) -> Column:
+    """Order-independent SUM over a double expression → rounded double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.sum(c.cast(DEC)), scale).cast("double")
+
+
+def dec_avg(col: Column | str, scale: int = 6) -> Column:
+    """Order-independent AVG: exact decimal sum, double division, round."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.sum(c.cast(DEC)).cast("double") / F.count(c), scale).cast("double")
+
+
+def sql_dec_sum(expr: str, scale: int = 2) -> str:
+    """DuckDB oracle twin of :func:`dec_sum`."""
+    return f"CAST(ROUND(SUM(CAST(({expr}) AS DECIMAL(25,6))), {scale}) AS DOUBLE)"
+
+
+def sql_dec_avg(expr: str, scale: int = 6) -> str:
+    """DuckDB oracle twin of :func:`dec_avg`."""
+    return (
+        f"CAST(ROUND(CAST(SUM(CAST(({expr}) AS DECIMAL(25,6))) AS DOUBLE)"
+        f" / COUNT({expr}), {scale}) AS DOUBLE)"
+    )

@@ -1,0 +1,67 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local testing runs on ``local[N]`` (one JVM); the configuration is
+chosen so the same code degrades gracefully to a 1000-executor
+cluster: AQE on (runtime partition coalescing, skew-join splitting,
+dynamic broadcast selection), UTC session time zone (so results are
+comparable against UTC-naive engines like DuckDB), Arrow enabled for
+every pandas-UDF crossing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "etl_pipeline_project_auraverse_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's defaults.
+
+    On a real cluster ``master`` comes from spark-submit; locally we
+    default to ``local[$SPARK_GRAFT_CPUS]``. ``spark.sql.shuffle.partitions``
+    is sized to cores for local runs — AQE coalesces further at runtime,
+    and on a large cluster this should be raised to ~2-3x total cores
+    (or left to AQE with a high initial value).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.spill.compress", "true")
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one star-schema table from an sf directory (parquet).
+
+    Parquet scan → columnar, predicate pushdown and column pruning are
+    applied by Catalyst to whatever plan is built on top.
+    """
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
