@@ -1,0 +1,80 @@
+"""Text-analysis column builders: tokenization, quality scoring,
+language-ID heuristics, fingerprinting.
+
+All pure Column expressions (JVM-side, whole-stage codegen — no Python
+in the row path). Regex patterns are kept to the portable subset that
+Java regex and RE2 interpret identically (\\b word boundaries, simple
+alternations, explicit character classes) so DuckDB oracles can
+replicate the semantics exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# marker stopwords per language for the n-gram/keyword heuristic
+LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|and|of|to|is)\b",
+    "de": r"\b(der|die|das|und|ist)\b",
+    "es": r"\b(el|la|los|las|es|y)\b",
+    "fr": r"\b(le|les|des|est|et)\b",
+}
+
+STOPWORD_RE = r"\b(the|a|of|to|and|in|is)\b"
+PUNCT_RE = r"[.,!?;:]"
+
+
+def norm_text(col: Column) -> Column:
+    """Canonical form for fingerprinting: lower, collapse whitespace."""
+    return F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+
+
+def words(col: Column) -> Column:
+    """Whitespace tokenization."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def n_words(col: Column) -> Column:
+    return F.size(words(col)).cast("long")
+
+
+def match_count(col: Column, pattern: str) -> Column:
+    """Number of regex matches (full-match group) in the column."""
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), 0)).cast("long")
+
+
+def token_estimate(col: Column) -> Column:
+    """BPE-ish token-count estimate: ~4 chars/token heuristic."""
+    return F.ceil(F.length(col) / 4.0).cast("long")
+
+
+def fingerprint_md5(col: Column) -> Column:
+    """128-bit content fingerprint of the canonical text (hex)."""
+    return F.md5(norm_text(col))
+
+
+def fingerprint64(col: Column) -> Column:
+    """Portable 60-bit integer fingerprint (md5-prefix → bigint).
+
+    `conv(hex, 16, 10)` is replicated in DuckDB as
+    `('0x' || hex)::BIGINT`, making the fingerprint engine-independent.
+    """
+    return F.conv(F.substring(fingerprint_md5(col), 1, 15), 16, 10).cast("long")
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    """Per-language marker-word hit counts over the lowered text."""
+    lowered = F.lower(col)
+    return {lang: match_count(lowered, pat) for lang, pat in LANG_MARKERS.items()}
+
+
+def predicted_lang(col: Column) -> Column:
+    """Argmax language with deterministic tie-break order en>de>es>fr."""
+    s = lang_scores(col)
+    return (
+        F.when((s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"]), "en")
+        .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]), "de")
+        .when(s["es"] >= s["fr"], "es")
+        .otherwise("fr")
+    )

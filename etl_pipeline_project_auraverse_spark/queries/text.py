@@ -1,1 +1,245 @@
-"""Placeholder — filled in a later milestone."""
+"""Text-analysis queries over the `documents` table: per-language
+stats, token counting, quality scoring, language-ID, fingerprinting.
+
+Column logic lives in ``functions.text`` (pure Column expressions —
+JVM-side). Every query here has an exact DuckDB oracle: the regex
+subset used is interpreted identically by Java regex and RE2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_project_auraverse_spark.functions.text import (
+    PUNCT_RE,
+    STOPWORD_RE,
+    fingerprint64,
+    fingerprint_md5,
+    lang_scores,
+    match_count,
+    n_words,
+    predicted_lang,
+    token_estimate,
+    words,
+)
+from etl_pipeline_project_auraverse_spark.queries import register
+from etl_pipeline_project_auraverse_spark.queries._util import dec_avg, sql_dec_avg
+from etl_pipeline_project_auraverse_spark.session import load_table
+
+# DuckDB twins of the functions.text building blocks
+SQL_N_WORDS = r"CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)"
+SQL_STOP_HITS = rf"CAST(len(regexp_extract_all(lower(text), '{STOPWORD_RE}')) AS BIGINT)"
+SQL_PUNCT_HITS = rf"CAST(len(regexp_extract_all(text, '{PUNCT_RE}')) AS BIGINT)"
+
+
+@register(
+    "q_text_stats_by_lang",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           {sql_dec_avg('n_chars', 4)} AS avg_chars,
+           COUNT(DISTINCT source) AS n_sources,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q_text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            dec_avg("n_chars", 4).alias("avg_chars"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "q_text_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_actual,
+           {SQL_N_WORDS} AS n_tokens,
+           CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+               AS n_distinct_tokens,
+           CAST(CEIL(length(text) / 4.0) AS BIGINT) AS bpe_token_estimate,
+           CAST(GREATEST({SQL_N_WORDS} - 2, 0) AS BIGINT) AS n_3grams
+    FROM documents
+    WHERE doc_id < 200
+    ORDER BY doc_id
+    """,
+)
+def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.length(t).cast("long").alias("n_chars_actual"),
+        n_words(t).alias("n_tokens"),
+        F.size(F.array_distinct(words(t))).cast("long").alias("n_distinct_tokens"),
+        token_estimate(t).alias("bpe_token_estimate"),
+        F.greatest(n_words(t) - 2, F.lit(0)).cast("long").alias("n_3grams"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q_text_quality_scores",
+    oracle=f"""
+    SELECT doc_id, lang,
+           n_tokens,
+           CAST(ROUND(stop_hits * 1.0 / n_tokens, 6) AS DOUBLE) AS stopword_ratio,
+           CAST(ROUND(punct_hits * 1.0 / length(text), 6) AS DOUBLE) AS punct_ratio,
+           CAST(ROUND(LEAST(1.0, n_tokens / 200.0) * 0.4
+                      + (stop_hits * 1.0 / n_tokens) * 0.4
+                      + (1.0 - punct_hits * 1.0 / length(text)) * 0.2, 6) AS DOUBLE)
+               AS quality_score
+    FROM (
+        SELECT doc_id, lang, text,
+               {SQL_N_WORDS} AS n_tokens,
+               {SQL_STOP_HITS} AS stop_hits,
+               {SQL_PUNCT_HITS} AS punct_hits
+        FROM documents
+    )
+    ORDER BY doc_id
+    """,
+)
+def q_text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    enriched = docs.select(
+        "doc_id",
+        "lang",
+        t.alias("text"),
+        n_words(t).alias("n_tokens"),
+        match_count(F.lower(t), STOPWORD_RE).alias("stop_hits"),
+        match_count(t, PUNCT_RE).alias("punct_hits"),
+    )
+    stop_ratio = F.col("stop_hits") * 1.0 / F.col("n_tokens")
+    punct_ratio = F.col("punct_hits") * 1.0 / F.length("text")
+    return enriched.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.round(stop_ratio, 6).cast("double").alias("stopword_ratio"),
+        F.round(punct_ratio, 6).cast("double").alias("punct_ratio"),
+        F.round(
+            F.least(F.lit(1.0), F.col("n_tokens") / 200.0) * 0.4
+            + stop_ratio * 0.4
+            + (1.0 - punct_ratio) * 0.2,
+            6,
+        )
+        .cast("double")
+        .alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q_text_lang_id_confusion",
+    oracle=r"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b')) AS BIGINT) AS s_en,
+               CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS BIGINT) AS s_de,
+               CAST(len(regexp_extract_all(lower(text), '\b(el|la|los|las|es|y)\b')) AS BIGINT) AS s_es,
+               CAST(len(regexp_extract_all(lower(text), '\b(le|les|des|est|et)\b')) AS BIGINT) AS s_fr
+        FROM documents
+    ), predicted AS (
+        SELECT lang,
+               CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                    WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                    WHEN s_es >= s_fr THEN 'es'
+                    ELSE 'fr' END AS pred_lang
+        FROM scored
+    )
+    SELECT lang, pred_lang, COUNT(*) AS n_docs
+    FROM predicted
+    GROUP BY lang, pred_lang
+    ORDER BY lang, pred_lang
+    """,
+)
+def q_text_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("pred_lang", predicted_lang(F.col("text")))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+@register(
+    "q_text_fingerprints",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp_md5,
+           ('0x' || substr(md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))), 1, 15))::BIGINT
+               AS fp64
+    FROM documents
+    WHERE doc_id < 200
+    ORDER BY doc_id
+    """,
+)
+def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return docs.select(
+        "doc_id",
+        fingerprint_md5(F.col("text")).alias("fp_md5"),
+        fingerprint64(F.col("text")).alias("fp64"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q_text_top_sources",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY source
+    ORDER BY total_chars DESC, source
+    LIMIT 5
+    """,
+)
+def q_text_top_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy(F.col("total_chars").desc(), "source")
+        .limit(5)
+    )
+
+
+@register(
+    "q_text_lang_marker_scores",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b')) AS BIGINT) AS s_en,
+           CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS BIGINT) AS s_de,
+           CAST(len(regexp_extract_all(lower(text), '\b(el|la|los|las|es|y)\b')) AS BIGINT) AS s_es,
+           CAST(len(regexp_extract_all(lower(text), '\b(le|les|des|est|et)\b')) AS BIGINT) AS s_fr
+    FROM documents
+    WHERE doc_id < 100
+    ORDER BY doc_id
+    """,
+)
+def q_text_lang_marker_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    scores = lang_scores(F.col("text"))
+    return docs.select(
+        "doc_id",
+        scores["en"].alias("s_en"),
+        scores["de"].alias("s_de"),
+        scores["es"].alias("s_es"),
+        scores["fr"].alias("s_fr"),
+    ).orderBy("doc_id")

@@ -1,1 +1,290 @@
-"""Placeholder — filled in a later milestone."""
+"""Time-series / event-stream operators over the `events` table:
+sessionization, as-of joins, tumbling-window aggregation, funnel
+pivots, JSON property extraction, per-user first/last.
+
+These are the batch twins of the Structured Streaming operators in
+``etl_pipeline_project_auraverse_spark.streaming`` — same semantics,
+expressed over a bounded table so they are DuckDB-oracle-checkable.
+
+Scale notes: every operator partitions by ``user_id`` (or a time
+bucket) — state is bounded per key, sessionization is a single shuffle
+on user_id, and the as-of join is a window scan (no range-join
+explosion). Gap math uses integer microseconds (``unix_micros``), which
+is exact — never float seconds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from etl_pipeline_project_auraverse_spark.queries import register
+from etl_pipeline_project_auraverse_spark.queries._util import dec_avg, dec_sum, sql_dec_avg, sql_dec_sum
+from etl_pipeline_project_auraverse_spark.session import load_table
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min inactivity closes a session
+
+
+# ---------------------------------------------------------------------------
+# Gap-based sessionization: lag → flag gap>30min → running sum = session id.
+# ---------------------------------------------------------------------------
+@register(
+    "q_sessionize_events",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > {SESSION_GAP_US}
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(session_seq AS BIGINT) AS session_seq,
+           COUNT(*) AS n_events,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           {sql_dec_sum('value')} AS total_value,
+           CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000.0 AS DOUBLE) AS duration_sec
+    FROM sessions
+    GROUP BY user_id, session_seq
+    ORDER BY user_id, session_seq
+    """,
+)
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(
+        prev_us.isNull() | ((F.unix_micros(F.col("ts")) - prev_us) > SESSION_GAP_US), 1
+    ).otherwise(0)
+    return (
+        ev.withColumn("is_new", is_new)
+        .withColumn(
+            "session_seq",
+            F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).cast("long"),
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            dec_sum("value").alias("total_value"),
+            ((F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / 1_000_000.0)
+            .cast("double")
+            .alias("duration_sec"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (point-in-time lookup): for every purchase, the most
+# recent prior 'view' of the same user. Expressed as a conditional
+# last_value(IGNORE NULLS) window over the merged per-user stream —
+# one shuffle on user_id, no range-join blowup.
+# ---------------------------------------------------------------------------
+@register(
+    "q_asof_view_before_purchase",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           last_view_id, last_view_ts,
+           CAST((epoch_us(ts) - epoch_us(last_view_ts)) / 1000000.0 AS DOUBLE)
+               AS secs_since_view
+    FROM (
+        SELECT event_id, user_id, ts, value, event_type,
+               LAST_VALUE(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+                   OVER w AS last_view_id,
+               LAST_VALUE(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+                   OVER w AS last_view_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    WHERE event_type = 'purchase'
+    ORDER BY event_id
+    """,
+)
+def q_asof_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    view_id = F.when(F.col("event_type") == "view", F.col("event_id"))
+    view_ts = F.when(F.col("event_type") == "view", F.col("ts"))
+    return (
+        ev.withColumn("last_view_id", F.last(view_id, ignorenulls=True).over(w))
+        .withColumn("last_view_ts", F.last(view_ts, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "value",
+            "last_view_id",
+            "last_view_ts",
+            ((F.unix_micros(F.col("ts")) - F.unix_micros(F.col("last_view_ts"))) / 1_000_000.0)
+            .cast("double")
+            .alias("secs_since_view"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tumbling-window aggregation (batch twin of the streaming windowed
+# count). Spark's window() is epoch-aligned; DuckDB's time_bucket
+# origin (2000-01-01) is also midnight-aligned, so 6h buckets agree.
+# ---------------------------------------------------------------------------
+@register(
+    "q_event_tumbling_windows",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL 6 HOUR, ts) AS win_start,
+           time_bucket(INTERVAL 6 HOUR, ts) + INTERVAL 6 HOUR AS win_end,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_dec_sum('value')} AS total_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2, 3
+    ORDER BY win_start, event_type
+    """,
+)
+def q_event_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            dec_sum("value").alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "n_users",
+        )
+        .orderBy("win_start", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Funnel pivot: per-user event-type counts + view→purchase conversion.
+# ---------------------------------------------------------------------------
+@register(
+    "q_user_funnel",
+    oracle="""
+    SELECT user_id,
+           COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_views,
+           COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_clicks,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases,
+           COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signups,
+           COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors,
+           CASE WHEN COUNT(CASE WHEN event_type = 'view' THEN 1 END) = 0 THEN NULL
+                ELSE CAST(ROUND(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) * 1.0
+                           / COUNT(CASE WHEN event_type = 'view' THEN 1 END), 6) AS DOUBLE)
+           END AS view_to_purchase
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cnt = lambda t: F.count(F.when(F.col("event_type") == t, 1))  # noqa: E731
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            cnt("view").alias("n_views"),
+            cnt("click").alias("n_clicks"),
+            cnt("purchase").alias("n_purchases"),
+            cnt("signup").alias("n_signups"),
+            cnt("error").alias("n_errors"),
+        )
+        .withColumn(
+            "view_to_purchase",
+            F.when(F.col("n_views") == 0, F.lit(None).cast("double")).otherwise(
+                F.round(F.col("n_purchases") * 1.0 / F.col("n_views"), 6).cast("double")
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured JSON property column (the reference's dynamic-row
+# model, kept native): extract props.k, bucket and aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "q_json_props_stats",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           {sql_dec_avg("CAST(json_extract(props, '$.k') AS BIGINT)")} AS avg_k,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+           COUNT(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)) AS n_distinct_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            dec_avg("k").alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.countDistinct("k").alias("n_distinct_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-user first/last (min_by/max_by keyed on unique event_id).
+# ---------------------------------------------------------------------------
+@register(
+    "q_user_first_last_event",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           MIN(ts) AS first_ts,
+           MAX(ts) AS last_ts,
+           min_by(event_type, event_id) AS first_type,
+           max_by(event_type, event_id) AS last_type
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q_user_first_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.min_by("event_type", "event_id").alias("first_type"),
+            F.max_by("event_type", "event_id").alias("last_type"),
+        )
+        .orderBy("user_id")
+    )

@@ -42,6 +42,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
+        # TIMESTAMP(NANOS) parquet columns (events.ts) surface as long
+        # nanos; load_table converts them to microsecond timestamps with
+        # the same truncation DuckDB applies when it reads nanos parquet.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g"))
         .config("spark.ui.enabled", "false")
@@ -63,5 +67,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
 
     Parquet scan → columnar, predicate pushdown and column pruning are
     applied by Catalyst to whatever plan is built on top.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark has
+    no native type for; with ``spark.sql.legacy.parquet.nanosAsLong`` it
+    scans as long nanoseconds and we floor-divide to microseconds —
+    bit-identical to DuckDB's nanos→TIMESTAMP truncation. This is a pure
+    projection (no shuffle, stays inside whole-stage codegen).
     """
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # runtime-settable; needed when the caller built its own session
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
