@@ -63,6 +63,31 @@ def fingerprint64(col: Column) -> Column:
     return F.conv(F.substring(fingerprint_md5(col), 1, 15), 16, 10).cast("long")
 
 
+def h28(col: Column) -> Column:
+    """Portable 28-bit hash: first 7 hex digits of md5 → bigint.
+
+    Engine-independent (DuckDB twin: ``('0x' || substr(md5(s),1,7))::BIGINT``)
+    so dedup sketches built on it are oracle-checkable. 28 bits keeps
+    ``a*h + b`` products inside int64 for universal-hash MinHash seeds.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string> (empty if < n tokens).
+
+    Index arithmetic only — stays in whole-stage codegen. ``F.get`` is
+    0-based; the explicit ``when`` guards Spark's ``sequence`` from
+    generating a descending range for short docs.
+    """
+    toks = words(col)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    gram = lambda i: F.concat_ws(" ", *[F.get(toks, i + k) for k in range(n)])  # noqa: E731
+    return F.when(F.size(toks) >= n, F.transform(idx, gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def lang_scores(col: Column) -> dict[str, Column]:
     """Per-language marker-word hit counts over the lowered text."""
     lowered = F.lower(col)

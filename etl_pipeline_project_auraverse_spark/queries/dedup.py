@@ -1,1 +1,400 @@
-"""Placeholder — filled in a later milestone."""
+"""Deduplication operators over `documents` / `embeddings`: exact
+dedup, inverted-index n-gram Jaccard, MinHash+LSH, SimHash, and
+embedding-cosine near-dup — all pure Column expressions with exact
+DuckDB oracles (portable md5-based hashing, see ``functions.text.h28``).
+
+Scale design (100 TB posture):
+- Pair generation is always an equi-join on a compact key (shingle
+  hash, LSH band key, SimHash block) — never a cross join. Candidate
+  sets are tiny relative to the corpus, so the verify joins touch few
+  rows.
+- Shingle/token exploding is a flatMap-shaped projection (no shuffle);
+  the only shuffles are the groupBy(doc_id) sketch builds and the
+  candidate equi-joins, all keyed well-distributed by hash.
+- At extreme scale the inverted-index Jaccard would cap super-frequent
+  shingles (stopword n-grams create O(m^2) pair blowups); the
+  MinHash-LSH variant is the preferred path there since its band join
+  is output-bounded by design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_project_auraverse_spark.functions.text import h28, norm_text, shingles, words
+from etl_pipeline_project_auraverse_spark.functions.vectors import cosine, sql_cosine
+from etl_pipeline_project_auraverse_spark.queries import register
+from etl_pipeline_project_auraverse_spark.session import load_table
+
+# ---------------------------------------------------------------------------
+# Shared shingle-set builders (Spark + DuckDB twins)
+# ---------------------------------------------------------------------------
+
+SQL_SHINGLE_CTE = r"""
+    toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 7))::BIGINT AS h
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(w) - 1),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+            FROM toks WHERE len(w) >= 3
+        )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+"""
+
+
+def _shingle_hashes(docs: DataFrame) -> DataFrame:
+    """Distinct (doc_id, 28-bit shingle hash) pairs — the dedup unit."""
+    return (
+        docs.select("doc_id", F.explode(shingles(F.col("text"))).alias("s"))
+        .select("doc_id", h28(F.col("s")).alias("h"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: canonical-text fingerprint accounting per language.
+# ---------------------------------------------------------------------------
+@register(
+    "q_dedup_exact",
+    oracle=r"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))))
+               AS n_distinct_texts,
+           COUNT(*) - COUNT(DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))))
+               AS n_dup_rows
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(norm_text(F.col("text")))
+    return (
+        docs.select("lang", fp.alias("fp"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("fp").alias("n_distinct_texts"),
+            (F.count("*") - F.countDistinct("fp")).alias("n_dup_rows"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard near-dup via inverted-index equi-join.
+# ---------------------------------------------------------------------------
+@register(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {SQL_SHINGLE_CTE},
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b, p.n_common, sa.n AS n_a, sb.n AS n_b,
+           CAST(ROUND(p.n_common * 1.0 / (sa.n + sb.n - p.n_common), 6) AS DOUBLE) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    WHERE p.n_common * 1.0 / (sa.n + sb.n - p.n_common) >= 0.8
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingle_hashes(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    pairs = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.col("n_common") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        pairs.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")), "doc_b")
+        .filter(jac >= 0.8)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.round(jac, 6).cast("double").alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH: 8 universal-hash minhashes, 4 bands x 2 rows;
+# candidates = pairs agreeing on >= 1 band, then exact-Jaccard verify.
+# ---------------------------------------------------------------------------
+MH_P = 2147483647  # Mersenne prime 2^31 - 1; a*h < 2^27 * 2^28 fits int64
+MH_A = [1299721, 15485863, 32452843, 49979687, 67867967, 86028121, 104395301, 122949823]
+MH_B = [15487469, 32452867, 49979693, 67867979, 86028157, 104395303, 122949829, 141650963]
+N_MH = 8
+N_BANDS = 4
+
+
+def _sql_minhash_cte() -> str:
+    mins = ",\n               ".join(
+        f"MIN(({MH_A[i]} * h + {MH_B[i]}) % {MH_P}) AS mh{i}" for i in range(N_MH)
+    )
+    bands = "\n        UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, CAST(mh{2*b} AS VARCHAR) || ',' || "
+        f"CAST(mh{2*b+1} AS VARCHAR) AS key FROM mh"
+        for b in range(N_BANDS)
+    )
+    return f"""
+    mh AS (
+        SELECT doc_id,
+               {mins},
+               COUNT(*) AS n
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+        {bands}
+    )"""
+
+
+@register(
+    "q_dedup_minhash_lsh",
+    oracle=f"""
+    WITH {SQL_SHINGLE_CTE},
+    {_sql_minhash_cte()},
+    cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+    ),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b AND sb.h = sa.h
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST({" + ".join(f"CASE WHEN ma.mh{i} = mb.mh{i} THEN 1 ELSE 0 END" for i in range(N_MH))}
+                AS BIGINT) AS n_matching_minhashes,
+           CAST(ROUND(({" + ".join(f"CASE WHEN ma.mh{i} = mb.mh{i} THEN 1 ELSE 0 END" for i in range(N_MH))})
+                / {N_MH}.0, 6) AS DOUBLE) AS est_jaccard,
+           COALESCE(i.n_common, 0) AS n_common,
+           CAST(ROUND(COALESCE(i.n_common, 0) * 1.0
+                / (ma.n + mb.n - COALESCE(i.n_common, 0)), 6) AS DOUBLE) AS jaccard
+    FROM cand c
+    JOIN mh ma ON ma.doc_id = c.doc_a
+    JOIN mh mb ON mb.doc_id = c.doc_b
+    LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    ORDER BY c.doc_a, c.doc_b
+    """,
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingle_hashes(docs)
+    mh = sh.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(MH_A[i]) * F.col("h") + F.lit(MH_B[i])) % F.lit(MH_P)).alias(f"mh{i}")
+            for i in range(N_MH)
+        ],
+        F.count("*").alias("n"),
+    )
+    bands = None
+    for b in range(N_BANDS):
+        sel = mh.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.concat_ws(",", F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}")).alias("key"),
+        )
+        bands = sel if bands is None else bands.unionByName(sel)
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "h"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "h"), ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    ma = mh.select(F.col("doc_id").alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_MH)], F.col("n").alias("n_a"))
+    mb = mh.select(F.col("doc_id").alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(N_MH)], F.col("n").alias("n_b"))
+    matches = sum(
+        (F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(N_MH)),
+        F.lit(0),
+    )
+    n_common = F.coalesce(F.col("n_common"), F.lit(0))
+    return (
+        cand.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            matches.cast("long").alias("n_matching_minhashes"),
+            F.round(matches / float(N_MH), 6).cast("double").alias("est_jaccard"),
+            n_common.alias("n_common"),
+            F.round(n_common * 1.0 / (F.col("n_a") + F.col("n_b") - n_common), 6)
+            .cast("double")
+            .alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash: 24-bit weighted token fingerprint; hamming<=3 pairs found by
+# pigeonhole blocking on 4 x 6-bit blocks (an equi-join, no cross join).
+# ---------------------------------------------------------------------------
+SH_BITS = 24
+SH_BLOCKS = 4
+SH_BLOCK_BITS = SH_BITS // SH_BLOCKS
+SH_MAX_HAMMING = 3
+
+
+@register(
+    "q_dedup_simhash",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT doc_id, ('0x' || substr(md5(t), 1, 7))::BIGINT AS h, COUNT(*) AS c
+        FROM (
+            SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+            FROM documents
+        )
+        GROUP BY doc_id, h
+    ),
+    bitsum AS (
+        SELECT doc_id,
+               {", ".join(f"SUM(c * (CASE WHEN ((h >> {j}) & 1) = 1 THEN 1 ELSE -1 END)) AS s{j}" for j in range(SH_BITS))}
+        FROM tok GROUP BY doc_id
+    ),
+    sig AS (
+        SELECT doc_id,
+               CAST({" + ".join(f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(SH_BITS))}
+                    AS BIGINT) AS simhash
+        FROM bitsum
+    ),
+    blocks AS (
+        {" UNION ALL ".join(f"SELECT doc_id, {b} AS blk, (simhash >> {b * SH_BLOCK_BITS}) & {(1 << SH_BLOCK_BITS) - 1} AS val FROM sig" for b in range(SH_BLOCKS))}
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM blocks x JOIN blocks y
+          ON x.blk = y.blk AND x.val = y.val AND x.doc_id < y.doc_id
+    )
+    SELECT c.doc_a, c.doc_b, a.simhash AS simhash_a, b.simhash AS simhash_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM cand c
+    JOIN sig a ON a.doc_id = c.doc_a
+    JOIN sig b ON b.doc_id = c.doc_b
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SH_MAX_HAMMING}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id", F.explode(words(F.col("text"))).alias("t"))
+        .select("doc_id", h28(F.col("t")).alias("h"))
+        .groupBy("doc_id", "h")
+        .agg(F.count("*").alias("c"))
+    )
+    bitsum = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.col("c")
+                * F.when(F.expr(f"((h >> {j}) & 1) = 1"), 1).otherwise(-1)
+            ).alias(f"s{j}")
+            for j in range(SH_BITS)
+        ]
+    )
+    simhash = sum(
+        (
+            F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            for j in range(SH_BITS)
+        ),
+        F.lit(0),
+    ).cast("long")
+    sig = bitsum.select("doc_id", simhash.alias("simhash"))
+    blocks = None
+    mask = (1 << SH_BLOCK_BITS) - 1
+    for b in range(SH_BLOCKS):
+        sel = sig.select(
+            "doc_id",
+            F.lit(b).alias("blk"),
+            F.expr(f"(simhash >> {b * SH_BLOCK_BITS}) & {mask}").alias("val"),
+        )
+        blocks = sel if blocks is None else blocks.unionByName(sel)
+    cand = (
+        blocks.alias("x")
+        .join(
+            blocks.alias("y"),
+            (F.col("x.blk") == F.col("y.blk"))
+            & (F.col("x.val") == F.col("y.val"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return (
+        cand.join(sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("simhash_a")), "doc_a")
+        .join(sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("simhash_b")), "doc_b")
+        .withColumn("hamming", F.expr("bit_count(simhash_a ^ simhash_b)").cast("long"))
+        .filter(F.col("hamming") <= SH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "simhash_a", "simhash_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup, label-blocked (IVF-style coarse partition:
+# compare only within a block; at scale the block key is a centroid id).
+# ---------------------------------------------------------------------------
+@register(
+    "q_dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+           {sql_cosine("a.embedding", "b.embedding")} AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {sql_cosine("a.embedding", "b.embedding")} >= 0.4
+    ORDER BY vec_a, vec_b
+    """,
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    a, b = emb.alias("a"), emb.alias("b")
+    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.4)
+        .orderBy("vec_a", "vec_b")
+    )

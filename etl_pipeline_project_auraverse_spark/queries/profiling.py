@@ -1,1 +1,181 @@
-"""Placeholder — filled in a later milestone."""
+"""Schema-profiling queries — the engine's re-expression of the
+reference's ``generate_schema`` aggregates (etl_pipeline.py:246-276):
+per column, a majority-vote inferred type over the reference's
+``infer_type`` regex classes (etl_pipeline.py:228-244), nullability,
+distinct counts, primary-key candidacy (etl_pipeline.py:272-275),
+modal-value confidence (etl_pipeline.py:262-263) and deterministic
+example values (reference line 261, made deterministic = 3 smallest).
+
+Shape: unpivot the table to (col_name, canonical_string) →
+groupBy(col_name, value).count() → one aggregate per column. Two
+shuffles total for the whole table profile, independent of column
+count. At 100 TB the exact distinct/modal counts would switch to
+``approx_count_distinct`` + count-min sketches (same query shape);
+exact math is kept here because the driver gate diffs values exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_project_auraverse_spark.queries import register
+from etl_pipeline_project_auraverse_spark.session import load_table
+
+# infer_type classes, reference etl_pipeline.py:228-244 (anchored like the
+# original; written with explicit classes so Java regex and RE2 agree)
+INT_RE = "^[0-9]+$"
+FLOAT_RE = r"^[0-9]*\.[0-9]+$"
+DATE_RE = "^[0-9]{4}-[0-9]{2}-[0-9]{2}"
+
+# canonical stringification per physical type, identical in both engines
+_SPARK_CANON = {
+    "int": "CAST({c} AS STRING)",
+    "double": "CAST(CAST(ROUND({c}, 2) AS DECIMAL(18,2)) AS STRING)",
+    "ts": "date_format({c}, 'yyyy-MM-dd HH:mm:ss')",
+    "str": "{c}",
+}
+_SQL_CANON = {
+    "int": "CAST({c} AS VARCHAR)",
+    "double": "CAST(CAST(ROUND({c}, 2) AS DECIMAL(18,2)) AS VARCHAR)",
+    "ts": "strftime({c}, '%Y-%m-%d %H:%M:%S')",
+    "str": "{c}",
+}
+
+
+def _profile_spark(table: str, cols: list[tuple[str, str]]):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = load_table(spark, sf_dir, table)
+        stack = ", ".join(
+            f"'{name}', {_SPARK_CANON[kind].format(c=name)}" for name, kind in cols
+        )
+        vals = df.selectExpr(f"stack({len(cols)}, {stack}) AS (col_name, v)")
+        vc = vals.groupBy("col_name", "v").agg(F.count("*").alias("cnt"))
+
+        v, cnt = F.col("v"), F.col("cnt")
+        nn = lambda expr: F.sum(F.when(expr, cnt).otherwise(0))  # noqa: E731
+        n_rows = F.sum(cnt)
+        n_nulls = nn(v.isNull())
+        n_nonnull = nn(v.isNotNull())
+        n_int = nn(v.rlike(INT_RE))
+        n_float = nn(v.rlike(FLOAT_RE))
+        n_bool = nn(F.lower(v).isin("true", "false"))
+        n_date = nn(v.rlike(DATE_RE))
+        n_str = n_nonnull - n_int - n_float - n_bool - n_date
+        prof = vc.groupBy("col_name").agg(
+            n_rows.cast("long").alias("n_rows"),
+            n_nulls.cast("long").alias("n_nulls"),
+            F.count(F.when(v.isNotNull(), 1)).cast("long").alias("n_distinct"),
+            n_nonnull.cast("long").alias("_nn"),
+            n_int.cast("long").alias("_i"),
+            n_float.cast("long").alias("_f"),
+            n_bool.cast("long").alias("_b"),
+            n_date.cast("long").alias("_d"),
+            n_str.cast("long").alias("_s"),
+            F.round(F.max(F.when(v.isNotNull(), cnt)) * 1.0 / n_nonnull, 6)
+            .cast("double")
+            .alias("confidence"),
+            F.concat_ws(",", F.slice(F.array_sort(F.collect_list("v")), 1, 3)).alias("examples"),
+        )
+        i, f_, b, d, s = (F.col(c) for c in ["_i", "_f", "_b", "_d", "_s"])
+        inferred = (
+            F.when(F.col("_nn") == 0, "string")
+            .when((i >= f_) & (i >= b) & (i >= d) & (i >= s), "integer")
+            .when((f_ >= b) & (f_ >= d) & (f_ >= s), "float")
+            .when((b >= d) & (b >= s), "boolean")
+            .when(d >= s, "date")
+            .otherwise("string")
+        )
+        return (
+            prof.select(
+                "col_name",
+                "n_rows",
+                "n_nulls",
+                "n_distinct",
+                inferred.alias("inferred_type"),
+                (F.col("n_nulls") > 0).alias("nullable"),
+                ((F.col("n_nulls") == 0) & (F.col("n_distinct") == F.col("n_rows"))).alias(
+                    "pk_candidate"
+                ),
+                "confidence",
+                "examples",
+            )
+            .orderBy("col_name")
+        )
+
+    return fn
+
+
+def _profile_sql(table: str, cols: list[tuple[str, str]]) -> str:
+    unions = "\n        UNION ALL ".join(
+        f"SELECT '{name}' AS col_name, {_SQL_CANON[kind].format(c=name)} AS v FROM {table}"
+        for name, kind in cols
+    )
+    cls = {
+        "i": f"regexp_matches(v, '{INT_RE}')",
+        "f": rf"regexp_matches(v, '{FLOAT_RE}')",
+        "b": "lower(v) IN ('true', 'false')",
+        "d": f"regexp_matches(v, '{DATE_RE}')",
+    }
+    nn = lambda cond: f"COALESCE(SUM(cnt) FILTER (WHERE v IS NOT NULL AND {cond}), 0)"  # noqa: E731
+    return f"""
+    WITH vals AS (
+        {unions}
+    ),
+    vc AS (SELECT col_name, v, COUNT(*) AS cnt FROM vals GROUP BY col_name, v),
+    agg AS (
+        SELECT col_name,
+               CAST(SUM(cnt) AS BIGINT) AS n_rows,
+               CAST(COALESCE(SUM(cnt) FILTER (WHERE v IS NULL), 0) AS BIGINT) AS n_nulls,
+               CAST(COUNT(*) FILTER (WHERE v IS NOT NULL) AS BIGINT) AS n_distinct,
+               CAST(COALESCE(SUM(cnt) FILTER (WHERE v IS NOT NULL), 0) AS BIGINT) AS nn,
+               CAST({nn(cls["i"])} AS BIGINT) AS n_i,
+               CAST({nn(cls["f"])} AS BIGINT) AS n_f,
+               CAST({nn(cls["b"])} AS BIGINT) AS n_b,
+               CAST({nn(cls["d"])} AS BIGINT) AS n_d,
+               CAST(ROUND(MAX(cnt) FILTER (WHERE v IS NOT NULL) * 1.0
+                    / SUM(cnt) FILTER (WHERE v IS NOT NULL), 6) AS DOUBLE) AS confidence,
+               array_to_string(list_sort(list(v) FILTER (WHERE v IS NOT NULL))[1:3], ',')
+                   AS examples
+        FROM vc GROUP BY col_name
+    )
+    SELECT col_name, n_rows, n_nulls, n_distinct,
+           CASE WHEN nn = 0 THEN 'string'
+                WHEN n_i >= n_f AND n_i >= n_b AND n_i >= n_d
+                     AND n_i >= nn - n_i - n_f - n_b - n_d THEN 'integer'
+                WHEN n_f >= n_b AND n_f >= n_d
+                     AND n_f >= nn - n_i - n_f - n_b - n_d THEN 'float'
+                WHEN n_b >= n_d AND n_b >= nn - n_i - n_f - n_b - n_d THEN 'boolean'
+                WHEN n_d >= nn - n_i - n_f - n_b - n_d THEN 'date'
+                ELSE 'string' END AS inferred_type,
+           n_nulls > 0 AS nullable,
+           (n_nulls = 0 AND n_distinct = n_rows) AS pk_candidate,
+           confidence, examples
+    FROM agg
+    ORDER BY col_name
+    """
+
+
+ORDERS_COLS = [
+    ("o_orderkey", "int"),
+    ("o_custkey", "int"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "double"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+]
+
+DOCUMENTS_COLS = [
+    ("doc_id", "int"),
+    ("text", "str"),
+    ("lang", "str"),
+    ("source", "str"),
+    ("n_chars", "int"),
+]
+
+register("q_profile_orders_schema", oracle=_profile_sql("orders", ORDERS_COLS))(
+    _profile_spark("orders", ORDERS_COLS)
+)
+register("q_profile_documents_schema", oracle=_profile_sql("documents", DOCUMENTS_COLS))(
+    _profile_spark("documents", DOCUMENTS_COLS)
+)

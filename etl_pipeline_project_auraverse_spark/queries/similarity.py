@@ -1,1 +1,223 @@
-"""Placeholder — filled in a later milestone."""
+"""Similarity search over the `embeddings` table (array<float> vectors):
+brute-force cosine top-k (baseline), sign-LSH bucketed ANN, IVF-style
+label-partitioned ANN, and norm profiling — all pure Column expressions
+(``F.zip_with``/``F.aggregate`` vector math, no UDFs) with DuckDB twins.
+
+Scale design (100 TB posture):
+- The query set is always the small side: Catalyst broadcasts it, so the
+  corpus is scanned once with no shuffle (verified BroadcastNestedLoop /
+  BroadcastHashJoin in the plans). Top-k per query is a window over the
+  joined pairs — rank truncation prunes before any wide result.
+- Brute force is the correctness baseline; the scale path is the LSH
+  bucket equi-join (candidates bounded per bucket) or the IVF partition
+  join (candidates bounded per centroid block). Both replace the
+  all-pairs product with an equi-join on a compact key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from etl_pipeline_project_auraverse_spark.functions.vectors import (
+    cosine,
+    lsh_signature,
+    norm2,
+    sql_cosine,
+    sql_lsh_signature,
+)
+from etl_pipeline_project_auraverse_spark.queries import register
+from etl_pipeline_project_auraverse_spark.queries._util import dec_avg, sql_dec_avg
+from etl_pipeline_project_auraverse_spark.session import load_table
+
+N_QUERY = 5  # brute-force query set: vec_id < 5
+TOP_K = 10
+
+
+# ---------------------------------------------------------------------------
+# Brute-force cosine top-k: exact baseline every ANN variant is judged
+# against. Query side broadcast; rank = row_number with vec_id tiebreak.
+# ---------------------------------------------------------------------------
+@register(
+    "q_knn_bruteforce_cosine",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               {sql_cosine("q.embedding", "c.embedding")} AS cos_sim
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < {N_QUERY}
+    ),
+    ranked AS (
+        SELECT query_id, cand_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, cand_id) AS rank
+        FROM pairs
+    )
+    SELECT query_id, cand_id, CAST(rank AS BIGINT) AS rank, cos_sim
+    FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+)
+def q_knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(emb.filter(F.col("vec_id") < N_QUERY).alias("q"))
+    c = emb.alias("c")
+    pairs = q.join(c, F.col("q.vec_id") != F.col("c.vec_id")).select(
+        F.col("q.vec_id").alias("query_id"),
+        F.col("c.vec_id").alias("cand_id"),
+        cosine(F.col("q.embedding"), F.col("c.embedding")).alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "cand_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "rank", "cos_sim")
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sign-LSH ANN: 8 deterministic hyperplanes -> 8-bit bucket; search only
+# the query's bucket (equi-join). The scale path for huge corpora.
+# ---------------------------------------------------------------------------
+LSH_QUERY_MAX = 50
+LSH_TOP_K = 3
+
+
+@register(
+    "q_ann_lsh_cosine",
+    oracle=f"""
+    WITH sig AS (
+        SELECT vec_id, embedding, {sql_lsh_signature("embedding")} AS bucket
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT q.vec_id AS query_id, q.bucket, c.vec_id AS cand_id,
+               {sql_cosine("q.embedding", "c.embedding")} AS cos_sim
+        FROM sig q JOIN sig c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        WHERE q.vec_id < {LSH_QUERY_MAX}
+    ),
+    ranked AS (
+        SELECT query_id, bucket, cand_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, cand_id) AS rank
+        FROM pairs
+    )
+    SELECT query_id, bucket, cand_id, CAST(rank AS BIGINT) AS rank, cos_sim
+    FROM ranked WHERE rank <= {LSH_TOP_K}
+    ORDER BY query_id, rank
+    """,
+)
+def q_ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    sig = emb.select("vec_id", "embedding", lsh_signature(F.col("embedding")).alias("bucket"))
+    q = sig.filter(F.col("vec_id") < LSH_QUERY_MAX).alias("q")
+    c = sig.alias("c")
+    pairs = q.join(
+        c,
+        (F.col("q.bucket") == F.col("c.bucket")) & (F.col("q.vec_id") != F.col("c.vec_id")),
+    ).select(
+        F.col("q.vec_id").alias("query_id"),
+        F.col("q.bucket").alias("bucket"),
+        F.col("c.vec_id").alias("cand_id"),
+        cosine(F.col("q.embedding"), F.col("c.embedding")).alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "cand_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= LSH_TOP_K)
+        .select("query_id", "bucket", "cand_id", "rank", "cos_sim")
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-style ANN: `label` plays the coarse-centroid id; candidates come
+# only from the query's partition. At scale: partition/bucket the corpus
+# by centroid id so the probe is a co-located join.
+# ---------------------------------------------------------------------------
+IVF_QUERY_MAX = 20
+IVF_TOP_K = 3
+
+
+@register(
+    "q_ann_ivf_cosine",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT q.vec_id AS query_id, q.label, c.vec_id AS cand_id,
+               {sql_cosine("q.embedding", "c.embedding")} AS cos_sim
+        FROM embeddings q JOIN embeddings c
+          ON q.label = c.label AND q.vec_id <> c.vec_id
+        WHERE q.vec_id < {IVF_QUERY_MAX}
+    ),
+    ranked AS (
+        SELECT query_id, label, cand_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, cand_id) AS rank
+        FROM pairs
+    )
+    SELECT query_id, label, cand_id, CAST(rank AS BIGINT) AS rank, cos_sim
+    FROM ranked WHERE rank <= {IVF_TOP_K}
+    ORDER BY query_id, rank
+    """,
+)
+def q_ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(emb.filter(F.col("vec_id") < IVF_QUERY_MAX).alias("q"))
+    c = emb.alias("c")
+    pairs = q.join(
+        c,
+        (F.col("q.label") == F.col("c.label")) & (F.col("q.vec_id") != F.col("c.vec_id")),
+    ).select(
+        F.col("q.vec_id").alias("query_id"),
+        F.col("q.label").alias("label"),
+        F.col("c.vec_id").alias("cand_id"),
+        cosine(F.col("q.embedding"), F.col("c.embedding")).alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "cand_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= IVF_TOP_K)
+        .select("query_id", "label", "cand_id", "rank", "cos_sim")
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding profile: per-label vector counts and L2-norm stats.
+# Per-vector norms rounded before aggregation -> order-independent.
+# ---------------------------------------------------------------------------
+SQL_NORM = (
+    "ROUND(SQRT(list_sum(list_transform(range(0, 64), d -> "
+    "CAST(embedding[d+1] AS DOUBLE) * CAST(embedding[d+1] AS DOUBLE)))), 6)"
+)
+
+
+@register(
+    "q_embedding_norms",
+    oracle=f"""
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           {sql_dec_avg(SQL_NORM)} AS avg_norm,
+           CAST(MIN({SQL_NORM}) AS DOUBLE) AS min_norm,
+           CAST(MAX({SQL_NORM}) AS DOUBLE) AS max_norm
+    FROM embeddings
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = F.round(norm2(F.col("embedding")), 6)
+    return (
+        emb.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            dec_avg("nrm").alias("avg_norm"),
+            F.min("nrm").cast("double").alias("min_norm"),
+            F.max("nrm").cast("double").alias("max_norm"),
+        )
+        .orderBy("label")
+    )
