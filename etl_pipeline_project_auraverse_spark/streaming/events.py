@@ -1,0 +1,143 @@
+"""Structured Streaming operators over the events stream — the
+streaming twins of ``queries.timeseries`` (same semantics on an
+unbounded source). The reference is batch-only (SURVEY §2.5: streaming
+absent); this is part of the extended capability surface (§7 M5).
+
+Design notes (scale posture):
+- Every stateful op declares a watermark so state is bounded: late
+  events beyond the watermark are dropped deterministically, and the
+  state store evicts closed windows/sessions.
+- Sessionization uses the native ``session_window`` (gap-close
+  semantics identical to the batch lag/cumsum pipeline) — state is
+  per user_id, merged incrementally, no full-history shuffle.
+- ``stateful_user_counters`` shows the custom-operator escape hatch:
+  ``applyInPandasWithState`` with explicit GroupState, for semantics
+  the built-in windows can't express.
+- Sinks: ``to_memory`` for tests/driver inspection; production path is
+  ``writeStream.format("parquet")`` with checkpointing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+# explicit DDL keeps the stream schema stable regardless of input files
+EVENT_DDL = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-based event stream: each parquet file is a micro-batch."""
+    return (
+        spark.readStream.schema(EVENT_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "6 hours", watermark: str = "1 hour"
+) -> DataFrame:
+    """Tumbling-window count/sum per event_type (streaming twin of
+    ``q_event_tumbling_windows``). Watermark bounds window state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionized_events(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Gap-based sessions via native ``session_window`` (streaming twin
+    of ``q_sessionize_events``): a session closes after ``gap`` of
+    user inactivity; the watermark lets the store emit+evict it."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            "session_start",
+            "session_end",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def deduped_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup on event_id, state bounded by watermark
+    (the streaming face of D1 / the dedup suite's exact variant)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def stateful_user_counters(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``:
+    per-user running event count + running value sum, emitted on every
+    update. The pattern for operators window/session can't express."""
+
+    out_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, total double"
+
+    def update(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in batches:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def to_memory(df: DataFrame, name: str, output_mode: str = "append"):
+    """Test/driver sink: materialize the stream into an in-memory table."""
+    return (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,76 @@
+"""Tests for the multimodal binary-column operators: real Spark
+plumbing (schema, Arrow batches, partitioning) over the deterministic
+fake payload format; the codec seam itself is stubbed."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pipeline_project_auraverse_spark.operators import multimodal as mm
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    rows = [
+        (i, bytearray(mm.synth_image_bytes(i, width=8, height=6, channels=1)), "image/fake")
+        for i in range(20)
+    ] + [(99, bytearray(b"\x00\x01\x02notanimage"), "application/octet-stream")]
+    return spark.createDataFrame(
+        rows, "doc_id long, content binary, media_type string"
+    ).repartition(4)
+
+
+def test_byte_features_real_math(media_df):
+    feats = {r["doc_id"]: r for r in mm.byte_features(media_df).collect()}
+    assert len(feats) == 21
+    f0 = feats[0]
+    raw = mm.synth_image_bytes(0, 8, 6, 1)
+    assert f0["n_bytes"] == len(raw)
+    buf = np.frombuffer(raw, dtype=np.uint8)
+    assert f0["mean_byte"] == pytest.approx(float(buf.mean()), abs=1e-6)
+    assert sum(f0["histogram"]) == len(raw)
+    counts = np.bincount(buf, minlength=256).astype(float)
+    p = counts[counts > 0] / len(buf)
+    assert f0["entropy"] == pytest.approx(float(-(p * np.log2(p)).sum()), abs=1e-5)
+
+
+def test_decode_drops_corrupt_rows(media_df):
+    decoded = mm.decode_images(media_df)
+    rows = decoded.collect()
+    assert len(rows) == 20  # the non-FAKEIMG payload is dropped
+    r = {x["doc_id"]: x for x in rows}[3]
+    assert (r["width"], r["height"], r["channels"]) == (8, 6, 1)
+    pixels = np.array([(3 * 31 + i * 7) % 256 for i in range(48)])
+    assert r["mean_pixel"] == pytest.approx(float(pixels.mean()), abs=1e-6)
+
+
+def test_resize_roundtrip(media_df):
+    thumbs = mm.resize_images(media_df, max_side=4).collect()
+    assert len(thumbs) == 20
+    t = {x["doc_id"]: x for x in thumbs}[0]
+    assert (t["thumb_width"], t["thumb_height"]) == (4, 3)  # stride 2 on 8x6
+    w, h, c, pixels = mm._decode_image_bytes(bytes(t["thumbnail"]))
+    assert (w, h, c) == (4, 3, 1)
+
+
+def test_frame_sampling(media_df):
+    frames = mm.sample_frames(media_df, every_n=2).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    assert sorted(by_doc[1]) == [0, 2, 4]  # 6 rows, every 2nd
+
+
+def test_column_pruning_skips_binary(spark, media_df, tmp_path):
+    """Metadata-only plans over a parquet scan must prune the binary
+    payload column (ReadSchema excludes it)."""
+    path = str(tmp_path / "media.parquet")
+    media_df.write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path).select("doc_id", "media_type")
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema" in physical
+    read_schema = physical.split("ReadSchema:")[1].splitlines()[0]
+    assert "content" not in read_schema
+    assert "doc_id" in read_schema and "media_type" in read_schema
