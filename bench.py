@@ -48,8 +48,10 @@ def main() -> None:
     load_all()
     spark = get_spark(app_name="bench")
 
-    # warm up JVM / codegen with an untimed action
+    # warm up JVM / codegen / parquet footers with untimed actions so
+    # the first timed query isn't charged session startup costs
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -73,6 +73,15 @@ def h28(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
 
 
+def h60(col: Column) -> Column:
+    """Portable 60-bit hash: first 15 hex digits of md5 → bigint.
+
+    DuckDB twin: ``('0x' || substr(md5(s),1,15))::BIGINT``. Used where
+    28 bits aren't enough (e.g. 48-bit SimHash fingerprints).
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def shingles(col: Column, n: int = 3) -> Column:
     """Word n-gram shingles as an array<string> (empty if < n tokens).
 

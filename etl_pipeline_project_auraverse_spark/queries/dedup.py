@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_pipeline_project_auraverse_spark.functions.text import h28, norm_text, shingles, words
+from etl_pipeline_project_auraverse_spark.functions.text import h28, h60, norm_text, shingles, words
 from etl_pipeline_project_auraverse_spark.functions.vectors import cosine, sql_cosine
 from etl_pipeline_project_auraverse_spark.queries import register
 from etl_pipeline_project_auraverse_spark.session import load_table
@@ -48,10 +48,24 @@ SQL_SHINGLE_CTE = r"""
 """
 
 
-def _shingle_hashes(docs: DataFrame) -> DataFrame:
-    """Distinct (doc_id, 28-bit shingle hash) pairs — the dedup unit."""
+def _shingle_hashes(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct (doc_id, 28-bit shingle hash) pairs — the dedup unit.
+
+    Tokens materialize as a column BEFORE the gram transform: inlining
+    ``split`` inside the lambda would re-split the text once per
+    ``F.get`` (no common-subexpression elimination inside codegen'd
+    higher-order functions — measured ~4x slower at sf0.1).
+    """
+    toks = docs.select("doc_id", words(F.col("text")).alias("toks"))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.get(F.col("toks"), i + k) for k in range(n)]
+    )
+    grams = F.when(
+        F.size("toks") >= n,
+        F.transform(F.sequence(F.lit(0), F.size("toks") - n), gram),
+    ).otherwise(F.array().cast("array<string>"))
     return (
-        docs.select("doc_id", F.explode(shingles(F.col("text"))).alias("s"))
+        toks.select("doc_id", F.explode(grams).alias("s"))
         .select("doc_id", h28(F.col("s")).alias("h"))
         .distinct()
     )
@@ -112,7 +126,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingle_hashes(docs)
+    sh = _shingle_hashes(docs).persist()  # feeds self-join (2x) + sizes
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     pairs = (
         sh.alias("a")
@@ -206,22 +220,31 @@ def _sql_minhash_cte() -> str:
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingle_hashes(docs)
+    # the shingle set feeds three consumers (minhash build, candidate
+    # verify x2) and the minhash table two — persist both or Spark
+    # recomputes the explode+distinct shuffle per branch (~6x cost)
+    sh = _shingle_hashes(docs).persist()
     mh = sh.groupBy("doc_id").agg(
         *[
             F.min((F.lit(MH_A[i]) * F.col("h") + F.lit(MH_B[i])) % F.lit(MH_P)).alias(f"mh{i}")
             for i in range(N_MH)
         ],
         F.count("*").alias("n"),
+    ).persist()
+    # bands via one explode (not a 4-way union, which would re-read mh
+    # four times per side of the self-join)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(",", F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}")).alias("key"),
+            )
+            for b in range(N_BANDS)
+        ]
     )
-    bands = None
-    for b in range(N_BANDS):
-        sel = mh.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.concat_ws(",", F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}")).alias("key"),
-        )
-        bands = sel if bands is None else bands.unionByName(sel)
+    bands = mh.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
     cand = (
         bands.alias("x")
         .join(
@@ -268,7 +291,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SimHash: 24-bit weighted token fingerprint; hamming<=3 pairs found by
 # pigeonhole blocking on 4 x 6-bit blocks (an equi-join, no cross join).
 # ---------------------------------------------------------------------------
-SH_BITS = 24
+SH_BITS = 48  # 24 bits saturate on same-vocabulary corpora (measured)
 SH_BLOCKS = 4
 SH_BLOCK_BITS = SH_BITS // SH_BLOCKS
 SH_MAX_HAMMING = 3
@@ -278,7 +301,7 @@ SH_MAX_HAMMING = 3
     "q_dedup_simhash",
     oracle=rf"""
     WITH tok AS (
-        SELECT doc_id, ('0x' || substr(md5(t), 1, 7))::BIGINT AS h, COUNT(*) AS c
+        SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h, COUNT(*) AS c
         FROM (
             SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
             FROM documents
@@ -317,7 +340,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = (
         docs.select("doc_id", F.explode(words(F.col("text"))).alias("t"))
-        .select("doc_id", h28(F.col("t")).alias("h"))
+        .select("doc_id", h60(F.col("t")).alias("h"))
         .groupBy("doc_id", "h")
         .agg(F.count("*").alias("c"))
     )
@@ -337,16 +360,22 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(0),
     ).cast("long")
-    sig = bitsum.select("doc_id", simhash.alias("simhash"))
-    blocks = None
+    # sig feeds block generation (both sides of the self-join) plus the
+    # two verify joins — persist, and explode blocks in one pass
+    sig = bitsum.select("doc_id", simhash.alias("simhash")).persist()
     mask = (1 << SH_BLOCK_BITS) - 1
-    for b in range(SH_BLOCKS):
-        sel = sig.select(
-            "doc_id",
-            F.lit(b).alias("blk"),
-            F.expr(f"(simhash >> {b * SH_BLOCK_BITS}) & {mask}").alias("val"),
-        )
-        blocks = sel if blocks is None else blocks.unionByName(sel)
+    block_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("blk"),
+                F.expr(f"(simhash >> {b * SH_BLOCK_BITS}) & {mask}").alias("val"),
+            )
+            for b in range(SH_BLOCKS)
+        ]
+    )
+    blocks = sig.select("doc_id", F.explode(block_structs).alias("bv")).select(
+        "doc_id", F.col("bv.blk").alias("blk"), F.col("bv.val").alias("val")
+    )
     cand = (
         blocks.alias("x")
         .join(
