@@ -35,6 +35,7 @@ _MODULES = [
     "etl_pipeline_project_auraverse_spark.queries.timeseries",
     "etl_pipeline_project_auraverse_spark.queries.text",
     "etl_pipeline_project_auraverse_spark.queries.dedup",
+    "etl_pipeline_project_auraverse_spark.queries.extended",
     "etl_pipeline_project_auraverse_spark.queries.similarity",
     "etl_pipeline_project_auraverse_spark.queries.profiling",
 ]

@@ -1,0 +1,224 @@
+"""Extended relational/text operators: banded range join, TF-IDF,
+corpus n-gram vocabulary, array aggregation functions.
+
+Scale notes:
+- The range join never executes as a theta join: candidates come from
+  an equi-join on (user_id, time_bucket) with the probe side exploded
+  to the two buckets its range can touch, then the exact range filter
+  runs on the candidates. At 100 TB this is the difference between a
+  broadcast-nested-loop blowup and a well-partitioned hash join.
+- TF-IDF is two aggregations and one join, all keyed on term/doc —
+  the document-frequency side is tiny (vocab-sized) and broadcasts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from etl_pipeline_project_auraverse_spark.functions.text import words
+from etl_pipeline_project_auraverse_spark.queries import register
+from etl_pipeline_project_auraverse_spark.session import load_table
+
+# ---------------------------------------------------------------------------
+# Banded range join: for each purchase, same-user events in the
+# preceding 30 minutes. Bucket width == range width, so a probe row
+# only needs its own bucket and the previous one.
+# ---------------------------------------------------------------------------
+RANGE_US = 30 * 60 * 1_000_000
+BUCKET_US = RANGE_US
+
+
+@register(
+    "q_range_join_purchase_context",
+    oracle=f"""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           COUNT(e.event_id) AS n_prior_events,
+           COUNT(CASE WHEN e.event_type = 'view' THEN 1 END) AS n_prior_views,
+           COALESCE(CAST(MAX(epoch_us(p.ts) - epoch_us(e.ts)) AS BIGINT), 0) AS max_lookback_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN events e
+      ON e.user_id = p.user_id
+     AND e.ts < p.ts
+     AND epoch_us(e.ts) >= epoch_us(p.ts) - {RANGE_US}
+    GROUP BY p.event_id, p.user_id
+    ORDER BY purchase_id
+    """,
+)
+def q_range_join_purchase_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id", "user_id", "event_type", F.unix_micros(F.col("ts")).alias("us")
+    )
+    purchases = base.filter(F.col("event_type") == "purchase")
+    # probe explodes to its bucket and the previous one; build side keeps
+    # its own bucket → pure equi-join on (user_id, bucket), then exact filter
+    probe = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("us").alias("p_us"),
+        F.explode(
+            F.array((F.col("us") / BUCKET_US).cast("long"), (F.col("us") / BUCKET_US).cast("long") - 1)
+        ).alias("bucket"),
+    )
+    build = base.select(
+        "user_id",
+        F.col("event_id").alias("e_id"),
+        F.col("event_type").alias("e_type"),
+        F.col("us").alias("e_us"),
+        (F.col("us") / BUCKET_US).cast("long").alias("bucket"),
+    )
+    matched = probe.join(build, ["user_id", "bucket"]).filter(
+        (F.col("e_us") < F.col("p_us")) & (F.col("e_us") >= F.col("p_us") - RANGE_US)
+    )
+    agg = matched.groupBy("purchase_id", "user_id").agg(
+        F.count("*").alias("n_prior_events"),
+        F.count(F.when(F.col("e_type") == "view", 1)).alias("n_prior_views"),
+        F.max(F.col("p_us") - F.col("e_us")).cast("long").alias("max_lookback_us"),
+    )
+    # LEFT-join semantics: purchases with no prior events keep zero counts
+    return (
+        purchases.select(F.col("event_id").alias("purchase_id"), "user_id")
+        .join(agg, ["purchase_id", "user_id"], "left")
+        .select(
+            "purchase_id",
+            "user_id",
+            F.coalesce(F.col("n_prior_events"), F.lit(0)).alias("n_prior_events"),
+            F.coalesce(F.col("n_prior_views"), F.lit(0)).alias("n_prior_views"),
+            F.coalesce(F.col("max_lookback_us"), F.lit(0)).cast("long").alias("max_lookback_us"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF: top-3 terms per document (doc_id < 50), idf = ln(N/df).
+# ---------------------------------------------------------------------------
+@register(
+    "q_tfidf_top_terms",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               CAST(ROUND(tf.tf * ln(n.n_docs * 1.0 / df.df), 6) AS DOUBLE) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+        WHERE tf.doc_id < 50
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, term) AS rnk
+        FROM scored
+    )
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           tfidf, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    ORDER BY doc_id, rnk
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(words(F.col("text"))).alias("term")).persist()
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()  # scalar; folded into the expression
+    scored = (
+        tf.filter(F.col("doc_id") < 50)
+        .join(F.broadcast(df_), "term")
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(F.col("tf") * F.log(n_docs / F.col("df")), 6)
+            .cast("double")
+            .alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", F.col("tf").cast("long"), F.col("df").cast("long"), "tfidf", "rnk")
+        .orderBy("doc_id", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus vocabulary: top-20 word trigrams with deterministic tiebreak.
+# ---------------------------------------------------------------------------
+@register(
+    "q_vocab_top_trigrams",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w) - 1),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        FROM toks WHERE len(w) >= 3
+    )
+    SELECT g AS trigram, COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM grams
+    GROUP BY g
+    ORDER BY n_occurrences DESC, trigram
+    LIMIT 20
+    """,
+)
+def q_vocab_top_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", words(F.col("text")).alias("toks"))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", F.get(F.col("toks"), i), F.get(F.col("toks"), i + 1), F.get(F.col("toks"), i + 2)
+    )
+    grams = F.when(
+        F.size("toks") >= 3,
+        F.transform(F.sequence(F.lit(0), F.size("toks") - 3), gram),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        toks.select("doc_id", F.explode(grams).alias("trigram"))
+        .groupBy("trigram")
+        .agg(F.count("*").alias("n_occurrences"), F.countDistinct("doc_id").alias("n_docs"))
+        .orderBy(F.col("n_occurrences").desc(), "trigram")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Array aggregation functions: per-order lineitem rollups as arrays.
+# ---------------------------------------------------------------------------
+@register(
+    "q_array_functions_per_order",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(len(list_sort(list(DISTINCT l_partkey))) AS INT) AS n_parts,
+           list_sort(list(DISTINCT l_partkey))[1:3] AS first_parts,
+           CAST(list_sort(list(DISTINCT l_partkey))[1] AS BIGINT) AS min_part,
+           CAST(list_contains(list(DISTINCT l_partkey), 1) AS BOOLEAN) AS has_part_1
+    FROM lineitem
+    WHERE l_orderkey < 200
+    GROUP BY l_orderkey
+    ORDER BY l_orderkey
+    """,
+)
+def q_array_functions_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    parts = F.array_sort(F.collect_set("l_partkey"))
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.size(parts).alias("n_parts"),
+            F.slice(parts, 1, 3).alias("first_parts"),
+            F.element_at(parts, 1).cast("long").alias("min_part"),
+            F.array_contains(parts, F.lit(1)).alias("has_part_1"),
+        )
+        .orderBy("l_orderkey")
+    )

@@ -78,10 +78,10 @@ def _canon(v):
         return f"x:{v.hex()}"
     if isinstance(v, str):
         return f"s:{v}"
+    if hasattr(v, "__iter__"):  # list/ndarray (str/bytes handled above)
+        return "[" + ",".join(_canon(x) for x in v) + "]"
     if hasattr(v, "item"):  # numpy scalar
         return _canon(v.item())
-    if hasattr(v, "__iter__"):
-        return "[" + ",".join(_canon(x) for x in v) + "]"
     return f"o:{v!r}"
 
 
