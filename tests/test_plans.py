@@ -1,0 +1,98 @@
+"""Plan-shape regression tests: the 100 TB checklist, asserted.
+
+Every key query's physical plan must keep the properties that make it
+scale — filters pushed to the scan, columns pruned, small sides
+broadcast, no accidental cartesian products. A passing result set with
+a degenerate plan is a failure at scale; these tests catch that before
+the bench does."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_pipeline_project_auraverse_spark.plans import inspect as PI
+from etl_pipeline_project_auraverse_spark.queries import QUERIES, load_all
+
+load_all()
+
+
+@pytest.fixture(scope="module")
+def q(spark, sf_dir):
+    def build(name: str):
+        return QUERIES[name](spark, sf_dir)
+
+    return build
+
+
+# every equi-join query in the engine must never degenerate into a
+# cartesian / broadcast-nested-loop product
+EQUI_JOIN_QUERIES = [
+    "q03_shipping_priority",
+    "q05_local_supplier_revenue",
+    "q_dedup_minhash_lsh",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_simhash",
+    "q_range_join_purchase_context",
+    "q_ann_lsh_cosine",
+    "q_tfidf_top_terms",
+]
+
+
+@pytest.mark.parametrize("name", EQUI_JOIN_QUERIES)
+def test_no_cartesian_products(q, name):
+    assert not PI.has_cartesian(q(name)), f"{name} degenerated into a cartesian/BNL join"
+
+
+def test_q01_filter_pushdown_and_pruning(q):
+    df = q("q01_pricing_summary")
+    pushed = " ".join(PI.pushed_filters(df))
+    assert "l_shipdate" in pushed, "shipdate filter must reach the parquet scan"
+    cols = PI.scan_columns(df)
+    assert "l_partkey" not in cols and "l_suppkey" not in cols, (
+        "q01 must prune unused lineitem columns from the scan"
+    )
+
+
+def test_q03_broadcasts_dimensions(q):
+    df = q("q03_shipping_priority")
+    rep = PI.lint_plan(df)
+    assert rep.broadcast_joins >= 1, "small sides of q03 should broadcast"
+    assert not rep.cartesian
+
+
+def test_q05_multiway_join_shape(q):
+    df = q("q05_local_supplier_revenue")
+    rep = PI.lint_plan(df)
+    assert not rep.cartesian
+    assert rep.broadcast_joins >= 2, "region/nation (and peers) should broadcast"
+    pushed = " ".join(rep.pushed_filters)
+    assert "o_orderdate" in pushed or "r_name" in pushed
+
+
+def test_knn_bruteforce_is_intentional_bnl(q):
+    """Brute-force KNN is the one deliberate non-equi join: a tiny
+    broadcast query side against the corpus. Assert it broadcasts (the
+    corpus must never be the replicated side is enforced by the
+    explicit F.broadcast on the query set)."""
+    df = q("q_knn_bruteforce_cosine")
+    plan = PI.physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BuildLeft" in plan or "BuildRight" in plan
+
+
+def test_range_join_is_hash_join(q):
+    """The banded range join's entire point: no BNL, just hash joins."""
+    plan = PI.physical_plan(q("q_range_join_purchase_context"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_profiling_reads_single_scan_per_table(q):
+    df = q("q_profile_orders_schema")
+    # unpivot → two aggregations; the table is scanned once, not per column
+    assert PI.physical_plan(df).count("FileScan parquet") == 1
+
+
+def test_text_quality_scan_prunes_columns(q):
+    cols = PI.scan_columns(q("q_text_quality_scores"))
+    assert "source" not in cols, "unused documents.source must be pruned"
