@@ -222,3 +222,111 @@ def q_array_functions_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Analytic window battery: ntile / percent_rank / cume_dist / lead /
+# first_value per nation, ordered on a unique (acctbal, custkey) key so
+# every rank is deterministic.
+# ---------------------------------------------------------------------------
+@register(
+    "q_window_analytics_battery",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+           CAST(ROUND(PERCENT_RANK() OVER w, 6) AS DOUBLE) AS pct_rank,
+           CAST(ROUND(CUME_DIST() OVER w, 6) AS DOUBLE) AS cume,
+           LEAD(c_custkey) OVER w AS next_custkey,
+           FIRST_VALUE(c_custkey) OVER w AS poorest_custkey
+    FROM customer
+    WHERE c_custkey < 300
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def q_window_analytics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).cast("double").alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).cast("double").alias("cume"),
+        F.lead("c_custkey").over(w).alias("next_custkey"),
+        F.first("c_custkey").over(w).alias("poorest_custkey"),
+    ).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Exact interpolated percentiles (median / p90) per group. Both engines
+# use linear interpolation (Spark `percentile`, DuckDB quantile_cont);
+# results rounded to absorb last-bit arithmetic differences.
+# ---------------------------------------------------------------------------
+@register(
+    "q_percentiles_by_returnflag",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS DOUBLE) AS p50,
+           CAST(ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS DOUBLE) AS p90,
+           CAST(ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS DOUBLE) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_percentiles_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.percentile("l_extendedprice", 0.5), 4).cast("double").alias("p50"),
+            F.round(F.percentile("l_extendedprice", 0.9), 4).cast("double").alias("p90"),
+            F.round(F.percentile("l_extendedprice", 0.99), 4).cast("double").alias("p99"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Full outer join: per-customer order rollup against the customer dim —
+# customers with no orders keep nulls on the order side.
+# ---------------------------------------------------------------------------
+@register(
+    "q_full_outer_customer_orders",
+    oracle="""
+    SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+           c.c_mktsegment,
+           COALESCE(o.n_orders, 0) AS n_orders,
+           (c.c_custkey IS NOT NULL) AS in_customer_dim,
+           (o.o_custkey IS NOT NULL) AS has_orders
+    FROM customer c
+    FULL OUTER JOIN (
+        SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey
+    ) o ON c.c_custkey = o.o_custkey
+    WHERE COALESCE(c.c_custkey, o.o_custkey) < 500
+    ORDER BY custkey
+    """,
+)
+def q_full_outer_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    joined = cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "full_outer")
+    key = F.coalesce(F.col("c_custkey"), F.col("o_custkey"))
+    return (
+        joined.filter(key < 500)
+        .select(
+            key.alias("custkey"),
+            "c_mktsegment",
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+            F.col("c_custkey").isNotNull().alias("in_customer_dim"),
+            F.col("o_custkey").isNotNull().alias("has_orders"),
+        )
+        .orderBy("custkey")
+    )
