@@ -1,0 +1,95 @@
+"""Native tabular sources/sinks: CSV / JSON / Parquet readers and
+partitioned writers (the S15/K1 surface generalized beyond the
+reference's one-file-per-run model).
+
+The reference re-parses whole files eagerly in Python
+(etl_pipeline.py:16-50, server.js:22-27 routes by extension). Here
+reads are lazy Spark scans: schema inference is distributed, predicate
+pushdown/column pruning apply automatically (parquet), and writers
+partition output by declared columns instead of coalescing to one file
+unless the single-file contract is explicitly requested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+_EXT_FORMAT = {
+    ".csv": "csv",
+    ".json": "json",
+    ".jsonl": "json",
+    ".ndjson": "json",
+    ".parquet": "parquet",
+    ".txt": "text",
+    ".md": "text",
+}
+
+
+def format_for_path(path: str) -> str:
+    """Extension → reader format (the server.js:22-27 routing,
+    driver-side only — never a per-row decision)."""
+    dot = path.rfind(".")
+    ext = path[dot:].lower() if dot >= 0 else ""
+    fmt = _EXT_FORMAT.get(ext)
+    if fmt is None:
+        raise ValueError(f"Unsupported file type: {ext}")  # S3 guard
+    return fmt
+
+
+def read_csv_table(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    header: bool = True,
+    infer: bool = True,
+) -> DataFrame:
+    """CSV scan. Prefer an explicit schema at scale: inference is a
+    full extra pass over the data."""
+    reader = spark.read.option("header", header)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", infer)
+    return reader.csv(path)
+
+
+def read_json_table(
+    spark: SparkSession, path: str, schema: str | None = None, multiline: bool = False
+) -> DataFrame:
+    """JSON scan — JSON-lines by default (splittable, scales);
+    ``multiline=True`` for whole-file documents (not splittable, each
+    file one task — fine for document-per-file corpora)."""
+    reader = spark.read.option("multiLine", multiline)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_table(spark: SparkSession, path: str, **kwargs) -> DataFrame:
+    """Extension-routed read (S14/S15 dispatch, tabular formats)."""
+    fmt = format_for_path(path)
+    if fmt == "csv":
+        return read_csv_table(spark, path, **kwargs)
+    if fmt == "json":
+        return read_json_table(spark, path, **kwargs)
+    if fmt == "parquet":
+        return spark.read.parquet(path)
+    return spark.read.text(path, wholetext=True)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Scale-path writer: every executor writes its own part files;
+    ``partition_by`` gives directory-partitioned layout so downstream
+    scans get partition pruning for free."""
+    writer = df.write.mode(mode).format(fmt)
+    if fmt == "csv":
+        writer = writer.option("header", True)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
