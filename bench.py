@@ -36,9 +36,14 @@ HEADLINE = [
     "q_rollup_status_priority",
     "q_topk_orders_by_price",
     "q_dedup_minhash_lsh",
+    "q_dedup_simhash",
     "q_knn_bruteforce_cosine",
+    "q_ann_lsh_cosine",
     "q_text_quality_scores",
+    "q_tfidf_top_terms",
     "q_sessionize_events",
+    "q_range_join_purchase_context",
+    "q_profile_orders_schema",
 ]
 
 
@@ -53,14 +58,21 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
+    # min of two runs per query: this VM shows heavy CPU-steal noise
+    # (identical queries vary 3-5x between runs); the min is the
+    # reproducible cost of the plan rather than of the neighbor's load
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES.get(name)
         if fn is None:
             continue
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        runs = []
+        for _ in range(2):
+            spark.catalog.clearCache()  # no cross-run persist() reuse
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 4)
 
     total = round(sum(timings.values()), 4)
     print(

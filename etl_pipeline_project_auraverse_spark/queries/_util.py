@@ -11,10 +11,23 @@ results, which we round and cast back to double for a stable schema.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 DEC = "decimal(25,6)"
+
+
+def parallelize(df: DataFrame) -> Column | DataFrame:
+    """Spread a small single-file scan across every core before
+    compute-heavy per-row work (regex batteries, hashing, explodes).
+
+    Small parquet files arrive as ONE partition, serializing all
+    downstream projection work onto a single thread; at real scale the
+    scan itself is already parallel and this becomes a no-op-sized
+    shuffle. Only use ahead of expensive projections — plain
+    aggregations shuffle anyway.
+    """
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
 def dec_sum(col: Column | str, scale: int = 2) -> Column:

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from etl_pipeline_project_auraverse_spark.functions.text import h28, h60, norm_text, shingles, words
 from etl_pipeline_project_auraverse_spark.functions.vectors import cosine, sql_cosine
 from etl_pipeline_project_auraverse_spark.queries import register
+from etl_pipeline_project_auraverse_spark.queries._util import parallelize
 from etl_pipeline_project_auraverse_spark.session import load_table
 
 # ---------------------------------------------------------------------------
@@ -48,15 +49,19 @@ SQL_SHINGLE_CTE = r"""
 """
 
 
-def _shingle_hashes(docs: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct (doc_id, 28-bit shingle hash) pairs — the dedup unit.
+def _exploded_gram_hashes(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, 28-bit shingle hash) per gram occurrence (duplicates
+    kept — dedup where the consumer needs it).
 
-    Tokens materialize as a column BEFORE the gram transform: inlining
-    ``split`` inside the lambda would re-split the text once per
-    ``F.get`` (no common-subexpression elimination inside codegen'd
-    higher-order functions — measured ~4x slower at sf0.1).
+    Two measured performance constraints shape this:
+    - Tokens materialize as a column BEFORE the gram transform:
+      inlining ``split`` inside the lambda re-splits the text once per
+      ``F.get`` (no CSE inside higher-order functions; ~4x slower).
+    - The md5 hash runs AFTER the explode, in a plain projection:
+      hashing inside ``transform()`` is interpreted per-element while
+      the post-explode projection is whole-stage-codegen'd (~20x).
     """
-    toks = docs.select("doc_id", words(F.col("text")).alias("toks"))
+    toks = parallelize(docs).select("doc_id", words(F.col("text")).alias("toks"))
     gram = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.get(F.col("toks"), i + k) for k in range(n)]
     )
@@ -64,11 +69,14 @@ def _shingle_hashes(docs: DataFrame, n: int = 3) -> DataFrame:
         F.size("toks") >= n,
         F.transform(F.sequence(F.lit(0), F.size("toks") - n), gram),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        toks.select("doc_id", F.explode(grams).alias("s"))
-        .select("doc_id", h28(F.col("s")).alias("h"))
-        .distinct()
+    return toks.select("doc_id", F.explode(grams).alias("s")).select(
+        "doc_id", h28(F.col("s")).alias("h")
     )
+
+
+def _shingle_hashes(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct (doc_id, shingle hash) pairs — the inverted-index unit."""
+    return _exploded_gram_hashes(docs, n).distinct()
 
 
 # ---------------------------------------------------------------------------
@@ -219,20 +227,40 @@ def _sql_minhash_cte() -> str:
     """,
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free sketching: the whole per-document sketch (distinct
+    shingle-hash array, its size, 8 minhashes) is ONE map-side
+    projection — ``array_distinct`` dedups within the row,
+    ``array_min(transform(...))`` computes each minhash, no explode and
+    no groupBy. The only shuffles are the band self-join and the final
+    candidate joins, and exact intersections come from
+    ``array_intersect`` on the sketch arrays carried with the
+    candidates (no inverted-index re-join). This is the shape that
+    scales: sketching 100 TB of documents is embarrassingly parallel.
+
+    The DuckDB oracle states the same semantics relationally
+    (explode → DISTINCT → GROUP BY) — values are identical.
+    """
     docs = load_table(spark, sf_dir, "documents")
-    # the shingle set feeds three consumers (minhash build, candidate
-    # verify x2) and the minhash table two — persist both or Spark
-    # recomputes the explode+distinct shuffle per branch (~6x cost)
-    sh = _shingle_hashes(docs).persist()
-    mh = sh.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(MH_A[i]) * F.col("h") + F.lit(MH_B[i])) % F.lit(MH_P)).alias(f"mh{i}")
-            for i in range(N_MH)
-        ],
-        F.count("*").alias("n"),
-    ).persist()
-    # bands via one explode (not a 4-way union, which would re-read mh
-    # four times per side of the self-join)
+    # explode grams so the md5 hash runs inside whole-stage codegen
+    # (hashing inside a higher-order transform() is interpreted
+    # per-element — measured 20x slower), then ONE groupBy builds the
+    # whole sketch: the distinct shingle set (collect_set) and all 8
+    # minhashes (MIN over the duplicate-included stream is identical).
+    sketch = (
+        _exploded_gram_hashes(docs)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_set("h").alias("hs"),
+            *[
+                F.min((F.lit(MH_A[i]) * F.col("h") + F.lit(MH_B[i])) % F.lit(MH_P)).alias(
+                    f"mh{i}"
+                )
+                for i in range(N_MH)
+            ],
+        )
+        .withColumn("n", F.size("hs"))
+        .persist()  # both sides of the band join + both verify joins
+    )
     band_structs = F.array(
         *[
             F.struct(
@@ -242,7 +270,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(N_BANDS)
         ]
     )
-    bands = mh.select("doc_id", F.explode(band_structs).alias("bk")).select(
+    bands = sketch.select("doc_id", F.explode(band_structs).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
     cand = (
@@ -256,29 +284,32 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    inter = (
-        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "h"), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), "h"), ["doc_b", "h"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
+    sa = sketch.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("hs").alias("hs_a"),
+        F.col("n").alias("n_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_MH)],
     )
-    ma = mh.select(F.col("doc_id").alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_MH)], F.col("n").alias("n_a"))
-    mb = mh.select(F.col("doc_id").alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(N_MH)], F.col("n").alias("n_b"))
+    sb = sketch.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("hs").alias("hs_b"),
+        F.col("n").alias("n_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(N_MH)],
+    )
     matches = sum(
         (F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(N_MH)),
         F.lit(0),
     )
-    n_common = F.coalesce(F.col("n_common"), F.lit(0))
+    n_common = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
     return (
-        cand.join(ma, "doc_a")
-        .join(mb, "doc_b")
-        .join(inter, ["doc_a", "doc_b"], "left")
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
             matches.cast("long").alias("n_matching_minhashes"),
             F.round(matches / float(N_MH), 6).cast("double").alias("est_jaccard"),
-            n_common.alias("n_common"),
+            n_common.cast("long").alias("n_common"),
             F.round(n_common * 1.0 / (F.col("n_a") + F.col("n_b") - n_common), 6)
             .cast("double")
             .alias("jaccard"),
@@ -339,16 +370,18 @@ SH_MAX_HAMMING = 3
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = (
-        docs.select("doc_id", F.explode(words(F.col("text"))).alias("t"))
-        .select("doc_id", h60(F.col("t")).alias("h"))
-        .groupBy("doc_id", "h")
-        .agg(F.count("*").alias("c"))
+        # explode tokens so the hash runs codegen'd, then ONE groupBy
+        # computes all 48 bit-sums directly over the occurrence stream
+        # (summing ±1 per occurrence == summing count*±1 per distinct
+        # token) — one shuffle total for the whole sketch
+        parallelize(docs).select("doc_id", F.explode(words(F.col("text"))).alias("t")).select(
+            "doc_id", h60(F.col("t")).alias("h")
+        )
     )
-    bitsum = tok.groupBy("doc_id").agg(
+    bitsums = tok.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.col("c")
-                * F.when(F.expr(f"((h >> {j}) & 1) = 1"), 1).otherwise(-1)
+                F.when(F.col("h").bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)
             ).alias(f"s{j}")
             for j in range(SH_BITS)
         ]
@@ -362,7 +395,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     # sig feeds block generation (both sides of the self-join) plus the
     # two verify joins — persist, and explode blocks in one pass
-    sig = bitsum.select("doc_id", simhash.alias("simhash")).persist()
+    sig = bitsums.select("doc_id", simhash.alias("simhash")).persist()
     mask = (1 << SH_BLOCK_BITS) - 1
     block_structs = F.array(
         *[

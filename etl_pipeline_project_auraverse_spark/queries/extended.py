@@ -19,6 +19,7 @@ from pyspark.sql.window import Window as W
 
 from etl_pipeline_project_auraverse_spark.functions.text import words
 from etl_pipeline_project_auraverse_spark.queries import register
+from etl_pipeline_project_auraverse_spark.queries._util import parallelize
 from etl_pipeline_project_auraverse_spark.session import load_table
 
 # ---------------------------------------------------------------------------
@@ -124,7 +125,7 @@ def q_range_join_purchase_context(spark: SparkSession, sf_dir: str) -> DataFrame
 )
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(words(F.col("text"))).alias("term")).persist()
+    tok = parallelize(docs).select("doc_id", F.explode(words(F.col("text"))).alias("term")).persist()
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df_ = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = docs.count()  # scalar; folded into the expression
@@ -175,7 +176,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_vocab_top_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", words(F.col("text")).alias("toks"))
+    toks = parallelize(docs).select("doc_id", words(F.col("text")).alias("toks"))
     gram = lambda i: F.concat_ws(  # noqa: E731
         " ", F.get(F.col("toks"), i), F.get(F.col("toks"), i + 1), F.get(F.col("toks"), i + 2)
     )

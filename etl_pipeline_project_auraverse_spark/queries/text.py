@@ -24,7 +24,7 @@ from etl_pipeline_project_auraverse_spark.functions.text import (
     words,
 )
 from etl_pipeline_project_auraverse_spark.queries import register
-from etl_pipeline_project_auraverse_spark.queries._util import dec_avg, sql_dec_avg
+from etl_pipeline_project_auraverse_spark.queries._util import dec_avg, parallelize, sql_dec_avg
 from etl_pipeline_project_auraverse_spark.session import load_table
 
 # DuckDB twins of the functions.text building blocks
@@ -80,7 +80,7 @@ def q_text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    docs = parallelize(load_table(spark, sf_dir, "documents")).filter(F.col("doc_id") < 200)
     t = F.col("text")
     return docs.select(
         "doc_id",
@@ -114,7 +114,7 @@ def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
     t = F.col("text")
     enriched = docs.select(
         "doc_id",
@@ -168,7 +168,7 @@ def q_text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_text_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
     return (
         docs.withColumn("pred_lang", predicted_lang(F.col("text")))
         .groupBy("lang", "pred_lang")
@@ -190,7 +190,7 @@ def q_text_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    docs = parallelize(load_table(spark, sf_dir, "documents")).filter(F.col("doc_id") < 200)
     return docs.select(
         "doc_id",
         fingerprint_md5(F.col("text")).alias("fp_md5"),
@@ -234,7 +234,7 @@ def q_text_top_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_text_lang_marker_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    docs = parallelize(load_table(spark, sf_dir, "documents")).filter(F.col("doc_id") < 100)
     scores = lang_scores(F.col("text"))
     return docs.select(
         "doc_id",
