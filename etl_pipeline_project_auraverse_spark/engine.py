@@ -1,0 +1,101 @@
+"""User-facing engine facade: one object that exposes everything the
+reference's user could do, plus the extended query surface.
+
+- ``Engine.sql("SELECT ...")`` — full Spark SQL over the star-schema
+  tables registered as temp views (region/nation/customer/supplier/
+  part/orders/lineitem/events/documents/embeddings).
+- ``Engine.query(name)`` — any operator from the registry
+  (``Engine.queries()`` lists them), returned as a lazy DataFrame.
+- ``Engine.run_etl(cfg)`` — the reference's config-driven
+  extract→normalize→flatten→schema→CSV lifecycle
+  (see ``pipeline.run_etl_pipeline``).
+- ``Engine.profile(df)`` / ``Engine.schema_artifact(df)`` — the
+  schema-inference surface on any DataFrame.
+
+The facade holds no state beyond the SparkSession and the data
+directory; every result is a lazy plan until the caller acts on it.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_pipeline_project_auraverse_spark.operators.schema_profile import (
+    generate_schema,
+    profile_table,
+)
+from etl_pipeline_project_auraverse_spark.pipeline import RunReport, run_etl_pipeline
+from etl_pipeline_project_auraverse_spark.session import get_spark, load_table
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+class Engine:
+    def __init__(
+        self,
+        sf_dir: str,
+        spark: SparkSession | None = None,
+        register_views: bool = True,
+    ) -> None:
+        self.spark = spark or get_spark(app_name="engine")
+        self.sf_dir = sf_dir
+        if register_views:
+            self.register_views()
+
+    # -- tables & SQL -------------------------------------------------------
+    def table(self, name: str) -> DataFrame:
+        return load_table(self.spark, self.sf_dir, name)
+
+    def register_views(self) -> list[str]:
+        """Expose every star-schema table as a temp view for spark.sql."""
+        registered = []
+        import os
+
+        for t in TABLES:
+            if os.path.exists(os.path.join(self.sf_dir, f"{t}.parquet")):
+                self.table(t).createOrReplaceTempView(t)
+                registered.append(t)
+        return registered
+
+    def sql(self, query: str) -> DataFrame:
+        return self.spark.sql(query)
+
+    # -- registry queries ---------------------------------------------------
+    @staticmethod
+    def queries() -> list[str]:
+        from etl_pipeline_project_auraverse_spark.queries import QUERIES, load_all
+
+        load_all()
+        return sorted(QUERIES)
+
+    def query(self, name: str) -> DataFrame:
+        from etl_pipeline_project_auraverse_spark.queries import QUERIES, load_all
+
+        load_all()
+        if name not in QUERIES:
+            raise KeyError(f"unknown query {name!r}; see Engine.queries()")
+        return QUERIES[name](self.spark, self.sf_dir)
+
+    # -- ETL lifecycle ------------------------------------------------------
+    def run_etl(self, cfg: dict[str, Any], schema_dir: str = "schemas") -> RunReport:
+        return run_etl_pipeline(self.spark, cfg, schema_dir=schema_dir)
+
+    # -- profiling ----------------------------------------------------------
+    def profile(self, df: DataFrame) -> list[dict[str, Any]]:
+        return profile_table(df)
+
+    def schema_artifact(self, df: DataFrame) -> dict[str, Any]:
+        return generate_schema(df)
