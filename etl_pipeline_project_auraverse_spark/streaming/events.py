@@ -132,6 +132,23 @@ def stateful_user_counters(events: DataFrame, watermark: str = "1 hour") -> Data
     )
 
 
+def enriched_event_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static join: each micro-batch hash-joins against the
+    static dimension (re-read per batch, so dim updates are picked up).
+    The dim side should be broadcastable; no state, no watermark needed
+    — the canonical enrichment shape for a 100 TB event firehose."""
+    from pyspark.sql import functions as F
+
+    return events.join(F.broadcast(dim), events["user_id"] == dim["c_custkey"], "left").select(
+        events["event_id"],
+        events["ts"],
+        events["user_id"],
+        events["event_type"],
+        events["value"],
+        dim["c_mktsegment"].alias("segment"),
+    )
+
+
 def to_memory(df: DataFrame, name: str, output_mode: str = "append"):
     """Test/driver sink: materialize the stream into an in-memory table."""
     return (

@@ -82,6 +82,24 @@ def test_streaming_dedup(spark, events_path):
     assert n_stream == n_batch
 
 
+def test_stream_static_join(spark, sf_dir, events_path):
+    from etl_pipeline_project_auraverse_spark.session import load_table
+
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    stream = se.read_event_stream(spark, events_path, max_files_per_trigger=2)
+    name = f"enrich_{uuid.uuid4().hex[:8]}"
+    _run_stream(se.enriched_event_stream(stream, dim), name)
+    got = spark.table(name)
+    batch = (
+        spark.read.parquet(events_path)
+        .join(dim, F.col("user_id") == F.col("c_custkey"), "left")
+    )
+    assert got.count() == batch.count()
+    g = {r["segment"]: r["n"] for r in got.groupBy("segment").agg(F.count("*").alias("n")).collect()}
+    b = {r["c_mktsegment"]: r["n"] for r in batch.groupBy("c_mktsegment").agg(F.count("*").alias("n")).collect()}
+    assert g == b
+
+
 def test_stateful_user_counters(spark, events_path):
     stream = se.read_event_stream(spark, events_path, max_files_per_trigger=2)
     name = f"state_{uuid.uuid4().hex[:8]}"
