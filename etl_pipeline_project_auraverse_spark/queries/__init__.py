@@ -33,6 +33,7 @@ ORACLE: dict[str, str] = {}
 _MODULES = [
     "etl_pipeline_project_auraverse_spark.queries.relational",
     "etl_pipeline_project_auraverse_spark.queries.tpch_extra",
+    "etl_pipeline_project_auraverse_spark.queries.tpch_extra2",
     "etl_pipeline_project_auraverse_spark.queries.timeseries",
     "etl_pipeline_project_auraverse_spark.queries.text",
     "etl_pipeline_project_auraverse_spark.queries.dedup",

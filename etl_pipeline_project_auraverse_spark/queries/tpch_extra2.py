@@ -1,0 +1,482 @@
+"""TPC-H Q2/Q7/Q8/Q9/Q12/Q15/Q17/Q19/Q21 analogues, adapted to the
+reduced star schema (no partsupp, no shipmode/commitdate columns — each
+query keeps the original's *shape*: argmin-per-group, two-sided nation
+pairs, market share, profit attribution, delay buckets, view+max,
+correlated scalar subquery, disjunctive pushdown, strict-latest
+exists/not-exists).
+
+Scale notes (100 TB posture): every dimension side (nation 25 rows,
+supplier, part) is explicitly broadcast so the fact-table scans never
+shuffle for a dim join; per-group argmin/latest use window functions
+over pre-aggregated (already reduced) intermediates, not self-joins of
+the raw fact table; disjunctive predicates in q19 are a single scan
+with the OR pushed into the parquet reader.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_pipeline_project_auraverse_spark.queries import register
+from etl_pipeline_project_auraverse_spark.queries._util import dec_sum, sql_dec_sum
+from etl_pipeline_project_auraverse_spark.session import load_table
+
+REV = "l_extendedprice * (1 - l_discount)"
+
+
+def _rev() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+# ---------------------------------------------------------------------------
+# Q2 analogue: cheapest supplier per part (argmin-per-group). partsupp
+# does not exist, so unit cost is derived from shipped lineitems:
+# min(l_extendedprice / l_quantity) per (part, supplier).
+# ---------------------------------------------------------------------------
+@register(
+    "q02_min_cost_supplier",
+    oracle="""
+    WITH costs AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), best AS (
+        SELECT l_partkey, l_suppkey, unit_cost,
+               ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                  ORDER BY unit_cost, l_suppkey) AS rn
+        FROM costs
+    )
+    SELECT p.p_partkey, p.p_name, p.p_brand, s.s_name, n.n_name,
+           CAST(ROUND(b.unit_cost, 6) AS DOUBLE) AS best_unit_cost
+    FROM best b
+    JOIN part p ON p.p_partkey = b.l_partkey
+    JOIN supplier s ON s.s_suppkey = b.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE b.rn = 1 AND p.p_size < 15
+    ORDER BY best_unit_cost DESC, p.p_partkey
+    LIMIT 50
+    """,
+)
+def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(load_table(spark, sf_dir, "part").filter(F.col("p_size") < 15))
+    supp = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    costs = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    w = Window.partitionBy("l_partkey").orderBy("unit_cost", "l_suppkey")
+    best = costs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        best.join(part, best["l_partkey"] == part["p_partkey"])
+        .join(supp, best["l_suppkey"] == supp["s_suppkey"])
+        .join(nation, supp["s_nationkey"] == nation["n_nationkey"])
+        .select(
+            "p_partkey",
+            "p_name",
+            "p_brand",
+            "s_name",
+            "n_name",
+            F.round("unit_cost", 6).cast("double").alias("best_unit_cost"),
+        )
+        .orderBy(F.col("best_unit_cost").desc(), "p_partkey")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q7 analogue: shipping volume between two nations, both directions,
+# per ship year (supplier nation x customer nation).
+# ---------------------------------------------------------------------------
+N_A, N_B = "NATION_3", "NATION_7"
+
+
+@register(
+    "q07_volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           EXTRACT(year FROM l.l_shipdate) AS l_year,
+           {sql_dec_sum(REV)} AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE (n1.n_name = '{N_A}' AND n2.n_name = '{N_B}')
+       OR (n1.n_name = '{N_B}' AND n2.n_name = '{N_A}')
+    GROUP BY 1, 2, 3
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = F.broadcast(nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(nation.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")))
+    pair = (F.col("supp_nation") == N_A) & (F.col("cust_nation") == N_B) | (
+        F.col("supp_nation") == N_B
+    ) & (F.col("cust_nation") == N_A)
+    return (
+        li.join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(n1, F.col("s_nationkey") == F.col("sn_key"))
+        .join(n2, F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(dec_sum(_rev()).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8 analogue: market share of one supplier nation within one region's
+# customer market, per order year.
+# ---------------------------------------------------------------------------
+MKT_REGION = "REGION_1"
+SHARE_NATION = "NATION_5"
+
+
+@register(
+    "q08_market_share",
+    oracle=f"""
+    SELECT o_year,
+           CAST(ROUND(
+               CAST(SUM(CASE WHEN supp_nation = '{SHARE_NATION}'
+                             THEN CAST(volume AS DECIMAL(25,6)) ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(CAST(volume AS DECIMAL(25,6))) AS DOUBLE), 6) AS DOUBLE)
+               AS mkt_share
+    FROM (
+        SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+               {REV} AS volume,
+               n1.n_name AS supp_nation
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n2.n_regionkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+        WHERE r.r_name = '{MKT_REGION}'
+    )
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    # customer-side nations restricted to the market region (broadcast)
+    mkt_nations = F.broadcast(
+        nation.join(
+            region.filter(F.col("r_name") == MKT_REGION),
+            nation["n_regionkey"] == region["r_regionkey"],
+        ).select(F.col("n_nationkey").alias("cn_key"))
+    )
+    n1 = F.broadcast(
+        nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    )
+    vol = _rev().cast("decimal(25,6)")
+    share_vol = F.when(F.col("supp_nation") == SHARE_NATION, vol).otherwise(
+        F.lit(0).cast("decimal(25,6)")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(mkt_nations, F.col("c_nationkey") == F.col("cn_key"))
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(n1, F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(share_vol).cast("double") / F.sum(vol).cast("double"), 6
+            )
+            .cast("double")
+            .alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 analogue: profit attribution by supplier nation and year. With no
+# partsupp.ps_supplycost, cost is modeled as 40% of the part's retail
+# price per unit shipped.
+# ---------------------------------------------------------------------------
+PROFIT = "l_extendedprice * (1 - l_discount) - 0.4 * p_retailprice * l_quantity"
+
+
+@register(
+    "q09_profit_by_nation",
+    oracle=f"""
+    SELECT n.n_name AS nation, EXTRACT(year FROM o.o_orderdate) AS o_year,
+           {sql_dec_sum(PROFIT)} AS sum_profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY 1, 2
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q09_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    )
+    supp = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    orders = load_table(spark, sf_dir, "orders")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    profit = _rev() - 0.4 * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(nation, supp["s_nationkey"] == nation["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(dec_sum(profit).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 analogue: ship-delay buckets x order priority. The schema has no
+# l_shipmode/commitdate, so lines are bucketed by order-to-ship delay.
+# ---------------------------------------------------------------------------
+@register(
+    "q12_ship_delay_priority",
+    oracle="""
+    SELECT CASE WHEN delay_days <= 30 THEN 'FAST'
+                WHEN delay_days <= 90 THEN 'NORMAL'
+                ELSE 'SLOW' END AS ship_bucket,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM (
+        SELECT o.o_orderpriority,
+               date_diff('day', o.o_orderdate, l.l_shipdate) AS delay_days
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    GROUP BY ship_bucket
+    ORDER BY ship_bucket
+    """,
+)
+def q12_ship_delay_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(delay <= 30, "FAST").when(delay <= 90, "NORMAL").otherwise("SLOW")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(bucket.alias("ship_bucket"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("ship_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15 analogue: top supplier(s) by revenue in one quarter (view + max
+# equality — exact because revenue goes through decimal accumulation).
+# ---------------------------------------------------------------------------
+Q15_START, Q15_END = "1997-01-01", "1997-04-01"
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no, {sql_dec_sum(REV)} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{Q15_START}'
+          AND l_shipdate < TIMESTAMP '{Q15_END}'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(Q15_START).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(Q15_END).cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dec_sum(_rev()).alias("total_revenue"))
+    )
+    # global max over the (small, already-aggregated) per-supplier table
+    mx = Window.partitionBy()
+    top = revenue.withColumn("mx", F.max("total_revenue").over(mx)).filter(
+        F.col("total_revenue") == F.col("mx")
+    )
+    return (
+        top.join(supp, top["supplier_no"] == supp["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q17 analogue: revenue impact of small-quantity lines for one brand
+# (correlated scalar subquery -> per-part average join).
+# ---------------------------------------------------------------------------
+Q17_BRAND = "Brand#23"
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+    WITH part_avg AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)
+                   / COUNT(*) AS avg_qty
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(25,6))) / 7.0, 2)
+                AS DOUBLE) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN part_avg a ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = '{Q17_BRAND}'
+      AND l.l_quantity < 0.5 * a.avg_qty
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(F.col("p_brand") == Q17_BRAND)
+    )
+    # Join to the brand's parts FIRST, then compute per-part averages on
+    # the reduced set: at scale this avoids aggregating the whole fact
+    # table for a ~1/25 brand slice... but the average must cover ALL
+    # lines of those parts, so restrict by partkey (broadcast semi-join),
+    # not by the final small-quantity predicate.
+    brand_lines = li.join(part, li["l_partkey"] == part["p_partkey"])
+    part_avg = (
+        brand_lines.groupBy(F.col("l_partkey").alias("pa_key"))
+        .agg(
+            (
+                F.sum(F.col("l_quantity").cast("decimal(25,6)")).cast("double")
+                / F.count("*")
+            ).alias("avg_qty")
+        )
+    )
+    return (
+        brand_lines.join(part_avg, F.col("l_partkey") == F.col("pa_key"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(25,6)")) / 7.0, 2)
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19 analogue: disjunctive brand/size/quantity predicates — one scan,
+# OR-of-ANDs pushed to the reader.
+# ---------------------------------------------------------------------------
+@register(
+    "q19_discounted_revenue",
+    oracle=f"""
+    SELECT {sql_dec_sum(REV)} AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(load_table(spark, sf_dir, "part"))
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    br = F.col("p_brand")
+    pred = (
+        ((br == "Brand#12") & sz.between(1, 15) & q.between(1, 11))
+        | ((br == "Brand#23") & sz.between(1, 25) & q.between(10, 20))
+        | ((br == "Brand#4") & sz.between(1, 35) & q.between(20, 30))
+    )
+    return (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .filter(pred)
+        .agg(dec_sum(_rev()).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 analogue: suppliers who were the strict-latest shipper on
+# multi-supplier orders (exists/not-exists shape via windows over the
+# per-(order, supplier) pre-aggregate — no raw-fact self-join).
+# ---------------------------------------------------------------------------
+@register(
+    "q21_suppliers_kept_waiting",
+    oracle="""
+    WITH lo AS (
+        SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS sd
+        FROM lineitem GROUP BY l_orderkey, l_suppkey
+    ), with_mx AS (
+        SELECT l_orderkey, l_suppkey, sd,
+               COUNT(*) OVER (PARTITION BY l_orderkey) AS nsupp,
+               MAX(sd) OVER (PARTITION BY l_orderkey) AS mx
+        FROM lo
+    ), ranked AS (
+        SELECT *,
+               SUM(CASE WHEN sd = mx THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY l_orderkey) AS n_at_max
+        FROM with_mx
+    )
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM ranked r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.nsupp > 1 AND r.sd = r.mx AND r.n_at_max = 1
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 25
+    """,
+)
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    lo = li.groupBy("l_orderkey", "l_suppkey").agg(F.max("l_shipdate").alias("sd"))
+    w = Window.partitionBy("l_orderkey")
+    ranked = (
+        lo.withColumn("nsupp", F.count("*").over(w))
+        .withColumn("mx", F.max("sd").over(w))
+        .withColumn(
+            "n_at_max",
+            F.sum(F.when(F.col("sd") == F.col("mx"), 1).otherwise(0)).over(w),
+        )
+        .filter((F.col("nsupp") > 1) & (F.col("sd") == F.col("mx")) & (F.col("n_at_max") == 1))
+    )
+    return (
+        ranked.join(supp, ranked["l_suppkey"] == supp["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(25)
+    )
