@@ -20,6 +20,7 @@ oracle is exact, not approximate):
 
 from __future__ import annotations
 
+import functools
 import importlib
 from collections.abc import Callable
 
@@ -47,10 +48,21 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     """Decorator: add a query (and optional DuckDB oracle SQL) to the registry."""
 
     def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # Cache hygiene: caches persisted by the PREVIOUS query are
+            # no longer needed once the next query starts (its result
+            # has been collected by then) — release them so a session
+            # running many queries holds at most one query's caches.
+            from etl_pipeline_project_auraverse_spark.queries._util import release_caches
+
+            release_caches()
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLE[name] = oracle
-        return fn
+        return wrapped
 
     return deco
 

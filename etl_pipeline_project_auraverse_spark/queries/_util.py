@@ -16,6 +16,33 @@ from pyspark.sql import functions as F
 
 DEC = "decimal(25,6)"
 
+# DataFrames persisted by query builders, released by release_caches().
+# A long-lived session runs many queries back-to-back (the driver runs
+# 70+); untracked persist() calls would accumulate cached partitions
+# forever. Queries register their caches here and the query registry
+# releases them when the NEXT query starts (by which point the previous
+# result has been materialized), bounding live cache to one query's
+# worth without requiring the caller's cooperation.
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def persist_tracked(df: DataFrame) -> DataFrame:
+    """persist() with registration so release_caches() can unpersist."""
+    df.persist()
+    _LIVE_CACHES.append(df)
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist every tracked cache (idempotent, never raises on a
+    stopped session — cleanup must not mask the real failure)."""
+    while _LIVE_CACHES:
+        df = _LIVE_CACHES.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+
 
 def parallelize(df: DataFrame) -> Column | DataFrame:
     """Spread a small single-file scan across every core before

@@ -11,10 +11,13 @@ Scale design (100 TB posture):
 - Shingle/token exploding is a flatMap-shaped projection (no shuffle);
   the only shuffles are the groupBy(doc_id) sketch builds and the
   candidate equi-joins, all keyed well-distributed by hash.
-- At extreme scale the inverted-index Jaccard would cap super-frequent
-  shingles (stopword n-grams create O(m^2) pair blowups); the
-  MinHash-LSH variant is the preferred path there since its band join
-  is output-bounded by design.
+- The inverted-index Jaccard caps shingle document frequency at
+  ``DF_CAP`` before its self-join: a shingle occurring in m documents
+  yields O(m^2) candidate pairs, so one stopword-heavy n-gram shared by
+  10^6 documents would alone produce 10^12 pairs. Dropping shingles
+  with df > DF_CAP from the representation (both intersection AND set
+  sizes, keeping Jaccard internally consistent) bounds every shingle's
+  contribution at DF_CAP^2 pairs. The oracle applies the same cap.
 """
 
 from __future__ import annotations
@@ -25,7 +28,7 @@ from pyspark.sql import functions as F
 from etl_pipeline_project_auraverse_spark.functions.text import h28, h60, norm_text, shingles, words
 from etl_pipeline_project_auraverse_spark.functions.vectors import cosine, sql_cosine
 from etl_pipeline_project_auraverse_spark.queries import register
-from etl_pipeline_project_auraverse_spark.queries._util import parallelize
+from etl_pipeline_project_auraverse_spark.queries._util import parallelize, persist_tracked
 from etl_pipeline_project_auraverse_spark.session import load_table
 
 # ---------------------------------------------------------------------------
@@ -114,27 +117,47 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Exact n-gram Jaccard near-dup via inverted-index equi-join.
 # ---------------------------------------------------------------------------
+DF_CAP = 64  # max document frequency a shingle may have and still index
+
+
 @register(
     "q_dedup_ngram_jaccard",
     oracle=f"""
     WITH {SQL_SHINGLE_CTE},
+    hot AS (SELECT h FROM sh GROUP BY h HAVING COUNT(*) > {DF_CAP}),
+    shc AS (SELECT doc_id, h FROM sh WHERE h NOT IN (SELECT h FROM hot)),
+    sizesc AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
     pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-        FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+        FROM shc a JOIN shc b ON a.h = b.h AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
     )
     SELECT p.doc_a, p.doc_b, p.n_common, sa.n AS n_a, sb.n AS n_b,
            CAST(ROUND(p.n_common * 1.0 / (sa.n + sb.n - p.n_common), 6) AS DOUBLE) AS jaccard
     FROM pairs p
-    JOIN sizes sa ON sa.doc_id = p.doc_a
-    JOIN sizes sb ON sb.doc_id = p.doc_b
+    JOIN sizesc sa ON sa.doc_id = p.doc_a
+    JOIN sizesc sb ON sb.doc_id = p.doc_b
     WHERE p.n_common * 1.0 / (sa.n + sb.n - p.n_common) >= 0.8
     ORDER BY doc_a, doc_b
     """,
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard over the DF-capped shingle space: shingles present in
+    more than DF_CAP documents are dropped from the representation
+    (both the inverted index and the per-document set sizes), so the
+    self-join's worst-case pair count per shingle is DF_CAP^2 instead
+    of corpus^2. The hot-shingle set is tiny by construction, so the
+    filter is a broadcast anti-join — no extra shuffle on the big side.
+    """
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingle_hashes(docs).persist()  # feeds self-join (2x) + sizes
+    # persist the (doc_id, h) pairs: they feed the DF count AND the
+    # anti-join, and they are far smaller than the re-scan+re-hash of
+    # the raw text they replace (two longs vs the document body)
+    raw = persist_tracked(_shingle_hashes(docs))
+    hot = raw.groupBy("h").agg(F.count("*").alias("df")).filter(F.col("df") > DF_CAP)
+    sh = persist_tracked(  # feeds self-join (2x) + sizes
+        raw.join(F.broadcast(hot.select("h")), "h", "left_anti")
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     pairs = (
         sh.alias("a")
@@ -259,8 +282,8 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         )
         .withColumn("n", F.size("hs"))
-        .persist()  # both sides of the band join + both verify joins
     )
+    sketch = persist_tracked(sketch)  # band join + both verify joins
     band_structs = F.array(
         *[
             F.struct(
@@ -395,7 +418,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     # sig feeds block generation (both sides of the self-join) plus the
     # two verify joins — persist, and explode blocks in one pass
-    sig = bitsums.select("doc_id", simhash.alias("simhash")).persist()
+    sig = persist_tracked(bitsums.select("doc_id", simhash.alias("simhash")))
     mask = (1 << SH_BLOCK_BITS) - 1
     block_structs = F.array(
         *[
@@ -431,32 +454,57 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Embedding-cosine near-dup, label-blocked (IVF-style coarse partition:
-# compare only within a block; at scale the block key is a centroid id).
+# Embedding-cosine near-dup over REAL centroid blocks (coarse
+# quantization from `queries.similarity.centroid_assignments`). Pairs
+# are generated only within a block, so the all-pairs term is
+# O((n/K)^2 * K) = O(n^2 / K) — bounded by scaling K with the corpus —
+# instead of the label-block stand-in's unbounded quadratic.
 # ---------------------------------------------------------------------------
-@register(
-    "q_dedup_embedding_cosine",
-    oracle=f"""
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+EMB_DEDUP_THRESHOLD = 0.4
+
+
+def _emb_dedup_oracle() -> str:
+    from etl_pipeline_project_auraverse_spark.queries.similarity import sql_centroid_cte
+
+    return f"""
+    WITH {sql_centroid_cte()},
+    blocked AS (
+        SELECT e.vec_id, e.embedding, a.centroid_id
+        FROM embeddings e JOIN assign a USING (vec_id)
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.centroid_id,
            {sql_cosine("a.embedding", "b.embedding")} AS cos_sim
-    FROM embeddings a JOIN embeddings b
-      ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE {sql_cosine("a.embedding", "b.embedding")} >= 0.4
+    FROM blocked a JOIN blocked b
+      ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+    WHERE {sql_cosine("a.embedding", "b.embedding")} >= {EMB_DEDUP_THRESHOLD}
     ORDER BY vec_a, vec_b
-    """,
-)
+    """
+
+
+@register("q_dedup_embedding_cosine", oracle=_emb_dedup_oracle())
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_project_auraverse_spark.queries.similarity import (
+        centroid_assignments,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
-    a, b = emb.alias("a"), emb.alias("b")
+    blocked = persist_tracked(  # both sides of the within-block self-join
+        emb.join(centroid_assignments(emb).select("vec_id", "centroid_id"), "vec_id")
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
     cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
     return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.col("a.label").alias("label"),
+            F.col("a.centroid_id").alias("centroid_id"),
             cos.alias("cos_sim"),
         )
-        .filter(F.col("cos_sim") >= 0.4)
+        .filter(F.col("cos_sim") >= EMB_DEDUP_THRESHOLD)
         .orderBy("vec_a", "vec_b")
     )

@@ -19,7 +19,7 @@ from pyspark.sql.window import Window as W
 
 from etl_pipeline_project_auraverse_spark.functions.text import words
 from etl_pipeline_project_auraverse_spark.queries import register
-from etl_pipeline_project_auraverse_spark.queries._util import parallelize
+from etl_pipeline_project_auraverse_spark.queries._util import parallelize, persist_tracked
 from etl_pipeline_project_auraverse_spark.session import load_table
 
 # ---------------------------------------------------------------------------
@@ -125,19 +125,24 @@ def q_range_join_purchase_context(spark: SparkSession, sf_dir: str) -> DataFrame
 )
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    tok = parallelize(docs).select("doc_id", F.explode(words(F.col("text"))).alias("term")).persist()
+    tok = persist_tracked(
+        parallelize(docs).select("doc_id", F.explode(words(F.col("text"))).alias("term"))
+    )
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df_ = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = docs.count()  # scalar; folded into the expression
+    # corpus size stays a lazy 1-row aggregate broadcast into the plan —
+    # no driver-side count() job in the query body
+    n = docs.agg(F.count("*").alias("n_docs"))
     scored = (
         tf.filter(F.col("doc_id") < 50)
         .join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
             "term",
             "tf",
             "df",
-            F.round(F.col("tf") * F.log(n_docs / F.col("df")), 6)
+            F.round(F.col("tf") * F.log(F.col("n_docs") * 1.0 / F.col("df")), 6)
             .cast("double")
             .alias("tfidf"),
         )

@@ -28,7 +28,11 @@ from etl_pipeline_project_auraverse_spark.functions.vectors import (
     sql_lsh_signature,
 )
 from etl_pipeline_project_auraverse_spark.queries import register
-from etl_pipeline_project_auraverse_spark.queries._util import dec_avg, sql_dec_avg
+from etl_pipeline_project_auraverse_spark.queries._util import (
+    dec_avg,
+    persist_tracked,
+    sql_dec_avg,
+)
 from etl_pipeline_project_auraverse_spark.session import load_table
 
 N_QUERY = 5  # brute-force query set: vec_id < 5
@@ -142,9 +146,9 @@ def _lsh_buckets(emb: DataFrame) -> DataFrame:
 )
 def q_ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    sig = emb.join(_lsh_buckets(emb), "vec_id").select(
-        "vec_id", "embedding", "bucket"
-    ).persist()  # both sides of the bucket self-join
+    sig = persist_tracked(  # both sides of the bucket self-join
+        emb.join(_lsh_buckets(emb), "vec_id").select("vec_id", "embedding", "bucket")
+    )
     q = sig.filter(F.col("vec_id") < LSH_QUERY_MAX).alias("q")
     c = sig.alias("c")
     pairs = q.join(
@@ -166,9 +170,96 @@ def q_ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# IVF-style ANN: `label` plays the coarse-centroid id; candidates come
-# only from the query's partition. At scale: partition/bucket the corpus
-# by centroid id so the probe is a co-located join.
+# Coarse quantization (real IVF centroids, deterministic + oracle-twin).
+#
+# Seeds = the N_CENTROIDS lowest-vec_id vectors; every vector is
+# assigned to the seed with the highest ROUNDED cosine (seed-id
+# tiebreak), so the assignment is bit-identical in Spark and DuckDB.
+# Cost is n x K broadcast scoring — linear in the corpus, no shuffle —
+# and the resulting blocks have expected size n/K, so scaling K with
+# the corpus bounds the within-block work. In production the seeds
+# would come from a k-means(||) fit persisted as a centroids table;
+# deterministic seed *selection* (not iteration) keeps the oracle
+# expressible while exercising the identical plan shape.
+# ---------------------------------------------------------------------------
+N_CENTROIDS = 32
+
+
+def centroid_assignments(emb: DataFrame) -> DataFrame:
+    """(vec_id, centroid_id, cos_to_centroid): nearest-seed coarse
+    quantization. Broadcast the K seeds against the corpus — one scan,
+    no shuffle until the consumer's own join."""
+    seeds = F.broadcast(
+        emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+            F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("seed_emb")
+        )
+    )
+    scored = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(seeds)
+        .select(
+            "vec_id",
+            "centroid_id",
+            cosine(F.col("embedding"), F.col("seed_emb")).alias("cos_to_centroid"),
+        )
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("cos_to_centroid").desc(), "centroid_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "centroid_id", "cos_to_centroid")
+    )
+
+
+def sql_centroid_cte() -> str:
+    """DuckDB twin of :func:`centroid_assignments` — CTEs ``cent``,
+    ``scored``, ``assign`` (vec_id, centroid_id, cos_to_centroid)."""
+    return f"""
+    cent AS (
+        SELECT vec_id AS centroid_id, embedding AS seed_emb
+        FROM embeddings WHERE vec_id < {N_CENTROIDS}
+    ),
+    scored AS (
+        SELECT e.vec_id, c.centroid_id,
+               {sql_cosine("e.embedding", "c.seed_emb")} AS cos_to_centroid
+        FROM embeddings e CROSS JOIN cent c
+    ),
+    assign AS (
+        SELECT vec_id, centroid_id, cos_to_centroid FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                      ORDER BY cos_to_centroid DESC, centroid_id) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    )"""
+
+
+@register(
+    "q_embedding_centroid_blocks",
+    oracle=f"""
+    WITH {sql_centroid_cte()}
+    SELECT centroid_id,
+           COUNT(*) AS n_vecs,
+           {sql_dec_avg("cos_to_centroid")} AS avg_cos
+    FROM assign
+    GROUP BY centroid_id
+    ORDER BY centroid_id
+    """,
+)
+def q_embedding_centroid_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-size profile of the coarse quantization — the evidence
+    that centroid blocking bounds within-block pair counts."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        centroid_assignments(emb)
+        .groupBy("centroid_id")
+        .agg(F.count("*").alias("n_vecs"), dec_avg("cos_to_centroid").alias("avg_cos"))
+        .orderBy("centroid_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN: probe only the query's centroid block. At scale: partition /
+# bucket the corpus by centroid id so the probe is a co-located join.
 # ---------------------------------------------------------------------------
 IVF_QUERY_MAX = 20
 IVF_TOP_K = 3
@@ -177,34 +268,48 @@ IVF_TOP_K = 3
 @register(
     "q_ann_ivf_cosine",
     oracle=f"""
-    WITH pairs AS (
-        SELECT q.vec_id AS query_id, q.label, c.vec_id AS cand_id,
+    WITH {sql_centroid_cte()},
+    blocked AS (
+        SELECT e.vec_id, e.embedding, a.centroid_id
+        FROM embeddings e JOIN assign a USING (vec_id)
+    ),
+    pairs AS (
+        SELECT q.vec_id AS query_id, q.centroid_id, c.vec_id AS cand_id,
                {sql_cosine("q.embedding", "c.embedding")} AS cos_sim
-        FROM embeddings q JOIN embeddings c
-          ON q.label = c.label AND q.vec_id <> c.vec_id
+        FROM blocked q JOIN blocked c
+          ON q.centroid_id = c.centroid_id AND q.vec_id <> c.vec_id
         WHERE q.vec_id < {IVF_QUERY_MAX}
     ),
     ranked AS (
-        SELECT query_id, label, cand_id, cos_sim,
+        SELECT query_id, centroid_id, cand_id, cos_sim,
                ROW_NUMBER() OVER (PARTITION BY query_id
                                   ORDER BY cos_sim DESC, cand_id) AS rank
         FROM pairs
     )
-    SELECT query_id, label, cand_id, CAST(rank AS BIGINT) AS rank, cos_sim
+    SELECT query_id, centroid_id, cand_id, CAST(rank AS BIGINT) AS rank, cos_sim
     FROM ranked WHERE rank <= {IVF_TOP_K}
     ORDER BY query_id, rank
     """,
 )
 def q_ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe over REAL centroid blocks (was: the synthetic `label`
+    column standing in for a centroid id). Candidates come only from
+    the query's block, so per-query work is O(block) = O(n/K), not
+    O(n); the blocked corpus is persisted because it feeds both sides
+    of the probe join."""
     emb = load_table(spark, sf_dir, "embeddings")
-    q = F.broadcast(emb.filter(F.col("vec_id") < IVF_QUERY_MAX).alias("q"))
-    c = emb.alias("c")
+    blocked = persist_tracked(
+        emb.join(centroid_assignments(emb).select("vec_id", "centroid_id"), "vec_id")
+    )
+    q = blocked.filter(F.col("vec_id") < IVF_QUERY_MAX).alias("q")
+    c = blocked.alias("c")
     pairs = q.join(
         c,
-        (F.col("q.label") == F.col("c.label")) & (F.col("q.vec_id") != F.col("c.vec_id")),
+        (F.col("q.centroid_id") == F.col("c.centroid_id"))
+        & (F.col("q.vec_id") != F.col("c.vec_id")),
     ).select(
         F.col("q.vec_id").alias("query_id"),
-        F.col("q.label").alias("label"),
+        F.col("q.centroid_id").alias("centroid_id"),
         F.col("c.vec_id").alias("cand_id"),
         cosine(F.col("q.embedding"), F.col("c.embedding")).alias("cos_sim"),
     )
@@ -212,7 +317,7 @@ def q_ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= IVF_TOP_K)
-        .select("query_id", "label", "cand_id", "rank", "cos_sim")
+        .select("query_id", "centroid_id", "cand_id", "rank", "cos_sim")
         .orderBy("query_id", "rank")
     )
 

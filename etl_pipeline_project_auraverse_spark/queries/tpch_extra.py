@@ -164,29 +164,44 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q22_dormant_wealthy_customers",
     oracle="""
-    WITH avg_bal AS (
-        SELECT AVG(c_acctbal) AS a FROM customer WHERE c_acctbal > 0
+    WITH bal AS (
+        SELECT SUM(CAST(c_acctbal AS DECIMAL(20,6))) AS bal_total,
+               COUNT(c_acctbal) AS bal_cnt
+        FROM customer WHERE c_acctbal > 0
     )
     SELECT c.c_nationkey,
            COUNT(*) AS n_customers,
            CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(25,6))), 2) AS DOUBLE) AS total_bal
-    FROM customer c CROSS JOIN avg_bal
-    WHERE c.c_acctbal > avg_bal.a
+    FROM customer c CROSS JOIN bal
+    WHERE CAST(c.c_acctbal AS DECIMAL(20,6)) * bal.bal_cnt > bal.bal_total
       AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     GROUP BY c.c_nationkey
     ORDER BY c.c_nationkey
     """,
 )
 def q22_dormant_wealthy_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Above-average comparison without a driver-side scalar collect:
+    the 1-row aggregate is broadcast-cross-joined so the whole query is
+    one lazy DAG, and the threshold test ``c_acctbal > avg`` is done as
+    the exact decimal multiply-compare ``c_acctbal * cnt > total`` —
+    no float division, so Spark and the oracle agree bit-for-bit even
+    for balances within an ULP of the mean.
+    """
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    avg_bal = (
+    bal = (
         cust.filter(F.col("c_acctbal") > 0)
-        .agg(F.avg("c_acctbal").alias("a"))
-        .collect()[0]["a"]
+        .agg(
+            F.sum(F.col("c_acctbal").cast("decimal(20,6)")).alias("bal_total"),
+            F.count("c_acctbal").alias("bal_cnt"),
+        )
     )
     return (
-        cust.filter(F.col("c_acctbal") > avg_bal)
+        cust.crossJoin(F.broadcast(bal))
+        .filter(
+            F.col("c_acctbal").cast("decimal(20,6)") * F.col("bal_cnt")
+            > F.col("bal_total")
+        )
         .join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
         .groupBy("c_nationkey")
         .agg(

@@ -34,7 +34,6 @@ EQUI_JOIN_QUERIES = [
     "q_dedup_simhash",
     "q_range_join_purchase_context",
     "q_ann_lsh_cosine",
-    "q_tfidf_top_terms",
 ]
 
 
@@ -96,3 +95,51 @@ def test_profiling_reads_single_scan_per_table(q):
 def test_text_quality_scan_prunes_columns(q):
     cols = PI.scan_columns(q("q_text_quality_scores"))
     assert "source" not in cols, "unused documents.source must be pruned"
+
+
+def test_tfidf_corpus_count_is_lazy_broadcast(q):
+    """The IDF's corpus count must be a lazy 1-row aggregate broadcast
+    into the plan (its BNL-cross is the intended shape for a scalar
+    subquery); the tf/df joins themselves stay equi-joins."""
+    plan = PI.physical_plan(q("q_tfidf_top_terms"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, "df join must broadcast"
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_q22_is_one_lazy_dag(q):
+    """The above-average threshold must be a broadcast cross-join of
+    the 1-row aggregate, NOT a driver-side collect()-and-inline: the
+    plan itself must contain the aggregate feeding a broadcast join."""
+    plan = PI.physical_plan(q("q22_dormant_wealthy_customers"))
+    assert "BroadcastNestedLoopJoin" in plan, "1-row agg should broadcast-cross-join"
+    # the average must be computed inside the plan (no scalar literal)
+    assert plan.count("HashAggregate") >= 2 or "SortAggregate" in plan
+
+
+def test_embedding_dedup_blocks_are_equi_joined(q):
+    """Centroid-blocked dedup: the pair join must be hash/sort-merge on
+    centroid_id, never an all-pairs product over the corpus."""
+    plan = PI.physical_plan(q("q_dedup_embedding_cosine"))
+    assert "CartesianProduct" not in plan
+    # the only BNL allowed is the constant-size K-seed broadcast inside
+    # the centroid assignment (it prints once per self-join side)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    ), "pair generation must be an equi-join on centroid_id"
+
+
+def test_caches_released_between_queries(spark, q):
+    """Cache hygiene: building + materializing cache-using queries in a
+    row must not accumulate persisted RDDs — the registry releases the
+    previous query's caches when the next one starts, and an explicit
+    release_caches() empties the rest."""
+    from etl_pipeline_project_auraverse_spark.queries._util import release_caches
+
+    for name in ["q_dedup_ngram_jaccard", "q_dedup_simhash", "q_ann_lsh_cosine"]:
+        q(name).count()
+        n_cached = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+        assert n_cached <= 2, f"{name}: {n_cached} cached RDDs live mid-sweep"
+    release_caches()
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == 0
