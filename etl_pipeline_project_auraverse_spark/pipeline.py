@@ -21,7 +21,9 @@ declares but never executes.
 
 from __future__ import annotations
 
+import threading
 import time
+import uuid
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -53,6 +55,8 @@ class RunReport:
     type_problems: dict[str, str] = field(default_factory=dict)
     duration_sec: float = 0.0
     attempts: int = 1
+    cancelled: bool = False
+    error: str = ""
 
     def render(self) -> str:
         lines = [
@@ -62,6 +66,10 @@ class RunReport:
             f"attempts: {self.attempts}",
             f"duration_sec: {self.duration_sec:.3f}",
         ]
+        if self.cancelled:
+            lines.append("cancelled: true")
+        if self.error:
+            lines.append(f"error: {self.error}")
         if self.missing_columns:
             lines.append(f"missing_columns: {','.join(self.missing_columns)}")
         if self.type_problems:
@@ -69,6 +77,59 @@ class RunReport:
         if self.schema_diff:
             lines.append(f"schema_drift: {self.schema_diff}")
         return "\n".join(lines) + "\n"
+
+
+class JobDeadline:
+    """O2: deadline-cancellation for Spark jobs (reference: the 60 s
+    SIGKILL timer in ``server.js:45-48``), done the Spark way — a job
+    group plus a timer calling ``cancelJobGroup``, which interrupts
+    running tasks instead of killing the process.
+
+    Usage::
+
+        with JobDeadline(spark, seconds=60) as dl:
+            ... run actions ...
+        # raises DeadlineExceeded if the timer fired
+    """
+
+    def __init__(self, spark: SparkSession, seconds: float):
+        self.spark = spark
+        self.seconds = seconds
+        self.group = f"deadline-{uuid.uuid4().hex[:12]}"
+        self.fired = threading.Event()
+        self._timer: threading.Timer | None = None
+
+    def _cancel(self) -> None:
+        self.fired.set()
+        try:
+            self.spark.sparkContext.cancelJobGroup(self.group)
+        except Exception:  # session already stopped — nothing to cancel
+            pass
+
+    def __enter__(self) -> JobDeadline:
+        # interruptOnCancel=True so long-running tasks (e.g. a stuck
+        # UDF) are interrupted, not just deschedule-on-completion
+        self.spark.sparkContext.setJobGroup(self.group, "deadline-scoped job", True)
+        self._timer = threading.Timer(self.seconds, self._cancel)
+        self._timer.daemon = True
+        self._timer.start()
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> bool:
+        if self._timer is not None:
+            self._timer.cancel()
+        self.spark.sparkContext.setJobGroup("", "", False)
+        # only convert an exception: if the body finished before the
+        # cancel landed, the work is done — don't fail a completed run
+        if self.fired.is_set() and exc is not None:
+            raise DeadlineExceeded(
+                f"job exceeded the {self.seconds:.0f}s deadline and was cancelled"
+            ) from exc
+        return False  # non-deadline exceptions propagate untouched
+
+
+class DeadlineExceeded(RuntimeError):
+    """Raised when a JobDeadline fires (the reference's timeout path)."""
 
 
 def extract(spark: SparkSession, cfg_extract: dict[str, Any]) -> DataFrame:
@@ -82,7 +143,7 @@ def extract(spark: SparkSession, cfg_extract: dict[str, Any]) -> DataFrame:
     for _attempt in range(retries + 1):
         try:
             if ftype == "pdf":
-                docs = blocks.read_pdf_documents(spark, src)  # S2 (stubbed extractor)
+                docs = blocks.read_pdf_documents(spark, src)  # S2
             else:  # txt/md/json/csv all route through whole-text scan (S1/S3)
                 docs = blocks.read_text_documents(spark, src)
             records = blocks.extract_records(docs)
@@ -136,31 +197,60 @@ def run_etl_pipeline(
     spark: SparkSession,
     cfg: dict[str, Any],
     schema_dir: str = "schemas",
+    timeout_sec: float | None = None,
 ) -> RunReport:
-    """Full lifecycle (etl_pipeline.py:295-319), one lazy plan."""
+    """Full lifecycle (etl_pipeline.py:295-319), one lazy plan.
+
+    ``timeout_sec`` is O2 (reference ``server.js:45-48``: 60 s then
+    SIGKILL + error JSON): when the deadline fires, in-flight Spark
+    jobs are cancelled and the report comes back with
+    ``cancelled=True`` and the error message — the summary file is
+    still written, mirroring the server's error response.
+    """
     t0 = time.perf_counter()
     source_id = cfg.get("extract", {}).get("source_id") or cfg.get("source_id", "default_source")
     rep = RunReport(source_id=source_id)
+    df: DataFrame | None = None
 
-    df = extract(spark, cfg["extract"])
-    df, validation = transform(df, cfg.get("transform"))
-    rep.missing_columns = validation["missing_columns"]
-    rep.type_problems = validation["type_problems"]
+    try:
+        with JobDeadline(spark, timeout_sec) if timeout_sec else _null_ctx():
+            df = extract(spark, cfg["extract"])
+            df, validation = transform(df, cfg.get("transform"))
+            rep.missing_columns = validation["missing_columns"]
+            rep.type_problems = validation["type_problems"]
 
-    df = df.cache()  # profiled once, written once
-    new_schema = generate_schema(df)  # A1–A5
-    rep.schema_id = new_schema["schema_id"]
-    old_schema = load_schema(schema_dir, source_id)
-    if old_schema:
-        rep.schema_diff = diff_schemas(old_schema, new_schema)  # drift report
-    save_schema(schema_dir, source_id, new_schema)  # K2
+            df = df.cache()  # profiled once, written once
+            new_schema = generate_schema(df)  # A1–A5
+            rep.schema_id = new_schema["schema_id"]
+            old_schema = load_schema(schema_dir, source_id)
+            if old_schema:
+                rep.schema_diff = diff_schemas(old_schema, new_schema)  # drift
+            save_schema(schema_dir, source_id, new_schema)  # K2
 
-    rep.n_records = write_csv_single(df, cfg["load"]["destination"])  # K1, A7
+            rep.n_records = write_csv_single(df, cfg["load"]["destination"])  # K1, A7
+    except DeadlineExceeded as err:
+        rep.cancelled = True
+        rep.error = str(err)
+    finally:
+        if df is not None:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
     rep.duration_sec = time.perf_counter() - t0
-
     summary_file = (cfg.get("monitoring") or {}).get("summary_file")
     if summary_file and (cfg.get("monitoring") or {}).get("enabled", True):
         with open(summary_file, "w", encoding="utf-8") as f:
             f.write(rep.render())  # D7
-    df.unpersist()
     return rep
+
+
+class _null_ctx:
+    """No-deadline context (timeout_sec=None)."""
+
+    def __enter__(self) -> None:
+        return None
+
+    def __exit__(self, *exc: object) -> bool:
+        return False

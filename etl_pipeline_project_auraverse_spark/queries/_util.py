@@ -33,13 +33,20 @@ def persist_tracked(df: DataFrame) -> DataFrame:
     return df
 
 
-def release_caches() -> None:
+def release_caches(blocking: bool = True) -> None:
     """Unpersist every tracked cache (idempotent, never raises on a
-    stopped session — cleanup must not mask the real failure)."""
+    stopped session — cleanup must not mask the real failure).
+
+    Blocking by default: ``unpersist(blocking=False)`` only enqueues
+    block removal, so a long-lived session launching the next query
+    immediately could still hold the previous query's partitions in
+    memory while the new ones materialize — exactly the overlap this
+    registry exists to prevent. The wait is a driver-side RPC, trivial
+    next to any query's runtime."""
     while _LIVE_CACHES:
         df = _LIVE_CACHES.pop()
         try:
-            df.unpersist()
+            df.unpersist(blocking=blocking)
         except Exception:
             pass
 

@@ -54,26 +54,67 @@ def read_text_documents(spark: SparkSession, paths: str | list[str]) -> DataFram
     return df.select(F.input_file_name().alias("path"), F.col("value").alias("text"))
 
 
-def read_pdf_documents(spark: SparkSession, paths: str | list[str]) -> DataFrame:
-    """S2: PDF scan via binaryFile + text-extraction UDF.
+def _pdf_bytes_to_text(data: bytes) -> str:
+    """S2 extractor cascade, mirroring the reference's pdfplumber →
+    PyPDF2 → raise-if-empty chain (etl_pipeline.py:27-48), with the
+    built-in stdlib parser (`sources.pdf_text`) as the final fallback
+    so extraction works without either library installed."""
+    import io
 
-    pdfplumber/PyPDF2 are not installed in this container, so the page
-    extraction is stubbed: the Spark plumbing (binary source, Arrow
-    batch shape, schema) is real and the extractor raises cleanly.
+    text = ""
+    try:  # pragma: no cover - pdfplumber absent in this container
+        import pdfplumber
+
+        with pdfplumber.open(io.BytesIO(data)) as pdf:
+            text = "\n".join(page.extract_text() or "" for page in pdf.pages)
+    except Exception:
+        pass
+    if not text.strip():
+        try:  # pragma: no cover - PyPDF2 absent in this container
+            from PyPDF2 import PdfReader
+
+            reader = PdfReader(io.BytesIO(data))
+            text = "\n".join(page.extract_text() or "" for page in reader.pages)
+        except Exception:
+            pass
+    if not text.strip():
+        from etl_pipeline_project_auraverse_spark.sources.pdf_text import (
+            extract_pdf_text,
+        )
+
+        text = extract_pdf_text(data)
+    if not text.strip():
+        # reference raises here (etl_pipeline.py:46-47); same message
+        raise ValueError(
+            "No extractable text found in PDF. Is this a scanned/image PDF "
+            "or empty? Extraction failed."
+        )
+    return text
+
+
+def read_pdf_documents(spark: SparkSession, paths: str | list[str]) -> DataFrame:
+    """S2: PDF scan via binaryFile + Arrow-batched text extraction.
+
+    The binary column is consumed inside one ``mapInPandas`` pass, so
+    page parallelism comes from file partitioning; the extractor chain
+    is pdfplumber → PyPDF2 → built-in stdlib parser (real FlateDecode +
+    content-stream text extraction), raising the reference's
+    no-extractable-text error per unreadable file.
     """
     bin_df = spark.read.format("binaryFile").load(paths)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:
-            import pdfplumber  # noqa: F401
-        except ImportError as exc:  # pragma: no cover - env dependent
-            raise NotImplementedError(
-                "PDF text extraction requires pdfplumber/PyPDF2 (not installed)"
-            ) from exc
-        for pdf in batches:  # pragma: no cover - env dependent
-            yield pd.DataFrame({"path": pdf["path"], "text": [""] * len(pdf)})
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "path": pdf["path"],
+                    "text": [_pdf_bytes_to_text(bytes(b)) for b in pdf["content"]],
+                }
+            )
 
-    return bin_df.mapInPandas(extract, schema="path string, text string")
+    return bin_df.select("path", "content").mapInPandas(
+        extract, schema="path string, text string"
+    )
 
 
 def scan_blocks(docs: DataFrame) -> DataFrame:
@@ -157,8 +198,10 @@ def _csv_yaml_records(blocks: DataFrame) -> DataFrame:
 def html_records(docs: DataFrame) -> DataFrame:
     """S9: per-tag HTML rows {_html_tag,_html_text,_html_attr_*}.
 
-    Uses bs4 when available (reference parity); otherwise a regex
-    fallback that handles simple non-nested tags.
+    Uses bs4 when available (exact reference parity); otherwise the
+    stdlib tree parser in `sources.html_text`, which reproduces
+    bs4's find_all(True) walk, get_text(strip=True) concatenation,
+    and multi-valued-attribute stringification.
     """
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -167,13 +210,15 @@ def html_records(docs: DataFrame) -> DataFrame:
 
             have_bs4 = True
         except ImportError:
-            import re as remod
+            from etl_pipeline_project_auraverse_spark.sources.html_text import (
+                iter_tag_rows,
+            )
 
             have_bs4 = False
         for pdf in batches:
             out: list[tuple[str, str]] = []
             for path, text in zip(pdf["path"], pdf["text"]):
-                if have_bs4:
+                if have_bs4:  # pragma: no cover - bs4 absent in container
                     soup = BeautifulSoup(text, "html.parser")
                     for tag in soup.find_all(True):
                         tag_text = tag.get_text(strip=True)
@@ -183,13 +228,8 @@ def html_records(docs: DataFrame) -> DataFrame:
                                 row[f"_html_attr_{attr}"] = str(val)
                             out.append((path, json.dumps(row, default=str)))
                 else:
-                    for m in remod.finditer(r"<(\w+)([^>]*)>([^<]+)</\1>", text):
-                        tag_text = m.group(3).strip()
-                        if tag_text and len(tag_text) > 3:
-                            row = {"_html_tag": m.group(1).lower(), "_html_text": tag_text}
-                            for am in remod.finditer(r'(\w[\w-]*)="([^"]*)"', m.group(2)):
-                                row[f"_html_attr_{am.group(1)}"] = am.group(2)
-                            out.append((path, json.dumps(row, default=str)))
+                    for row in iter_tag_rows(text):
+                        out.append((path, json.dumps(row, default=str)))
             yield pd.DataFrame(out, columns=["path", "record_json"])
 
     return docs.mapInPandas(parse, schema="path string, record_json string").select(

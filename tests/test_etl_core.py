@@ -278,3 +278,77 @@ def test_pipeline_end_to_end(spark, tmp_path):
     # second run: drift report against the persisted schema
     rep2 = run_etl_pipeline(spark, cfg, schema_dir=str(tmp_path / "schemas"))
     assert "$.schema_id" in rep2.schema_diff.get("changed", [])
+
+
+# ---------------------------------------------------------------------------
+# O2: deadline cancellation (reference server.js:45-48 — 60 s SIGKILL)
+# ---------------------------------------------------------------------------
+
+
+def test_job_deadline_cancels_slow_job(spark):
+    """A deliberately slow Spark job is cancelled when the deadline
+    fires; the context raises DeadlineExceeded promptly instead of
+    waiting out the job."""
+    import time as _time
+
+    from etl_pipeline_project_auraverse_spark.pipeline import (
+        DeadlineExceeded,
+        JobDeadline,
+    )
+
+    def slow(batches):
+        for b in batches:
+            _time.sleep(30)
+            yield b
+
+    df = spark.range(8).mapInPandas(slow, schema="id long")
+    t0 = _time.perf_counter()
+    with pytest.raises(DeadlineExceeded, match="deadline"):
+        with JobDeadline(spark, seconds=2.0):
+            df.count()
+    assert _time.perf_counter() - t0 < 20, "cancellation must not wait out the job"
+
+
+def test_job_deadline_noop_when_fast(spark):
+    from etl_pipeline_project_auraverse_spark.pipeline import JobDeadline
+
+    with JobDeadline(spark, seconds=30.0):
+        assert spark.range(10).count() == 10
+
+
+def test_pipeline_timeout_reported(spark, tmp_path):
+    """run_etl_pipeline with a tiny timeout reports cancelled=True in
+    the RunReport and still writes the summary file (the reference
+    returns an error JSON after its SIGKILL)."""
+    import time as _time
+
+    from etl_pipeline_project_auraverse_spark.pipeline import (
+        extract as _extract,
+    )
+    from etl_pipeline_project_auraverse_spark import pipeline as pl
+
+    cfg = {
+        "extract": {"type": "json", "source": str(FIXTURES / "nested.json")},
+        "load": {"type": "csv", "destination": str(tmp_path / "out.csv")},
+        "monitoring": {"enabled": True, "summary_file": str(tmp_path / "sum.txt")},
+    }
+
+    def slow_extract(spark_, cfg_extract):
+        df = _extract(spark_, cfg_extract)
+
+        def stall(batches):
+            for b in batches:
+                _time.sleep(30)
+                yield b
+
+        return df.mapInPandas(stall, schema=df.schema)
+
+    orig = pl.extract
+    pl.extract = slow_extract
+    try:
+        rep = run_etl_pipeline(spark, cfg, schema_dir=str(tmp_path / "s"), timeout_sec=2.0)
+    finally:
+        pl.extract = orig
+    assert rep.cancelled is True
+    assert "deadline" in rep.error
+    assert "cancelled: true" in (tmp_path / "sum.txt").read_text()
