@@ -9,10 +9,22 @@ Every enrich rule from config.yaml:10-24 is recognized by name and
 compiled to a native Column expression (JVM-side); an unrecognized
 lambda falls back to an Arrow-batched pandas UDF applied over the full
 row struct — the slow path, kept off the named rules.
+
+Trust boundary: the reference declares these lambdas in config.yaml but
+never executes them, so executing them here adds a config-to-code
+surface the reference doesn't have. The fallback therefore refuses
+``eval`` of arbitrary source: rule lambdas are parsed and validated
+against a whitelist of expression AST nodes, row-dict methods, and
+pure builtins (:func:`compile_config_lambda`) — no imports, no
+attribute escapes (``__class__`` etc.), no names beyond the row
+argument and the builtin whitelist. Anything outside that subset
+raises :class:`ValidationError`; genuinely arbitrary code must come in
+as a registered named rule from operator-owned Python, not config.
 """
 
 from __future__ import annotations
 
+import ast
 from collections.abc import Callable
 
 import pandas as pd
@@ -84,14 +96,88 @@ NAMED_RULES: dict[str, Callable[[DataFrame], Column]] = {
 }
 
 
+# Pure builtins a config lambda may call; nothing here reaches the
+# filesystem, the interpreter, or import machinery.
+_LAMBDA_BUILTINS: dict[str, object] = {
+    "len": len, "str": str, "int": int, "float": float, "bool": bool,
+    "abs": abs, "min": min, "max": max, "round": round, "sum": sum,
+    "sorted": sorted, "isinstance": isinstance, "list": list,
+    "dict": dict, "tuple": tuple, "set": set, "None": None,
+    "True": True, "False": False,
+}
+
+# Expression-only AST node whitelist: a lambda over the row dict with
+# literals, arithmetic, comparisons, conditionals, containers, and
+# whitelisted calls. No comprehensions/await/walrus/starred/f-strings —
+# the named-rule escape hatch exists for anything richer.
+_ALLOWED_NODES: tuple[type, ...] = (
+    ast.Expression, ast.Lambda, ast.arguments, ast.arg,
+    ast.Name, ast.Load, ast.Constant,
+    ast.Subscript, ast.Slice,
+    ast.Call, ast.keyword, ast.Attribute,
+    ast.IfExp, ast.Compare, ast.BoolOp, ast.BinOp, ast.UnaryOp,
+    ast.And, ast.Or, ast.Not, ast.USub, ast.UAdd,
+    ast.Eq, ast.NotEq, ast.Lt, ast.LtE, ast.Gt, ast.GtE,
+    ast.Is, ast.IsNot, ast.In, ast.NotIn,
+    ast.Add, ast.Sub, ast.Mult, ast.Div, ast.FloorDiv, ast.Mod, ast.Pow,
+    ast.Tuple, ast.List, ast.Dict, ast.Set,
+)
+
+# Methods callable on row values (str/dict/list surface); leading
+# underscores are rejected before this check even applies.
+_ALLOWED_METHODS = frozenset(
+    "get lower upper strip lstrip rstrip startswith endswith split join "
+    "replace count index find keys values items".split()
+)
+
+
+def compile_config_lambda(func_src: str) -> Callable:
+    """Parse + validate a config-declared rule lambda, refusing anything
+    outside the whitelisted expression subset (see module docstring).
+    Returns the compiled single-argument callable."""
+    try:
+        tree = ast.parse(func_src.strip(), mode="eval")
+    except SyntaxError as exc:
+        raise ValidationError(f"enrich rule is not a valid expression: {exc}") from None
+    lam = tree.body
+    if not isinstance(lam, ast.Lambda):
+        raise ValidationError("enrich rule must be a single lambda expression")
+    a = lam.args
+    if (
+        len(a.args) + len(a.posonlyargs) != 1
+        or a.vararg or a.kwarg or a.kwonlyargs or a.defaults or a.kw_defaults
+    ):
+        raise ValidationError("enrich lambda must take exactly one argument (the row dict)")
+    row_arg = (a.args or a.posonlyargs)[0].arg
+    for node in ast.walk(tree):
+        if not isinstance(node, _ALLOWED_NODES):
+            raise ValidationError(
+                f"enrich lambda uses unsupported syntax: {type(node).__name__}"
+            )
+        if isinstance(node, ast.Attribute):
+            if node.attr.startswith("_") or node.attr not in _ALLOWED_METHODS:
+                raise ValidationError(
+                    f"enrich lambda may not access attribute {node.attr!r}"
+                )
+        if isinstance(node, ast.Name) and node.id != row_arg and node.id not in _LAMBDA_BUILTINS:
+            raise ValidationError(f"enrich lambda references unknown name {node.id!r}")
+    code = compile(tree, "<config-lambda>", "eval")
+    return eval(code, {"__builtins__": {}, **_LAMBDA_BUILTINS})  # noqa: S307 - AST-validated subset
+
+
 def _lambda_fallback(df: DataFrame, col_name: str, func_src: str) -> DataFrame:
-    """D3 fallback: arbitrary config lambda over the row dict, executed
-    as an Arrow-batched pandas UDF (the UDF surface the reference's
-    config implies). Result rendered to string (dynamic-type model)."""
-    fn = eval(func_src)  # noqa: S307 - config-declared lambda, reference semantics
+    """D3 fallback: config lambda over the row dict, executed as an
+    Arrow-batched pandas UDF (the UDF surface the reference's config
+    implies). Result rendered to string (dynamic-type model)."""
+    fn = compile_config_lambda(func_src)
 
     @F.pandas_udf(T.StringType())
     def apply_rule(batch: pd.DataFrame) -> pd.Series:
+        # None-faithful row dicts: Arrow surfaces SQL NULL as NaN/NaT in
+        # numeric/datetime pandas columns, but the declared lambdas are
+        # written against JSON-record dicts where absent means None
+        batch = batch.astype(object).where(batch.notna(), None)
+
         def run(row: pd.Series):
             try:
                 out = fn(row.to_dict())

@@ -109,7 +109,13 @@ def plan_normalization(df: DataFrame) -> list[ColumnRule]:
     aggs = []
     for c in str_cols:
         qc = F.col(f"`{c}`")
-        aggs.append(F.first(qc, ignorenulls=True).alias(f"sample__{c}"))
+        # MIN, not FIRST: first(ignorenulls) is partition-order-dependent,
+        # so the date-sniff sample (and thus the chosen rule) could differ
+        # between runs/cluster layouts for mixed-content columns. The
+        # lexicographic minimum is a deterministic sample; the reference's
+        # "first value" (pandas row order) has no stable analogue on a
+        # distributed unordered scan.
+        aggs.append(F.min(qc).alias(f"sample__{c}"))
         aggs.append(
             F.sum(
                 F.when(

@@ -11,6 +11,7 @@ every pandas-UDF crossing.
 from __future__ import annotations
 
 import os
+import warnings
 
 from pyspark.sql import SparkSession
 
@@ -55,9 +56,37 @@ def get_spark(
         builder = builder.master(master)
     elif not os.environ.get("SPARK_MASTER"):
         builder = builder.master(f"local[{cpus}]")
+    requested: dict[str, str] = {
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g"),
+    }
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
+        requested[k] = v
     spark = builder.getOrCreate()
+    # getOrCreate silently ignores JVM-startup configs (driver memory,
+    # master, ...) when it reuses an existing session — and worse, it
+    # copies builder options into the session's RuntimeConfig, so
+    # spark.conf.get() echoes the *requested* value. Compare
+    # startup-only keys (not RuntimeConfig-modifiable) against the
+    # actual SparkContext conf instead, and warn on any gap.
+    ignored = {}
+    sc_conf = spark.sparkContext.getConf()
+    for k, want in requested.items():
+        try:
+            if spark.conf.isModifiable(k):
+                continue  # runtime-settable: getOrCreate applied it
+            got = sc_conf.get(k, None)
+        except Exception:
+            got = None
+        if got is not None and got != want:
+            ignored[k] = (want, got)
+    if ignored:
+        warnings.warn(
+            "get_spark reused an existing SparkSession; these settings were "
+            f"NOT applied (requested, actual): {ignored}",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     spark.sparkContext.setLogLevel("WARN")
     return spark
 

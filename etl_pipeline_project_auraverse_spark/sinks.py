@@ -11,6 +11,7 @@ pipeline uses whenever the config doesn't demand one file.
 
 from __future__ import annotations
 
+import csv
 import glob
 import os
 import shutil
@@ -32,8 +33,11 @@ def write_csv_single(df: DataFrame, destination: str) -> int:
         os.remove(destination)  # O5: stale-output delete (server.js:40-41)
     shutil.move(part, destination)
     shutil.rmtree(tmp, ignore_errors=True)
-    with open(destination, encoding="utf-8") as f:
-        n_rows = sum(1 for _ in f) - 1
+    # csv-parse rather than count raw lines: quoted values extracted from
+    # JSON/YAML blocks can contain embedded newlines, which would inflate
+    # a physical line count
+    with open(destination, newline="", encoding="utf-8") as f:
+        n_rows = sum(1 for _ in csv.reader(f)) - 1
     return max(n_rows, 0)
 
 
