@@ -38,33 +38,88 @@ FLOAT_RE = r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$"
 DATE_SAMPLE_RE = r"^\d{4}-\d{2}-\d{2}"  # T9 date heuristic, etl_pipeline.py:216
 NUMERIC_LIKE_RE = r"^(\$|₹)?\d+(\.\d+)?%?$"  # T9 numeric heuristic, etl_pipeline.py:218
 
-# ordered fuzzy-date battery standing in for dateutil.parse (T7)
+# Ordered fuzzy-date battery standing in for dateutil.parse (T7,
+# etl_pipeline.py:203-205). Inputs reach this branch only when they
+# contain a character outside [\d\s\-()] — the phone branch earlier in
+# the cascade swallows dash/space-only numeric dates in BOTH engines
+# (reference quirk preserved) — so the battery targets the reachable
+# forms: ISO timestamps, slashed/dotted dates, month names, and
+# dash-numeric dates that carry a time component.
+#
+# Ambiguous numeric month/day order is month-first THEN day-first,
+# matching dateutil's default (dayfirst=False): the day-first pattern
+# only wins when the first field can't be a month (>12), exactly like
+# dateutil. Spark's single-letter fields accept 1-2 digits, and `yy`
+# strictly 2 / `yyyy` strictly 4, so the two year widths never
+# cross-match.
+#
+# Documented divergences from dateutil (pinned in
+# tests/test_normalize_properties.py):
+# - partial dates needing today-fill ("March 2024", "Friday", bare
+#   times) fall through to lower-case; dateutil fills from the current
+#   date — nondeterministic at scale, deliberately not reproduced;
+# - 2-digit years pin to 2000-2099 (Spark reduced-value); dateutil
+#   slides a ±50y window around "now", so 76-99 map to 19xx there;
+# - "Sept", locale month names, "5th of March", "AD", and timezone
+#   *names* ("EST") are not recognized (offsets and "Z" are).
 DATE_FORMATS = [
-    "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
-    "yyyy-MM-dd'T'HH:mm:ss",
-    "yyyy-MM-dd HH:mm:ss",
-    "yyyy-MM-dd",
-    "yyyy/MM/dd",
-    "MM/dd/yyyy",
-    "dd-MM-yyyy",
+    # ISO timestamps / dates
+    "yyyy-M-d'T'H:mm:ss.SSSSSS",
+    "yyyy-M-d'T'H:mm:ss",
+    "yyyy-M-d H:mm:ss",
+    "yyyy-M-d H:mm",
+    "yyyy-M-d",
+    "yyyy/M/d",
+    "yyyy.M.d",
+    # month-name forms (ordinal suffixes stripped pre-parse;
+    # Spark month-name matching is case-insensitive)
+    "MMMM d, yyyy H:mm:ss",
+    "MMMM d, yyyy H:mm",
+    "MMMM d, yyyy",
+    "MMM d, yyyy H:mm:ss",
+    "MMM d, yyyy",
+    "MMMM d yyyy",
+    "MMM d yyyy",
+    "d MMMM yyyy",
+    "d MMM yyyy",
+    # ambiguous numeric: month-first (dateutil default), then day-first
+    "M/d/yyyy H:mm:ss",
+    "d/M/yyyy H:mm:ss",
+    "M/d/yyyy",
+    "d/M/yyyy",
+    "M-d-yyyy H:mm:ss",
+    "d-M-yyyy H:mm:ss",
+    "M.d.yyyy",
+    "d.M.yyyy",
+    # 2-digit year (pinned 2000-2099, see divergence note)
+    "M/d/yy",
 ]
 
 
 def _try_date(s: Column) -> Column:
     """First successful parse from the format battery (tz markers are
-    stripped for parsing; the offset is re-attached in rendering)."""
+    stripped for parsing — the offset is re-attached in rendering —
+    and day-ordinal suffixes like "5th" are dropped, as dateutil
+    accepts them)."""
     bare = F.regexp_replace(s, r"(Z|[+-]\d{2}:\d{2})$", "")
-    return F.coalesce(*[F.try_to_timestamp(bare, F.lit(fmt)) for fmt in DATE_FORMATS])
+    deord = F.regexp_replace(bare, r"(?i)(\d)(st|nd|rd|th)\b", "$1")
+    return F.coalesce(*[F.try_to_timestamp(deord, F.lit(fmt)) for fmt in DATE_FORMATS])
 
 
 def _render_date(s: Column) -> Column:
-    """dateutil ``dt.isoformat()`` rendering (etl_pipeline.py:205)."""
+    """dateutil ``dt.isoformat()`` rendering (etl_pipeline.py:205):
+    seconds always printed, microseconds only when nonzero, original
+    UTC offset re-attached after the fraction."""
     suffix = (
         F.when(s.rlike("Z$"), F.lit("+00:00"))
         .when(s.rlike(r"[+-]\d{2}:\d{2}$"), F.regexp_extract(s, r"([+-]\d{2}:\d{2})$", 1))
         .otherwise(F.lit(""))
     )
-    return F.concat(F.date_format(_try_date(s), "yyyy-MM-dd'T'HH:mm:ss"), suffix)
+    ts = _try_date(s)
+    base = F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss")
+    frac = F.date_format(ts, "SSSSSS")
+    body = F.when(frac != "000000", F.concat(base, F.lit("."), frac)).otherwise(base)
+    return F.concat(body, suffix)
 
 
 def normalize_expr(col: Column) -> Column:
