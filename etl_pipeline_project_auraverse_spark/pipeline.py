@@ -30,6 +30,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from etl_pipeline_project_auraverse_spark.cache import release_caches
 from etl_pipeline_project_auraverse_spark.operators import config_ops
 from etl_pipeline_project_auraverse_spark.operators.flatten import flatten_table
 from etl_pipeline_project_auraverse_spark.operators.normalize import normalize_table
@@ -237,6 +238,10 @@ def run_etl_pipeline(
                 df.unpersist()
             except Exception:
                 pass
+        # extraction-layer caches (scan_blocks / records_to_table) are
+        # registered in the session-wide registry — release them so a
+        # long-lived session running many pipelines doesn't accumulate
+        release_caches()
 
     rep.duration_sec = time.perf_counter() - t0
     summary_file = (cfg.get("monitoring") or {}).get("summary_file")

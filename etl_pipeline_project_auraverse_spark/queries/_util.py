@@ -14,41 +14,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from etl_pipeline_project_auraverse_spark.cache import (  # noqa: F401
+    persist_tracked,
+    release_caches,
+)
+
 DEC = "decimal(25,6)"
-
-# DataFrames persisted by query builders, released by release_caches().
-# A long-lived session runs many queries back-to-back (the driver runs
-# 70+); untracked persist() calls would accumulate cached partitions
-# forever. Queries register their caches here and the query registry
-# releases them when the NEXT query starts (by which point the previous
-# result has been materialized), bounding live cache to one query's
-# worth without requiring the caller's cooperation.
-_LIVE_CACHES: list[DataFrame] = []
-
-
-def persist_tracked(df: DataFrame) -> DataFrame:
-    """persist() with registration so release_caches() can unpersist."""
-    df.persist()
-    _LIVE_CACHES.append(df)
-    return df
-
-
-def release_caches(blocking: bool = True) -> None:
-    """Unpersist every tracked cache (idempotent, never raises on a
-    stopped session — cleanup must not mask the real failure).
-
-    Blocking by default: ``unpersist(blocking=False)`` only enqueues
-    block removal, so a long-lived session launching the next query
-    immediately could still hold the previous query's partitions in
-    memory while the new ones materialize — exactly the overlap this
-    registry exists to prevent. The wait is a driver-side RPC, trivial
-    next to any query's runtime."""
-    while _LIVE_CACHES:
-        df = _LIVE_CACHES.pop()
-        try:
-            df.unpersist(blocking=blocking)
-        except Exception:
-            pass
 
 
 def parallelize(df: DataFrame) -> Column | DataFrame:

@@ -37,6 +37,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_pipeline_project_auraverse_spark.cache import persist_tracked
+
 # (source_type, pattern, regex group index) — reference etl_pipeline.py:98-154
 BLOCK_PATTERNS: list[tuple[str, str, int]] = [
     ("json", r"\{[\s\S]+?\}", 0),  # embedded JSON objects (S5)
@@ -277,7 +279,7 @@ def extract_records(docs: DataFrame, include_html: bool = True) -> DataFrame:
     """S4–S12: every extraction mode over (path, text) documents →
     (path, source_type, record_json). The error fallback (S12) emits a
     sentinel row for documents that produced no blocks at all."""
-    blocks = scan_blocks(docs).cache()
+    blocks = persist_tracked(scan_blocks(docs))
     parts = [
         strict_json_records(docs),
         _json_object_records(blocks),
@@ -310,7 +312,7 @@ def records_to_table(spark: SparkSession, records: DataFrame) -> DataFrame:
     objects stay native StructType here; ``operators.flatten`` turns
     them into flat columns.
     """
-    cached = records.cache()
+    cached = persist_tracked(records)
     types = [r[0] for r in cached.select("source_type").distinct().collect()]
     out: DataFrame | None = None
     for typ in types:

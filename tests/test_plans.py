@@ -137,6 +137,7 @@ def test_caches_released_between_queries(spark, q):
     release_caches() empties the rest."""
     from etl_pipeline_project_auraverse_spark.queries._util import release_caches
 
+    release_caches()  # drop any caches a previous test left registered
     for name in ["q_dedup_ngram_jaccard", "q_dedup_simhash", "q_ann_lsh_cosine"]:
         q(name).count()
         n_cached = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
