@@ -44,6 +44,18 @@ HEADLINE = [
     "q_sessionize_events",
     "q_range_join_purchase_context",
     "q_profile_orders_schema",
+    # round-2 breadth (VERDICT #8): the remaining costly families so
+    # round-over-round regressions stay visible
+    "q_full_outer_customer_orders",
+    "q_percentiles_by_returnflag",
+    "q_window_analytics_battery",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_embedding_cosine",
+    "q_ann_ivf_cosine",
+    "q09_profit_by_nation",
+    "q18_large_volume_orders",
+    "q21_suppliers_kept_waiting",
+    "q_asof_view_before_purchase",
 ]
 
 

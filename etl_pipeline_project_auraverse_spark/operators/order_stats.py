@@ -1,0 +1,129 @@
+"""Distributed exact order statistics (interpolated percentiles).
+
+``F.percentile`` is exact but buffers EVERY value of a group inside one
+ObjectHashAggregate buffer — with few groups (e.g. 3 return flags) the
+final merge task holds the whole column in memory, which cannot survive
+a 100 TB scan. This module computes the same interpolated percentiles
+(Spark ``percentile`` == DuckDB ``quantile_cont`` semantics) with the
+classic distributed order-statistics plan:
+
+1. ``repartitionByRange(group, value)`` — a TeraSort-style range
+   shuffle; every partition is a bounded slice, no group ever
+   concentrates on one task.
+2. Per ``(partition, group)`` cell counts (tiny: partitions × groups
+   rows) → prefix-sum offsets per group.
+3. ``row_number`` windowed by ``(partition, group)`` + the cell offset
+   = each row's exact global rank within its group, computed with
+   bounded per-task state.
+4. The 2·|percentiles| target ranks per group are broadcast-joined and
+   interpolated: position = p·(n−1) (0-indexed), v = v_lo + frac·(v_hi
+   − v_lo) — bit-compatible with ``quantile_cont``.
+
+Total cost: one range shuffle of (group, value) pairs + one hash
+shuffle of the same, plus negligible small-table work — each stage has
+bounded per-task memory at any scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_pipeline_project_auraverse_spark.cache import persist_tracked
+
+
+def exact_group_percentiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    percentiles: Sequence[float],
+    names: Sequence[str] | None = None,
+    count_name: str = "n_rows",
+) -> DataFrame:
+    """Exact interpolated percentiles per group, distribution-safe.
+
+    Returns one row per group: ``group_col``, ``count_name`` (non-null
+    value count), and one double column per requested percentile.
+    Matches ``F.percentile(value, p)`` / DuckDB ``quantile_cont`` bit
+    for bit on the same data (same rank arithmetic, same interpolation).
+    Null values are ignored, as both engines do.
+    """
+    if names is None:
+        names = [f"p{int(p * 100)}" for p in percentiles]
+    spark = df.sparkSession
+    g, v = group_col, value_col
+
+    rows = df.select(g, v).where(F.col(v).isNotNull())
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    # cached because spark_partition_id() must stay stable across the
+    # cell-count pass and the rank pass — recomputing the range shuffle
+    # could re-sample different bounds
+    ranged = persist_tracked(
+        rows.repartitionByRange(n_part, F.col(g), F.col(v)).withColumn(
+            "__pid", F.spark_partition_id()
+        )
+    )
+
+    # tiny: at most (partitions × groups) rows
+    cells = ranged.groupBy("__pid", g).agg(F.count("*").alias("__c"))
+    w_off = (
+        Window.partitionBy(g)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = cells.select(
+        "__pid", g, F.coalesce(F.sum("__c").over(w_off), F.lit(0)).alias("__off")
+    )
+    counts = cells.groupBy(g).agg(F.sum("__c").alias("__n"))
+
+    # target ranks (1-based) per group × percentile: pos = p·(n−1)
+    specs: DataFrame | None = None
+    for p, name in zip(percentiles, names):
+        pos: Column = F.lit(float(p)) * (F.col("__n") - 1).cast("double")
+        s = counts.select(
+            g,
+            F.lit(name).alias("__name"),
+            (F.floor(pos) + 1).cast("long").alias("__lo"),
+            (F.ceil(pos) + 1).cast("long").alias("__hi"),
+            (pos - F.floor(pos)).alias("__frac"),
+        )
+        specs = s if specs is None else specs.unionByName(s)
+    assert specs is not None, "percentiles must be non-empty"
+
+    fetch = (
+        specs.select(g, F.explode(F.array("__lo", "__hi")).alias("__rank"))
+        .distinct()
+    )
+
+    # global rank = per-cell row_number + cell offset; the window is
+    # keyed by (partition, group) so per-task state stays bounded
+    w_rn = Window.partitionBy("__pid", g).orderBy(v)
+    ranked = ranged.join(F.broadcast(offsets), ["__pid", g]).withColumn(
+        "__rank", F.row_number().over(w_rn) + F.col("__off")
+    )
+    vals = ranked.join(F.broadcast(fetch), [g, "__rank"]).select(
+        g, "__rank", F.col(v).alias("__v")
+    )
+
+    lo_vals = vals.select(g, F.col("__rank").alias("__lo"), F.col("__v").alias("__vlo"))
+    hi_vals = vals.select(g, F.col("__rank").alias("__hi"), F.col("__v").alias("__vhi"))
+    interp = (
+        specs.join(F.broadcast(lo_vals), [g, "__lo"])
+        .join(F.broadcast(hi_vals), [g, "__hi"])
+        .withColumn(
+            "__val",
+            F.col("__vlo") + F.col("__frac") * (F.col("__vhi") - F.col("__vlo")),
+        )
+    )
+    out = interp.groupBy(g).agg(
+        *[
+            F.max(F.when(F.col("__name") == name, F.col("__val"))).alias(name)
+            for name in names
+        ]
+    )
+    return out.join(F.broadcast(counts.withColumnRenamed("__n", count_name)), g).select(
+        g, count_name, *names
+    )

@@ -283,17 +283,26 @@ def q_window_analytics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_percentiles_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.count("*").alias("n_rows"),
-            F.round(F.percentile("l_extendedprice", 0.5), 4).cast("double").alias("p50"),
-            F.round(F.percentile("l_extendedprice", 0.9), 4).cast("double").alias("p90"),
-            F.round(F.percentile("l_extendedprice", 0.99), 4).cast("double").alias("p99"),
-        )
-        .orderBy("l_returnflag")
+    # NOT F.percentile: that buffers a whole group's values in one
+    # aggregation buffer (3 groups → whole column on 3 tasks at 100 TB).
+    # exact_group_percentiles computes the same interpolated values via
+    # a range shuffle + partition-offset order statistics — bounded
+    # per-task state at any scale (operators/order_stats.py).
+    from etl_pipeline_project_auraverse_spark.operators.order_stats import (
+        exact_group_percentiles,
     )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pct = exact_group_percentiles(
+        li, "l_returnflag", "l_extendedprice", [0.5, 0.9, 0.99], ["p50", "p90", "p99"]
+    )
+    return pct.select(
+        "l_returnflag",
+        "n_rows",
+        F.round("p50", 4).cast("double").alias("p50"),
+        F.round("p90", 4).cast("double").alias("p90"),
+        F.round("p99", 4).cast("double").alias("p99"),
+    ).orderBy("l_returnflag")
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,84 @@
+"""Differential tests: exact_group_percentiles vs F.percentile.
+
+The operator must be value-identical to Spark's exact percentile (and
+therefore DuckDB quantile_cont) while keeping per-task state bounded —
+ties, skewed groups, and single-element groups included.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pipeline_project_auraverse_spark.operators.order_stats import (
+    exact_group_percentiles,
+)
+
+PS = [0.0, 0.25, 0.5, 0.9, 0.99, 1.0]
+NAMES = [f"q{i}" for i in range(len(PS))]
+
+
+def _reference(spark, df, ps=PS, names=NAMES):
+    return {
+        r["g"]: [r[n] for n in names]
+        for r in df.groupBy("g")
+        .agg(*[F.percentile("v", p).alias(n) for p, n in zip(ps, names)])
+        .collect()
+    }
+
+
+@pytest.mark.parametrize(
+    "case",
+    ["uniform", "ties", "skewed", "singletons"],
+)
+def test_matches_spark_exact_percentile(spark, case):
+    rng = random.Random(42)
+    if case == "uniform":
+        rows = [(f"g{i % 4}", rng.uniform(0, 1000)) for i in range(2000)]
+    elif case == "ties":
+        rows = [(f"g{i % 3}", float(rng.randint(0, 9))) for i in range(1500)]
+    elif case == "skewed":
+        rows = [("hot", rng.gauss(100, 15)) for _ in range(3000)]
+        rows += [("cold", float(i)) for i in range(7)]
+    else:  # singletons: n=1 groups exercise lo==hi ranks at every p
+        rows = [(f"s{i}", float(i * 10)) for i in range(5)]
+    df = spark.createDataFrame(rows, "g string, v double").repartition(8)
+
+    got = {
+        r["g"]: [r[n] for n in NAMES]
+        for r in exact_group_percentiles(df, "g", "v", PS, NAMES).collect()
+    }
+    want = _reference(spark, df)
+    assert got.keys() == want.keys()
+    for g in want:
+        for a, b in zip(got[g], want[g]):
+            assert math.isclose(a, b, rel_tol=0, abs_tol=1e-9), (g, got[g], want[g])
+
+
+def test_counts_ignore_nulls(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", 3.0), ("b", None)], "g string, v double"
+    )
+    out = {
+        r["g"]: (r["n_rows"], r["p50"])
+        for r in exact_group_percentiles(df, "g", "v", [0.5], ["p50"]).collect()
+    }
+    # group b has no non-null values -> no output row, like F.percentile+HAVING
+    assert out == {"a": (2, 2.0)}
+
+
+def test_plan_has_no_single_group_aggregation(spark):
+    """The point of the operator: no ObjectHashAggregate percentile
+    buffer, and the heavy shuffle is a range partitioning."""
+    df = spark.createDataFrame([("a", 1.0)] * 10, "g string, v double")
+    plan = (
+        exact_group_percentiles(df, "g", "v", [0.5], ["p50"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "percentile" not in plan.lower()
+    assert "rangepartitioning" in plan.lower()
