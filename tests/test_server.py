@@ -1,0 +1,85 @@
+"""End-to-end serving-shim tests: upload → pipeline → JSON table +
+schema response, schema fetch, CSV download (reference server.js
+surface)."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+import uuid
+from pathlib import Path
+
+import pytest
+
+from etl_pipeline_project_auraverse_spark.server import EtlServer
+
+FIXTURES = Path(__file__).parent / "fixtures"
+
+
+def _multipart(filename: str, payload: bytes) -> tuple[bytes, str]:
+    boundary = f"----spark{uuid.uuid4().hex}"
+    body = (
+        f"--{boundary}\r\n"
+        f'Content-Disposition: form-data; name="inputFile"; filename="{filename}"\r\n'
+        f"Content-Type: application/octet-stream\r\n\r\n"
+    ).encode() + payload + f"\r\n--{boundary}--\r\n".encode()
+    return body, f"multipart/form-data; boundary={boundary}"
+
+
+def _post(url: str, body: bytes, ctype: str) -> dict:
+    req = urllib.request.Request(url, data=body, headers={"Content-Type": ctype})
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        return json.loads(resp.read())
+
+
+@pytest.fixture(scope="module")
+def server(spark, tmp_path_factory):
+    srv = EtlServer(str(tmp_path_factory.mktemp("serve")), spark=spark)
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def test_run_etl_upload_roundtrip(server):
+    payload = (FIXTURES / "simple.json").read_bytes()
+    body, ctype = _multipart("simple.json", payload)
+    out = _post(f"http://127.0.0.1:{server.port}/run-etl", body, ctype)
+    assert out["success"] is True, out
+    names = {r["name"] for r in out["table"]}
+    assert {"Ada", "Grace"} <= names
+    # csvtojson semantics: every value arrives as a string
+    assert all(isinstance(v, str) for r in out["table"] for v in r.values())
+    assert out["schema"] and "columns" in json.dumps(out["schema"])
+
+
+def test_schema_endpoint(server):
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{server.port}/schema/default_source", timeout=30
+    ) as resp:
+        schema = json.loads(resp.read())
+    assert schema.get("schema_id")
+
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/schema/nope", timeout=30
+        )
+    assert exc.value.code == 404
+    assert json.loads(exc.value.read()) == {"error": "Schema not found."}
+
+
+def test_download_endpoint(server):
+    req = urllib.request.Request(f"http://127.0.0.1:{server.port}/download")
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        disp = resp.headers["Content-Disposition"]
+        data = resp.read()
+    assert "structured_table.csv" in disp
+    assert data.splitlines()[0].count(b",") >= 1  # header row
+
+
+def test_mixed_text_upload(server):
+    payload = (FIXTURES / "mixed.txt").read_bytes()
+    body, ctype = _multipart("mixed.txt", payload)
+    out = _post(f"http://127.0.0.1:{server.port}/run-etl", body, ctype)
+    assert out["success"] is True, out
+    assert len(out["table"]) >= 3  # json + csv + yaml/log/code records
