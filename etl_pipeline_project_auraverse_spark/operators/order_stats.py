@@ -34,6 +34,10 @@ from pyspark.sql.window import Window
 
 from etl_pipeline_project_auraverse_spark.cache import persist_tracked
 
+# above this many distinct groups the partitions×groups side tables stop
+# being "tiny" and broadcasting them risks driver OOM — shuffle-join instead
+_BROADCAST_GROUP_LIMIT = 100_000
+
 
 def exact_group_percentiles(
     df: DataFrame,
@@ -50,6 +54,18 @@ def exact_group_percentiles(
     Matches ``F.percentile(value, p)`` / DuckDB ``quantile_cont`` bit
     for bit on the same data (same rank arithmetic, same interpolation).
     Null values are ignored, as both engines do.
+
+    ``count_name`` is the count of NON-NULL values (what the rank
+    arithmetic is defined over), not ``count(*)``; groups whose values
+    are all null produce no output row. On non-null columns this equals
+    ``count(*)``; callers needing ``count(*)`` parity on nullable input
+    should join counts back from a separate aggregate.
+
+    Assumes LOW-CARDINALITY groups: ``offsets``/``counts``/``specs``
+    are broadcast and sized O(partitions × groups), so a
+    high-cardinality ``group_col`` (millions of groups) would make the
+    broadcast itself the bottleneck. Above ``_BROADCAST_GROUP_LIMIT``
+    distinct groups the small sides fall back to shuffle joins.
     """
     if names is None:
         names = [f"p{int(p * 100)}" for p in percentiles]
@@ -69,6 +85,10 @@ def exact_group_percentiles(
 
     # tiny: at most (partitions × groups) rows
     cells = ranged.groupBy("__pid", g).agg(F.count("*").alias("__c"))
+    # one cheap agg over the (about-to-be-)cached ranged table decides
+    # whether the side tables are broadcast-safe (see docstring)
+    n_groups = cells.select(g).distinct().count()
+    bc = F.broadcast if n_groups <= _BROADCAST_GROUP_LIMIT else (lambda d: d)
     w_off = (
         Window.partitionBy(g)
         .orderBy("__pid")
@@ -101,18 +121,26 @@ def exact_group_percentiles(
     # global rank = per-cell row_number + cell offset; the window is
     # keyed by (partition, group) so per-task state stays bounded
     w_rn = Window.partitionBy("__pid", g).orderBy(v)
-    ranked = ranged.join(F.broadcast(offsets), ["__pid", g]).withColumn(
+    ranked = ranged.join(bc(offsets), ["__pid", g]).withColumn(
         "__rank", F.row_number().over(w_rn) + F.col("__off")
     )
-    vals = ranked.join(F.broadcast(fetch), [g, "__rank"]).select(
-        g, "__rank", F.col(v).alias("__v")
+    # vals is tiny (≤ 2·|percentiles|·|groups| rows) but derives from the
+    # heavy range-shuffle + rank-window subtree; persist AND materialize it
+    # so the two broadcast exchanges below read the cache instead of each
+    # re-executing the window pass (they run as separate broadcast jobs,
+    # so lazy persist alone would not prevent a concurrent double compute)
+    vals = persist_tracked(
+        ranked.join(bc(fetch), [g, "__rank"]).select(
+            g, "__rank", F.col(v).alias("__v")
+        )
     )
+    vals.count()
 
     lo_vals = vals.select(g, F.col("__rank").alias("__lo"), F.col("__v").alias("__vlo"))
     hi_vals = vals.select(g, F.col("__rank").alias("__hi"), F.col("__v").alias("__vhi"))
     interp = (
-        specs.join(F.broadcast(lo_vals), [g, "__lo"])
-        .join(F.broadcast(hi_vals), [g, "__hi"])
+        specs.join(bc(lo_vals), [g, "__lo"])
+        .join(bc(hi_vals), [g, "__hi"])
         .withColumn(
             "__val",
             F.col("__vlo") + F.col("__frac") * (F.col("__vhi") - F.col("__vlo")),
@@ -124,6 +152,6 @@ def exact_group_percentiles(
             for name in names
         ]
     )
-    return out.join(F.broadcast(counts.withColumnRenamed("__n", count_name)), g).select(
+    return out.join(bc(counts.withColumnRenamed("__n", count_name)), g).select(
         g, count_name, *names
     )

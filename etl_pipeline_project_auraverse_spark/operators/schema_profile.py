@@ -29,6 +29,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # infer_type regex classes, reference etl_pipeline.py:228-244
 INT_RE = r"^\d+$"
@@ -47,6 +48,13 @@ def profile_table(df: DataFrame) -> list[dict[str, Any]]:
     vc = vals.groupBy("col_name", "v").agg(F.count("*").alias("cnt"))
 
     v, cnt = F.col("v"), F.col("cnt")
+    # examples = 3 smallest distinct values, collected via a rank ≤ 3
+    # guard over a spillable sort window so the aggregation buffer holds
+    # at most 3 elements — never a column's whole distinct set (same
+    # bounded-state shape as queries/profiling.py)
+    w_ex = Window.partitionBy("col_name").orderBy(F.col("v").asc_nulls_last())
+    vc = vc.withColumn("__rn", F.row_number().over(w_ex))
+    example_of = F.when((F.col("__rn") <= 3) & v.isNotNull(), v)
     nn_sum = lambda cond: F.sum(F.when(v.isNotNull() & cond, cnt).otherwise(0))  # noqa: E731
     empty_as_null = v.isNotNull() & (F.trim(v) == "")  # infer_type: '' → null class
     rows = (
@@ -66,7 +74,7 @@ def profile_table(df: DataFrame) -> list[dict[str, Any]]:
                 & F.trim(v).rlike(DATE_RE)
             ).alias("n_date"),
             F.max(F.when(v.isNotNull(), cnt)).alias("modal_cnt"),
-            F.slice(F.array_sort(F.collect_list("v")), 1, 3).alias("examples"),
+            F.array_sort(F.collect_list(example_of)).alias("examples"),
         )
         .collect()
     )

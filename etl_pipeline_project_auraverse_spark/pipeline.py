@@ -98,14 +98,22 @@ class JobDeadline:
         self.seconds = seconds
         self.group = f"deadline-{uuid.uuid4().hex[:12]}"
         self.fired = threading.Event()
+        self._done = threading.Event()
         self._timer: threading.Timer | None = None
 
     def _cancel(self) -> None:
+        # cancelJobGroup only hits ACTIVE jobs — if the deadline fires
+        # in a gap between jobs (driver-side work, job not yet
+        # submitted), a single cancel is silently lost and later jobs
+        # in the group would run to completion. Keep re-cancelling
+        # until the context exits so late-submitted jobs die too.
         self.fired.set()
-        try:
-            self.spark.sparkContext.cancelJobGroup(self.group)
-        except Exception:  # session already stopped — nothing to cancel
-            pass
+        while not self._done.is_set():
+            try:
+                self.spark.sparkContext.cancelJobGroup(self.group)
+            except Exception:  # session already stopped — nothing to cancel
+                return
+            self._done.wait(0.25)
 
     def __enter__(self) -> JobDeadline:
         # interruptOnCancel=True so long-running tasks (e.g. a stuck
@@ -117,6 +125,7 @@ class JobDeadline:
         return self
 
     def __exit__(self, exc_type, exc, tb) -> bool:
+        self._done.set()
         if self._timer is not None:
             self._timer.cancel()
         self.spark.sparkContext.setJobGroup("", "", False)

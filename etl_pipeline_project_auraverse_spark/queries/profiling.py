@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from etl_pipeline_project_auraverse_spark.queries import register
 from etl_pipeline_project_auraverse_spark.session import load_table
@@ -53,6 +54,16 @@ def _profile_spark(table: str, cols: list[tuple[str, str]]):
         vc = vals.groupBy("col_name", "v").agg(F.count("*").alias("cnt"))
 
         v, cnt = F.col("v"), F.col("cnt")
+        # examples = 3 smallest distinct values. Ranking the grouped vc
+        # rows (spillable sort window, nulls last) and collecting only
+        # rank ≤ 3 keeps the aggregation buffer ≤ 3 elements, instead of
+        # buffering a column's whole distinct set in one
+        # ObjectHashAggregate buffer (the 100-TB killer). The window
+        # pre-partitions by col_name, so the profile aggregate below
+        # needs no further shuffle: one scan, two shuffles total.
+        w_ex = Window.partitionBy("col_name").orderBy(F.col("v").asc_nulls_last())
+        vc = vc.withColumn("__rn", F.row_number().over(w_ex))
+        example_of = F.when((F.col("__rn") <= 3) & v.isNotNull(), v)
         nn = lambda expr: F.sum(F.when(expr, cnt).otherwise(0))  # noqa: E731
         n_rows = F.sum(cnt)
         n_nulls = nn(v.isNull())
@@ -75,7 +86,9 @@ def _profile_spark(table: str, cols: list[tuple[str, str]]):
             F.round(F.max(F.when(v.isNotNull(), cnt)) * 1.0 / n_nonnull, 6)
             .cast("double")
             .alias("confidence"),
-            F.concat_ws(",", F.slice(F.array_sort(F.collect_list("v")), 1, 3)).alias("examples"),
+            F.concat_ws(",", F.array_sort(F.collect_list(example_of))).alias(
+                "examples"
+            ),
         )
         i, f_, b, d, s = (F.col(c) for c in ["_i", "_f", "_b", "_d", "_s"])
         inferred = (

@@ -88,8 +88,19 @@ def test_range_join_is_hash_join(q):
 
 def test_profiling_reads_single_scan_per_table(q):
     df = q("q_profile_orders_schema")
-    # unpivot → two aggregations; the table is scanned once, not per column
+    # unpivot → vc aggregate → rank window → profile aggregate, all in
+    # one linear plan: the table is scanned once, not per column
     assert PI.physical_plan(df).count("FileScan parquet") == 1
+
+
+def test_profiling_examples_buffer_is_bounded(q):
+    """A3 at scale: the examples aggregate must sit above a
+    row_number() <= 3 pre-filter on the grouped (col_name, v) counts —
+    never a collect_list over a column's whole distinct set (the
+    single-buffer ObjectHashAggregate failure mode)."""
+    plan = PI.physical_plan(q("q_profile_orders_schema"))
+    assert "row_number" in plan, "examples must be rank-prefiltered"
+    assert "__rn" in plan, "rank filter column missing from plan"
 
 
 def test_text_quality_scan_prunes_columns(q):
