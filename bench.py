@@ -6,6 +6,13 @@ ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is timed end-to-end (plan + execute + collect); the JVM is
 warmed with one untimed trivial action first so session/codegen startup
 isn't attributed to the first query.
+
+Noise awareness: this VM shows 3-5x CPU-steal variance between runs
+(BENCH_r02 recorded an 8x phantom regression on byte-identical code).
+Each query takes the min of three runs, and the artifact carries a
+"noise" block — a fixed-work calibration timing sampled before, midway
+and after the sweep, plus /proc/stat steal deltas — so any reader can
+tell a noisy window from a real regression.
 """
 
 from __future__ import annotations
@@ -59,6 +66,29 @@ HEADLINE = [
 ]
 
 
+def _read_proc_stat() -> tuple[int, int] | None:
+    """(steal_ticks, total_ticks) from the aggregate cpu line, or None
+    on platforms without /proc."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        ticks = [int(x) for x in parts[1:]]
+        steal = ticks[7] if len(ticks) > 7 else 0
+        return steal, sum(ticks)
+    except Exception:
+        return None
+
+
+def _calibrate(spark) -> float:
+    """Fixed-work CPU-bound probe: the same plan every time, so its
+    timing varies only with machine conditions, never with code."""
+    t0 = time.perf_counter()
+    spark.range(20_000_000).selectExpr(
+        "sum(cast(id AS double) * cast(id AS double)) AS s"
+    ).collect()
+    return round(time.perf_counter() - t0, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -70,21 +100,32 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
-    # min of two runs per query: this VM shows heavy CPU-steal noise
+    stat0 = _read_proc_stat()
+    _calibrate(spark)  # untimed: codegen-warm the probe plan itself
+    calibrations = [_calibrate(spark)]
+
+    # min of three runs per query: this VM shows heavy CPU-steal noise
     # (identical queries vary 3-5x between runs); the min is the
     # reproducible cost of the plan rather than of the neighbor's load
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES.get(name)
-        if fn is None:
-            continue
+    names = [n for n in HEADLINE if n in QUERIES]
+    for i, name in enumerate(names):
+        fn = QUERIES[name]
         runs = []
-        for _ in range(2):
+        for _ in range(3):
             spark.catalog.clearCache()  # no cross-run persist() reuse
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(min(runs), 4)
+        if i == len(names) // 2:
+            calibrations.append(_calibrate(spark))
+    calibrations.append(_calibrate(spark))
+
+    stat1 = _read_proc_stat()
+    steal_frac = None
+    if stat0 and stat1 and stat1[1] > stat0[1]:
+        steal_frac = round((stat1[0] - stat0[0]) / (stat1[1] - stat0[1]), 4)
 
     total = round(sum(timings.values()), 4)
     print(
@@ -95,6 +136,15 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "noise": {
+                    # same fixed work at sweep start / middle / end; a
+                    # >1.5x spread here means the window was noisy and
+                    # per-query deltas vs earlier rounds are suspect
+                    "calibration_sec": calibrations,
+                    # fraction of CPU ticks stolen by the hypervisor
+                    # during the sweep (None if /proc unavailable)
+                    "steal_frac": steal_frac,
+                },
             }
         )
     )

@@ -1,0 +1,85 @@
+"""Distributed connected components — duplicate-cluster construction.
+
+A dedup pipeline's pair lists (MinHash/LSH candidates, Jaccard-verified
+near-dups) only become *actionable* once transitively closed: if A~B
+and B~C, all three are one duplicate cluster and a keeper must be
+chosen per cluster, not per pair. The reference has no notion of this
+(it has no joins at all — SURVEY §2.5); this operator is part of the
+LLM-data-pipeline surface built on top.
+
+Algorithm: hash-min label propagation. Every node starts labeled with
+its own id; each round, every node takes the minimum label among
+itself and its neighbors; at fixpoint the label IS the minimum node id
+of the component. Rounds needed = graph diameter. For near-duplicate
+graphs this is small (clusters are dense blobs of mutually-similar
+documents, diameters of 2-4), so hash-min beats the asymptotically
+better alternating large-star/small-star algorithm (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) in constant
+factors while staying two joins per round. For adversarial
+long-chain graphs, switch to large-star/small-star's O(log n) rounds
+— the driver loop below would host it unchanged.
+
+Scale posture: each round is two shuffle joins on node id plus a
+groupBy — all equi-keyed, no broadcast of anything sized with the
+graph; per-round state is one (id, label) table persisted and the
+previous round's released. The convergence check is one tiny count
+per round (label sum is monotonically decreasing; we count changed
+labels via a self-join on the persisted frames). The driver-side loop
+is the documented iterative-algorithm pattern: the per-round action
+is a convergence test, not a data collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_pipeline_project_auraverse_spark.cache import persist_tracked
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, component) for every node appearing in ``edges``; component
+    = the minimum node id in the node's connected component. Edges are
+    treated as undirected; self-loops and duplicates are harmless.
+
+    Raises ``RuntimeError`` if ``max_iter`` rounds don't converge
+    (diameter > max_iter — for dedup-cluster graphs this means the
+    input is not the pair list you think it is).
+    """
+    und = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    und = persist_tracked(und.distinct())
+
+    labels = persist_tracked(
+        und.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
+    )
+    for _ in range(max_iter):
+        # neighbor messages: each directed copy of an edge carries the
+        # source's current label to the destination
+        msgs = (
+            und.join(labels.withColumnRenamed("id", "a"), "a")
+            .select(F.col("b").alias("id"), "comp")
+            .unionByName(labels)
+        )
+        new_labels = persist_tracked(
+            msgs.groupBy("id").agg(F.min("comp").alias("comp"))
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            und.unpersist()
+            return labels
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")

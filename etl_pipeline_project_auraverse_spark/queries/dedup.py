@@ -508,3 +508,72 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim") >= EMB_DEDUP_THRESHOLD)
         .orderBy("vec_a", "vec_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clusters: transitive closure of the Jaccard near-dup pairs.
+# A pair list is not actionable until closed — if A~B and B~C, all
+# three are ONE cluster with one keeper. Spark side: hash-min label
+# propagation (operators/components.py); oracle: recursive CTE.
+# ---------------------------------------------------------------------------
+def _clusters_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {SQL_SHINGLE_CTE},
+    hot AS (SELECT h FROM sh GROUP BY h HAVING COUNT(*) > {DF_CAP}),
+    shc AS (SELECT doc_id, h FROM sh WHERE h NOT IN (SELECT h FROM hot)),
+    sizesc AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
+    prs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM shc a JOIN shc b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    good AS (
+        SELECT p.doc_a, p.doc_b
+        FROM prs p
+        JOIN sizesc sa ON sa.doc_id = p.doc_a
+        JOIN sizesc sb ON sb.doc_id = p.doc_b
+        WHERE p.n_common * 1.0 / (sa.n + sb.n - p.n_common) >= 0.8
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM good
+        UNION ALL SELECT doc_b, doc_a FROM good
+    ),
+    reach AS (
+        SELECT a AS id, a AS r FROM edges
+        UNION
+        SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.id
+    ),
+    comp AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+    SELECT c.doc_id, c.cluster_id, s.n_docs
+    FROM comp c
+    JOIN (SELECT cluster_id, COUNT(*) AS n_docs FROM comp GROUP BY cluster_id) s
+      USING (cluster_id)
+    ORDER BY doc_id
+    """
+
+
+@register("q_dedup_clusters", oracle=_clusters_oracle())
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters over the DF-capped Jaccard pair list: each
+    document in at least one >= 0.8-Jaccard pair gets the minimum
+    doc_id of its transitive cluster as cluster_id, plus the cluster
+    size (the keeper-selection unit). Closure runs as hash-min label
+    propagation — O(diameter) equi-join rounds, bounded per-round
+    state — where the oracle states the same fixpoint as a recursive
+    CTE (fine at oracle scale, quadratic blowup at corpus scale)."""
+    from etl_pipeline_project_auraverse_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(edges, "doc_a", "doc_b")
+    sizes = comp.groupBy("comp").agg(F.count("*").alias("n_docs"))
+    return (
+        comp.join(sizes, "comp")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("comp").alias("cluster_id"),
+            "n_docs",
+        )
+        .orderBy("doc_id")
+    )

@@ -172,25 +172,38 @@ def q_ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Coarse quantization (real IVF centroids, deterministic + oracle-twin).
 #
-# Seeds = the N_CENTROIDS lowest-vec_id vectors; every vector is
-# assigned to the seed with the highest ROUNDED cosine (seed-id
-# tiebreak), so the assignment is bit-identical in Spark and DuckDB.
+# Seeds = the K lowest-vec_id vectors; every vector is assigned to the
+# seed with the highest ROUNDED cosine (seed-id tiebreak), so the
+# assignment is bit-identical in Spark and DuckDB.
 # Cost is n x K broadcast scoring — linear in the corpus, no shuffle —
-# and the resulting blocks have expected size n/K, so scaling K with
-# the corpus bounds the within-block work. In production the seeds
-# would come from a k-means(||) fit persisted as a centroids table;
-# deterministic seed *selection* (not iteration) keeps the oracle
-# expressible while exercising the identical plan shape.
+# and the resulting blocks have expected size n/K. K SCALES WITH THE
+# CORPUS: K = max(N_CENTROIDS_MIN, ceil(n / CENTROID_TARGET_BLOCK)),
+# computed lazily from count(*) in both engines, so block sizes stay
+# ~CENTROID_TARGET_BLOCK at any scale instead of blocks growing
+# linearly with a fixed K. In production the seeds would come from a
+# k-means(||) fit persisted as a centroids table; deterministic seed
+# *selection* (not iteration) keeps the oracle expressible while
+# exercising the identical plan shape.
 # ---------------------------------------------------------------------------
-N_CENTROIDS = 32
+N_CENTROIDS_MIN = 32
+CENTROID_TARGET_BLOCK = 500
 
 
 def centroid_assignments(emb: DataFrame) -> DataFrame:
     """(vec_id, centroid_id, cos_to_centroid): nearest-seed coarse
     quantization. Broadcast the K seeds against the corpus — one scan,
-    no shuffle until the consumer's own join."""
+    no shuffle until the consumer's own join. K derives from the corpus
+    count as a lazy 1-row broadcast (no driver-side collect)."""
+    k_row = emb.agg(
+        F.greatest(
+            F.lit(N_CENTROIDS_MIN),
+            F.ceil(F.count("*") / F.lit(float(CENTROID_TARGET_BLOCK))),
+        ).alias("__k")
+    )
     seeds = F.broadcast(
-        emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        emb.crossJoin(F.broadcast(k_row))
+        .filter(F.col("vec_id") < F.col("__k"))
+        .select(
             F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("seed_emb")
         )
     )
@@ -217,7 +230,10 @@ def sql_centroid_cte() -> str:
     return f"""
     cent AS (
         SELECT vec_id AS centroid_id, embedding AS seed_emb
-        FROM embeddings WHERE vec_id < {N_CENTROIDS}
+        FROM embeddings
+        WHERE vec_id < (SELECT GREATEST({N_CENTROIDS_MIN},
+                               CEIL(COUNT(*) / {float(CENTROID_TARGET_BLOCK)}))
+                        FROM embeddings)
     ),
     scored AS (
         SELECT e.vec_id, c.centroid_id,

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import threading
 from email.parser import BytesParser
 from email.policy import default as _email_policy
@@ -37,10 +38,15 @@ from typing import Any
 
 from pyspark.sql import SparkSession
 
+from etl_pipeline_project_auraverse_spark import frontend
 from etl_pipeline_project_auraverse_spark.pipeline import run_etl_pipeline
 from etl_pipeline_project_auraverse_spark.session import get_spark
 
 DEFAULT_TIMEOUT_SEC = 60.0  # server.js:48
+
+# schema source ids are plain tokens; anything else (slashes, dots) is
+# a traversal attempt on the schemas dir — reject before path join
+_SOURCE_ID_RE = re.compile(r"^[A-Za-z0-9_-]+$")
 
 
 def default_config(workdir: str, file_type: str = "txt") -> dict[str, Any]:
@@ -89,6 +95,12 @@ class EtlServer:
         self.spark = spark or get_spark(app_name="etl-server")
         self.timeout_sec = timeout_sec
         os.makedirs(os.path.join(self.workdir, "data"), exist_ok=True)
+        # /run-etl requests share one staged-upload path, one output.csv
+        # and the process-global cache registry (the reference isolates
+        # each run in a fresh child process, server.js:43); serialize
+        # them so concurrent uploads can't read each other's results or
+        # release each other's caches mid-run
+        self._etl_lock = threading.Lock()
         self._httpd = ThreadingHTTPServer(("127.0.0.1", port), self._make_handler())
         self._thread: threading.Thread | None = None
 
@@ -98,6 +110,12 @@ class EtlServer:
 
     # -- request handling ---------------------------------------------------
     def _run_etl(self, filename: str | None, payload: bytes | None) -> dict[str, Any]:
+        with self._etl_lock:
+            return self._run_etl_locked(filename, payload)
+
+    def _run_etl_locked(
+        self, filename: str | None, payload: bytes | None
+    ) -> dict[str, Any]:
         ext = os.path.splitext(filename or "")[1].lower().lstrip(".")
         file_type = ext if ext in ("csv", "json") else "txt"  # server.js:22-25
         cfg = default_config(self.workdir, file_type)
@@ -174,9 +192,20 @@ class EtlServer:
                         return part.get_filename(), part.get_payload(decode=True)
                 return None, None
 
+            def _static(self, body: str, ctype: str) -> None:
+                data = body.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
             def do_GET(self) -> None:
                 if self.path.startswith("/schema/"):
                     source_id = self.path[len("/schema/") :].strip("/")
+                    if not _SOURCE_ID_RE.fullmatch(source_id):
+                        self._json({"error": "Schema not found."}, 404)
+                        return
                     path = os.path.join(
                         server.workdir, "schemas", f"{source_id}_schema.json"
                     )
@@ -185,6 +214,12 @@ class EtlServer:
                         return
                     with open(path, encoding="utf-8") as f:
                         self._json(json.load(f))
+                elif self.path.rstrip("/") in ("", "/index.html"):
+                    self._static(frontend.INDEX_HTML, "text/html; charset=utf-8")
+                elif self.path == "/table.js":
+                    self._static(
+                        frontend.TABLE_JS, "application/javascript; charset=utf-8"
+                    )
                 elif self.path.rstrip("/") == "/download":  # server.js:88-91
                     path = os.path.join(server.workdir, "data", "output.csv")
                     if not os.path.exists(path):

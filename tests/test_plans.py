@@ -133,9 +133,10 @@ def test_embedding_dedup_blocks_are_equi_joined(q):
     centroid_id, never an all-pairs product over the corpus."""
     plan = PI.physical_plan(q("q_dedup_embedding_cosine"))
     assert "CartesianProduct" not in plan
-    # the only BNL allowed is the constant-size K-seed broadcast inside
-    # the centroid assignment (it prints once per self-join side)
-    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    # the only BNLs allowed are constant-size broadcasts inside the
+    # centroid assignment — the K-seed set and the 1-row corpus-count
+    # aggregate that derives K — each printed once per self-join side
+    assert plan.count("BroadcastNestedLoopJoin") <= 4
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
         "BroadcastHashJoin" in plan
     ), "pair generation must be an equi-join on centroid_id"

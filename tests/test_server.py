@@ -80,6 +80,58 @@ def test_download_endpoint(server):
     assert data.splitlines()[0].count(b",") >= 1  # header row
 
 
+def test_schema_endpoint_rejects_traversal(server, tmp_path):
+    # a schema file OUTSIDE the schemas dir must not be reachable via
+    # ../ (or any non-token id); the endpoint answers the same 404 as
+    # for a missing schema
+    outside = Path(server.workdir) / "leak_schema.json"
+    outside.write_text('{"schema_id": "leak"}')
+    for payload in ("..%2f..%2fleak", "../leak", "a/b", "x.y"):
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{server.port}/schema/{payload}", timeout=30
+            )
+        assert exc.value.code == 404
+
+
+def test_frontend_pages_served(server):
+    with urllib.request.urlopen(f"http://127.0.0.1:{server.port}/", timeout=30) as r:
+        page = r.read().decode()
+        assert "text/html" in r.headers["Content-Type"]
+    assert "etlForm" in page and "table.js" in page
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{server.port}/table.js", timeout=30
+    ) as r:
+        js = r.read().decode()
+        assert "javascript" in r.headers["Content-Type"]
+    assert "run-etl" in js and "renderTable" in js
+
+
+def test_concurrent_uploads_are_serialized(server):
+    """Two simultaneous /run-etl posts with different payloads must each
+    get back their own table — shared staging/output paths make this
+    impossible without the per-run lock."""
+    import threading
+
+    results: dict[str, dict] = {}
+
+    def upload(tag: str) -> None:
+        rows = [{"id": i, "name": f"{tag}{i}", "score": i} for i in range(3)]
+        body, ctype = _multipart(f"{tag}.json", json.dumps(rows).encode())
+        results[tag] = _post(f"http://127.0.0.1:{server.port}/run-etl", body, ctype)
+
+    threads = [threading.Thread(target=upload, args=(t,)) for t in ("alpha", "beta")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=180)
+    for tag in ("alpha", "beta"):
+        out = results[tag]
+        assert out["success"] is True, out
+        names = {r["name"] for r in out["table"]}
+        assert names == {f"{tag}0", f"{tag}1", f"{tag}2"}, (tag, names)
+
+
 def test_mixed_text_upload(server):
     payload = (FIXTURES / "mixed.txt").read_bytes()
     body, ctype = _multipart("mixed.txt", payload)
