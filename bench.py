@@ -63,6 +63,11 @@ HEADLINE = [
     "q18_large_volume_orders",
     "q21_suppliers_kept_waiting",
     "q_asof_view_before_purchase",
+    # round-3 breadth: closure, curation, basket mining, SCD2
+    "q_dedup_clusters",
+    "q_text_gopher_filter",
+    "q_basket_part_pairs",
+    "q_scd2_customer_order_history",
 ]
 
 

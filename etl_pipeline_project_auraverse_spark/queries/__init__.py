@@ -41,6 +41,7 @@ _MODULES = [
     "etl_pipeline_project_auraverse_spark.queries.extended",
     "etl_pipeline_project_auraverse_spark.queries.similarity",
     "etl_pipeline_project_auraverse_spark.queries.profiling",
+    "etl_pipeline_project_auraverse_spark.queries.curation",
 ]
 
 

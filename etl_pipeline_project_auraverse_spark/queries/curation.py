@@ -1,0 +1,198 @@
+"""Training-data curation operators over ``documents``: deterministic
+sampling (Bernoulli by portable hash, stratified per-group reservoir)
+and Gopher-style quality-rule filtering.
+
+These are the selection primitives of an LLM data pipeline — choosing
+WHICH documents survive — sitting beside the dedup family (which
+removes repeats) and the text-analysis family (which scores). All pure
+Column expressions with exact DuckDB oracles.
+
+Scale design (100 TB posture):
+- Hash sampling is a stateless per-row predicate on a portable md5
+  hash — embarrassingly parallel, no shuffle, reproducible across
+  engines/runs (``rand()`` would be neither), and the sampling
+  DECISION rides with the row so downstream stages can re-derive it.
+- The per-language reservoir is a rank window: one shuffle by lang,
+  spillable sort, rank <= K truncation. Skewed language distributions
+  (en is most of the web) leave one partition with most rows — the
+  sort spills rather than OOMs; for extreme skew pre-filter with a
+  coarse hash-sample pass so the window sees ~K·10 rows per lang.
+- The quality filter is a single scan → aggregate: every rule is a
+  codegen'd expression, one pass for all rules, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from etl_pipeline_project_auraverse_spark.functions.text import (
+    PUNCT_RE,
+    STOPWORD_RE,
+    h28,
+    n_words,
+)
+from etl_pipeline_project_auraverse_spark.queries import register
+from etl_pipeline_project_auraverse_spark.session import load_table
+
+# ---------------------------------------------------------------------------
+# Deterministic Bernoulli sampling, stratified rates per language.
+# ---------------------------------------------------------------------------
+SAMPLE_RATES = {"en": 50, "de": 30, "es": 20, "fr": 10}  # percent
+SAMPLE_DEFAULT = 5
+
+
+def _rate_spark():
+    expr = F.lit(SAMPLE_DEFAULT)
+    for lang, pct in SAMPLE_RATES.items():
+        expr = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(expr)
+    return expr
+
+
+def _rate_sql() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{lang}' THEN {pct}" for lang, pct in SAMPLE_RATES.items()
+    )
+    return f"CASE {whens} ELSE {SAMPLE_DEFAULT} END"
+
+
+@register(
+    "q_sample_documents_hash",
+    oracle=f"""
+    SELECT doc_id, lang,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 100
+               AS bucket
+    FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 100
+          < {_rate_sql()}
+    ORDER BY doc_id
+    """,
+)
+def q_sample_documents_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Bernoulli sample keyed on a portable doc_id hash:
+    en 50%, de 30%, es 20%, fr 10%, others 5%. Stateless predicate —
+    the same doc survives in every engine and every run."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (h28(F.col("doc_id").cast("string")) % 100).alias("bucket")
+    return (
+        docs.select("doc_id", "lang", bucket)
+        .filter(F.col("bucket") < _rate_spark())
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified reservoir: K docs per language, chosen by hash order.
+# ---------------------------------------------------------------------------
+RESERVOIR_K = 10
+
+
+@register(
+    "q_sample_reservoir_per_lang",
+    oracle=f"""
+    SELECT lang, doc_id, CAST(rk AS BIGINT) AS rk FROM (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT,
+                            doc_id) AS rk
+        FROM documents
+    )
+    WHERE rk <= {RESERVOIR_K}
+    ORDER BY lang, rk
+    """,
+)
+def q_sample_reservoir_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 'reservoir': the K hash-smallest docs per language
+    (hash order ~ uniform random order, but reproducible). Rank window
+    + truncation — the candidate set never concentrates in memory."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = h28(F.col("doc_id").cast("string"))
+    w = W.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("lang", "doc_id", F.row_number().over(w).cast("long").alias("rk"))
+        .filter(F.col("rk") <= RESERVOIR_K)
+        .orderBy("lang", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality-rule filter: per-language rule pass counts.
+# Rules follow the published Gopher/C4 heuristics shape (word-count
+# bounds, mean word length band, symbol ratio, stopword presence).
+# ---------------------------------------------------------------------------
+MIN_WORDS, MAX_WORDS = 5, 10_000
+MIN_MWL, MAX_MWL = 2.0, 12.0
+MAX_PUNCT_RATIO = 0.2
+MIN_STOP_HITS = 1  # >= 1 stopword occurrence (en-only rule)
+
+
+@register(
+    "q_text_gopher_filter",
+    oracle=rf"""
+    WITH scored AS (
+        SELECT lang,
+               len(string_split_regex(trim(text), '\s+')) AS nw,
+               length(regexp_replace(trim(text), '\s+', '', 'g')) AS nchars,
+               length(text) - length(regexp_replace(text, '{PUNCT_RE}', '', 'g'))
+                   AS npunct,
+               len(regexp_extract_all(text, '{STOPWORD_RE}')) AS nstop
+        FROM documents
+    ),
+    flags AS (
+        SELECT lang,
+               CASE WHEN nw BETWEEN {MIN_WORDS} AND {MAX_WORDS}
+                    THEN 1 ELSE 0 END AS ok_len,
+               CASE WHEN nchars * 1.0 / nw BETWEEN {MIN_MWL} AND {MAX_MWL}
+                    THEN 1 ELSE 0 END AS ok_mwl,
+               CASE WHEN npunct * 1.0 / nw <= {MAX_PUNCT_RATIO}
+                    THEN 1 ELSE 0 END AS ok_punct,
+               CASE WHEN lang <> 'en' OR nstop >= {MIN_STOP_HITS}
+                    THEN 1 ELSE 0 END AS ok_stop
+        FROM scored
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(ok_len) AS BIGINT) AS n_pass_len,
+           CAST(SUM(ok_mwl) AS BIGINT) AS n_pass_mwl,
+           CAST(SUM(ok_punct) AS BIGINT) AS n_pass_punct,
+           CAST(SUM(ok_stop) AS BIGINT) AS n_pass_stop,
+           CAST(SUM(ok_len * ok_mwl * ok_punct * ok_stop) AS BIGINT) AS n_pass_all
+    FROM flags
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q_text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-rule battery in one scan: word-count bounds, mean word
+    length band, punctuation ratio, stopword presence (en only) —
+    per-language pass counts for each rule and for the conjunction."""
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    nw = n_words(text)
+    nchars = F.length(F.regexp_replace(F.trim(text), r"\s+", ""))
+    npunct = F.length(text) - F.length(F.regexp_replace(text, PUNCT_RE, ""))
+    nstop = F.size(F.regexp_extract_all(text, F.lit(STOPWORD_RE)))
+    ok = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+    scored = docs.select(
+        "lang",
+        ok(nw.between(MIN_WORDS, MAX_WORDS)).alias("ok_len"),
+        ok((nchars * 1.0 / nw).between(MIN_MWL, MAX_MWL)).alias("ok_mwl"),
+        ok(npunct * 1.0 / nw <= MAX_PUNCT_RATIO).alias("ok_punct"),
+        ok((F.col("lang") != "en") | (nstop >= MIN_STOP_HITS)).alias("ok_stop"),
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ok_len").alias("n_pass_len"),
+            F.sum("ok_mwl").alias("n_pass_mwl"),
+            F.sum("ok_punct").alias("n_pass_punct"),
+            F.sum("ok_stop").alias("n_pass_stop"),
+            F.sum(
+                F.col("ok_len") * F.col("ok_mwl") * F.col("ok_punct") * F.col("ok_stop")
+            ).alias("n_pass_all"),
+        )
+        .orderBy("lang")
+    )

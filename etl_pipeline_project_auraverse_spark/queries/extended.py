@@ -345,3 +345,109 @@ def q_full_outer_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket pair mining: parts co-occurring in the same order.
+# Scale design: per-order pair generation is O(k^2) in basket size k —
+# unbounded baskets are the same blowup as hot shingles in the Jaccard
+# dedup, so baskets above BASKET_CAP are dropped from pair mining (cap
+# mirrored in the oracle). TPC-H baskets are <= 7 items; the cap is
+# the discipline, not a behavior change here.
+# ---------------------------------------------------------------------------
+BASKET_CAP = 20
+MIN_PAIR_SUPPORT = 2
+
+
+@register(
+    "q_basket_part_pairs",
+    oracle=f"""
+    WITH basket AS (
+        SELECT DISTINCT l_orderkey, l_partkey
+        FROM lineitem
+    ),
+    ok_orders AS (
+        SELECT l_orderkey FROM basket
+        GROUP BY l_orderkey HAVING COUNT(*) <= {BASKET_CAP}
+    ),
+    b AS (SELECT basket.* FROM basket JOIN ok_orders USING (l_orderkey)),
+    pairs AS (
+        SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
+               COUNT(*) AS n_orders
+        FROM b x JOIN b y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        GROUP BY part_a, part_b
+    )
+    SELECT part_a, part_b, n_orders
+    FROM pairs
+    WHERE n_orders >= {MIN_PAIR_SUPPORT}
+    ORDER BY n_orders DESC, part_a, part_b
+    """,
+)
+def q_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent part pairs by order co-occurrence: distinct
+    (order, part) baskets, basket-size cap, self-equi-join on order
+    key, support filter. The join is keyed on l_orderkey — at scale
+    both sides share one shuffle partitioning (a self-join of the same
+    frame), and no basket contributes more than BASKET_CAP^2 pairs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    ok = basket.groupBy("l_orderkey").agg(F.count("*").alias("bsz")).filter(
+        F.col("bsz") <= BASKET_CAP
+    )
+    b = persist_tracked(basket.join(ok.select("l_orderkey"), "l_orderkey"))
+    pairs = (
+        b.alias("x")
+        .join(
+            b.alias("y"),
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .groupBy(
+            F.col("x.l_partkey").alias("part_a"),
+            F.col("y.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= MIN_PAIR_SUPPORT)
+    )
+    return pairs.orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+
+
+# ---------------------------------------------------------------------------
+# SCD2-style order history: each customer's orders as validity windows
+# (valid_from = order date, valid_to = next order's date, open-ended
+# for the latest). The standard point-in-time dimension construction.
+# ---------------------------------------------------------------------------
+@register(
+    "q_scd2_customer_order_history",
+    oracle="""
+    SELECT o_custkey AS custkey,
+           o_orderkey AS orderkey,
+           CAST(o_orderdate AS TIMESTAMP) AS valid_from,
+           CAST(LEAD(o_orderdate) OVER w AS TIMESTAMP) AS valid_to,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+           o_totalprice AS totalprice
+    FROM orders
+    WHERE o_custkey < 300
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY custkey, version
+    """,
+)
+def q_scd2_customer_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) construction over orders:
+    lead() turns each customer's order sequence into closed validity
+    intervals with a version number — one window, one shuffle on the
+    partition key, no self-join (the naive SQL formulation)."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").cast("timestamp").alias("valid_from"),
+            F.lead("o_orderdate").over(w).cast("timestamp").alias("valid_to"),
+            F.row_number().over(w).cast("long").alias("version"),
+            F.col("o_totalprice").alias("totalprice"),
+        )
+        .orderBy("custkey", "version")
+    )

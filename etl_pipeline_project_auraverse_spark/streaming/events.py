@@ -149,6 +149,55 @@ def enriched_event_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
     )
 
 
+def purchase_context_join(
+    events: DataFrame,
+    range_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join (streaming twin of
+    ``q_range_join_purchase_context``): each view pairs with the same
+    user's purchases within ``range_minutes`` after it. Both sides are
+    watermarked and the join condition time-bounds the match window,
+    so each side's state store holds at most
+    ``watermark + range_minutes`` of events — the requirements Spark
+    enforces for unbounded-safe stream-stream joins."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    cond = (
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {range_minutes} MINUTES")
+        )
+    )
+    return views.join(purchases, cond, "inner").select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "view_ts",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
 def to_memory(df: DataFrame, name: str, output_mode: str = "append"):
     """Test/driver sink: materialize the stream into an in-memory table."""
     return (

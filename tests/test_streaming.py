@@ -115,3 +115,34 @@ def test_stateful_user_counters(spark, events_path):
     batch = spark.read.parquet(events_path).groupBy("user_id").count().collect()
     want = {r["user_id"]: r["count"] for r in batch}
     assert got == want
+
+
+def test_stream_stream_purchase_context_matches_batch(spark, events_path):
+    stream = se.read_event_stream(spark, events_path, max_files_per_trigger=2)
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    _run_stream(se.purchase_context_join(stream), name, output_mode="append")
+    got = {
+        (r["view_id"], r["purchase_id"])
+        for r in spark.table(name).collect()
+    }
+    ev = spark.read.parquet(events_path)
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    want = {
+        (r["view_id"], r["purchase_id"])
+        for r in v.join(
+            p,
+            (F.col("v_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("view_ts"))
+            & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
+        ).collect()
+    }
+    assert got == want and len(want) > 0
