@@ -565,7 +565,14 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
     )
 
-    edges = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    # localCheckpoint: the closure's union scans the edge list twice
+    # (both directions) — materialize the expensive Jaccard DAG once
+    # and hand the operator a lineage-free 2-column table
+    edges = (
+        q_dedup_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
     comp = connected_components(edges, "doc_a", "doc_b")
     sizes = comp.groupBy("comp").agg(F.count("*").alias("n_docs"))
     return (

@@ -385,32 +385,30 @@ MIN_PAIR_SUPPORT = 2
     """,
 )
 def q_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frequent part pairs by order co-occurrence: distinct
-    (order, part) baskets, basket-size cap, self-equi-join on order
-    key, support filter. The join is keyed on l_orderkey — at scale
-    both sides share one shuffle partitioning (a self-join of the same
-    frame), and no basket contributes more than BASKET_CAP^2 pairs."""
+    """Frequent part pairs by order co-occurrence. Shape: ONE groupBy
+    builds each order's distinct sorted part array (collect_set dedups
+    in the aggregation buffer, capped baskets only), then pair
+    combinations explode map-side from the array — sortedness gives
+    part_a < part_b for free — and one final groupBy counts support.
+    Two shuffles total, no self-join, no persisted intermediate; no
+    basket contributes more than BASKET_CAP^2/2 pairs."""
     li = load_table(spark, sf_dir, "lineitem")
-    basket = li.select("l_orderkey", "l_partkey").distinct()
-    ok = basket.groupBy("l_orderkey").agg(F.count("*").alias("bsz")).filter(
-        F.col("bsz") <= BASKET_CAP
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") <= BASKET_CAP)
     )
-    b = persist_tracked(basket.join(ok.select("l_orderkey"), "l_orderkey"))
-    pairs = (
-        b.alias("x")
-        .join(
-            b.alias("y"),
-            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
-        )
-        .groupBy(
-            F.col("x.l_partkey").alias("part_a"),
-            F.col("y.l_partkey").alias("part_b"),
-        )
+    lhs = baskets.select("parts", F.posexplode("parts").alias("i", "part_a"))
+    pairs = lhs.select(
+        "part_a",
+        F.explode(F.expr("slice(parts, i + 2, size(parts) - i - 1)")).alias("part_b"),
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
         .agg(F.count("*").alias("n_orders"))
         .filter(F.col("n_orders") >= MIN_PAIR_SUPPORT)
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
     )
-    return pairs.orderBy(F.col("n_orders").desc(), "part_a", "part_b")
 
 
 # ---------------------------------------------------------------------------
