@@ -33,6 +33,7 @@ from etl_pipeline_project_auraverse_spark.functions.text import (
     h28,
     n_words,
 )
+from etl_pipeline_project_auraverse_spark.cache import persist_tracked
 from etl_pipeline_project_auraverse_spark.queries import register
 from etl_pipeline_project_auraverse_spark.session import load_table
 
@@ -195,4 +196,84 @@ def q_text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_pass_all"),
         )
         .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram-rarity scoring: a language-model-flavored quality signal that
+# needs only integer counting (robust to float/hash drift). A document
+# whose word bigrams are mostly corpus-rare is likely noise/garble —
+# the cheap relative of perplexity filtering.
+# ---------------------------------------------------------------------------
+RARE_MAX = 2  # corpus bigram count <= RARE_MAX counts as "rare"
+
+
+@register(
+    "q_bigram_rarity",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w)),
+                      i -> w[i] || ' ' || w[i+1])) AS bigram
+        FROM toks WHERE len(w) >= 2
+    ),
+    corpus AS (SELECT bigram, COUNT(*) AS cnt FROM bg GROUP BY bigram),
+    scored AS (
+        SELECT bg.doc_id,
+               COUNT(*) AS n_bigrams,
+               COUNT(CASE WHEN corpus.cnt <= {RARE_MAX} THEN 1 END) AS n_rare
+        FROM bg JOIN corpus USING (bigram)
+        GROUP BY bg.doc_id
+    )
+    SELECT doc_id, n_bigrams, n_rare,
+           CAST(ROUND(n_rare * 1.0 / n_bigrams, 6) AS DOUBLE) AS rare_ratio
+    FROM scored
+    WHERE doc_id < 200
+    ORDER BY doc_id
+    """,
+)
+def q_bigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fraction of corpus-rare bigrams. Shape: explode
+    bigrams once (map-side), corpus counts via one groupBy, then an
+    equi-join of the doc bigram stream against its own count table and
+    a per-doc aggregate — the join key is the bigram string, so skewed
+    stop-bigrams spread over AQE's skew handling rather than one task.
+    At 100 TB the corpus count table would be DF-capped like the
+    Jaccard index; corpus-rare bigrams cannot be capped away since
+    they ARE the signal."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w"))
+    grams = F.when(
+        F.size("w") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("w") - 2),
+            lambda i: F.concat_ws(" ", F.get(F.col("w"), i), F.get(F.col("w"), i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = persist_tracked(
+        toks.select("doc_id", F.explode(grams).alias("bigram"))
+    )  # feeds both the corpus count and the scoring join
+    corpus = bg.groupBy("bigram").agg(F.count("*").alias("cnt"))
+    scored = (
+        bg.join(corpus, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.count(F.when(F.col("cnt") <= RARE_MAX, 1)).alias("n_rare"),
+        )
+    )
+    return (
+        scored.filter(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_rare",
+            F.round(F.col("n_rare") * 1.0 / F.col("n_bigrams"), 6)
+            .cast("double")
+            .alias("rare_ratio"),
+        )
+        .orderBy("doc_id")
     )
