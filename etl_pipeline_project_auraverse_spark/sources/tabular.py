@@ -20,6 +20,7 @@ _EXT_FORMAT = {
     ".jsonl": "json",
     ".ndjson": "json",
     ".parquet": "parquet",
+    ".orc": "orc",
     ".txt": "text",
     ".md": "text",
 }
@@ -74,6 +75,8 @@ def read_table(spark: SparkSession, path: str, **kwargs) -> DataFrame:
         return read_json_table(spark, path, **kwargs)
     if fmt == "parquet":
         return spark.read.parquet(path)
+    if fmt == "orc":
+        return spark.read.orc(path)
     return spark.read.text(path, wholetext=True)
 
 

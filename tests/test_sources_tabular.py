@@ -50,3 +50,16 @@ def test_partitioned_write_enables_partition_pruning(spark, sf_dir, tmp_path):
     assert "o_orderstatus" in pf
     n_f = src.filter(F.col("o_orderstatus") == "F").count()
     assert back.count() == n_f
+
+
+def test_orc_round_trip_with_pushdown(spark, sf_dir, tmp_path):
+    assert tabular.format_for_path("x.orc") == "orc"
+    src = load_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_orc")
+    tabular.write_partitioned(src, path, fmt="orc")
+    back = spark.read.orc(path)
+    assert sorted(back.collect()) == sorted(src.collect())
+    filtered = back.filter(F.col("n_nationkey") < 5)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    assert "n_nationkey" in pushed
