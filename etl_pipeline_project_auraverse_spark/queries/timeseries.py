@@ -288,3 +288,112 @@ def q_user_first_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gap-filled daily series: a generated date spine left-joined to the
+# per-day aggregate, missing days carried forward. The standard
+# time-series densification — Spark's sequence() generates the spine
+# lazily (a few thousand rows per year regardless of fact size), the
+# join is broadcast, and the carry-forward is one last_value window.
+# ---------------------------------------------------------------------------
+@register(
+    "q_gapfill_daily_purchases",
+    oracle="""
+    WITH bounds AS (
+        SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+        FROM events WHERE event_type = 'purchase'
+    ),
+    spine AS (
+        SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        FROM bounds
+    ),
+    daily AS (
+        SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_purchases
+        FROM events WHERE event_type = 'purchase' GROUP BY day
+    )
+    SELECT CAST(s.day AS TIMESTAMP) AS day,
+           COALESCE(d.n_purchases, 0) AS n_purchases,
+           CASE WHEN d.day IS NULL THEN TRUE ELSE FALSE END AS gap_filled,
+           CAST(LAST_VALUE(d.n_purchases IGNORE NULLS) OVER (
+                ORDER BY s.day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS carried_forward
+    FROM spine s LEFT JOIN daily d USING (day)
+    ORDER BY day
+    """,
+)
+def q_gapfill_daily_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily purchase counts: generate the full day spine between
+    min and max, left-join the sparse per-day aggregate, flag and
+    carry-forward gaps. Spine generation is sequence() over ONE row —
+    no driver-side date loop — and the single-partition window over the
+    spine is bounded by calendar length, not data size."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n_purchases")
+    )
+    bounds = ev.agg(
+        F.to_date(F.min("ts")).alias("d0"), F.to_date(F.max("ts")).alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    joined = spine.join(daily.withColumnRenamed("day", "dday"),
+                        spine["day"] == F.col("dday"), "left")
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        joined.select(
+            F.col("day").cast("timestamp").alias("day"),
+            F.coalesce(F.col("n_purchases"), F.lit(0)).alias("n_purchases"),
+            F.col("dday").isNull().alias("gap_filled"),
+            F.last("n_purchases", ignorenulls=True)
+            .over(w)
+            .cast("long")
+            .alias("carried_forward"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width histogram: order prices into equal buckets. width_bucket
+# is a stateless per-row expression; the histogram is one groupBy.
+# ---------------------------------------------------------------------------
+HIST_LO, HIST_HI, HIST_N = 0.0, 500_000.0, 20
+
+
+@register(
+    "q_price_histogram",
+    oracle=f"""
+    SELECT CAST(FLOOR((o_totalprice - {HIST_LO}) * {HIST_N} / ({HIST_HI} - {HIST_LO}))
+                + 1 AS BIGINT) AS bucket,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(MIN(o_totalprice), 2) AS DOUBLE) AS min_price,
+           CAST(ROUND(MAX(o_totalprice), 2) AS DOUBLE) AS max_price
+    FROM orders
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    # same floor arithmetic as the oracle (DuckDB has no width_bucket;
+    # writing the identical expression on both sides keeps boundary
+    # behavior bit-identical)
+    bucket = (
+        F.floor(
+            (F.col("o_totalprice") - F.lit(HIST_LO))
+            * F.lit(HIST_N)
+            / F.lit(HIST_HI - HIST_LO)
+        )
+        + 1
+    ).cast("long")
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).cast("double").alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).cast("double").alias("max_price"),
+        )
+        .orderBy("bucket")
+    )
