@@ -60,7 +60,9 @@ class Engine:
         return load_table(self.spark, self.sf_dir, name)
 
     def register_views(self) -> list[str]:
-        """Expose every star-schema table as a temp view for spark.sql."""
+        """Expose every star-schema table as a temp view for spark.sql,
+        plus the engine's table-valued functions (word_ngrams,
+        structured_blocks)."""
         registered = []
         import os
 
@@ -68,6 +70,9 @@ class Engine:
             if os.path.exists(os.path.join(self.sf_dir, f"{t}.parquet")):
                 self.table(t).createOrReplaceTempView(t)
                 registered.append(t)
+        from etl_pipeline_project_auraverse_spark.functions.udtfs import register_udtfs
+
+        register_udtfs(self.spark)
         return registered
 
     def sql(self, query: str) -> DataFrame:

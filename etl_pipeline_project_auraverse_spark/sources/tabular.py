@@ -55,12 +55,32 @@ def read_csv_table(
 
 
 def read_json_table(
-    spark: SparkSession, path: str, schema: str | None = None, multiline: bool = False
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    multiline: bool = False,
+    keep_corrupt: bool = False,
 ) -> DataFrame:
     """JSON scan — JSON-lines by default (splittable, scales);
     ``multiline=True`` for whole-file documents (not splittable, each
-    file one task — fine for document-per-file corpora)."""
+    file one task — fine for document-per-file corpora).
+
+    ``keep_corrupt=True`` surfaces unparseable lines in a
+    ``_corrupt_record`` column instead of silently nulling them
+    (PERMISSIVE mode) — at 100 TB a malformed-input rate you can't SEE
+    is a correctness hole, and failing the whole job on one bad line
+    (FAILFAST) is worse. Requires an explicit ``schema`` (Spark drops
+    the corrupt column during inference)."""
     reader = spark.read.option("multiLine", multiline)
+    if keep_corrupt:
+        if schema is None:
+            raise ValueError("keep_corrupt requires an explicit schema")
+        reader = (
+            reader.option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .schema(schema + ", _corrupt_record string")
+        )
+        return reader.json(path)
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)

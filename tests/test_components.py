@@ -36,3 +36,36 @@ def test_nonconvergence_raises(spark):
     df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(df, max_iter=1)
+
+
+def test_random_graphs_match_union_find(spark):
+    """Property check: hash-min propagation agrees with a driver-side
+    union-find on random graphs (deterministic seed battery)."""
+    import random
+
+    def union_find_components(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    for seed in range(5):
+        rng = random.Random(seed)
+        n_nodes = rng.randint(5, 40)
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(rng.randint(3, 60))
+        ]
+        want = union_find_components(edges)
+        got = _cc(spark, edges)
+        assert got == want, (seed, edges)

@@ -156,3 +156,26 @@ def test_caches_released_between_queries(spark, q):
         assert n_cached <= 2, f"{name}: {n_cached} cached RDDs live mid-sweep"
     release_caches()
     assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == 0
+
+
+def test_basket_pairs_no_self_join(q):
+    """Pair mining must be the array-combination explode, not a
+    self-join: no join node at all in the plan, two exchanges total
+    (basket build + pair count; the final sort is a range exchange)."""
+    plan = PI.physical_plan(q("q_basket_part_pairs"))
+    assert "Join" not in plan, plan[:1500]
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_gapfill_spine_is_broadcast(q):
+    """The generated date spine is tiny — its join against the daily
+    aggregate must broadcast, never shuffle the fact side by day."""
+    df = q("q_gapfill_daily_purchases")
+    rep = PI.lint_plan(df)
+    assert rep.broadcast_joins >= 1
+    assert not rep.cartesian
+
+
+def test_gopher_filter_single_scan(q):
+    plan = PI.physical_plan(q("q_text_gopher_filter"))
+    assert plan.count("FileScan parquet") == 1

@@ -63,3 +63,18 @@ def test_orc_round_trip_with_pushdown(spark, sf_dir, tmp_path):
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     pushed = plan.split("PushedFilters: [")[1].split("]")[0]
     assert "n_nationkey" in pushed
+
+
+def test_json_corrupt_records_surfaced(spark, tmp_path):
+    p = tmp_path / "mixed.jsonl"
+    p.write_text('{"id": 1, "v": "a"}\nTHIS IS NOT JSON\n{"id": 2, "v": "b"}\n')
+    df = tabular.read_json_table(
+        spark, str(p), schema="id bigint, v string", keep_corrupt=True
+    )
+    rows = df.collect()
+    good = sorted((r["id"], r["v"]) for r in rows if r["_corrupt_record"] is None)
+    bad = [r["_corrupt_record"] for r in rows if r["_corrupt_record"] is not None]
+    assert good == [(1, "a"), (2, "b")]
+    assert bad == ["THIS IS NOT JSON"]
+    with pytest.raises(ValueError, match="explicit schema"):
+        tabular.read_json_table(spark, str(p), keep_corrupt=True)
