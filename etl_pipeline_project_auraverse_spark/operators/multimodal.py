@@ -2,11 +2,14 @@
 columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 Part of the extended training-data-pipeline surface (SURVEY §7 M5).
-The container has no image/audio codecs, so the *decode* steps are
-stubbed behind clearly-marked seams (``_decode_image_bytes``): they
-raise ``NotImplementedError`` unless a deterministic fake header is
-recognized. Everything Spark-side — schema, batch iteration, partition
-behavior, UDF signatures, output shapes — is real and tested.
+Formats decodable with the standard library decode FOR REAL:
+uncompressed 24-bit BMP images (manual header parse) and PCM WAV audio
+(``wave`` module) — full pixel/sample access, no external codec. For
+codec-requiring formats (JPEG/PNG/MP4...) the decode seam raises
+``NotImplementedError`` (PIL/cv2/ffmpeg are not in this container);
+a deterministic FAKEIMG format stands in for tests. Everything
+Spark-side — schema, batch iteration, partition behavior, UDF
+signatures, output shapes — is real and tested for all paths.
 
 Scale notes:
 - Binary payloads ride in their own column so Catalyst column-pruning
@@ -52,14 +55,57 @@ def synth_image_bytes(doc_id: int, width: int = 8, height: int = 6, channels: in
     return FAKE_MAGIC + struct.pack("<HHB", width, height, channels) + pixels
 
 
+def synth_bmp_bytes(doc_id: int, width: int = 8, height: int = 6) -> bytes:
+    """A real, spec-conformant uncompressed 24-bit BMP with
+    deterministic pixels — any image viewer opens it."""
+    row_bytes = width * 3
+    pad = (4 - row_bytes % 4) % 4
+    data = bytearray()
+    for y in range(height - 1, -1, -1):  # BMP stores rows bottom-up
+        for x in range(width):
+            v = (doc_id * 31 + (y * width + x) * 7) % 256
+            data += bytes((v, v, v))  # B, G, R
+        data += b"\x00" * pad
+    pixel_offset = 14 + 40
+    file_size = pixel_offset + len(data)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, pixel_offset)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    return header + info + bytes(data)
+
+
+def _decode_bmp(buf: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Uncompressed 24-bpp BMP parse — pure stdlib + numpy."""
+    pixel_offset = struct.unpack_from("<I", buf, 10)[0]
+    hdr_size, width, height = struct.unpack_from("<Iii", buf, 14)
+    bpp = struct.unpack_from("<H", buf, 28)[0]
+    compression = struct.unpack_from("<I", buf, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"only uncompressed 24-bpp BMP (got {bpp}bpp)")
+    flipped = height > 0
+    height = abs(height)
+    row_bytes = width * 3
+    stride = row_bytes + (4 - row_bytes % 4) % 4
+    rows = np.frombuffer(
+        buf, dtype=np.uint8, offset=pixel_offset, count=stride * height
+    ).reshape(height, stride)[:, :row_bytes]
+    if flipped:
+        rows = rows[::-1]
+    return width, height, 3, np.ascontiguousarray(rows)
+
+
 def _decode_image_bytes(buf: bytes) -> tuple[int, int, int, np.ndarray]:
-    """DECODER SEAM: real codecs (PIL/cv2/ffmpeg) are not installed in
-    this container. The deterministic fake format decodes fully; any
-    other payload raises — callers treat that row as corrupt."""
+    """DECODER SEAM. Stdlib-decodable formats decode for real (BMP
+    here, WAV in :func:`decode_audio`); the deterministic FAKEIMG test
+    format decodes fully; codec-requiring formats raise — callers
+    treat those rows as corrupt/quarantined."""
+    if buf is not None and buf.startswith(b"BM"):
+        return _decode_bmp(buf)
     if buf is None or not buf.startswith(FAKE_MAGIC):
         raise NotImplementedError(
-            "image decoding requires a codec library (not installed); "
-            "only the deterministic FAKEIMG format decodes here"
+            "this payload needs a codec library (PIL/cv2/ffmpeg — not "
+            "installed); BMP and FAKEIMG decode natively"
         )
     w, h, c = struct.unpack_from("<HHB", buf, len(FAKE_MAGIC))
     pixels = np.frombuffer(buf, dtype=np.uint8, offset=len(FAKE_MAGIC) + 5)
@@ -153,6 +199,91 @@ def resize_images(df: DataFrame, max_side: int = 4) -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=THUMB_DDL)
+
+
+AUDIO_DDL = (
+    "doc_id long, sample_rate int, n_channels int, n_samples long, "
+    "duration_sec double, rms double, peak int"
+)
+
+
+def synth_wav_bytes(
+    doc_id: int, n_samples: int = 800, sample_rate: int = 8000
+) -> bytes:
+    """A real PCM16 mono WAV with a deterministic waveform."""
+    import io
+    import wave
+
+    t = np.arange(n_samples)
+    freq = 100.0 + (doc_id % 10) * 50.0
+    samples = (
+        (np.sin(2 * np.pi * freq * t / sample_rate) * 12000).astype("<i2")
+    )
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(samples.tobytes())
+    return bio.getvalue()
+
+
+def decode_audio(df: DataFrame) -> DataFrame:
+    """REAL audio decode for PCM WAV via the stdlib ``wave`` module:
+    per-clip sample rate, channel count, duration, RMS and peak
+    amplitude — the features an audio-quality filter keys on. Non-WAV
+    payloads (mp3/flac/...) are skipped as corrupt (codec seam, same
+    policy as decode_images)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                buf = bytes(content)
+                if not buf.startswith(b"RIFF"):
+                    continue
+                try:
+                    with wave.open(io.BytesIO(buf), "rb") as w:
+                        sr = w.getframerate()
+                        nch = w.getnchannels()
+                        nframes = w.getnframes()
+                        width = w.getsampwidth()
+                        raw = w.readframes(nframes)
+                except Exception:
+                    continue
+                if width != 2:
+                    continue  # PCM16 only
+                samples = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+                rms = float(np.sqrt((samples**2).mean())) if len(samples) else 0.0
+                peak = int(np.abs(samples).max()) if len(samples) else 0
+                rows.append(
+                    (
+                        int(doc_id),
+                        sr,
+                        nch,
+                        nframes,
+                        round(nframes / sr, 6),
+                        round(rms, 6),
+                        peak,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "sample_rate",
+                    "n_channels",
+                    "n_samples",
+                    "duration_sec",
+                    "rms",
+                    "peak",
+                ],
+            )
+
+    return df.mapInPandas(run, schema=AUDIO_DDL)
 
 
 def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
