@@ -102,10 +102,14 @@ def _decode_image_bytes(buf: bytes) -> tuple[int, int, int, np.ndarray]:
     treat those rows as corrupt/quarantined."""
     if buf is not None and buf.startswith(b"BM"):
         return _decode_bmp(buf)
+    if buf is not None and buf.startswith(b"\x89PNG"):
+        from etl_pipeline_project_auraverse_spark.operators.png_codec import decode_png
+
+        return decode_png(buf)
     if buf is None or not buf.startswith(FAKE_MAGIC):
         raise NotImplementedError(
             "this payload needs a codec library (PIL/cv2/ffmpeg — not "
-            "installed); BMP and FAKEIMG decode natively"
+            "installed); BMP, PNG and FAKEIMG decode natively"
         )
     w, h, c = struct.unpack_from("<HHB", buf, len(FAKE_MAGIC))
     pixels = np.frombuffer(buf, dtype=np.uint8, offset=len(FAKE_MAGIC) + 5)

@@ -1,0 +1,126 @@
+"""From-scratch PNG codec (stdlib ``zlib`` + ``struct`` only).
+
+PNG is deflate-compressed filtered scanlines — fully decodable without
+any external imaging library, which makes it the second real image
+path (after BMP) for the multimodal layer in codec-less environments.
+Scope: 8-bit greyscale (color type 0) and 8-bit RGB (color type 2),
+non-interlaced, all five standard scanline filters — the overwhelming
+majority of machine-generated PNGs. Palette/alpha/16-bit/interlaced
+raise ``NotImplementedError`` and follow the quarantine-skip policy.
+
+Decoder structure: chunk walk (IHDR → IDAT* → IEND) → ``zlib``
+inflate → per-scanline unfilter (None/Sub/Up/Average/Paeth, PNG spec
+§9). The encoder writes filter-0 scanlines — valid, unoptimized —
+so tests round-trip through an independent pair of code paths (the
+unfilter logic is exercised against reference vectors, not just our
+own encoder's output).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Encode HxW (greyscale) or HxWx3 (RGB) uint8 array as PNG."""
+    if pixels.ndim == 2:
+        color_type, channels = 0, 1
+        h, w = pixels.shape
+    elif pixels.ndim == 3 and pixels.shape[2] == 3:
+        color_type, channels = 2, 3
+        h, w = pixels.shape[:2]
+    else:
+        raise ValueError("expected HxW grey or HxWx3 RGB uint8 array")
+    raw = bytearray()
+    flat = pixels.reshape(h, w * channels)
+    for y in range(h):
+        raw.append(0)  # filter type 0 (None)
+        raw += flat[y].astype(np.uint8).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(buf: bytes) -> tuple[int, int, int, np.ndarray]:
+    """→ (width, height, channels, HxW*channels uint8 array)."""
+    if not buf.startswith(_SIG):
+        raise NotImplementedError("not a PNG signature")
+    pos, width = len(_SIG), 0
+    height = bit_depth = color_type = interlace = 0
+    idat = bytearray()
+    while pos < len(buf):
+        (length,) = struct.unpack_from(">I", buf, pos)
+        tag = buf[pos + 4 : pos + 8]
+        body = buf[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if bit_depth != 8 or color_type not in (0, 2) or interlace != 0:
+        raise NotImplementedError(
+            f"PNG variant unsupported here (depth={bit_depth}, "
+            f"color={color_type}, interlace={interlace})"
+        )
+    channels = 1 if color_type == 0 else 3
+    stride = width * channels
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG data length mismatch")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    bpp = channels  # bytes per pixel at 8-bit depth
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.uint8)
+        if ftype == 0:  # None
+            pass
+        elif ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                upleft = int(prev[i - bpp]) if i >= bpp else 0
+                line[i] = (line[i] + _paeth(left, int(prev[i]), upleft)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
+    return width, height, channels, out
