@@ -277,3 +277,31 @@ def q_bigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Real BPE token counting (no oracle: iterative argmax training is not
+# SQL-expressible — the driver records the weaker rows-only check; the
+# algorithm itself is differentially tested against a pure-Python
+# reference implementation in tests/test_bpe.py).
+# ---------------------------------------------------------------------------
+BPE_MERGES = 6
+
+
+@register("q_bpe_token_stats")
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train BPE merges on the document corpus (vocab-table rounds,
+    O(distinct words) per round — operators/bpe.py), then count tokens
+    per document under the learned tokenizer. The honest version of
+    the chars/4 token estimate."""
+    from etl_pipeline_project_auraverse_spark.operators.bpe import (
+        bpe_token_stats,
+        train_bpe,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(docs, num_merges=BPE_MERGES)
+    return (
+        bpe_token_stats(docs.filter(F.col("doc_id") < 100), merges)
+        .orderBy("doc_id")
+    )

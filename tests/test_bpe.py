@@ -1,0 +1,101 @@
+"""Distributed BPE training vs an independent pure-Python reference
+implementation of the Sennrich algorithm (same tie-break rules)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from etl_pipeline_project_auraverse_spark.operators.bpe import (
+    END_TOKEN,
+    bpe_token_stats,
+    encode_words,
+    train_bpe,
+)
+
+
+def _reference_bpe(texts: list[str], num_merges: int, min_pair_freq: int = 2):
+    """Textbook dict-based BPE: word-freq table, weighted pair counts,
+    argmax with (count desc, pair lexicographic asc) tie-break."""
+    vocab = Counter()
+    for t in texts:
+        for w in t.lower().strip().split():
+            if w:
+                vocab[w] += 1
+    symbols = {w: list(w) + [END_TOKEN] for w in vocab}
+    merges = []
+    for _ in range(num_merges):
+        counts: Counter = Counter()
+        for w, freq in vocab.items():
+            s = symbols[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += freq
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        (left, right), n = best
+        if n < min_pair_freq:
+            break
+        merges.append((left, right, n))
+        joined = left + right
+        for w in symbols:
+            s = symbols[w]
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            symbols[w] = out
+    return merges
+
+
+TEXTS = [
+    "low lower lowest low low",
+    "new newer newest new new new",
+    "wide wider widest wide",
+    "low newer low lower newest wide",
+]
+
+
+def test_merges_match_reference(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], ["doc_id", "text"]
+    )
+    got = train_bpe(docs, num_merges=12)
+    want = _reference_bpe(TEXTS, num_merges=12)
+    assert got == want
+    assert len(got) == 12
+
+
+def test_encode_applies_merges_in_order(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], ["doc_id", "text"]
+    )
+    merges = train_bpe(docs, num_merges=8)
+    [enc] = encode_words(["lowest"], merges)
+    # every merge output must reconstruct the word
+    assert "".join(enc).replace(END_TOKEN, "") == "lowest"
+    assert len(enc) < len("lowest") + 1  # something actually merged
+
+
+def test_token_stats_distributed(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], ["doc_id", "text"]
+    )
+    merges = train_bpe(docs, num_merges=8)
+    rows = {r["doc_id"]: r for r in bpe_token_stats(docs, merges).collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    for i, t in enumerate(TEXTS):
+        words = t.split()
+        assert rows[i]["n_words"] == len(words)
+        # BPE tokens: fewer than character count, at least one per word
+        n_chars = sum(len(w) + 1 for w in words)
+        assert len(words) <= rows[i]["n_bpe_tokens"] < n_chars
+
+
+def test_convergence_stops_below_min_freq(spark):
+    docs = spark.createDataFrame([(0, "a b c d e")], ["doc_id", "text"])
+    # every pair occurs once -> below min_pair_freq=2 -> no merges
+    assert train_bpe(docs, num_merges=5) == []
