@@ -68,6 +68,10 @@ HEADLINE = [
     "q_text_gopher_filter",
     "q_basket_part_pairs",
     "q_scd2_customer_order_history",
+    "q_bigram_rarity",
+    "q_price_histogram",
+    "q_gapfill_daily_purchases",
+    "q_sample_documents_hash",
 ]
 
 
