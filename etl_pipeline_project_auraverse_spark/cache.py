@@ -11,10 +11,21 @@ requiring the caller's cooperation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from typing import Iterable, Iterator, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
 
 # DataFrames persisted by builders, released by release_caches().
 _LIVE_CACHES: list[DataFrame] = []
+
+# (spark, rdd-ids) of final localCheckpoints whose DataFrames outlive
+# their builder (e.g. connected_components' label table) — freed on the
+# next release_caches(). NOTE: unpersisting a checkpoint is FINAL (the
+# lineage was truncated, so the data cannot be recomputed); consumers
+# must finish with the DataFrame before the next unit of work starts —
+# the same contract persist_tracked already imposes, minus the slow
+# recompute fallback.
+_LIVE_CHECKPOINTS: list[Tuple[SparkSession, frozenset]] = []
 
 
 def persist_tracked(df: DataFrame) -> DataFrame:
@@ -40,3 +51,71 @@ def release_caches(blocking: bool = True) -> None:
             df.unpersist(blocking=blocking)
         except Exception:
             pass
+    while _LIVE_CHECKPOINTS:
+        spark, ids = _LIVE_CHECKPOINTS.pop()
+        unpersist_rdd_ids(spark, ids, blocking=blocking)
+
+
+# ---------------------------------------------------------------------------
+# localCheckpoint block accounting.
+#
+# ``df.localCheckpoint()`` pins the materialized partitions in the
+# block manager, but the checkpointed RDD is internal to the Dataset —
+# ``df.unpersist()`` does not release it, and ``df.rdd`` wraps a
+# DIFFERENT (derived) RDD. The only reliable handle is the SparkContext
+# persistent-RDD map, so iterative operators snapshot it around each
+# checkpoint call and unpersist superseded rounds by id. Without this,
+# a 50-round iteration holds 50 materialized copies of its state table
+# — the exact unbounded-state failure the checkpoint-per-round pattern
+# exists to prevent.
+# ---------------------------------------------------------------------------
+
+
+def _persistent_rdds(spark: SparkSession) -> Iterator[tuple]:
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+    while it.hasNext():
+        kv = it.next()
+        yield int(kv._1()), kv._2()
+
+
+def persistent_rdd_ids(spark: SparkSession) -> frozenset:
+    """Ids of every RDD currently pinned in the block manager."""
+    try:
+        return frozenset(rid for rid, _ in _persistent_rdds(spark))
+    except Exception:
+        return frozenset()
+
+
+def unpersist_rdd_ids(
+    spark: SparkSession, ids: Iterable[int], blocking: bool = False
+) -> None:
+    """Release the given block-manager RDD ids (idempotent; never
+    raises — cleanup must not mask the real failure)."""
+    wanted = set(ids)
+    if not wanted:
+        return
+    try:
+        for rid, jrdd in _persistent_rdds(spark):
+            if rid in wanted:
+                jrdd.unpersist(blocking)
+    except Exception:
+        pass
+
+
+def local_checkpoint_tracked(df: DataFrame) -> Tuple[DataFrame, frozenset]:
+    """Eager ``localCheckpoint`` + the set of RDD ids it pinned, so the
+    caller can free THIS round's blocks once the next round (or the
+    final consumer) no longer needs them."""
+    spark = df.sparkSession
+    before = persistent_rdd_ids(spark)
+    out = df.localCheckpoint()
+    return out, persistent_rdd_ids(spark) - before
+
+
+def register_checkpoint_ids(spark: SparkSession, ids: Iterable[int]) -> None:
+    """Hand a final checkpoint's blocks to the session registry: they
+    stay live for the returned DataFrame's consumers and are freed by
+    the next release_caches()."""
+    fs = frozenset(ids)
+    if fs:
+        _LIVE_CHECKPOINTS.append((spark, fs))

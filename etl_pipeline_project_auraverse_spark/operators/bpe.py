@@ -77,48 +77,66 @@ def train_bpe(
 ) -> list[tuple[str, str, int]]:
     """Learn up to ``num_merges`` merges; returns
     ``[(left, right, pair_freq), ...]`` in merge order."""
-    vocab = word_vocabulary(docs, text_col).localCheckpoint()
+    from etl_pipeline_project_auraverse_spark.cache import (
+        local_checkpoint_tracked,
+        unpersist_rdd_ids,
+    )
+
+    spark = docs.sparkSession
+    vocab, live_ids = local_checkpoint_tracked(word_vocabulary(docs, text_col))
     merges: list[tuple[str, str, int]] = []
-    for _ in range(num_merges):
-        # guard: a fully-merged word has ONE symbol; sequence(0, -1)
-        # would DESCEND (yielding index -1 → null), so emit no pairs
-        pair_structs = F.when(
-            F.size("symbols") >= 2,
-            F.transform(
-                F.sequence(F.lit(0), F.size("symbols") - 2),
-                lambda i: F.struct(
-                    F.get("symbols", i).alias("l"),
-                    F.get("symbols", i + 1).alias("r"),
+    try:
+        for _ in range(num_merges):
+            # guard: a fully-merged word has ONE symbol; sequence(0, -1)
+            # would DESCEND (yielding index -1 → null), so emit no pairs
+            pair_structs = F.when(
+                F.size("symbols") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("symbols") - 2),
+                    lambda i: F.struct(
+                        F.get("symbols", i).alias("l"),
+                        F.get("symbols", i + 1).alias("r"),
+                    ),
                 ),
-            ),
-        ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
-        pairs = vocab.select("freq", F.explode(pair_structs).alias("p"))
-        top = (
-            pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-            .agg(F.sum("freq").alias("n"))
-            .orderBy(F.col("n").desc(), "l", "r")
-            .limit(1)
-            .collect()
-        )
-        if not top or top[0]["n"] < min_pair_freq:
-            break
-        left, right, n = top[0]["l"], top[0]["r"], int(top[0]["n"])
-        merges.append((left, right, n))
-        joined = left + right
+            ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+            pairs = vocab.select("freq", F.explode(pair_structs).alias("p"))
+            top = (
+                pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+                .agg(F.sum("freq").alias("n"))
+                .orderBy(F.col("n").desc(), "l", "r")
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0]["n"] < min_pair_freq:
+                break
+            left, right, n = top[0]["l"], top[0]["r"], int(top[0]["n"])
+            merges.append((left, right, n))
+            joined = left + right
 
-        def apply_merge(
-            batches: Iterator[pd.DataFrame], _l=left, _r=right, _j=joined
-        ) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                pdf = pdf.copy()
-                pdf["symbols"] = [
-                    _merge_word(list(s), _l, _r, _j) for s in pdf["symbols"]
-                ]
-                yield pdf
+            def apply_merge(
+                batches: Iterator[pd.DataFrame], _l=left, _r=right, _j=joined
+            ) -> Iterator[pd.DataFrame]:
+                for pdf in batches:
+                    pdf = pdf.copy()
+                    pdf["symbols"] = [
+                        _merge_word(list(s), _l, _r, _j) for s in pdf["symbols"]
+                    ]
+                    yield pdf
 
-        vocab = vocab.mapInPandas(
-            apply_merge, schema="word string, freq long, symbols array<string>"
-        ).localCheckpoint()
+            # checkpoint the merged vocab (eager), THEN free the
+            # superseded round's blocks — training holds exactly one
+            # vocab copy in the block manager at any time
+            vocab, new_ids = local_checkpoint_tracked(
+                vocab.mapInPandas(
+                    apply_merge,
+                    schema="word string, freq long, symbols array<string>",
+                )
+            )
+            unpersist_rdd_ids(spark, live_ids)
+            live_ids = new_ids
+    finally:
+        # merges are plain Python — nothing distributed survives
+        unpersist_rdd_ids(spark, live_ids)
     return merges
 
 

@@ -53,38 +53,62 @@ def connected_components(
     (diameter > max_iter — for dedup-cluster graphs this means the
     input is not the pair list you think it is).
     """
+    from etl_pipeline_project_auraverse_spark.cache import (
+        local_checkpoint_tracked,
+        register_checkpoint_ids,
+        unpersist_rdd_ids,
+    )
+
+    spark = edges.sparkSession
     und = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
     # eager localCheckpoint: materializes AND truncates lineage, so the
     # (possibly expensive) edge-producing DAG is evaluated exactly once
     # and never re-enters any later round's plan
-    und = und.distinct().localCheckpoint()
+    und, und_ids = local_checkpoint_tracked(und.distinct())
 
-    labels = (
+    labels, live_ids = local_checkpoint_tracked(
         und.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("comp", F.col("id"))
-        .localCheckpoint()
     )
-    for _ in range(max_iter):
-        # neighbor messages: each directed copy of an edge carries the
-        # source's current label to the destination
-        msgs = (
-            und.join(labels.withColumnRenamed("id", "a"), "a")
-            .select(F.col("b").alias("id"), "comp")
-            .unionByName(labels)
+    converged = False
+    try:
+        for _ in range(max_iter):
+            # neighbor messages: each directed copy of an edge carries
+            # the source's current label to the destination
+            msgs = (
+                und.join(labels.withColumnRenamed("id", "a"), "a")
+                .select(F.col("b").alias("id"), "comp")
+                .unionByName(labels)
+            )
+            # per-round truncation keeps round N's plan O(1), not O(2^N)
+            new_labels, new_ids = local_checkpoint_tracked(
+                msgs.groupBy("id").agg(F.min("comp").alias("comp"))
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.comp") != F.col("o.comp"))
+                .limit(1)
+                .count()
+            )
+            # the convergence check was the old labels' last consumer —
+            # free its blocks so exactly one label table stays pinned
+            unpersist_rdd_ids(spark, live_ids)
+            labels, live_ids = new_labels, new_ids
+            if changed == 0:
+                converged = True
+                # the returned table's blocks outlive this call: hand
+                # them to the registry, freed by the next
+                # release_caches() (after the caller has consumed it)
+                register_checkpoint_ids(spark, live_ids)
+                return labels
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
         )
-        # per-round truncation keeps round N's plan O(1), not O(2^N)
-        new_labels = msgs.groupBy("id").agg(F.min("comp").alias("comp")).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            return labels
-    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+    finally:
+        unpersist_rdd_ids(spark, und_ids)
+        if not converged:
+            unpersist_rdd_ids(spark, live_ids)

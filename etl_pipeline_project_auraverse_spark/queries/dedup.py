@@ -568,12 +568,18 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint: the closure's union scans the edge list twice
     # (both directions) — materialize the expensive Jaccard DAG once
     # and hand the operator a lineage-free 2-column table
-    edges = (
-        q_dedup_ngram_jaccard(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .localCheckpoint()
+    from etl_pipeline_project_auraverse_spark.cache import (
+        local_checkpoint_tracked,
+        unpersist_rdd_ids,
+    )
+
+    edges, edge_ids = local_checkpoint_tracked(
+        q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     )
     comp = connected_components(edges, "doc_a", "doc_b")
+    # connected_components eagerly checkpointed everything it derives
+    # from the edge table, so its blocks are consumed — free them now
+    unpersist_rdd_ids(spark, edge_ids)
     sizes = comp.groupBy("comp").agg(F.count("*").alias("n_docs"))
     return (
         comp.join(sizes, "comp")

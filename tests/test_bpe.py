@@ -99,3 +99,17 @@ def test_convergence_stops_below_min_freq(spark):
     docs = spark.createDataFrame([(0, "a b c d e")], ["doc_id", "text"])
     # every pair occurs once -> below min_pair_freq=2 -> no merges
     assert train_bpe(docs, num_merges=5) == []
+
+
+def test_train_bpe_frees_all_checkpoints(spark):
+    """Iterative training must hold at most one vocab checkpoint at a
+    time and free everything on return — otherwise a long training run
+    accumulates one materialized vocab copy per merge round."""
+    from etl_pipeline_project_auraverse_spark.cache import persistent_rdd_ids
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], ["doc_id", "text"]
+    )
+    before = persistent_rdd_ids(spark)
+    train_bpe(docs, num_merges=6)
+    assert persistent_rdd_ids(spark) - before == set()

@@ -69,3 +69,25 @@ def test_random_graphs_match_union_find(spark):
         want = union_find_components(edges)
         got = _cc(spark, edges)
         assert got == want, (seed, edges)
+
+
+def test_components_checkpoint_hygiene(spark):
+    """Per-round checkpoints are freed as rounds supersede them; the
+    final label table's blocks are handed to the cache registry and
+    freed by release_caches()."""
+    from etl_pipeline_project_auraverse_spark.cache import (
+        persistent_rdd_ids,
+        release_caches,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 20)], ["src", "dst"]
+    )
+    before = persistent_rdd_ids(spark)
+    labels = connected_components(edges)
+    got = {r["id"]: r["comp"] for r in labels.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+    release_caches()
+    # subset, not equality: release_caches() may also free registered
+    # caches that earlier tests in the session left behind
+    assert persistent_rdd_ids(spark) - before == set()
