@@ -72,6 +72,7 @@ HEADLINE = [
     "q_price_histogram",
     "q_gapfill_daily_purchases",
     "q_sample_documents_hash",
+    "q_decontam_eval_overlap",
 ]
 
 

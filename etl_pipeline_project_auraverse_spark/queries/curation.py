@@ -305,3 +305,137 @@ def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_token_stats(docs.filter(F.col("doc_id") < 100), merges)
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: n-gram overlap against a held-out eval set.
+# ---------------------------------------------------------------------------
+# Residue-class stand-in for the benchmark/eval corpus (prime modulus so
+# it cannot interact with the samplers' percent buckets). Real pipelines
+# decontaminate against 8-13-gram shingles of the actual benchmark
+# suites; the synthetic corpus' small vocabulary makes 3-grams the
+# informative choice here, and n is a constant in one place.
+EVAL_MOD = 41
+EVAL_RESIDUE = 7
+
+
+def _decontam_oracle() -> str:
+    from etl_pipeline_project_auraverse_spark.queries.dedup import SQL_SHINGLE_CTE
+
+    return f"""
+    WITH {SQL_SHINGLE_CTE},
+    eval_sh AS (
+        SELECT DISTINCT h FROM sh WHERE doc_id % {EVAL_MOD} = {EVAL_RESIDUE}
+    ),
+    train_sh AS (
+        SELECT doc_id, h FROM sh WHERE doc_id % {EVAL_MOD} <> {EVAL_RESIDUE}
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_shingles,
+           COUNT(e.h) AS n_overlap,
+           ROUND(COUNT(e.h) * 1.0 / COUNT(*), 6) AS overlap_ratio
+    FROM train_sh t LEFT JOIN eval_sh e ON t.h = e.h
+    GROUP BY t.doc_id
+    HAVING COUNT(e.h) > 0
+    ORDER BY doc_id
+    """
+
+
+@register("q_decontam_eval_overlap", oracle=_decontam_oracle())
+def q_decontam_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus contamination scan: for every training document,
+    the count and share of its distinct word 3-gram shingles that also
+    appear in a held-out eval set (docs in the EVAL_MOD residue class);
+    only contaminated documents (>= 1 overlapping shingle) are emitted.
+    This is the GPT-3/Dolma-style decontamination op the reference has
+    no counterpart for (its pipeline is single-document ETL,
+    etl_pipeline.py:295-319).
+
+    Scale shape: the eval side is tiny by construction (a benchmark
+    suite, not the corpus) — distinct-hashed and broadcast, so the
+    train side streams through ONE scan, one broadcast hash join, one
+    groupBy(doc_id) whose input is already doc-clustered. Two pruned
+    parquet scans (eval + train) instead of caching one shared shingle
+    table: at corpus scale a second filtered scan is far cheaper than
+    materializing the full shingle set."""
+    from etl_pipeline_project_auraverse_spark.queries.dedup import _shingle_hashes
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = (F.col("doc_id") % EVAL_MOD) == EVAL_RESIDUE
+    eval_sh = (
+        _shingle_hashes(docs.where(is_eval))
+        .select("h")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    train_sh = _shingle_hashes(docs.where(~is_eval))
+    return (
+        train_sh.join(F.broadcast(eval_sh), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("__hit").alias("n_overlap"),
+        )
+        .where(F.col("n_overlap") > 0)
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_overlap",
+            F.round(F.col("n_overlap") * 1.0 / F.col("n_shingles"), 6)
+            .cast("double")
+            .alias("overlap_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split assignment.
+# ---------------------------------------------------------------------------
+SPLIT_TRAIN_PCT = 80  # [0, 80) train
+SPLIT_VAL_PCT = 90  # [80, 90) val; [90, 100) test
+
+
+@register(
+    "q_split_train_val_test",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT lang, n_chars,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 100
+                   AS bucket
+        FROM documents
+    )
+    SELECT lang,
+           CASE WHEN bucket < {SPLIT_TRAIN_PCT} THEN 'train'
+                WHEN bucket < {SPLIT_VAL_PCT} THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM assigned
+    GROUP BY lang, split
+    ORDER BY lang, split
+    """,
+)
+def q_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment keyed on the portable doc_id
+    hash — stateless per-row predicate (no shuffle to ASSIGN, only the
+    reporting groupBy shuffles), reproducible across engines and runs,
+    and derivable downstream without storing the split column. The
+    per-lang report is the guardrail that hash-splitting kept strata
+    proportional."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = h28(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(bucket < SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select("lang", split.alias("split"), "n_chars")
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .orderBy("lang", "split")
+    )

@@ -179,3 +179,22 @@ def test_gapfill_spine_is_broadcast(q):
 def test_gopher_filter_single_scan(q):
     plan = PI.physical_plan(q("q_text_gopher_filter"))
     assert plan.count("FileScan parquet") == 1
+
+
+def test_decontam_eval_side_is_broadcast(q):
+    """Decontamination must broadcast the (tiny) eval shingle set and
+    hash-join the streaming train side — never a shuffle of the train
+    shingle stream by hash, and never any nested-loop pairing."""
+    plan = PI.physical_plan(q("q_decontam_eval_overlap"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_split_assignment_is_map_side(q):
+    """Train/val/test assignment is a stateless per-row expression: no
+    join anywhere, and only the reporting aggregate (plus its output
+    sort) may exchange."""
+    plan = PI.physical_plan(q("q_split_train_val_test"))
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2
