@@ -47,6 +47,11 @@ def get_spark(
         # nanos; load_table converts them to microsecond timestamps with
         # the same truncation DuckDB applies when it reads nanos parquet.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Untagged parquet timestamps (isAdjustedToUTC=false) would read
+        # as TIMESTAMP_NTZ on Spark 4, breaking unix_micros()/watermark
+        # paths; read them as session-tz (UTC) TIMESTAMP like DuckDB's
+        # naive-timestamp semantics so epoch math stays exact.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g"))
         .config("spark.ui.enabled", "false")
@@ -106,9 +111,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     if name == "events":
         # runtime-settable; needed when the caller built its own session
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Untagged micro/milli timestamps must scan as TIMESTAMP (LTZ, session
+    # tz = UTC), not TIMESTAMP_NTZ — runtime-settable for caller sessions.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Defensive: if a caller session pinned inferTimestampNTZ=true, cast
+    # NTZ columns back to LTZ so downstream epoch math keeps working.
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz_cols:
+        from pyspark.sql import functions as F
+
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
     return df
