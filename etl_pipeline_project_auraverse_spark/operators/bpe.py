@@ -69,14 +69,70 @@ def word_vocabulary(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _select_batch(
+    top: list,
+    adj_r: dict[str, int],
+    adj_l: dict[str, int],
+    budget: int,
+    min_pair_freq: int,
+) -> list[tuple[str, str, int]]:
+    """Greedy prefix of the sorted candidates that is provably
+    sequential-equivalent when applied as one batch.
+
+    A batch of merges applied together yields byte-identical results to
+    applying them one recount at a time iff, at each position i:
+
+    - ``m_i`` shares NO symbol with any earlier accepted merge — then
+      applying the earlier merges cannot change ``count(m_i)`` (merging
+      elsewhere in a word never breaks the adjacency of untouched
+      neighbors, and new adjacencies always involve a joined token);
+    - ``count(m_i)`` strictly exceeds every pair count the earlier
+      merges could have CREATED. A new pair always contains a joined
+      token ``ab``; its count is bounded by a pre-round pair adjacent
+      to the merge — ``count(x, ab) <= count(x, a)`` and
+      ``count(ab, y) <= count(b, y)`` — so
+      ``max(adj_r[a], adj_l[b])`` over accepted merges bounds them all
+      (strict ``>`` because an equal-count new pair could still win the
+      lexicographic tie-break);
+    - the prefix is CONTIGUOUS: the first rejected candidate ends the
+      batch, because sequential training would merge it (or its
+      changed-count successor) before any later candidate.
+    """
+    batch: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    bound = 0
+    for t in top:
+        n = int(t["n"])
+        if n < min_pair_freq or len(batch) >= budget:
+            break
+        if batch and (n <= bound or {t["l"], t["r"]} & used):
+            break
+        batch.append((t["l"], t["r"], n))
+        used |= {t["l"], t["r"]}
+        bound = max(bound, adj_r.get(t["l"], 0), adj_l.get(t["r"], 0))
+    return batch
+
+
 def train_bpe(
     docs: DataFrame,
     text_col: str = "text",
     num_merges: int = 50,
     min_pair_freq: int = 2,
+    batch_candidates: int = 64,
+    stats: dict | None = None,
 ) -> list[tuple[str, str, int]]:
     """Learn up to ``num_merges`` merges; returns
-    ``[(left, right, pair_freq), ...]`` in merge order."""
+    ``[(left, right, pair_freq), ...]`` in merge order — byte-identical
+    to sequential (one-recount-per-merge) BPE.
+
+    Scale structure: each ROUND is one pair-count shuffle + two small
+    probes + one map-side merge pass, and commits every merge in the
+    provably-compatible prefix of the top ``batch_candidates`` pairs
+    (see :func:`_select_batch`) — so a 32k-vocab training needs
+    hundreds of rounds, not 32k sequential Spark jobs. Pass ``stats``
+    to receive ``{"rounds": ...}`` back (the batching win, asserted in
+    tests).
+    """
     from etl_pipeline_project_auraverse_spark.cache import (
         local_checkpoint_tracked,
         unpersist_rdd_ids,
@@ -85,8 +141,9 @@ def train_bpe(
     spark = docs.sparkSession
     vocab, live_ids = local_checkpoint_tracked(word_vocabulary(docs, text_col))
     merges: list[tuple[str, str, int]] = []
+    rounds = 0
     try:
-        for _ in range(num_merges):
+        while len(merges) < num_merges:
             # guard: a fully-merged word has ONE symbol; sequence(0, -1)
             # would DESCEND (yielding index -1 → null), so emit no pairs
             pair_structs = F.when(
@@ -100,27 +157,58 @@ def train_bpe(
                 ),
             ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
             pairs = vocab.select("freq", F.explode(pair_structs).alias("p"))
-            top = (
+            counts = (
                 pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
                 .agg(F.sum("freq").alias("n"))
-                .orderBy(F.col("n").desc(), "l", "r")
-                .limit(1)
-                .collect()
+                .persist()
             )
-            if not top or top[0]["n"] < min_pair_freq:
-                break
-            left, right, n = top[0]["l"], top[0]["r"], int(top[0]["n"])
-            merges.append((left, right, n))
-            joined = left + right
+            try:
+                top = (
+                    counts.orderBy(F.col("n").desc(), "l", "r")
+                    .limit(batch_candidates)
+                    .collect()
+                )
+                if not top or top[0]["n"] < min_pair_freq:
+                    break
+                # adjacency maxima for the candidate symbols: the upper
+                # bound on any pair count a batch merge could create
+                lefts = list({t["l"] for t in top})
+                rights = list({t["r"] for t in top})
+                adj_r = {
+                    row["r"]: int(row["m"])
+                    for row in counts.filter(F.col("r").isin(lefts))
+                    .groupBy("r")
+                    .agg(F.max("n").alias("m"))
+                    .collect()
+                }
+                adj_l = {
+                    row["l"]: int(row["m"])
+                    for row in counts.filter(F.col("l").isin(rights))
+                    .groupBy("l")
+                    .agg(F.max("n").alias("m"))
+                    .collect()
+                }
+            finally:
+                counts.unpersist()
+            batch = _select_batch(
+                top, adj_r, adj_l, num_merges - len(merges), min_pair_freq
+            )
+            merges.extend(batch)
+            rounds += 1
+            batch_rules = [(bl, br, bl + br) for bl, br, _ in batch]
 
-            def apply_merge(
-                batches: Iterator[pd.DataFrame], _l=left, _r=right, _j=joined
+            def apply_batch(
+                batches: Iterator[pd.DataFrame], _rules=batch_rules
             ) -> Iterator[pd.DataFrame]:
                 for pdf in batches:
                     pdf = pdf.copy()
-                    pdf["symbols"] = [
-                        _merge_word(list(s), _l, _r, _j) for s in pdf["symbols"]
-                    ]
+                    out = []
+                    for s in pdf["symbols"]:
+                        syms = list(s)
+                        for bl, br, bj in _rules:
+                            syms = _merge_word(syms, bl, br, bj)
+                        out.append(syms)
+                    pdf["symbols"] = out
                     yield pdf
 
             # checkpoint the merged vocab (eager), THEN free the
@@ -128,7 +216,7 @@ def train_bpe(
             # vocab copy in the block manager at any time
             vocab, new_ids = local_checkpoint_tracked(
                 vocab.mapInPandas(
-                    apply_merge,
+                    apply_batch,
                     schema="word string, freq long, symbols array<string>",
                 )
             )
@@ -137,6 +225,8 @@ def train_bpe(
     finally:
         # merges are plain Python — nothing distributed survives
         unpersist_rdd_ids(spark, live_ids)
+    if stats is not None:
+        stats["rounds"] = rounds
     return merges
 
 

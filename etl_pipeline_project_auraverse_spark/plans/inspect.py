@@ -76,6 +76,32 @@ def scan_columns(df: DataFrame) -> set[str]:
     return cols
 
 
+def unpartitioned_windows(df: DataFrame) -> int:
+    """Number of window operators with an EMPTY partition spec.
+
+    An unpartitioned window funnels the whole input through ONE task —
+    the canonical silent scale-killer. The engine's policy: every
+    window must partition unless its input is bounded by construction
+    (calendar spine, pre-aggregated K-row table, hard pre-filter), and
+    such sites must be whitelisted by name in the plan tests, never
+    waved through silently.
+
+    Counted on the optimized logical plan (stable node shape; the
+    physical WindowExec text doesn't distinguish an empty partition
+    spec reliably)."""
+
+    def walk(node) -> int:
+        n = 0
+        if node.nodeName() == "Window" and node.partitionSpec().isEmpty():
+            n = 1
+        children = node.children()
+        for i in range(children.size()):
+            n += walk(children.apply(i))
+        return n
+
+    return walk(df._jdf.queryExecution().optimizedPlan())
+
+
 def exchange_count(df: DataFrame) -> int:
     """Number of shuffle exchanges in the plan (each is a full
     repartition of its input — the unit of cost at 100 TB)."""
@@ -89,13 +115,20 @@ class PlanReport:
     shuffle_exchanges: int
     pushed_filters: list[str]
     scan_columns: set[str] = field(default_factory=set)
+    unpartitioned_windows: int = 0
+    unpartitioned_window_ok: bool = False
 
     @property
     def ok(self) -> bool:
-        return not self.cartesian
+        return not self.cartesian and (
+            self.unpartitioned_windows == 0 or self.unpartitioned_window_ok
+        )
 
 
-def lint_plan(df: DataFrame) -> PlanReport:
+def lint_plan(df: DataFrame, *, allow_unpartitioned_window: bool = False) -> PlanReport:
+    """One-call plan report. ``allow_unpartitioned_window=True`` is the
+    explicit whitelist hook for windows whose input is bounded by
+    construction (see :func:`unpartitioned_windows`)."""
     plan = physical_plan(df)
     return PlanReport(
         cartesian=("CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan),
@@ -103,4 +136,6 @@ def lint_plan(df: DataFrame) -> PlanReport:
         shuffle_exchanges=plan.count("Exchange "),
         pushed_filters=pushed_filters(df),
         scan_columns=scan_columns(df),
+        unpartitioned_windows=unpartitioned_windows(df),
+        unpartitioned_window_ok=allow_unpartitioned_window,
     )

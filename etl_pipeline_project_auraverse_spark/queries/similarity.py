@@ -189,11 +189,13 @@ N_CENTROIDS_MIN = 32
 CENTROID_TARGET_BLOCK = 500
 
 
-def centroid_assignments(emb: DataFrame) -> DataFrame:
-    """(vec_id, centroid_id, cos_to_centroid): nearest-seed coarse
-    quantization. Broadcast the K seeds against the corpus — one scan,
-    no shuffle until the consumer's own join. K derives from the corpus
-    count as a lazy 1-row broadcast (no driver-side collect)."""
+def _centroid_scored(emb: DataFrame) -> DataFrame:
+    """(vec_id, centroid_id, cos_to_centroid, rn): every vector scored
+    against the K broadcast seeds, ranked per vector by rounded cosine
+    (seed-id tiebreak). Shared by single-assignment (rn=1) and
+    multi-probe (rn<=P) consumers so both derive from ONE scoring pass.
+    K derives from the corpus count as a lazy 1-row broadcast (no
+    driver-side collect)."""
     k_row = emb.agg(
         F.greatest(
             F.lit(N_CENTROIDS_MIN),
@@ -217,10 +219,30 @@ def centroid_assignments(emb: DataFrame) -> DataFrame:
         )
     )
     w = W.partitionBy("vec_id").orderBy(F.col("cos_to_centroid").desc(), "centroid_id")
+    return scored.withColumn("rn", F.row_number().over(w))
+
+
+def centroid_assignments(emb: DataFrame) -> DataFrame:
+    """(vec_id, centroid_id, cos_to_centroid): nearest-seed coarse
+    quantization — one home block per vector."""
+    return _centroid_scored(emb).filter(F.col("rn") == 1).select(
+        "vec_id", "centroid_id", "cos_to_centroid"
+    )
+
+
+def centroid_probes(emb: DataFrame, nprobe: int) -> DataFrame:
+    """(vec_id, centroid_id, cos_to_centroid, probe_rank): the top-P
+    centroid blocks per vector. probe_rank=1 is the home block; the
+    query side of a multi-probe IVF search joins on all P."""
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "centroid_id", "cos_to_centroid")
+        _centroid_scored(emb)
+        .filter(F.col("rn") <= nprobe)
+        .select(
+            "vec_id",
+            "centroid_id",
+            "cos_to_centroid",
+            F.col("rn").cast("long").alias("probe_rank"),
+        )
     )
 
 
@@ -249,6 +271,21 @@ def sql_centroid_cte() -> str:
     )"""
 
 
+def sql_probes_cte(nprobe: int) -> str:
+    """DuckDB twin of :func:`centroid_probes`. Emits CTE ``probes``
+    (vec_id, centroid_id, cos_to_centroid, probe_rank); must follow
+    :func:`sql_centroid_cte` in the WITH list (reuses ``scored``)."""
+    return f"""
+    probes AS (
+        SELECT vec_id, centroid_id, cos_to_centroid, CAST(rn AS BIGINT) AS probe_rank
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                      ORDER BY cos_to_centroid DESC, centroid_id) AS rn
+            FROM scored
+        ) WHERE rn <= {nprobe}
+    )"""
+
+
 @register(
     "q_embedding_centroid_blocks",
     oracle=f"""
@@ -274,27 +311,60 @@ def q_embedding_centroid_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# IVF ANN: probe only the query's centroid block. At scale: partition /
-# bucket the corpus by centroid id so the probe is a co-located join.
+# IVF ANN, multi-probe: search the query's top-P centroid blocks (P =
+# IVF_NPROBE), not just its home block — the standard recall lever for
+# coarse quantization (a near-neighbor often lives just across a block
+# boundary). Each candidate has exactly ONE home block, so a (query,
+# candidate) pair is generated at most once — no dedup step. At scale:
+# partition / bucket the corpus by centroid id so the probe is a
+# co-located join; probing P blocks multiplies candidate volume by ~P
+# (still O(P·n/K) per query), never the shuffle count.
 # ---------------------------------------------------------------------------
 IVF_QUERY_MAX = 20
 IVF_TOP_K = 3
+IVF_NPROBE = 3
+
+
+def _ivf_sides(spark: SparkSession, sf_dir: str):
+    """Shared multi-probe plumbing: (qprobe, blocked) — the query side
+    expanded to its top-P blocks, and the corpus blocked by home
+    centroid. ONE scoring pass feeds both (probes persisted; home
+    blocks are its probe_rank=1 slice)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = persist_tracked(centroid_probes(emb, IVF_NPROBE))
+    blocked = persist_tracked(
+        emb.join(
+            probes.filter(F.col("probe_rank") == 1).select("vec_id", "centroid_id"),
+            "vec_id",
+        )
+    )
+    qprobe = (
+        emb.filter(F.col("vec_id") < IVF_QUERY_MAX)
+        .join(probes.select("vec_id", "centroid_id", "probe_rank"), "vec_id")
+        .select("vec_id", "embedding", "centroid_id", "probe_rank")
+    )
+    return emb, qprobe, blocked
 
 
 @register(
     "q_ann_ivf_cosine",
     oracle=f"""
     WITH {sql_centroid_cte()},
+    {sql_probes_cte(IVF_NPROBE)},
     blocked AS (
         SELECT e.vec_id, e.embedding, a.centroid_id
         FROM embeddings e JOIN assign a USING (vec_id)
     ),
+    qprobe AS (
+        SELECT e.vec_id, e.embedding, p.centroid_id
+        FROM embeddings e JOIN probes p USING (vec_id)
+        WHERE e.vec_id < {IVF_QUERY_MAX}
+    ),
     pairs AS (
         SELECT q.vec_id AS query_id, q.centroid_id, c.vec_id AS cand_id,
                {sql_cosine("q.embedding", "c.embedding")} AS cos_sim
-        FROM blocked q JOIN blocked c
+        FROM qprobe q JOIN blocked c
           ON q.centroid_id = c.centroid_id AND q.vec_id <> c.vec_id
-        WHERE q.vec_id < {IVF_QUERY_MAX}
     ),
     ranked AS (
         SELECT query_id, centroid_id, cand_id, cos_sim,
@@ -308,19 +378,12 @@ IVF_TOP_K = 3
     """,
 )
 def q_ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF probe over REAL centroid blocks (was: the synthetic `label`
-    column standing in for a centroid id). Candidates come only from
-    the query's block, so per-query work is O(block) = O(n/K), not
-    O(n); the blocked corpus is persisted because it feeds both sides
-    of the probe join."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    blocked = persist_tracked(
-        emb.join(centroid_assignments(emb).select("vec_id", "centroid_id"), "vec_id")
-    )
-    q = blocked.filter(F.col("vec_id") < IVF_QUERY_MAX).alias("q")
-    c = blocked.alias("c")
-    pairs = q.join(
-        c,
+    """Multi-probe IVF top-k: candidates from the query's top-P blocks,
+    ranked by true cosine. ``centroid_id`` in the output is the probed
+    block the candidate came from (its home block)."""
+    _, qprobe, blocked = _ivf_sides(spark, sf_dir)
+    pairs = qprobe.alias("q").join(
+        blocked.alias("c"),
         (F.col("q.centroid_id") == F.col("c.centroid_id"))
         & (F.col("q.vec_id") != F.col("c.vec_id")),
     ).select(
@@ -335,6 +398,125 @@ def q_ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= IVF_TOP_K)
         .select("query_id", "centroid_id", "cand_id", "rank", "cos_sim")
         .orderBy("query_id", "rank")
+    )
+
+
+@register(
+    "q_ann_ivf_recall",
+    oracle=f"""
+    WITH {sql_centroid_cte()},
+    {sql_probes_cte(IVF_NPROBE)},
+    blocked AS (
+        SELECT e.vec_id, e.embedding, a.centroid_id
+        FROM embeddings e JOIN assign a USING (vec_id)
+    ),
+    qset AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id < {IVF_QUERY_MAX}
+    ),
+    exact AS (
+        SELECT query_id, cand_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY {sql_cosine("q.embedding", "c.embedding")} DESC,
+                                c.vec_id) AS rank
+            FROM qset q JOIN embeddings c ON q.vec_id <> c.vec_id
+        ) WHERE rank <= {IVF_TOP_K}
+    ),
+    ivf_pairs AS (
+        SELECT q.vec_id AS query_id, p.probe_rank, c.vec_id AS cand_id,
+               {sql_cosine("q.embedding", "c.embedding")} AS cos_sim
+        FROM qset q
+        JOIN probes p ON p.vec_id = q.vec_id
+        JOIN blocked c ON c.centroid_id = p.centroid_id AND c.vec_id <> q.vec_id
+    ),
+    levels AS (SELECT unnest(range(1, {IVF_NPROBE + 1})) AS nprobe),
+    leveled AS (
+        SELECT nprobe, query_id, cand_id FROM (
+            SELECT l.nprobe, i.query_id, i.cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY l.nprobe, i.query_id
+                       ORDER BY i.cos_sim DESC, i.cand_id) AS rank
+            FROM levels l JOIN ivf_pairs i ON i.probe_rank <= l.nprobe
+        ) WHERE rank <= {IVF_TOP_K}
+    ),
+    hits AS (
+        SELECT t.nprobe, COUNT(*) AS total_hits
+        FROM leveled t JOIN exact e
+          ON t.query_id = e.query_id AND t.cand_id = e.cand_id
+        GROUP BY t.nprobe
+    )
+    SELECT CAST(l.nprobe AS BIGINT) AS nprobe,
+           (SELECT COUNT(*) FROM qset) AS n_queries,
+           CAST(COALESCE(h.total_hits, 0) AS BIGINT) AS total_hits,
+           CAST(COALESCE(h.total_hits, 0) AS DOUBLE)
+               / ((SELECT COUNT(*) FROM qset) * {IVF_TOP_K}) AS recall_at_k
+    FROM levels l LEFT JOIN hits h ON h.nprobe = l.nprobe
+    ORDER BY nprobe
+    """,
+)
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the IVF probe against the exact brute-force top-k on
+    the same query set, one row per probe depth 1..P — the measurement
+    that justifies multi-probe (recall is monotone in nprobe: a pushed-
+    out exact hit can only be displaced by better exact hits).
+
+    The recall ratio is a single double division of exact integer
+    counts (total hits / (n_queries * k)), so the value hashes
+    identically across engines — no decimal-average machinery needed."""
+    emb, qprobe, blocked = _ivf_sides(spark, sf_dir)
+    qset = F.broadcast(emb.filter(F.col("vec_id") < IVF_QUERY_MAX))
+    w_exact = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "cand_id")
+    exact = (
+        qset.alias("q")
+        .join(emb.alias("c"), F.col("q.vec_id") != F.col("c.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("cand_id"),
+            cosine(F.col("q.embedding"), F.col("c.embedding")).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w_exact))
+        .filter(F.col("rank") <= IVF_TOP_K)
+        .select("query_id", "cand_id")
+    )
+    ivf_pairs = qprobe.alias("q").join(
+        blocked.alias("c"),
+        (F.col("q.centroid_id") == F.col("c.centroid_id"))
+        & (F.col("q.vec_id") != F.col("c.vec_id")),
+    ).select(
+        F.col("q.vec_id").alias("query_id"),
+        F.col("q.probe_rank").alias("probe_rank"),
+        F.col("c.vec_id").alias("cand_id"),
+        cosine(F.col("q.embedding"), F.col("c.embedding")).alias("cos_sim"),
+    )
+    levels = spark.range(1, IVF_NPROBE + 1).select(F.col("id").alias("nprobe"))
+    w_lvl = W.partitionBy("nprobe", "query_id").orderBy(
+        F.col("cos_sim").desc(), "cand_id"
+    )
+    leveled = (
+        F.broadcast(levels)
+        .join(ivf_pairs, F.col("probe_rank") <= F.col("nprobe"))
+        .withColumn("rank", F.row_number().over(w_lvl))
+        .filter(F.col("rank") <= IVF_TOP_K)
+        .select("nprobe", "query_id", "cand_id")
+    )
+    hits = (
+        leveled.join(exact, ["query_id", "cand_id"])
+        .groupBy("nprobe")
+        .agg(F.count("*").alias("total_hits"))
+    )
+    nq = F.broadcast(qset.agg(F.count("*").alias("n_queries")))
+    return (
+        levels.join(hits, "nprobe", "left")
+        .crossJoin(nq)
+        .select(
+            "nprobe",
+            "n_queries",
+            F.coalesce(F.col("total_hits"), F.lit(0)).cast("long").alias("total_hits"),
+            (
+                F.coalesce(F.col("total_hits"), F.lit(0)).cast("double")
+                / (F.col("n_queries") * IVF_TOP_K)
+            ).alias("recall_at_k"),
+        )
+        .orderBy("nprobe")
     )
 
 

@@ -41,6 +41,7 @@ from pyspark.sql import SparkSession
 from etl_pipeline_project_auraverse_spark import frontend
 from etl_pipeline_project_auraverse_spark.pipeline import run_etl_pipeline
 from etl_pipeline_project_auraverse_spark.session import get_spark
+from etl_pipeline_project_auraverse_spark.sinks import TABLE_ROW_CAP
 
 DEFAULT_TIMEOUT_SEC = 60.0  # server.js:48
 
@@ -73,12 +74,24 @@ def default_config(workdir: str, file_type: str = "txt") -> dict[str, Any]:
     }
 
 
-def _read_csv_rows(path: str) -> list[dict[str, str]]:
-    """Output CSV → row dicts, csvtojson-style (all values strings)."""
+def _read_csv_rows(path: str, max_rows: int = TABLE_ROW_CAP) -> tuple[list[dict[str, str]], bool]:
+    """Output CSV → row dicts, csvtojson-style (all values strings).
+
+    Returns ``(rows, truncated)``: reading stops after ``max_rows`` so a
+    huge output can't be materialized into one JSON response (the
+    ``truncated`` flag tells the client; below the cap the payload is
+    byte-identical to the reference's whole-table response)."""
     import csv
 
+    rows: list[dict[str, str]] = []
+    truncated = False
     with open(path, newline="", encoding="utf-8") as f:
-        return [dict(r) for r in csv.DictReader(f)]
+        for r in csv.DictReader(f):
+            if len(rows) >= max_rows:
+                truncated = True
+                break
+            rows.append(dict(r))
+    return rows, truncated
 
 
 class EtlServer:
@@ -150,7 +163,8 @@ class EtlServer:
         if os.path.exists(schema_path):
             with open(schema_path, encoding="utf-8") as f:
                 schema = json.load(f)
-        return {"success": True, "table": _read_csv_rows(out_csv), "schema": schema}
+        table, truncated = _read_csv_rows(out_csv)
+        return {"success": True, "table": table, "truncated": truncated, "schema": schema}
 
     def _make_handler(self) -> type[BaseHTTPRequestHandler]:
         server = self

@@ -109,21 +109,48 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     projection (no shuffle, stays inside whole-stage codegen).
     """
     if name == "events":
-        # runtime-settable; needed when the caller built its own session
+        # runtime-settable; needed when the caller built its own session.
+        # Deliberately NOT restored: nanos columns must scan as long for
+        # every read this engine plans — engine-wide semantics.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Untagged micro/milli timestamps must scan as TIMESTAMP (LTZ, session
-    # tz = UTC), not TIMESTAMP_NTZ — runtime-settable for caller sessions.
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # tz = UTC), not TIMESTAMP_NTZ. There is no per-read parquet option
+    # for this (probed on 4.1: .option("inferTimestampNTZ", ...) is
+    # ignored), so set the runtime conf for the (eager) schema
+    # resolution and restore the caller's value after — the schema is
+    # baked into the DataFrame at read time.
+    _NTZ_KEY = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    prev_ntz = spark.conf.get(_NTZ_KEY, None)
+    spark.conf.set(_NTZ_KEY, "false")
+    try:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    finally:
+        if prev_ntz is not None:
+            spark.conf.set(_NTZ_KEY, prev_ntz)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    # Defensive: if a caller session pinned inferTimestampNTZ=true, cast
-    # NTZ columns back to LTZ so downstream epoch math keeps working.
+    # Defensive: if NTZ columns slipped through anyway, normalize them to
+    # LTZ with the SAME epoch the primary path produces (stored micros ==
+    # epoch micros). A bare cast would interpret the wall clock in the
+    # session time zone and shift epochs whenever that tz isn't UTC;
+    # from_utc_timestamp(cast, session_tz) undoes exactly that shift, so
+    # this is epoch-exact in ANY session time zone.
     ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
     if ntz_cols:
         from pyspark.sql import functions as F
 
-        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        df = df.withColumns(
+            {c: F.from_utc_timestamp(F.col(c).cast("timestamp"), tz) for c in ntz_cols}
+        )
+    # df.dtypes above only sees top-level columns; the star schema is
+    # flat by construction, so a NESTED ntz field means an upstream
+    # schema change this normalization can't silently absorb — be loud.
+    if "timestamp_ntz" in df.schema.simpleString():
+        raise ValueError(
+            f"{name}: nested timestamp_ntz field in {df.schema.simpleString()}; "
+            "load_table only normalizes top-level timestamps"
+        )
     return df

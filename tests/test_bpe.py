@@ -69,6 +69,42 @@ def test_merges_match_reference(spark):
     assert len(got) == 12
 
 
+def test_batched_rounds_fewer_than_merges(spark):
+    """The whole point of batching: N merges must cost far fewer than N
+    distributed rounds, with byte-identical output to sequential BPE."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], ["doc_id", "text"]
+    )
+    stats: dict = {}
+    got = train_bpe(docs, num_merges=20, stats=stats)
+    assert got == _reference_bpe(TEXTS, num_merges=20)
+    assert stats["rounds"] < len(got), (stats, len(got))
+
+
+def test_batched_matches_reference_on_random_corpora(spark):
+    """Differential fuzz over small random corpora: conflict-stops,
+    self-pairs (aa), tie-breaks, and adjacency-bound truncation must all
+    collapse to exactly the sequential merge sequence."""
+    import random
+
+    for seed in range(5):
+        rng = random.Random(seed)
+        alphabet = "abc"
+        texts = [
+            " ".join(
+                "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6)))
+                for _ in range(rng.randint(3, 12))
+            )
+            for _ in range(8)
+        ]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        )
+        got = train_bpe(docs, num_merges=10)
+        want = _reference_bpe(texts, num_merges=10)
+        assert got == want, (seed, got, want)
+
+
 def test_encode_applies_merges_in_order(spark):
     docs = spark.createDataFrame(
         [(i, t) for i, t in enumerate(TEXTS)], ["doc_id", "text"]

@@ -191,6 +191,47 @@ def test_decontam_eval_side_is_broadcast(q):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+# Windows whose input is bounded BY CONSTRUCTION — the only allowed
+# unpartitioned windows in the engine. Anything else funnels the whole
+# input through one task at scale and must fail this test.
+BOUNDED_GLOBAL_WINDOW_OK = {
+    # calendar spine: row count = days between min/max event ts
+    "q_gapfill_daily_purchases",
+    # hard pre-filter to o_custkey < 10 before the moving average
+    "q_window_moving_avg_price",
+    # global max over the already-aggregated per-supplier table
+    "q15_top_supplier",
+}
+
+# Iterative builders whose CONSTRUCTION runs full multi-job loops
+# (~10 s each); they contain no window functions (operators/bpe.py,
+# operators/components.py) and their plan shapes are pinned by
+# test_bpe.py / test_components.py.
+_ITERATIVE_BUILDERS = {"q_bpe_token_stats", "q_dedup_clusters"}
+
+
+def test_every_window_is_partitioned_or_whitelisted(q):
+    """Sweep EVERY registered query: an unpartitioned window outside the
+    bounded-by-construction whitelist is a plan regression."""
+    offenders = {}
+    for name in QUERIES:
+        if name in BOUNDED_GLOBAL_WINDOW_OK or name in _ITERATIVE_BUILDERS:
+            continue
+        n = PI.unpartitioned_windows(q(name))
+        if n:
+            offenders[name] = n
+    assert not offenders, f"unpartitioned windows outside whitelist: {offenders}"
+
+
+def test_whitelisted_global_windows_still_exist(q):
+    """The whitelist must not outlive the windows it excuses: each named
+    query really does contain exactly the bounded global window."""
+    for name in sorted(BOUNDED_GLOBAL_WINDOW_OK):
+        rep = PI.lint_plan(q(name), allow_unpartitioned_window=True)
+        assert rep.unpartitioned_windows == 1, (name, rep.unpartitioned_windows)
+        assert rep.ok
+
+
 def test_split_assignment_is_map_side(q):
     """Train/val/test assignment is a stateless per-row expression: no
     join anywhere, and only the reporting aggregate (plus its output

@@ -54,6 +54,8 @@ def test_run_etl_upload_roundtrip(server):
     assert all(isinstance(v, str) for r in out["table"] for v in r.values())
     # reference artifact layout (etl_pipeline.py:246-276): schema_id + fields[]
     assert out["schema"] and "fields" in json.dumps(out["schema"])
+    # below the row cap the payload is the reference's whole-table shape
+    assert out["truncated"] is False
 
 
 def test_schema_endpoint(server):
@@ -130,6 +132,26 @@ def test_concurrent_uploads_are_serialized(server):
         assert out["success"] is True, out
         names = {r["name"] for r in out["table"]}
         assert names == {f"{tag}0", f"{tag}1", f"{tag}2"}, (tag, names)
+
+
+def test_table_response_is_capped(tmp_path, spark):
+    """An over-cap table returns exactly the cap plus a truncated flag —
+    one request can never pull an unbounded result onto the driver."""
+    from etl_pipeline_project_auraverse_spark.server import _read_csv_rows
+    from etl_pipeline_project_auraverse_spark.sinks import table_records
+
+    p = tmp_path / "big.csv"
+    p.write_text("id,name\n" + "".join(f"{i},n{i}\n" for i in range(25)))
+    rows, truncated = _read_csv_rows(str(p), max_rows=10)
+    assert len(rows) == 10 and truncated is True
+    rows, truncated = _read_csv_rows(str(p), max_rows=25)
+    assert len(rows) == 25 and truncated is False
+
+    df = spark.range(40)
+    recs, truncated = table_records(df, max_rows=15)
+    assert len(recs) == 15 and truncated is True
+    recs, truncated = table_records(df.limit(5), max_rows=15)
+    assert len(recs) == 5 and truncated is False
 
 
 def test_mixed_text_upload(server):

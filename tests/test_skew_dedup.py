@@ -1,0 +1,111 @@
+"""Skew stress for the dedup joins: a corpus with one pathologically
+hot shingle / band bucket must stay bounded.
+
+The 100 TB failure mode: an inverted-index self-join on a shingle
+shared by m documents emits O(m^2) pairs — one stopword-heavy n-gram
+at m=10^6 is 10^12 pairs from a single key. The engine's defenses,
+asserted here on a deliberately skewed fixture:
+
+- n-gram Jaccard: shingles with df > DF_CAP are dropped from the
+  representation (index AND sizes), capping any shingle's pair
+  contribution at DF_CAP^2 while true near-dups (built from rare
+  shingles) still surface.
+- MinHash/LSH band join: a hot band bucket of m docs IS m near-
+  duplicates — the quadratic pair output is the answer, not waste, and
+  AQE skew-join splitting (enabled in the engine session) spreads the
+  hot key's probe work across tasks at real scale. Real pipelines run
+  exact dedup before MinHash precisely to collapse such buckets.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pipeline_project_auraverse_spark.queries import QUERIES, load_all
+from etl_pipeline_project_auraverse_spark.queries.dedup import DF_CAP, _shingle_hashes
+
+load_all()
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _write_documents(spark, path: str, texts: list[str]) -> None:
+    rows = [(i, t, "en", "synthetic", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(rows, DOC_SCHEMA).coalesce(2).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def skewed_dir(spark, tmp_path_factory):
+    """2000 docs all sharing ONE hot trigram (df=2000 >> DF_CAP) plus
+    per-doc unique filler; docs 2000/2001 are true near-dups built from
+    rare shingles only."""
+    d = str(tmp_path_factory.mktemp("skewed_docs"))
+    hot = "common header boilerplate"
+    texts = [
+        f"{hot} unique{i}a unique{i}b unique{i}c unique{i}d" for i in range(2000)
+    ]
+    near = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts.append(near)  # doc 2000
+    texts.append(near + " lam")  # doc 2001: jaccard 8/9 with doc 2000
+    _write_documents(spark, d, texts)
+    return d
+
+
+def test_fixture_is_genuinely_skewed(spark, skewed_dir):
+    from etl_pipeline_project_auraverse_spark.session import load_table
+
+    raw_df = (
+        _shingle_hashes(load_table(spark, skewed_dir, "documents"))
+        .groupBy("h")
+        .count()
+    )
+    assert raw_df.agg(F.max("count")).collect()[0][0] == 2000
+
+
+def test_df_cap_bounds_hot_shingle_join(spark, skewed_dir):
+    """After the DF cap, NO indexed shingle may exceed DF_CAP docs —
+    the invariant that bounds every shingle's pair fan-out at DF_CAP^2
+    regardless of corpus skew."""
+    from etl_pipeline_project_auraverse_spark.session import load_table
+
+    raw = _shingle_hashes(load_table(spark, skewed_dir, "documents"))
+    dfs = raw.groupBy("h").agg(F.count("*").alias("df"))
+    hot = dfs.filter(F.col("df") > DF_CAP)
+    capped = raw.join(F.broadcast(hot.select("h")), "h", "left_anti")
+    max_df = (
+        capped.groupBy("h").agg(F.count("*").alias("df")).agg(F.max("df")).collect()
+    )[0][0]
+    assert max_df is not None and max_df <= DF_CAP
+
+
+def test_jaccard_on_skewed_corpus_finds_only_true_dups(spark, skewed_dir):
+    """The full query on the skewed corpus: the hot shingle generates
+    ZERO pairs (it's dropped, not joined), while the rare-shingle
+    near-dup pair still surfaces with its exact capped-space jaccard."""
+    rows = QUERIES["q_dedup_ngram_jaccard"](spark, skewed_dir).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in rows}
+    assert set(pairs) == {(2000, 2001)}, sorted(pairs)[:10]
+    assert pairs[(2000, 2001)] == round(8 / 9, 6)
+
+
+def test_hot_band_bucket_emits_exactly_its_true_dup_pairs(spark, tmp_path):
+    """300 byte-identical docs form one hot band bucket. Every pair the
+    band join emits is a TRUE duplicate (jaccard 1.0): the quadratic
+    output is the semantically required answer. Completeness and
+    correctness here, AQE skew-split (asserted enabled) for task-time
+    bounding at real scale."""
+    m = 300
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    texts = [text] * m + [
+        f"filler{i}x filler{i}y filler{i}z filler{i}w" for i in range(200)
+    ]
+    d = str(tmp_path)
+    _write_documents(spark, d, texts)
+    rows = QUERIES["q_dedup_minhash_lsh"](spark, d).collect()
+    assert len(rows) == m * (m - 1) // 2
+    assert all(r["jaccard"] == 1.0 and r["n_matching_minhashes"] == 8 for r in rows)
+    # the runtime defense for the hot band key's probe work
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"

@@ -1,17 +1,50 @@
 """Streaming-vs-batch equivalence tests: each streaming operator run
 over the bounded events parquet (availableNow trigger) must agree with
-its batch twin. This is the test strategy for operators whose
+its batch twin — plus hard-signal integration tests for the properties
+batch equivalence can't show: watermark state eviction (a late row is
+DROPPED, not absorbed) and exactly-once file-sink semantics across
+query restarts. This is the test strategy for operators whose
 semantics aren't SQL-oracle-checkable via the driver gate."""
 
 from __future__ import annotations
 
+import os
 import uuid
+from datetime import datetime
 
 import pytest
 from pyspark.sql import functions as F
 
 from etl_pipeline_project_auraverse_spark.session import load_table
 from etl_pipeline_project_auraverse_spark.streaming import events as se
+
+
+def _write_event_file(path: str, rows: list[tuple], mtime: float) -> None:
+    """One parquet file = one micro-batch (maxFilesPerTrigger=1); the
+    file stream orders batches by modification time, which we pin so
+    arrival order is deterministic."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    event_ids, tss, users, types, values, props = zip(*rows)
+    table = pa.table(
+        {
+            "event_id": pa.array(event_ids, type=pa.int64()),
+            "ts": pa.array(list(tss), type=pa.timestamp("us")),
+            "user_id": pa.array(users, type=pa.int64()),
+            "event_type": pa.array(types, type=pa.string()),
+            "value": pa.array(values, type=pa.float64()),
+            "props": pa.array(props, type=pa.string()),
+        }
+    )
+    pq.write_table(table, path)
+    os.utime(path, (mtime, mtime))
+
+
+def _ts(hour: int, minute: int = 0) -> datetime:
+    # naive UTC wall clock — matches the untagged-parquet convention of
+    # the testdata (session tz is UTC, so wall == epoch)
+    return datetime(2024, 3, 1, hour, minute)
 
 
 @pytest.fixture(scope="module")
@@ -115,6 +148,119 @@ def test_stateful_user_counters(spark, events_path):
     batch = spark.read.parquet(events_path).groupBy("user_id").count().collect()
     want = {r["user_id"]: r["count"] for r in batch}
     assert got == want
+
+
+def test_watermark_drops_late_row_and_closes_window(spark, tmp_path):
+    """State-eviction hard signal: after the watermark passes a window's
+    end, the window is emitted ONCE (append mode) and a subsequently
+    arriving late row for it is DROPPED — not absorbed, not re-emitted.
+    Batch equivalence can never show this; it is the property that
+    bounds state at 100 TB."""
+    src = tmp_path / "late_src"
+    src.mkdir()
+    base = 1_700_000_000
+    # batch 0: two rows in window [00:00, 06:00) + one row at 12:00 that
+    # advances the watermark to 11:00 (> 06:00), closing the window
+    _write_event_file(
+        str(src / "a.parquet"),
+        [
+            (1, _ts(1), 10, "view", 1.0, "{}"),
+            (2, _ts(2), 11, "view", 2.0, "{}"),
+            (3, _ts(12), 12, "view", 3.0, "{}"),
+        ],
+        mtime=base,
+    )
+    # batch 1: on-time filler — the filter watermark for batch N is
+    # derived from data through batch N-1, so the advanced watermark
+    # takes effect one batch after the advancing row
+    _write_event_file(
+        str(src / "b.parquet"),
+        [(9, _ts(13), 14, "view", 9.0, "{}")],
+        mtime=base + 100,
+    )
+    # batch 2: a LATE row inside the closed [00:00, 06:00) window
+    _write_event_file(
+        str(src / "c.parquet"),
+        [(4, _ts(3), 13, "view", 4.0, "{}")],
+        mtime=base + 200,
+    )
+    stream = se.read_event_stream(spark, str(src), max_files_per_trigger=1)
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    q = se.to_memory(
+        se.windowed_event_counts(stream, window="6 hours", watermark="1 hour"),
+        name,
+        output_mode="append",
+    )
+    q.processAllAvailable()
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+    )
+    q.stop()
+    # the state store itself reports the eviction-driven drop
+    assert dropped == 1, [p["stateOperators"] for p in q.recentProgress]
+    rows = [r for r in spark.table(name).collect() if r["win_start"] == _ts(0)]
+    # exactly one emission of the closed window, counting ONLY the two
+    # on-time rows — the late event_id=4 row left no trace
+    assert len(rows) == 1, rows
+    assert rows[0]["n_events"] == 2 and rows[0]["total_value"] == 3.0, rows
+
+
+def test_file_sink_exactly_once_across_restarts(spark, tmp_path):
+    """Exactly-once hard signal: a checkpointed parquet-sink query can
+    be stopped and restarted without duplicating output — already-
+    committed micro-batches are not replayed into the sink, and dedup
+    state survives the restart via the checkpoint."""
+    src = tmp_path / "eo_src"
+    out = str(tmp_path / "eo_out")
+    chk = str(tmp_path / "eo_chk")
+    src.mkdir()
+    base = 1_700_000_000
+
+    def run_once() -> None:
+        stream = se.read_event_stream(spark, str(src), max_files_per_trigger=1)
+        q = (
+            se.deduped_events(stream, watermark="1 hour")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    _write_event_file(
+        str(src / "a.parquet"),
+        [
+            (1, _ts(1), 10, "view", 1.0, "{}"),
+            (2, _ts(1, 30), 11, "view", 2.0, "{}"),
+            (2, _ts(1, 31), 11, "view", 2.0, "{}"),  # in-batch duplicate id
+        ],
+        mtime=base,
+    )
+    run_once()
+    assert spark.read.parquet(out).count() == 2  # dup dropped
+
+    # restart with NO new data: nothing may be re-emitted
+    run_once()
+    assert spark.read.parquet(out).count() == 2
+
+    # restart with one new file: a cross-restart duplicate (id=1, within
+    # watermark) is dropped via checkpointed state; the new row lands once
+    _write_event_file(
+        str(src / "b.parquet"),
+        [
+            (1, _ts(1, 45), 10, "view", 1.0, "{}"),
+            (5, _ts(2), 12, "view", 5.0, "{}"),
+        ],
+        mtime=base + 100,
+    )
+    run_once()
+    got = spark.read.parquet(out)
+    assert got.count() == 3
+    assert {r["event_id"] for r in got.collect()} == {1, 2, 5}
 
 
 def test_stream_stream_purchase_context_matches_batch(spark, events_path):
