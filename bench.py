@@ -73,8 +73,9 @@ HEADLINE = [
     "q_gapfill_daily_purchases",
     "q_sample_documents_hash",
     "q_decontam_eval_overlap",
-    # round-4 breadth: multi-probe IVF recall measurement
+    # round-4 breadth: multi-probe IVF recall, repetition metrics
     "q_ann_ivf_recall",
+    "q_repetition_stats",
 ]
 
 

@@ -35,6 +35,7 @@ from etl_pipeline_project_auraverse_spark.functions.text import (
 )
 from etl_pipeline_project_auraverse_spark.cache import persist_tracked
 from etl_pipeline_project_auraverse_spark.queries import register
+from etl_pipeline_project_auraverse_spark.queries._util import DEC
 from etl_pipeline_project_auraverse_spark.session import load_table
 
 # ---------------------------------------------------------------------------
@@ -438,4 +439,66 @@ def q_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("sum_chars"),
         )
         .orderBy("lang", "split")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dataset mixing: temperature-weighted per-source sampling weights,
+# w_s = sqrt(tokens_s) / sum_s sqrt(tokens_s) — the alpha=0.5 variant
+# of the standard tokens^alpha mixture (sqrt because IEEE-754 sqrt is
+# correctly rounded, so Spark and DuckDB agree bit-for-bit; a general
+# pow() would drift in the last ulp between libm implementations).
+# One corpus scan + a 20-row aggregate + a broadcast 1-row denominator.
+# ---------------------------------------------------------------------------
+@register(
+    "q_source_mixture_weights",
+    oracle=r"""
+    WITH per_source AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+                   AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    s AS (
+        SELECT source, n_docs, n_tokens,
+               ROUND(SQRT(n_tokens), 6) AS sqrt_tokens
+        FROM per_source
+    ),
+    d AS (
+        SELECT CAST(SUM(CAST(sqrt_tokens AS DECIMAL(25,6))) AS DOUBLE) AS denom
+        FROM s
+    )
+    SELECT source, n_docs, n_tokens,
+           CAST(sqrt_tokens AS DOUBLE) AS sqrt_tokens,
+           CAST(ROUND(sqrt_tokens / d.denom, 6) AS DOUBLE) AS weight
+    FROM s CROSS JOIN d
+    ORDER BY source
+    """,
+)
+def q_source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling weights for training-mixture construction.
+    The denominator is a lazy 1-row decimal-sum aggregate broadcast
+    back over the (tiny) per-source table — no driver collect."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = (
+        docs.select("source", n_words(F.col("text")).alias("nw"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("nw").alias("n_tokens"))
+        .withColumn("sqrt_tokens", F.round(F.sqrt("n_tokens"), 6))
+    )
+    denom = per_source.agg(
+        F.sum(F.col("sqrt_tokens").cast(DEC)).cast("double").alias("denom")
+    )
+    return (
+        per_source.crossJoin(F.broadcast(denom))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.col("sqrt_tokens").cast("double").alias("sqrt_tokens"),
+            F.round(F.col("sqrt_tokens") / F.col("denom"), 6)
+            .cast("double")
+            .alias("weight"),
+        )
+        .orderBy("source")
     )

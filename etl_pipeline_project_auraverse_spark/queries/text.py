@@ -243,3 +243,106 @@ def q_text_lang_marker_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         scores["es"].alias("s_es"),
         scores["fr"].alias("s_fr"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Within-document repetition (Gopher-style repetition rules): the
+# fraction of a document dominated by its most frequent bigram, and the
+# duplicate-trigram fraction. High values flag boilerplate/template
+# spam that survives length/punctuation filters. Both metrics are pure
+# integer ratios per document — exact across engines — then
+# decimal-averaged per language.
+# ---------------------------------------------------------------------------
+@register(
+    "q_repetition_stats",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS w
+        FROM documents
+        WHERE len(string_split_regex(trim(text), '\s+')) >= 3
+    ),
+    bi AS (
+        SELECT doc_id, lang,
+               unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+        FROM base
+    ),
+    bc AS (SELECT doc_id, lang, bg, COUNT(*) AS c FROM bi GROUP BY doc_id, lang, bg),
+    topbg AS (
+        SELECT doc_id, lang, MAX(c) AS mc, CAST(SUM(c) AS BIGINT) AS nbg
+        FROM bc GROUP BY doc_id, lang
+    ),
+    tri AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w) - 1),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS tg
+        FROM base
+    ),
+    tstats AS (
+        SELECT doc_id, COUNT(*) AS ntg, COUNT(DISTINCT tg) AS dtg
+        FROM tri GROUP BY doc_id
+    ),
+    perdoc AS (
+        SELECT b.lang,
+               ROUND(b.mc * 1.0 / b.nbg, 6) AS top_bigram_frac,
+               ROUND(1.0 - t.dtg * 1.0 / t.ntg, 6) AS dup_trigram_frac
+        FROM topbg b JOIN tstats t USING (doc_id)
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(ROUND(CAST(SUM(CAST(top_bigram_frac AS DECIMAL(25,6))) AS DOUBLE)
+                / COUNT(*), 6) AS DOUBLE) AS avg_top_bigram_frac,
+           CAST(ROUND(CAST(SUM(CAST(dup_trigram_frac AS DECIMAL(25,6))) AS DOUBLE)
+                / COUNT(*), 6) AS DOUBLE) AS avg_dup_trigram_frac,
+           CAST(MAX(top_bigram_frac) AS DOUBLE) AS max_top_bigram_frac
+    FROM perdoc
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition metrics in two inverted explodes (bigram counts, then
+    trigram distincts), joined per document — the only shuffles are the
+    per-document groupBys, keyed by doc_id (well distributed at any
+    scale)."""
+    from etl_pipeline_project_auraverse_spark.queries._util import persist_tracked
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = persist_tracked(  # feeds the bigram AND trigram branches
+        parallelize(docs)
+        .select("doc_id", "lang", words(F.col("text")).alias("w"))
+        .filter(F.size("w") >= 3)
+    )
+
+    def grams(n: int):
+        gram = lambda i: F.concat_ws(  # noqa: E731
+            " ", *[F.get(F.col("w"), i + k) for k in range(n)]
+        )
+        return F.transform(F.sequence(F.lit(0), F.size("w") - n), gram)
+
+    topbg = (
+        base.select("doc_id", "lang", F.explode(grams(2)).alias("bg"))
+        .groupBy("doc_id", "lang", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id", "lang")
+        .agg(F.max("c").alias("mc"), F.sum("c").alias("nbg"))
+    )
+    tstats = (
+        base.select("doc_id", F.explode(grams(3)).alias("tg"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("ntg"), F.countDistinct("tg").alias("dtg"))
+    )
+    perdoc = topbg.join(tstats, "doc_id").select(
+        "lang",
+        F.round(F.col("mc") * 1.0 / F.col("nbg"), 6).alias("top_bigram_frac"),
+        F.round(1.0 - F.col("dtg") * 1.0 / F.col("ntg"), 6).alias("dup_trigram_frac"),
+    )
+    return (
+        perdoc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            dec_avg("top_bigram_frac").alias("avg_top_bigram_frac"),
+            dec_avg("dup_trigram_frac").alias("avg_dup_trigram_frac"),
+            F.max("top_bigram_frac").cast("double").alias("max_top_bigram_frac"),
+        )
+        .orderBy("lang")
+    )
