@@ -73,9 +73,11 @@ HEADLINE = [
     "q_gapfill_daily_purchases",
     "q_sample_documents_hash",
     "q_decontam_eval_overlap",
-    # round-4 breadth: multi-probe IVF recall, repetition metrics
+    # round-4 breadth: multi-probe ANN recall, repetition metrics,
+    # sequence packing
     "q_ann_ivf_recall",
     "q_repetition_stats",
+    "q_sequence_packing",
 ]
 
 

@@ -5,21 +5,25 @@ new data lands; you process only the NEW files and merge their partial
 aggregates into the stored rollup — the hypertable/continuous-
 aggregate pattern. This operator implements it batch-side:
 
-1. A manifest (JSON, one per rollup) records which input files have
-   already been folded in.
+1. A manifest records which inputs have already been folded in. It
+   lives INSIDE the rollup directory (``_manifest.json`` — Spark
+   ignores ``_``-prefixed files in a parquet dir), so the data and the
+   record of what produced it swap in the SAME atomic rename. A crash
+   at any point leaves either the old (rollup, manifest) pair or the
+   new one — never a folded batch whose manifest entry is missing,
+   which is the window where a naive after-swap manifest write would
+   double-count the last batch on retry.
 2. Each run lists the source directory, reads ONLY unseen files,
    computes the per-(window, event_type) partial aggregate, unions it
    with the stored rollup, and re-aggregates — correct because count
    and sum are decomposable; avg is derived at read time (never stored,
    storing it would break mergeability).
-3. The merged rollup is written atomically (write to a temp dir, then
-   swap) so a crashed run never leaves a half-written rollup; the
-   manifest is updated only after the swap, so a crash re-processes at
-   most the last batch (idempotent because the manifest is the source
-   of truth and the swap is all-or-nothing).
-
-The streaming twin is ``streaming/events.py::windowed_event_counts``
-(same aggregate, watermark-driven instead of manifest-driven).
+3. ``apply_rollup_batch`` is the same fold keyed by a monotonic batch
+   id instead of file names — the ``foreachBatch`` hook for the
+   streaming twin (``streaming/events.py::rollup_stream``): Spark
+   replays a micro-batch after a crash (foreachBatch is at-least-once
+   for side effects), and the swapped-in batch id turns the replay
+   into a detected no-op, restoring exactly-once.
 """
 
 from __future__ import annotations
@@ -33,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 ROLLUP_WINDOW = "6 hours"
+_MANIFEST_NAME = "_manifest.json"
 
 
 def _partial_rollup(events: DataFrame) -> DataFrame:
@@ -49,6 +54,60 @@ def _partial_rollup(events: DataFrame) -> DataFrame:
     )
 
 
+def _read_meta(rollup_dir: str) -> dict:
+    path = os.path.join(rollup_dir, _MANIFEST_NAME)
+    if not os.path.exists(path):
+        return {}
+    with open(path, encoding="utf-8") as f:
+        return json.load(f)
+
+
+def _merge_and_swap(
+    spark: SparkSession, state_dir: str, fresh: DataFrame, meta: dict
+) -> None:
+    """Fold ``fresh`` into the stored rollup and atomically swap in the
+    new (data, manifest) pair."""
+    rollup_dir = os.path.join(state_dir, "rollup")
+    if os.path.exists(rollup_dir):
+        stored = spark.read.parquet(rollup_dir)
+        merged = (
+            stored.unionByName(fresh)
+            .groupBy("win_start", "win_end", "event_type")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("total_value").alias("total_value"),
+            )
+        )
+    else:
+        merged = fresh
+
+    tmp = os.path.join(state_dir, f"rollup.tmp.{uuid.uuid4().hex[:8]}")
+    merged.write.mode("overwrite").parquet(tmp)
+    with open(os.path.join(tmp, _MANIFEST_NAME), "w", encoding="utf-8") as f:
+        json.dump(meta, f)
+    old = os.path.join(state_dir, f"rollup.old.{uuid.uuid4().hex[:8]}")
+    if os.path.exists(rollup_dir):
+        os.rename(rollup_dir, old)
+    os.rename(tmp, rollup_dir)
+    if os.path.exists(old):
+        shutil.rmtree(old, ignore_errors=True)
+
+
+def apply_rollup_batch(
+    spark: SparkSession, state_dir: str, events: DataFrame, batch_id: int
+) -> bool:
+    """Fold one micro-batch into the rollup exactly once; returns False
+    if ``batch_id`` was already applied (foreachBatch replay)."""
+    rollup_dir = os.path.join(state_dir, "rollup")
+    meta = _read_meta(rollup_dir)
+    if int(meta.get("last_batch_id", -1)) >= batch_id:
+        return False
+    _merge_and_swap(
+        spark, state_dir, _partial_rollup(events), {**meta, "last_batch_id": batch_id}
+    )
+    return True
+
+
 class IncrementalRollup:
     """Maintains a (win_start, win_end, event_type, n_events,
     total_value) rollup over a growing directory of event parquet
@@ -57,14 +116,19 @@ class IncrementalRollup:
     def __init__(self, state_dir: str) -> None:
         self.state_dir = state_dir
         self.rollup_dir = os.path.join(state_dir, "rollup")
-        self.manifest = os.path.join(state_dir, "manifest.json")
+        # pre-manifest-in-rollup layout, read as a fallback so existing
+        # states keep working
+        self.legacy_manifest = os.path.join(state_dir, "manifest.json")
         os.makedirs(state_dir, exist_ok=True)
 
     def _seen(self) -> set[str]:
-        if not os.path.exists(self.manifest):
-            return set()
-        with open(self.manifest, encoding="utf-8") as f:
-            return set(json.load(f)["files"])
+        meta = _read_meta(self.rollup_dir)
+        if "files" in meta:
+            return set(meta["files"])
+        if os.path.exists(self.legacy_manifest):
+            with open(self.legacy_manifest, encoding="utf-8") as f:
+                return set(json.load(f)["files"])
+        return set()
 
     def refresh(self, spark: SparkSession, source_dir: str) -> int:
         """Fold unseen source files into the rollup; returns how many
@@ -74,37 +138,14 @@ class IncrementalRollup:
             for f in os.listdir(source_dir)
             if f.endswith(".parquet")
         )
-        new_files = [f for f in all_files if f not in self._seen()]
+        seen = self._seen()
+        new_files = [f for f in all_files if f not in seen]
         if not new_files:
             return 0
-
         fresh = _partial_rollup(spark.read.parquet(*new_files))
-        if os.path.exists(self.rollup_dir):
-            stored = spark.read.parquet(self.rollup_dir)
-            merged = (
-                stored.unionByName(fresh)
-                .groupBy("win_start", "win_end", "event_type")
-                .agg(
-                    F.sum("n_events").alias("n_events"),
-                    F.sum("total_value").alias("total_value"),
-                )
-            )
-        else:
-            merged = fresh
-
-        # atomic swap: never leave a half-written rollup behind
-        tmp = os.path.join(self.state_dir, f"rollup.tmp.{uuid.uuid4().hex[:8]}")
-        merged.write.mode("overwrite").parquet(tmp)
-        old = os.path.join(self.state_dir, f"rollup.old.{uuid.uuid4().hex[:8]}")
-        if os.path.exists(self.rollup_dir):
-            os.rename(self.rollup_dir, old)
-        os.rename(tmp, self.rollup_dir)
-        if os.path.exists(old):
-            shutil.rmtree(old, ignore_errors=True)
-
-        seen = sorted(self._seen() | set(new_files))
-        with open(self.manifest, "w", encoding="utf-8") as f:
-            json.dump({"files": seen}, f)
+        meta = _read_meta(self.rollup_dir)
+        meta["files"] = sorted(seen | set(new_files))
+        _merge_and_swap(spark, self.state_dir, fresh, meta)
         return len(new_files)
 
     def read(self, spark: SparkSession) -> DataFrame:

@@ -502,3 +502,69 @@ def q_source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: assign documents to fixed token-budget bins (the
+# context-window packing step of LLM pre-training). Greedy
+# prefix-sum rule: a document lands in the bin its starting offset
+# falls in (bins may overrun by at most one document — standard greedy
+# packing). The running sum is a window partitioned BY SOURCE, so the
+# operator scales horizontally; within a source the order is doc_id
+# (deterministic shard order).
+# ---------------------------------------------------------------------------
+PACK_BUDGET = 512  # tokens per packed sequence
+
+
+@register(
+    "q_sequence_packing",
+    oracle=rf"""
+    WITH d AS (
+        SELECT source, doc_id,
+               len(string_split_regex(trim(text), '\s+')) AS ntok
+        FROM documents
+    ),
+    p AS (
+        SELECT source, ntok,
+               COALESCE(SUM(ntok) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS prev
+        FROM d
+    )
+    SELECT source,
+           CAST(FLOOR(prev / {PACK_BUDGET}.0) AS BIGINT) AS bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+           CAST(ROUND(SUM(ntok) / {PACK_BUDGET}.0, 6) AS DOUBLE) AS fill_rate
+    FROM p
+    GROUP BY source, bin_id
+    ORDER BY source, bin_id
+    """,
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("source", "doc_id", n_words(F.col("text")).alias("ntok"))
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    p = d.select(
+        "source",
+        "ntok",
+        F.coalesce(F.sum("ntok").over(w), F.lit(0)).alias("prev"),
+    )
+    return (
+        p.groupBy(
+            "source",
+            F.floor(F.col("prev") / float(PACK_BUDGET)).alias("bin_id"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ntok").alias("n_tokens"),
+            F.round(F.sum("ntok") / float(PACK_BUDGET), 6)
+            .cast("double")
+            .alias("fill_rate"),
+        )
+        .orderBy("source", "bin_id")
+    )

@@ -557,3 +557,160 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe LSH recall: the recall@k instrumentation the IVF path
+# has, for the sign-LSH bucket search — one row per probe depth.
+# Hamming-0 probes only the query's own bucket (the q_ann_lsh_cosine
+# shape); Hamming-1 additionally probes the 8 one-bit-flip buckets (the
+# standard multi-probe LSH recall lever: a near neighbor most often
+# lands in a bucket differing by exactly the hyperplane whose dot
+# product was smallest). Each candidate has ONE bucket and the 9 probe
+# keys are distinct, so pairs stay unique. The recall ratio is a single
+# double division of exact integer counts.
+# ---------------------------------------------------------------------------
+LSH_RECALL_QUERY_MAX = 20
+
+
+@register(
+    "q_ann_lsh_recall",
+    oracle=f"""
+    WITH sig AS (
+        SELECT vec_id, embedding, {sql_lsh_signature("embedding")} AS bucket
+        FROM embeddings
+    ),
+    qset AS (
+        SELECT vec_id, embedding, bucket FROM sig
+        WHERE vec_id < {LSH_RECALL_QUERY_MAX}
+    ),
+    exact AS (
+        SELECT query_id, cand_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY {sql_cosine("q.embedding", "c.embedding")} DESC,
+                                c.vec_id) AS rank
+            FROM qset q JOIN embeddings c ON q.vec_id <> c.vec_id
+        ) WHERE rank <= {LSH_TOP_K}
+    ),
+    probes AS (
+        SELECT vec_id, embedding, bucket AS pbucket, 0 AS probe_rank FROM qset
+        UNION ALL
+        SELECT vec_id, embedding, xor(bucket, CAST(f.p AS BIGINT)) AS pbucket,
+               1 AS probe_rank
+        FROM qset, (SELECT unnest([{", ".join(str(1 << j) for j in range(8))}]) AS p) f
+    ),
+    apairs AS (
+        SELECT q.vec_id AS query_id, q.probe_rank, c.vec_id AS cand_id,
+               {sql_cosine("q.embedding", "c.embedding")} AS cos_sim
+        FROM probes q JOIN sig c
+          ON c.bucket = q.pbucket AND c.vec_id <> q.vec_id
+    ),
+    levels AS (SELECT unnest([0, 1]) AS probe_hamming),
+    leveled AS (
+        SELECT probe_hamming, query_id, cand_id FROM (
+            SELECT l.probe_hamming, a.query_id, a.cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY l.probe_hamming, a.query_id
+                       ORDER BY a.cos_sim DESC, a.cand_id) AS rank
+            FROM levels l JOIN apairs a ON a.probe_rank <= l.probe_hamming
+        ) WHERE rank <= {LSH_TOP_K}
+    ),
+    hits AS (
+        SELECT t.probe_hamming, COUNT(*) AS total_hits
+        FROM leveled t JOIN exact e
+          ON t.query_id = e.query_id AND t.cand_id = e.cand_id
+        GROUP BY t.probe_hamming
+    )
+    SELECT CAST(l.probe_hamming AS BIGINT) AS probe_hamming,
+           CAST(CASE WHEN l.probe_hamming = 0 THEN 1 ELSE 9 END AS BIGINT)
+               AS n_buckets_probed,
+           (SELECT COUNT(*) FROM qset) AS n_queries,
+           CAST(COALESCE(h.total_hits, 0) AS BIGINT) AS total_hits,
+           CAST(COALESCE(h.total_hits, 0) AS DOUBLE)
+               / ((SELECT COUNT(*) FROM qset) * {LSH_TOP_K}) AS recall_at_k
+    FROM levels l LEFT JOIN hits h ON h.probe_hamming = l.probe_hamming
+    ORDER BY probe_hamming
+    """,
+)
+def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    sig = persist_tracked(
+        emb.join(_lsh_buckets(emb), "vec_id").select("vec_id", "embedding", "bucket")
+    )
+    qset = F.broadcast(sig.filter(F.col("vec_id") < LSH_RECALL_QUERY_MAX))
+    w_exact = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "cand_id")
+    exact = (
+        qset.alias("q")
+        .join(emb.alias("c"), F.col("q.vec_id") != F.col("c.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("cand_id"),
+            cosine(F.col("q.embedding"), F.col("c.embedding")).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w_exact))
+        .filter(F.col("rank") <= LSH_TOP_K)
+        .select("query_id", "cand_id")
+    )
+    probe_structs = F.array(
+        F.struct(F.col("bucket").alias("pbucket"), F.lit(0).alias("probe_rank")),
+        *[
+            F.struct(
+                F.col("bucket").bitwiseXOR(F.lit(1 << j)).alias("pbucket"),
+                F.lit(1).alias("probe_rank"),
+            )
+            for j in range(8)
+        ],
+    )
+    probes = qset.select(
+        "vec_id", "embedding", F.explode(probe_structs).alias("pb")
+    ).select(
+        "vec_id",
+        "embedding",
+        F.col("pb.pbucket").alias("pbucket"),
+        F.col("pb.probe_rank").alias("probe_rank"),
+    )
+    apairs = probes.alias("q").join(
+        sig.alias("c"),
+        (F.col("c.bucket") == F.col("q.pbucket"))
+        & (F.col("c.vec_id") != F.col("q.vec_id")),
+    ).select(
+        F.col("q.vec_id").alias("query_id"),
+        F.col("q.probe_rank").alias("probe_rank"),
+        F.col("c.vec_id").alias("cand_id"),
+        cosine(F.col("q.embedding"), F.col("c.embedding")).alias("cos_sim"),
+    )
+    levels = spark.range(0, 2).select(F.col("id").alias("probe_hamming"))
+    w_lvl = W.partitionBy("probe_hamming", "query_id").orderBy(
+        F.col("cos_sim").desc(), "cand_id"
+    )
+    leveled = (
+        F.broadcast(levels)
+        .join(apairs, F.col("probe_rank") <= F.col("probe_hamming"))
+        .withColumn("rank", F.row_number().over(w_lvl))
+        .filter(F.col("rank") <= LSH_TOP_K)
+        .select("probe_hamming", "query_id", "cand_id")
+    )
+    hits = (
+        leveled.join(exact, ["query_id", "cand_id"])
+        .groupBy("probe_hamming")
+        .agg(F.count("*").alias("total_hits"))
+    )
+    nq = F.broadcast(qset.agg(F.count("*").alias("n_queries")))
+    return (
+        levels.join(hits, "probe_hamming", "left")
+        .crossJoin(nq)
+        .select(
+            "probe_hamming",
+            F.when(F.col("probe_hamming") == 0, 1)
+            .otherwise(9)
+            .cast("long")
+            .alias("n_buckets_probed"),
+            "n_queries",
+            F.coalesce(F.col("total_hits"), F.lit(0)).cast("long").alias("total_hits"),
+            (
+                F.coalesce(F.col("total_hits"), F.lit(0)).cast("double")
+                / (F.col("n_queries") * LSH_TOP_K)
+            ).alias("recall_at_k"),
+        )
+        .orderBy("probe_hamming")
+    )

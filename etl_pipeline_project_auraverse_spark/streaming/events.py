@@ -198,6 +198,35 @@ def purchase_context_join(
     )
 
 
+def rollup_stream(
+    events: DataFrame, state_dir: str, checkpoint_dir: str | None = None
+):
+    """Continuous-aggregate maintenance as a streaming sink: each
+    micro-batch's partial (window, event_type) rollup folds into the
+    stored parquet rollup via ``foreachBatch`` + atomic swap
+    (``operators/incremental.py::apply_rollup_batch``).
+
+    foreachBatch side effects are only at-least-once — Spark replays
+    the in-flight batch after a crash/restart. The applied batch id
+    rides INSIDE the atomically-swapped rollup directory, so a replay
+    is detected and skipped: the sink is exactly-once end to end. This
+    is the streaming face of the manifest-driven batch refresh, and the
+    update-capable alternative to the append-only file sink (closed
+    windows get amended in place as late-but-in-watermark data folds
+    in)."""
+    from etl_pipeline_project_auraverse_spark.operators.incremental import (
+        apply_rollup_batch,
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        apply_rollup_batch(batch_df.sparkSession, state_dir, batch_df, batch_id)
+
+    writer = events.writeStream.foreachBatch(_apply).trigger(availableNow=True)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def to_memory(df: DataFrame, name: str, output_mode: str = "append"):
     """Test/driver sink: materialize the stream into an in-memory table."""
     return (

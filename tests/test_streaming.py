@@ -263,6 +263,55 @@ def test_file_sink_exactly_once_across_restarts(spark, tmp_path):
     assert {r["event_id"] for r in got.collect()} == {1, 2, 5}
 
 
+def test_streaming_rollup_is_exactly_once(spark, events_path, tmp_path):
+    """foreachBatch continuous aggregate: all micro-batches folded must
+    equal the one-shot batch rollup; restarting the (checkpointed)
+    query with no new data must change nothing; and a REPLAYED batch id
+    — what Spark does to the in-flight batch after a crash — must be
+    detected and skipped rather than double-counted."""
+    from etl_pipeline_project_auraverse_spark.operators.incremental import (
+        _partial_rollup,
+        apply_rollup_batch,
+    )
+
+    state = str(tmp_path / "rollup_state")
+    chk = str(tmp_path / "rollup_chk")
+
+    def run_once() -> None:
+        stream = se.read_event_stream(spark, events_path, max_files_per_trigger=2)
+        q = se.rollup_stream(stream, state, checkpoint_dir=chk)
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()
+    got = {
+        (r["win_start"], r["event_type"]): (r["n_events"], round(r["total_value"], 4))
+        for r in spark.read.parquet(f"{state}/rollup").collect()
+    }
+    want = {
+        (r["win_start"], r["event_type"]): (r["n_events"], round(r["total_value"], 4))
+        for r in _partial_rollup(spark.read.parquet(events_path)).collect()
+    }
+    assert got == want
+
+    # restart with no new data: no batches run, rollup unchanged
+    run_once()
+    again = {
+        (r["win_start"], r["event_type"]): (r["n_events"], round(r["total_value"], 4))
+        for r in spark.read.parquet(f"{state}/rollup").collect()
+    }
+    assert again == want
+
+    # simulate the crash-replay: re-apply an already-applied batch id
+    replay = spark.read.parquet(events_path).limit(50)
+    assert apply_rollup_batch(spark, state, replay, 0) is False
+    after = {
+        (r["win_start"], r["event_type"]): (r["n_events"], round(r["total_value"], 4))
+        for r in spark.read.parquet(f"{state}/rollup").collect()
+    }
+    assert after == want
+
+
 def test_stream_stream_purchase_context_matches_batch(spark, events_path):
     stream = se.read_event_stream(spark, events_path, max_files_per_trigger=2)
     name = f"ssj_{uuid.uuid4().hex[:8]}"
