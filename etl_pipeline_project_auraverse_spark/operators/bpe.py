@@ -128,10 +128,14 @@ def train_bpe(
     Scale structure: each ROUND is one pair-count shuffle + two small
     probes + one map-side merge pass, and commits every merge in the
     provably-compatible prefix of the top ``batch_candidates`` pairs
-    (see :func:`_select_batch`) — so a 32k-vocab training needs
-    hundreds of rounds, not 32k sequential Spark jobs. Pass ``stats``
-    to receive ``{"rounds": ...}`` back (the batching win, asserted in
-    tests).
+    (see :func:`_select_batch`) — removing the hard one-round-per-merge
+    floor of the naive loop. The batching factor depends on how often
+    top pairs share symbols: measured ~1.5x on the synthetic 40-word
+    test corpus (adversarial — a tiny vocabulary makes every top pair
+    collide), and it grows with vocabulary diversity since disjoint
+    high-count pairs are the common case in natural text. Pass
+    ``stats`` to receive ``{"rounds": ...}`` back (rounds < merges is
+    asserted in tests).
     """
     from etl_pipeline_project_auraverse_spark.cache import (
         local_checkpoint_tracked,

