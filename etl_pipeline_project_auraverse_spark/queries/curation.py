@@ -509,54 +509,69 @@ def q_source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # context-window packing step of LLM pre-training). Greedy
 # prefix-sum rule: a document lands in the bin its starting offset
 # falls in (bins may overrun by at most one document — standard greedy
-# packing). The running sum is a window partitioned BY SOURCE, so the
-# operator scales horizontally; within a source the order is doc_id
-# (deterministic shard order).
+# packing). The running sum is a window partitioned by (source, SHARD)
+# where shard = doc_id % PACK_SHARDS: source alone is low-cardinality
+# (~20 values), which at 100 TB would funnel terabytes of one source
+# through a single window task; sharding packs each slice
+# independently — exactly what multi-worker packers do, since packing
+# only needs SOME deterministic order, not a global one — and the
+# parallelism is PACK_SHARDS x n_sources. The shard key is doc_id
+# arithmetic (portable to the oracle), deterministic across engines.
 # ---------------------------------------------------------------------------
 PACK_BUDGET = 512  # tokens per packed sequence
+PACK_SHARDS = 8  # independent packing slices per source
 
 
 @register(
     "q_sequence_packing",
     oracle=rf"""
     WITH d AS (
-        SELECT source, doc_id,
+        SELECT source, doc_id % {PACK_SHARDS} AS shard, doc_id,
                len(string_split_regex(trim(text), '\s+')) AS ntok
         FROM documents
     ),
     p AS (
-        SELECT source, ntok,
-               COALESCE(SUM(ntok) OVER (PARTITION BY source ORDER BY doc_id
+        SELECT source, shard, ntok,
+               COALESCE(SUM(ntok) OVER (PARTITION BY source, shard
+                        ORDER BY doc_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                    AS prev
         FROM d
     )
     SELECT source,
+           CAST(shard AS BIGINT) AS shard,
            CAST(FLOOR(prev / {PACK_BUDGET}.0) AS BIGINT) AS bin_id,
            COUNT(*) AS n_docs,
            CAST(SUM(ntok) AS BIGINT) AS n_tokens,
            CAST(ROUND(SUM(ntok) / {PACK_BUDGET}.0, 6) AS DOUBLE) AS fill_rate
     FROM p
-    GROUP BY source, bin_id
-    ORDER BY source, bin_id
+    GROUP BY source, shard, bin_id
+    ORDER BY source, shard, bin_id
     """,
 )
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    d = docs.select("source", "doc_id", n_words(F.col("text")).alias("ntok"))
+    d = docs.select(
+        "source",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        "doc_id",
+        n_words(F.col("text")).alias("ntok"),
+    )
     w = (
-        W.partitionBy("source")
+        W.partitionBy("source", "shard")
         .orderBy("doc_id")
         .rowsBetween(W.unboundedPreceding, -1)
     )
     p = d.select(
         "source",
+        "shard",
         "ntok",
         F.coalesce(F.sum("ntok").over(w), F.lit(0)).alias("prev"),
     )
     return (
         p.groupBy(
             "source",
+            F.col("shard").cast("long").alias("shard"),
             F.floor(F.col("prev") / float(PACK_BUDGET)).alias("bin_id"),
         )
         .agg(
@@ -566,5 +581,5 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("fill_rate"),
         )
-        .orderBy("source", "bin_id")
+        .orderBy("source", "shard", "bin_id")
     )
