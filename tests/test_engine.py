@@ -58,3 +58,75 @@ def test_run_etl_through_engine(engine, tmp_path):
     # dedup collapses the two tagged copies, keeping tagged + untagged
     assert rep.n_records == 4
     assert (tmp_path / "out.csv").exists()
+
+
+def test_load_table_ntz_epoch_exact_in_any_session_tz(spark, tmp_path):
+    """The defensive NTZ->LTZ normalization must map stored micros to
+    epoch micros EXACTLY even when the caller session runs a non-UTC
+    time zone (a bare cast would shift by the zone offset), and must
+    leave the caller's inferTimestampNTZ conf untouched."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_project_auraverse_spark.session import load_table
+
+    d = tmp_path / "tztest"
+    d.mkdir()
+    micros = 1_704_110_400_000_000  # 2024-01-01 12:00:00 UTC
+    pq.write_table(
+        pa.table(
+            {
+                "ts": pa.array([micros], type=pa.timestamp("us")),
+                "x": pa.array([1], type=pa.int64()),
+            }
+        ),
+        str(d / "weird.parquet"),
+    )
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    try:
+        df = load_table(spark, str(d), "weird")
+        assert dict(df.dtypes)["ts"] == "timestamp"
+        [r] = df.select(F.unix_micros("ts").alias("e")).collect()
+        assert r["e"] == micros
+        # the caller's runtime conf survives the read
+        assert (
+            spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled") == "true"
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+
+
+def test_load_table_nested_untagged_timestamp_epoch_exact(spark, tmp_path):
+    """Nested untagged timestamps go through the PRIMARY path (NTZ
+    inference disabled for the read), which maps stored micros to epoch
+    directly at any nesting depth — even in a non-UTC caller session.
+    (The nested-ntz ValueError guard in load_table is defense in depth
+    for NTZ leaking past that conf; it is unreachable while the conf
+    works, which this test demonstrates.)"""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_project_auraverse_spark.session import load_table
+
+    d = tmp_path / "nested"
+    d.mkdir()
+    micros = 1_704_110_400_000_000
+    inner = pa.array([micros], type=pa.timestamp("us"))
+    struct = pa.StructArray.from_arrays([inner], names=["t"])
+    pq.write_table(pa.table({"s": struct}), str(d / "weird.parquet"))
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    try:
+        df = load_table(spark, str(d), "weird")
+        assert "timestamp_ntz" not in df.schema.simpleString()
+        [r] = df.select(F.unix_micros("s.t").alias("e")).collect()
+        assert r["e"] == micros
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
