@@ -583,3 +583,147 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "shard", "bin_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# The composed curation pipeline: per-document keep/drop decisions
+# across all four stages — quality rules, exact dedup (keep the lowest
+# doc_id per fingerprint), eval decontamination, and hash sampling —
+# in ONE pass shape. This is the audit a data engineer runs before a
+# training job: WHY is each document in or out. Each stage is the
+# already-oracle-checked operator, composed; the only wide operation
+# added is the fingerprint dedup window (keyed by fingerprint —
+# high cardinality, scales).
+# ---------------------------------------------------------------------------
+CONTAM_RATIO = 0.2  # >= this eval-shingle overlap share => contaminated
+
+
+def _pipeline_oracle() -> str:
+    from etl_pipeline_project_auraverse_spark.queries.dedup import SQL_SHINGLE_CTE
+
+    return rf"""
+    WITH {SQL_SHINGLE_CTE},
+    eval_sh AS (
+        SELECT DISTINCT h FROM sh WHERE doc_id % {EVAL_MOD} = {EVAL_RESIDUE}
+    ),
+    train AS (
+        SELECT doc_id, lang, text FROM documents
+        WHERE doc_id % {EVAL_MOD} <> {EVAL_RESIDUE}
+    ),
+    contam AS (
+        SELECT t.doc_id, COUNT(e.h) * 1.0 / COUNT(*) AS ratio
+        FROM (SELECT doc_id, h FROM sh WHERE doc_id % {EVAL_MOD} <> {EVAL_RESIDUE}) t
+        LEFT JOIN eval_sh e ON t.h = e.h
+        GROUP BY t.doc_id
+    ),
+    quality AS (
+        SELECT doc_id,
+               (nw BETWEEN {MIN_WORDS} AND {MAX_WORDS})
+               AND (nchars * 1.0 / nw BETWEEN {MIN_MWL} AND {MAX_MWL})
+               AND (npunct * 1.0 / nw <= {MAX_PUNCT_RATIO})
+               AND (lang <> 'en' OR nstop >= {MIN_STOP_HITS}) AS ok_quality
+        FROM (
+            SELECT doc_id, lang,
+                   len(string_split_regex(trim(text), '\s+')) AS nw,
+                   length(regexp_replace(trim(text), '\s+', '', 'g')) AS nchars,
+                   length(text) - length(regexp_replace(text, '{PUNCT_RE}', '', 'g'))
+                       AS npunct,
+                   len(regexp_extract_all(text, '{STOPWORD_RE}')) AS nstop
+            FROM train
+        )
+    ),
+    dup AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) > 1 AS is_exact_dup
+        FROM (
+            SELECT doc_id,
+                   md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+            FROM train
+        )
+    ),
+    samp AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 100
+                   < {_rate_sql()} AS in_sample
+        FROM train
+    )
+    SELECT d.doc_id, d.lang, q.ok_quality, u.is_exact_dup,
+           COALESCE(c.ratio >= {CONTAM_RATIO}, FALSE) AS is_contaminated,
+           s.in_sample,
+           q.ok_quality AND NOT u.is_exact_dup
+               AND NOT COALESCE(c.ratio >= {CONTAM_RATIO}, FALSE)
+               AND s.in_sample AS keep
+    FROM train d
+    JOIN quality q USING (doc_id)
+    JOIN dup u USING (doc_id)
+    JOIN samp s USING (doc_id)
+    LEFT JOIN contam c USING (doc_id)
+    ORDER BY doc_id
+    """
+
+
+@register("q_curation_pipeline_decisions", oracle=_pipeline_oracle())
+def q_curation_pipeline_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_project_auraverse_spark.functions.text import norm_text
+    from etl_pipeline_project_auraverse_spark.queries.dedup import _shingle_hashes
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = (F.col("doc_id") % EVAL_MOD) == EVAL_RESIDUE
+    train = persist_tracked(  # feeds quality/dup/sample AND the shingle scan
+        docs.where(~is_eval).select("doc_id", "lang", "text")
+    )
+
+    eval_sh = (
+        _shingle_hashes(docs.where(is_eval))
+        .select("h")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    contam = (
+        _shingle_hashes(train)
+        .join(F.broadcast(eval_sh), "h", "left")
+        .groupBy("doc_id")
+        .agg((F.count("__hit") * 1.0 / F.count(F.lit(1))).alias("ratio"))
+    )
+
+    text = F.col("text")
+    nw = n_words(text)
+    nchars = F.length(F.regexp_replace(F.trim(text), r"\s+", ""))
+    npunct = F.length(text) - F.length(F.regexp_replace(text, PUNCT_RE, ""))
+    nstop = F.size(F.regexp_extract_all(text, F.lit(STOPWORD_RE)))
+    ok_quality = (
+        nw.between(MIN_WORDS, MAX_WORDS)
+        & (nchars * 1.0 / nw).between(MIN_MWL, MAX_MWL)
+        & (npunct * 1.0 / nw <= MAX_PUNCT_RATIO)
+        & ((F.col("lang") != "en") | (nstop >= MIN_STOP_HITS))
+    )
+    w_dup = W.partitionBy(F.md5(norm_text(text))).orderBy("doc_id")
+    bucket = h28(F.col("doc_id").cast("string")) % 100
+    scored = train.select(
+        "doc_id",
+        "lang",
+        ok_quality.alias("ok_quality"),
+        (F.row_number().over(w_dup) > 1).alias("is_exact_dup"),
+        (bucket < _rate_spark()).alias("in_sample"),
+    )
+    is_contaminated = F.coalesce(
+        F.col("ratio") >= CONTAM_RATIO, F.lit(False)
+    )
+    return (
+        scored.join(contam, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "ok_quality",
+            "is_exact_dup",
+            is_contaminated.alias("is_contaminated"),
+            "in_sample",
+            (
+                F.col("ok_quality")
+                & ~F.col("is_exact_dup")
+                & ~is_contaminated
+                & F.col("in_sample")
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
