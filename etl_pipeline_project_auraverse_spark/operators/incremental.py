@@ -66,8 +66,16 @@ def _merge_and_swap(
     spark: SparkSession, state_dir: str, fresh: DataFrame, meta: dict
 ) -> None:
     """Fold ``fresh`` into the stored rollup and atomically swap in the
-    new (data, manifest) pair."""
+    new (data, manifest) pair. Leftover ``rollup.tmp.*`` /
+    ``rollup.old.*`` dirs from a crashed earlier swap are swept first —
+    they are dead by construction (the live state is always exactly
+    ``rollup/``), so a crash never breaks later refreshes or leaks disk
+    unboundedly."""
     rollup_dir = os.path.join(state_dir, "rollup")
+    os.makedirs(state_dir, exist_ok=True)
+    for stale in os.listdir(state_dir):
+        if stale.startswith(("rollup.tmp.", "rollup.old.")):
+            shutil.rmtree(os.path.join(state_dir, stale), ignore_errors=True)
     if os.path.exists(rollup_dir):
         stored = spark.read.parquet(rollup_dir)
         merged = (

@@ -55,6 +55,24 @@ def test_incremental_matches_full_batch(spark, tmp_path, split_events):
     assert got == want
 
 
+def test_crashed_swap_leftovers_are_swept(spark, tmp_path, split_events):
+    """Debris from a crashed atomic swap (tmp/old dirs) must neither
+    break the next refresh nor accumulate: the live state is always
+    exactly rollup/, so anything else is dead and gets swept."""
+    src, _first, ev = split_events
+    state = tmp_path / "state_crash"
+    roll = IncrementalRollup(str(state))
+    # simulate two crashed earlier swaps
+    (state / "rollup.tmp.deadbeef").mkdir(parents=True)
+    (state / "rollup.tmp.deadbeef" / "part-0.parquet").write_bytes(b"junk")
+    (state / "rollup.old.cafef00d").mkdir()
+    assert roll.refresh(spark, src) > 0
+    leftovers = [d for d in os.listdir(state) if d.startswith(("rollup.tmp.", "rollup.old."))]
+    assert leftovers == []
+    got = _as_map(roll.read(spark))
+    assert got == _as_map(_partial_rollup(ev))
+
+
 def test_two_step_arrival_merges_correctly(spark, tmp_path, split_events):
     src, first_files, ev = split_events
     staged = tmp_path / "staged"
