@@ -74,10 +74,11 @@ HEADLINE = [
     "q_sample_documents_hash",
     "q_decontam_eval_overlap",
     # round-4 breadth: multi-probe ANN recall, repetition metrics,
-    # sequence packing
+    # sequence packing, composed curation pipeline
     "q_ann_ivf_recall",
     "q_repetition_stats",
     "q_sequence_packing",
+    "q_curation_pipeline_decisions",
 ]
 
 

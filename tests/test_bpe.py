@@ -87,9 +87,10 @@ def test_batched_matches_reference_on_random_corpora(spark):
     collapse to exactly the sequential merge sequence."""
     import random
 
-    for seed in range(5):
+    # "ab" is the adversarial alphabet: constant symbol conflicts and
+    # self-pairs (aa/bb) exercise the batch-stop rules hardest
+    for seed, alphabet in [(0, "abc"), (1, "abc"), (2, "abc"), (3, "ab"), (4, "ab")]:
         rng = random.Random(seed)
-        alphabet = "abc"
         texts = [
             " ".join(
                 "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6)))
@@ -102,7 +103,7 @@ def test_batched_matches_reference_on_random_corpora(spark):
         )
         got = train_bpe(docs, num_merges=10)
         want = _reference_bpe(texts, num_merges=10)
-        assert got == want, (seed, got, want)
+        assert got == want, (seed, alphabet, got, want)
 
 
 def test_encode_applies_merges_in_order(spark):
