@@ -82,8 +82,14 @@ def _select_batch(
     A batch of merges applied together yields byte-identical results to
     applying them one recount at a time iff, at each position i:
 
-    - ``m_i`` shares NO symbol with any earlier accepted merge — then
-      applying the earlier merges cannot change ``count(m_i)`` (merging
+    - ``m_i`` shares NO symbol with any earlier accepted merge — and
+      "symbol" includes each earlier merge's JOINED string ``l+r``:
+      if the joined token's string already exists as a live vocab
+      symbol, the earlier merge re-creates adjacencies of that symbol
+      and can inflate ``count(m_i)`` even though ``m_i`` is disjoint
+      from ``{l, r}`` (e.g. accept ``('ab','cd')`` while ``('abcd','x')``
+      is also a candidate). With the joined strings excluded, applying
+      the earlier merges cannot change ``count(m_i)`` (merging
       elsewhere in a word never breaks the adjacency of untouched
       neighbors, and new adjacencies always involve a joined token);
     - ``count(m_i)`` strictly exceeds every pair count the earlier
@@ -105,10 +111,12 @@ def _select_batch(
         n = int(t["n"])
         if n < min_pair_freq or len(batch) >= budget:
             break
-        if batch and (n <= bound or {t["l"], t["r"]} & used):
+        if batch and (n <= bound or {t["l"], t["r"], t["l"] + t["r"]} & used):
             break
         batch.append((t["l"], t["r"], n))
-        used |= {t["l"], t["r"]}
+        # the joined string is used too: a later candidate touching it
+        # (as l, r, OR as its own joined string) is order-sensitive
+        used |= {t["l"], t["r"], t["l"] + t["r"]}
         bound = max(bound, adj_r.get(t["l"], 0), adj_l.get(t["r"], 0))
     return batch
 

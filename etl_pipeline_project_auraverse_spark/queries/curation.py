@@ -88,6 +88,40 @@ def q_sample_documents_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Stratified reservoir: K docs per language, chosen by hash order.
 # ---------------------------------------------------------------------------
 RESERVOIR_K = 10
+RESERVOIR_SALTS = 16
+
+
+def reservoir_candidates(docs: DataFrame, k: int, salts: int = RESERVOIR_SALTS) -> DataFrame:
+    """Skew pre-filter for the per-lang reservoir: exact two-level top-K.
+
+    A single ``PARTITION BY lang`` rank window funnels the dominant
+    language (``en`` is most of the web) through ONE sort task at
+    corpus scale. Instead, rank first within ``(lang, salt)`` where
+    salt = doc_id % ``salts`` — ``salts`` parallel, individually small
+    sort tasks per language — and keep each bucket's k hash-smallest.
+    The global k hash-smallest per lang each rank <= k inside their own
+    bucket, so the survivor set (<= k * salts rows per lang) provably
+    contains the final reservoir: the second, global window is exact
+    while seeing a bounded input regardless of language skew.
+
+    Returns columns ``lang, doc_id, __h`` (the portable order hash,
+    kept so the caller's final window doesn't recompute it).
+    """
+    h = h28(F.col("doc_id").cast("string"))
+    w_local = W.partitionBy("lang", "__salt").orderBy(
+        F.col("__h").asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select(
+            "lang",
+            "doc_id",
+            h.alias("__h"),
+            (F.col("doc_id") % salts).alias("__salt"),
+        )
+        .withColumn("__lrk", F.row_number().over(w_local))
+        .filter(F.col("__lrk") <= k)
+        .drop("__salt", "__lrk")
+    )
 
 
 @register(
@@ -107,13 +141,16 @@ RESERVOIR_K = 10
 )
 def q_sample_reservoir_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 'reservoir': the K hash-smallest docs per language
-    (hash order ~ uniform random order, but reproducible). Rank window
-    + truncation — the candidate set never concentrates in memory."""
+    (hash order ~ uniform random order, but reproducible). Two-level
+    rank: a salted local top-K bounds every sort task even when one
+    language dominates the corpus (see ``reservoir_candidates``), then
+    a global rank over <= K*SALTS survivors per lang — exact, same
+    result as the naive single window and the SQL oracle."""
     docs = load_table(spark, sf_dir, "documents")
-    h = h28(F.col("doc_id").cast("string"))
-    w = W.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    cand = reservoir_candidates(docs, RESERVOIR_K)
+    w = W.partitionBy("lang").orderBy(F.col("__h").asc(), F.col("doc_id").asc())
     return (
-        docs.select("lang", "doc_id", F.row_number().over(w).cast("long").alias("rk"))
+        cand.select("lang", "doc_id", F.row_number().over(w).cast("long").alias("rk"))
         .filter(F.col("rk") <= RESERVOIR_K)
         .orderBy("lang", "rk")
     )

@@ -200,13 +200,17 @@ def q_vocab_top_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Array aggregation functions: per-order lineitem rollups as arrays.
+# The sorted-prefix array is serialized to a comma-joined string so the
+# external harness's row canonicalizer (pandas sort/hash over cells) can
+# handle it — raw list cells are unhashable there. The array-function
+# exercise (collect_set/sort/slice/element_at/contains) is unchanged.
 # ---------------------------------------------------------------------------
 @register(
     "q_array_functions_per_order",
     oracle="""
     SELECT l_orderkey,
            CAST(len(list_sort(list(DISTINCT l_partkey))) AS INT) AS n_parts,
-           list_sort(list(DISTINCT l_partkey))[1:3] AS first_parts,
+           array_to_string(list_sort(list(DISTINCT l_partkey))[1:3], ',') AS first_parts,
            CAST(list_sort(list(DISTINCT l_partkey))[1] AS BIGINT) AS min_part,
            CAST(list_contains(list(DISTINCT l_partkey), 1) AS BOOLEAN) AS has_part_1
     FROM lineitem
@@ -222,7 +226,9 @@ def q_array_functions_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_orderkey")
         .agg(
             F.size(parts).alias("n_parts"),
-            F.slice(parts, 1, 3).alias("first_parts"),
+            F.array_join(F.slice(parts, 1, 3).cast("array<string>"), ",").alias(
+                "first_parts"
+            ),
             F.element_at(parts, 1).cast("long").alias("min_part"),
             F.array_contains(parts, F.lit(1)).alias("has_part_1"),
         )

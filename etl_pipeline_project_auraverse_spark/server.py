@@ -164,7 +164,13 @@ class EtlServer:
             with open(schema_path, encoding="utf-8") as f:
                 schema = json.load(f)
         table, truncated = _read_csv_rows(out_csv)
-        return {"success": True, "table": table, "truncated": truncated, "schema": schema}
+        # 'truncated' appears ONLY above the cap: below it the response
+        # shape stays byte-identical to the reference's (server.js:52-70
+        # has no such field; strict-schema clients must not see drift)
+        resp: dict[str, Any] = {"success": True, "table": table, "schema": schema}
+        if truncated:
+            resp["truncated"] = True
+        return resp
 
     def _make_handler(self) -> type[BaseHTTPRequestHandler]:
         server = self

@@ -106,6 +106,53 @@ def test_batched_matches_reference_on_random_corpora(spark):
         assert got == want, (seed, alphabet, got, want)
 
 
+def test_joined_token_collision_matches_reference(spark):
+    """An accepted merge's JOINED string can equal a symbol that is
+    already live in the vocab via a different merge path (abc+d and
+    ab+cd both yield 'abcd'): the earlier merge then re-creates
+    adjacencies of that existing symbol and inflates later candidates'
+    counts. _select_batch must treat the joined string as used, or the
+    batch diverges from sequential on count ties."""
+    texts = [
+        # family 1: drives a+b→ab, ab+c→abc, abc+d→abcd (symbol 'abcd')
+        "abc abc abc abc abcd abcd abcd",
+        "ab ab ab ab ab ab",
+        # family 2: keeps 'ab cd' adjacency alive so ('ab','cd') — whose
+        # joined string is also 'abcd' — stays a candidate, with 'x'
+        # following so ('abcd','x') pairs exist on both merge paths
+        "abcdx abcdx abcdx abcdx",
+        "cd cd cd cd cdx cdx",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = train_bpe(docs, num_merges=15)
+    want = _reference_bpe(texts, num_merges=15)
+    assert got == want, (got, want)
+
+
+def test_single_symbol_alphabet_fuzz(spark):
+    """Alphabet 'a': every merge's joined string ('aa', 'aaa', 'aaaa',
+    ...) collides with other live symbols and candidates constantly —
+    the hardest stress for the joined-string-is-used rule."""
+    import random
+
+    for seed in (11, 12, 13):
+        rng = random.Random(seed)
+        texts = [
+            " ".join(
+                "a" * rng.randint(1, 9) for _ in range(rng.randint(4, 14))
+            )
+            for _ in range(10)
+        ]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        )
+        got = train_bpe(docs, num_merges=12)
+        want = _reference_bpe(texts, num_merges=12)
+        assert got == want, (seed, got, want)
+
+
 def test_encode_applies_merges_in_order(spark):
     docs = spark.createDataFrame(
         [(i, t) for i, t in enumerate(TEXTS)], ["doc_id", "text"]

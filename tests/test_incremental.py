@@ -56,21 +56,82 @@ def test_incremental_matches_full_batch(spark, tmp_path, split_events):
 
 
 def test_crashed_swap_leftovers_are_swept(spark, tmp_path, split_events):
-    """Debris from a crashed atomic swap (tmp/old dirs) must neither
-    break the next refresh nor accumulate: the live state is always
-    exactly rollup/, so anything else is dead and gets swept."""
+    """Debris from a crashed atomic swap (tmp/old dirs) next to a LIVE
+    rollup/ must neither break the next refresh nor accumulate: with
+    rollup/ present, anything else is dead and gets swept."""
     src, _first, ev = split_events
     state = tmp_path / "state_crash"
     roll = IncrementalRollup(str(state))
-    # simulate two crashed earlier swaps
+    assert roll.refresh(spark, src) > 0  # live rollup/ now exists
+    # simulate debris from two crashed LATER swaps (both superseded)
     (state / "rollup.tmp.deadbeef").mkdir(parents=True)
     (state / "rollup.tmp.deadbeef" / "part-0.parquet").write_bytes(b"junk")
     (state / "rollup.old.cafef00d").mkdir()
-    assert roll.refresh(spark, src) > 0
+    got = _as_map(roll.read(spark))
     leftovers = [d for d in os.listdir(state) if d.startswith(("rollup.tmp.", "rollup.old."))]
     assert leftovers == []
-    got = _as_map(roll.read(spark))
     assert got == _as_map(_partial_rollup(ev))
+
+
+def test_crash_window_recovers_complete_tmp(spark, tmp_path, split_events):
+    """Crash BETWEEN the two swap renames: no rollup/, state lives only
+    in rollup.old.* (previous pair) and rollup.tmp.* (new pair, its
+    manifest written — the parquet write completed). Recovery must
+    complete the swap by renaming the tmp in, not sweep both copies."""
+    import shutil
+
+    src, first_files, ev = split_events
+    staged = tmp_path / "staged_cw"
+    os.makedirs(staged)
+    for f in first_files:
+        shutil.copy(os.path.join(src, f), staged / f)
+    state = tmp_path / "state_cw"
+    roll = IncrementalRollup(str(state))
+    roll.refresh(spark, str(staged))
+    saved_r1 = tmp_path / "saved_r1"
+    shutil.copytree(state / "rollup", saved_r1)
+    for f in os.listdir(src):
+        if f.endswith(".parquet") and f not in first_files:
+            shutil.copy(os.path.join(src, f), staged / f)
+    roll.refresh(spark, str(staged))
+    # rewind to the mid-swap instant: new pair as tmp, old pair restored
+    os.rename(state / "rollup", state / "rollup.tmp.feedface")
+    shutil.copytree(saved_r1, state / "rollup.old.0ddba11")
+
+    assert _as_map(roll.read(spark)) == _as_map(_partial_rollup(ev))
+    assert not [d for d in os.listdir(state) if d.startswith(("rollup.tmp.", "rollup.old."))]
+    # the recovered manifest knows every file: refresh is a no-op
+    assert roll.refresh(spark, str(staged)) == 0
+
+
+def test_crash_window_falls_back_to_old_pair(spark, tmp_path, split_events):
+    """Defensive branch: rollup/ missing, the tmp never completed (no
+    manifest ⇒ its parquet write may be partial) — the old pair must be
+    restored rather than deleted, and the next refresh re-folds the
+    batch the crashed swap lost."""
+    import shutil
+
+    src, first_files, ev = split_events
+    staged = tmp_path / "staged_old"
+    os.makedirs(staged)
+    for f in first_files:
+        shutil.copy(os.path.join(src, f), staged / f)
+    state = tmp_path / "state_old"
+    roll = IncrementalRollup(str(state))
+    roll.refresh(spark, str(staged))
+    r1 = _as_map(roll.read(spark))
+    os.rename(state / "rollup", state / "rollup.old.deadc0de")
+    (state / "rollup.tmp.badc0ffe").mkdir()
+    (state / "rollup.tmp.badc0ffe" / "part-0.parquet").write_bytes(b"partial")
+
+    assert _as_map(roll.read(spark)) == r1
+    # state recovered ⇒ folding the second batch still reaches the
+    # full-aggregate answer
+    for f in os.listdir(src):
+        if f.endswith(".parquet") and f not in first_files:
+            shutil.copy(os.path.join(src, f), staged / f)
+    assert roll.refresh(spark, str(staged)) > 0
+    assert _as_map(roll.read(spark)) == _as_map(_partial_rollup(ev))
 
 
 def test_two_step_arrival_merges_correctly(spark, tmp_path, split_events):

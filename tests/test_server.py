@@ -54,8 +54,10 @@ def test_run_etl_upload_roundtrip(server):
     assert all(isinstance(v, str) for r in out["table"] for v in r.values())
     # reference artifact layout (etl_pipeline.py:246-276): schema_id + fields[]
     assert out["schema"] and "fields" in json.dumps(out["schema"])
-    # below the row cap the payload is the reference's whole-table shape
-    assert out["truncated"] is False
+    # below the row cap the payload keeps the reference's exact response
+    # shape — no extra 'truncated' key (server.js:52-70 has none)
+    assert "truncated" not in out
+    assert set(out) == {"success", "table", "schema"}
 
 
 def test_schema_endpoint(server):
