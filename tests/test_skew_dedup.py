@@ -109,3 +109,58 @@ def test_hot_band_bucket_emits_exactly_its_true_dup_pairs(spark, tmp_path):
     assert all(r["jaccard"] == 1.0 and r["n_matching_minhashes"] == 8 for r in rows)
     # the runtime defense for the hot band key's probe work
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_reservoir_skew_prefilter_bounds_window_input(spark, tmp_path):
+    """Per-lang reservoir under extreme language skew: the salted local
+    top-K pre-filter must hand the global rank window at most
+    K * SALTS rows per language — regardless of how dominant one
+    language is — while producing exactly the naive single-window
+    answer."""
+    from pyspark.sql.window import Window as W
+
+    from etl_pipeline_project_auraverse_spark.functions.text import h28
+    from etl_pipeline_project_auraverse_spark.queries.curation import (
+        RESERVOIR_K,
+        RESERVOIR_SALTS,
+        reservoir_candidates,
+    )
+    from etl_pipeline_project_auraverse_spark.session import load_table
+
+    # 5000 'en' docs vs a handful of others — the web's real shape
+    rows = [(i, f"text {i}", "en", "synthetic", 10) for i in range(5000)]
+    rows += [(5000 + i, f"rare {i}", lang, "synthetic", 8)
+             for i, lang in enumerate(["de", "de", "fr", "es", "ja"])]
+    d = str(tmp_path)
+    spark.createDataFrame(rows, DOC_SCHEMA).coalesce(4).write.mode(
+        "overwrite"
+    ).parquet(f"{d}/documents.parquet")
+    docs = load_table(spark, d, "documents")
+
+    cand_per_lang = {
+        r["lang"]: r["n"]
+        for r in reservoir_candidates(docs, RESERVOIR_K)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert cand_per_lang["en"] <= RESERVOIR_K * RESERVOIR_SALTS
+    assert all(n <= RESERVOIR_K * RESERVOIR_SALTS for n in cand_per_lang.values())
+
+    got = [
+        (r["lang"], r["doc_id"], r["rk"])
+        for r in QUERIES["q_sample_reservoir_per_lang"](spark, d).collect()
+    ]
+    h = h28(F.col("doc_id").cast("string"))
+    naive_w = W.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    naive = [
+        (r["lang"], r["doc_id"], r["rk"])
+        for r in docs.select(
+            "lang", "doc_id", F.row_number().over(naive_w).cast("long").alias("rk")
+        )
+        .filter(F.col("rk") <= RESERVOIR_K)
+        .orderBy("lang", "rk")
+        .collect()
+    ]
+    assert got == naive
+    assert len({lang for lang, _, _ in got}) == 5  # every lang represented
