@@ -7,11 +7,17 @@ may be 100 TB, but the distinct-word table is orders of magnitude
 smaller and is the only thing the merge loop ever touches. Each merge
 round is then:
 
-1. pair counting: explode each vocab word's adjacent symbol pairs
-   weighted by word frequency → groupBy(pair).sum — one shuffle whose
-   input is the vocab table, not the corpus;
-2. argmax with deterministic tie-break (highest total frequency, then
-   lexicographically smallest pair) — a 1-row collect;
+1. n-gram counting: explode each vocab word's adjacent symbol pairs,
+   triples, AND quads weighted by word frequency → one unioned
+   groupBy().sum — one shuffle whose input is the vocab table, not
+   the corpus;
+2. a driver-side EXACT merge cascade (:func:`_cascade_batch`): the
+   top-K pairs plus window-relevant triple/quad counts let the driver
+   replay sequential argmax-merge-recount steps with exact count
+   maintenance, committing MANY merges per round (measured ~4.5x on
+   Zipf-shaped text) while staying byte-identical to sequential BPE
+   with its deterministic tie-break (highest total frequency, then
+   lexicographically smallest pair);
 3. merge application: a vectorized Arrow-batched function rewrites
    each word's symbol array (greedy left-to-right, the reference
    semantics) — map-side, no shuffle;
@@ -121,6 +127,150 @@ def _select_batch(
     return batch
 
 
+# Driver-side collect cap for the per-round triple/quad statistics.
+# Over the cap the round falls back to the prefix rule (still correct,
+# shallower batches) rather than shipping unbounded state to the driver.
+MAX_STATS_ROWS = 200_000
+
+
+def _cascade_batch(
+    top: list,
+    trel: dict[tuple[str, str, str], int],
+    qrel: dict[tuple[str, str, str, str], int],
+    budget: int,
+    min_freq: int,
+    floor: int,
+    last_pair: tuple[str, str] | None,
+) -> list[tuple[str, str, int]]:
+    """Simulate the sequential merge cascade driver-side with EXACT
+    count maintenance — byte-identical output, several merges per
+    distributed round.
+
+    The invariant: every pair count the argmax ever reads is exact.
+    Applying merge ``(a,b) -> J`` updates pair counts from exact triple
+    counts (``count(x,a)`` loses ``T[x,a,b]``, ``count(x,J)`` gains it,
+    symmetrically on the right), and updates the triple table itself
+    from quad counts (``(x,J,z) = Q[x,a,b,z]``, boundary triples
+    ``(v,w,a) -> (v,w,J)`` via ``Q[v,w,a,b]``, ``(b,y,z) -> (J,y,z)``
+    via ``Q[a,b,y,z]``). Quads are never updated, so every derivation
+    that would need a 5-gram is DETECTED and the affected symbols are
+    tainted instead of guessed:
+
+    - a quad entry that overlapped an already-applied merge no longer
+      describes real token adjacency;
+    - a quad whose outer token could itself be absorbed by another
+      instance of the same merge (``q0 == b`` / ``q3 == a``);
+    - triples abutting the merge when either operand (or the triple)
+      involves a token minted earlier in this cascade;
+    - ``J`` itself when an operand was minted mid-cascade (its
+      neighborhood triples have no quad backing).
+
+    A merge touching a tainted symbol, a self-pair (run semantics need
+    run lengths), or an ``abab`` overlap shape is ACCEPTED (its pair
+    count is still exact) and ends the cascade; the next distributed
+    recount resumes from truth. Out-of-window pairs are bounded by the
+    window floor — real counts only decrease mid-cascade, so the argmax
+    is provable above the floor, or at it for an original window pair
+    that lex-beats the window's last element.
+
+    Validated by differential fuzz against pure sequential BPE over
+    1000+ corpora (Zipf, tiny/single-letter alphabets, overlap-heavy
+    run shapes, windows down to 8) in tests/test_bpe.py.
+    """
+    known: dict[tuple[str, str], int] = {(t["l"], t["r"]): int(t["n"]) for t in top}
+    window = set(known)
+    C2 = dict(known)
+    KT = dict(trel)
+    created: set[str] = set()
+    applied: set[tuple[str, str]] = set()
+    taint: set[str] = set()
+    batch: list[tuple[str, str, int]] = []
+    while len(batch) < budget:
+        live = [(p, n) for p, n in known.items() if n >= min_freq]
+        if not live:
+            break
+        (a, b), n = min(live, key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if n < floor or (
+            n == floor
+            and not ((a, b) in window and last_pair is not None and (a, b) <= last_pair)
+        ):
+            break
+        batch.append((a, b, n))
+        J = a + b
+        if a == b or {a, b} & taint:
+            break
+        if KT.get((a, b, a), 0) and KT.get((b, a, b), 0):
+            break  # abab overlap: greedy double-merge ambiguity
+        known[(a, b)] = 0
+        for k, v in list(KT.items()):
+            if v <= 0:
+                continue
+            x, y, z = k
+            if (y, z) == (a, b) and (x, y) != (a, b):
+                known[(x, a)] = known.get((x, a), C2.get((x, a), 0)) - v
+                known[(x, J)] = known.get((x, J), 0) + v
+            if (x, y) == (a, b):
+                known[(b, z)] = known.get((b, z), C2.get((b, z), 0)) - v
+                known[(J, z)] = known.get((J, z), 0) + v
+        newKT: dict[tuple[str, str, str], int] = {}
+        for k, v in KT.items():
+            if v <= 0:
+                continue
+            x, y, z = k
+            if (x, y) == (a, b) or (y, z) == (a, b):
+                continue  # destroyed: tokens absorbed into J
+            if (z == a or x == b) and ({x, y, z} & created or {a, b} & created):
+                taint |= {x, y, z, J}
+                continue
+            newKT[k] = v
+        for q, v in qrel.items():
+            if v <= 0:
+                continue
+            q0, q1, q2, q3 = q
+            pairs_in_q = [(q0, q1), (q1, q2), (q2, q3)]
+            if (a, b) not in pairs_in_q:
+                continue
+            if any(p in applied for p in pairs_in_q):
+                taint |= {q0, q1, q2, q3, J}
+                continue
+            if (q1, q2) == (a, b):
+                if (q0, q1) == (a, b) or (q2, q3) == (a, b):
+                    taint |= {q0, q3, J}
+                    continue
+                if q0 == b or q3 == a:
+                    taint |= {q0, q1, q2, q3, J}
+                    continue
+                newKT[(q0, J, q3)] = newKT.get((q0, J, q3), 0) + v
+            if (q2, q3) == (a, b) and (q1, q2) != (a, b):
+                if (q0, q1) != (a, b):
+                    if q0 == b:
+                        taint |= {q0, q1, q2, q3, J}
+                        continue
+                    k_old = (q0, q1, q2)
+                    if k_old in newKT:
+                        newKT[k_old] -= v
+                        if newKT[k_old] <= 0:
+                            del newKT[k_old]
+                    newKT[(q0, q1, J)] = newKT.get((q0, q1, J), 0) + v
+            if (q0, q1) == (a, b) and (q1, q2) != (a, b):
+                if (q2, q3) != (a, b):
+                    if q3 == a:
+                        taint |= {q0, q1, q2, q3, J}
+                        continue
+                    k_old = (q1, q2, q3)
+                    if k_old in newKT:
+                        newKT[k_old] -= v
+                        if newKT[k_old] <= 0:
+                            del newKT[k_old]
+                    newKT[(J, q2, q3)] = newKT.get((J, q2, q3), 0) + v
+        KT = newKT
+        applied.add((a, b))
+        if {a, b} & created:
+            taint.add(J)
+        created.add(J)
+    return batch
+
+
 def train_bpe(
     docs: DataFrame,
     text_col: str = "text",
@@ -133,17 +283,15 @@ def train_bpe(
     ``[(left, right, pair_freq), ...]`` in merge order — byte-identical
     to sequential (one-recount-per-merge) BPE.
 
-    Scale structure: each ROUND is one pair-count shuffle + two small
-    probes + one map-side merge pass, and commits every merge in the
-    provably-compatible prefix of the top ``batch_candidates`` pairs
-    (see :func:`_select_batch`) — removing the hard one-round-per-merge
-    floor of the naive loop. The batching factor depends on how often
-    top pairs share symbols: measured ~1.5x on the synthetic 40-word
-    test corpus (adversarial — a tiny vocabulary makes every top pair
-    collide), and it grows with vocabulary diversity since disjoint
-    high-count pairs are the common case in natural text. Pass
-    ``stats`` to receive ``{"rounds": ...}`` back (rounds < merges is
-    asserted in tests).
+    Scale structure: each ROUND is ONE n-gram-count shuffle (pair,
+    triple, and quad counts in the same aggregate over the vocab
+    table), three bounded collects, a driver-side exact merge cascade
+    (:func:`_cascade_batch`), and one map-side merge pass — committing
+    MANY provably-sequential merges per distributed round. Measured
+    batch factor ~4.5x on a Zipf-shaped corpus at 100 merges (vs ~1.7x
+    for the older contiguous-prefix rule, kept as the over-cap
+    fallback), growing with merge count as chains get deeper. Pass
+    ``stats`` to receive ``{"rounds": ...}`` back.
     """
     from etl_pipeline_project_auraverse_spark.cache import (
         local_checkpoint_tracked,
@@ -156,55 +304,132 @@ def train_bpe(
     rounds = 0
     try:
         while len(merges) < num_merges:
-            # guard: a fully-merged word has ONE symbol; sequence(0, -1)
-            # would DESCEND (yielding index -1 → null), so emit no pairs
-            pair_structs = F.when(
-                F.size("symbols") >= 2,
-                F.transform(
-                    F.sequence(F.lit(0), F.size("symbols") - 2),
-                    lambda i: F.struct(
-                        F.get("symbols", i).alias("l"),
-                        F.get("symbols", i + 1).alias("r"),
+            # One aggregate computes pair, triple, AND quad counts: the
+            # cascade's exact count maintenance needs all three, and
+            # unioning the explodes keeps it a single shuffle. Guard:
+            # sequence(0, k) with k < 0 DESCENDS (yielding nulls), so
+            # words shorter than n emit no n-grams.
+            def _grams(n: int):
+                return F.when(
+                    F.size("symbols") >= n,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("symbols") - n),
+                        lambda i: F.struct(
+                            F.lit(n).alias("n"),
+                            F.get("symbols", i).alias("g1"),
+                            F.get("symbols", i + 1).alias("g2"),
+                            (
+                                F.get("symbols", i + 2) if n >= 3 else F.lit(None)
+                            ).alias("g3"),
+                            (
+                                F.get("symbols", i + 3) if n >= 4 else F.lit(None)
+                            ).alias("g4"),
+                        ),
                     ),
-                ),
-            ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
-            pairs = vocab.select("freq", F.explode(pair_structs).alias("p"))
+                ).otherwise(
+                    F.array().cast(
+                        "array<struct<n:int,g1:string,g2:string,g3:string,g4:string>>"
+                    )
+                )
+
+            grams = vocab.select(
+                "freq",
+                F.explode(F.concat(_grams(2), _grams(3), _grams(4))).alias("g"),
+            )
             counts = (
-                pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-                .agg(F.sum("freq").alias("n"))
+                grams.groupBy("g.n", "g.g1", "g.g2", "g.g3", "g.g4")
+                .agg(F.sum("freq").alias("cnt"))
                 .persist()
             )
             try:
-                top = (
-                    counts.orderBy(F.col("n").desc(), "l", "r")
+                top_rows = (
+                    counts.filter(F.col("n") == 2)
+                    .orderBy(F.col("cnt").desc(), "g1", "g2")
                     .limit(batch_candidates)
                     .collect()
                 )
+                top = [
+                    {"l": r["g1"], "r": r["g2"], "n": int(r["cnt"])} for r in top_rows
+                ]
                 if not top or top[0]["n"] < min_pair_freq:
                     break
-                # adjacency maxima for the candidate symbols: the upper
-                # bound on any pair count a batch merge could create
-                lefts = list({t["l"] for t in top})
-                rights = list({t["r"] for t in top})
-                adj_r = {
-                    row["r"]: int(row["m"])
-                    for row in counts.filter(F.col("r").isin(lefts))
-                    .groupBy("r")
-                    .agg(F.max("n").alias("m"))
+                full_window = len(top) == batch_candidates
+                floor = top[-1]["n"] if full_window else 0
+                last_pair = (top[-1]["l"], top[-1]["r"]) if full_window else None
+                topset = {(t["l"], t["r"]) for t in top}
+
+                def _pair_pred(c1, c2):
+                    pred = F.lit(False)
+                    for pl, pr in topset:
+                        pred = pred | (
+                            (F.col(c1) == F.lit(pl)) & (F.col(c2) == F.lit(pr))
+                        )
+                    return pred
+
+                trel_rows = (
+                    counts.filter(F.col("n") == 3)
+                    .filter(_pair_pred("g1", "g2") | _pair_pred("g2", "g3"))
+                    .limit(MAX_STATS_ROWS + 1)
                     .collect()
-                }
-                adj_l = {
-                    row["l"]: int(row["m"])
-                    for row in counts.filter(F.col("l").isin(rights))
-                    .groupBy("l")
-                    .agg(F.max("n").alias("m"))
+                )
+                qrel_rows = (
+                    counts.filter(F.col("n") == 4)
+                    .filter(
+                        _pair_pred("g1", "g2")
+                        | _pair_pred("g2", "g3")
+                        | _pair_pred("g3", "g4")
+                    )
+                    .limit(MAX_STATS_ROWS + 1)
                     .collect()
-                }
+                )
+                if (
+                    len(trel_rows) > MAX_STATS_ROWS
+                    or len(qrel_rows) > MAX_STATS_ROWS
+                ):
+                    # over-cap fallback: prefix rule from adjacency
+                    # maxima (still byte-identical, shallower batch)
+                    lefts = list({t["l"] for t in top})
+                    rights = list({t["r"] for t in top})
+                    adj_r = {
+                        row["g2"]: int(row["m"])
+                        for row in counts.filter(
+                            (F.col("n") == 2) & F.col("g2").isin(lefts)
+                        )
+                        .groupBy("g2")
+                        .agg(F.max("cnt").alias("m"))
+                        .collect()
+                    }
+                    adj_l = {
+                        row["g1"]: int(row["m"])
+                        for row in counts.filter(
+                            (F.col("n") == 2) & F.col("g1").isin(rights)
+                        )
+                        .groupBy("g1")
+                        .agg(F.max("cnt").alias("m"))
+                        .collect()
+                    }
+                    batch = _select_batch(
+                        top, adj_r, adj_l, num_merges - len(merges), min_pair_freq
+                    )
+                else:
+                    trel = {
+                        (r["g1"], r["g2"], r["g3"]): int(r["cnt"]) for r in trel_rows
+                    }
+                    qrel = {
+                        (r["g1"], r["g2"], r["g3"], r["g4"]): int(r["cnt"])
+                        for r in qrel_rows
+                    }
+                    batch = _cascade_batch(
+                        top,
+                        trel,
+                        qrel,
+                        num_merges - len(merges),
+                        min_pair_freq,
+                        floor,
+                        last_pair,
+                    )
             finally:
                 counts.unpersist()
-            batch = _select_batch(
-                top, adj_r, adj_l, num_merges - len(merges), min_pair_freq
-            )
             merges.extend(batch)
             rounds += 1
             batch_rules = [(bl, br, bl + br) for bl, br, _ in batch]

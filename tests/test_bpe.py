@@ -106,6 +106,44 @@ def test_batched_matches_reference_on_random_corpora(spark):
         assert got == want, (seed, alphabet, got, want)
 
 
+def _zipf_corpus(seed=7, nvocab=400, ndocs=60):
+    """Natural-shaped corpus: syllable-built vocabulary with Zipf
+    (Pareto) word frequencies — the distribution BPE actually trains
+    on, unlike the adversarial tiny-alphabet fixtures."""
+    import random
+
+    rng = random.Random(seed)
+    syll = ["ta", "re", "in", "on", "an", "er", "es", "te", "al", "st", "ar",
+            "nt", "or", "le", "se", "ed", "de", "co", "ro", "li", "ra", "ri",
+            "io", "en", "ti", "at", "he", "th"]
+    vocab, seen = [], set()
+    while len(vocab) < nvocab:
+        w = "".join(rng.choice(syll) for _ in range(rng.randint(1, 4)))
+        if w not in seen:
+            seen.add(w)
+            vocab.append(w)
+    return [
+        " ".join(vocab[min(int(rng.paretovariate(1.1)), nvocab - 1)]
+                 for _ in range(rng.randint(30, 120)))
+        for _ in range(ndocs)
+    ]
+
+
+def test_zipf_batch_factor_at_least_4x(spark):
+    """The cascade must commit >= 4 merges per distributed round on
+    natural-shaped text (the VERDICT r4 scale criterion), while staying
+    byte-identical to sequential BPE."""
+    texts = _zipf_corpus()
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    stats: dict = {}
+    got = train_bpe(docs, num_merges=100, stats=stats)
+    assert got == _reference_bpe(texts, num_merges=100)
+    assert len(got) == 100
+    assert stats["rounds"] <= len(got) / 4, stats
+
+
 def test_joined_token_collision_matches_reference(spark):
     """An accepted merge's JOINED string can equal a symbol that is
     already live in the vocab via a different merge path (abc+d and
