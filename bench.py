@@ -5,7 +5,10 @@ ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is timed end-to-end (plan + execute + collect); the JVM is
 warmed with one untimed trivial action first so session/codegen startup
-isn't attributed to the first query.
+isn't attributed to the first query. Besides the min-of-3 headline
+sweep, every oracle-backed registry query gets ONE timed run (the
+"all_queries_single_run" block; skip with --headline-only) so the
+non-headline majority can't regress invisibly.
 
 Noise awareness: this VM shows 3-5x CPU-steal variance between runs
 (BENCH_r02 recorded an 8x phantom regression on byte-identical code).
@@ -25,7 +28,11 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from etl_pipeline_project_auraverse_spark.queries import QUERIES, load_all  # noqa: E402
+from etl_pipeline_project_auraverse_spark.queries import (  # noqa: E402
+    ORACLE,
+    QUERIES,
+    load_all,
+)
 from etl_pipeline_project_auraverse_spark.session import get_spark  # noqa: E402
 
 # Headline set: the scan/agg, join-heavy, window, and extended-scope
@@ -143,6 +150,21 @@ def main() -> None:
             calibrations.append(_calibrate(spark))
     calibrations.append(_calibrate(spark))
 
+    # Full-registry sweep: ONE timed run of every oracle-backed query,
+    # so regressions in the non-headline majority are visible round
+    # over round (single-run numbers are noisier than the min-of-3
+    # headline timings — compare against the calibration block).
+    # --headline-only skips it for quick iteration loops.
+    all_timings: dict[str, float] = {}
+    if "--headline-only" not in sys.argv:
+        for name in ORACLE:
+            fn = QUERIES[name]
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            all_timings[name] = round(time.perf_counter() - t0, 4)
+        calibrations.append(_calibrate(spark))
+
     stat1 = _read_proc_stat()
     steal_frac = None
     if stat0 and stat1 and stat1[1] > stat0[1]:
@@ -157,6 +179,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "all_queries_single_run": {
+                    "total_sec": round(sum(all_timings.values()), 4),
+                    "n_queries": len(all_timings),
+                    "queries": all_timings,
+                }
+                if all_timings
+                else None,
                 "noise": {
                     # same fixed work at sweep start / middle / end; a
                     # >1.5x spread here means the window was noisy and

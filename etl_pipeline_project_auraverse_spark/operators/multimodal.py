@@ -3,10 +3,12 @@ columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 Part of the extended training-data-pipeline surface (SURVEY §7 M5).
 Formats decodable with the standard library decode FOR REAL:
-uncompressed 24-bit BMP images (manual header parse) and PCM WAV audio
-(``wave`` module) — full pixel/sample access, no external codec. For
-codec-requiring formats (JPEG/PNG/MP4...) the decode seam raises
-``NotImplementedError`` (PIL/cv2/ffmpeg are not in this container);
+uncompressed 24-bit BMP images (manual header parse), PNG in 8-bit
+grey/RGB/palette variants (from-scratch codec, ``png_codec.py``), and
+PCM WAV audio (``wave`` module) — full pixel/sample access, no
+external codec. For codec-requiring formats (JPEG/MP4...) the decode
+seam raises ``NotImplementedError`` (PIL/cv2/ffmpeg are not in this
+container);
 a deterministic FAKEIMG format stands in for tests. Everything
 Spark-side — schema, batch iteration, partition behavior, UDF
 signatures, output shapes — is real and tested for all paths.

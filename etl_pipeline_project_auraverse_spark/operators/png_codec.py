@@ -3,9 +3,10 @@
 PNG is deflate-compressed filtered scanlines — fully decodable without
 any external imaging library, which makes it the second real image
 path (after BMP) for the multimodal layer in codec-less environments.
-Scope: 8-bit greyscale (color type 0) and 8-bit RGB (color type 2),
-non-interlaced, all five standard scanline filters — the overwhelming
-majority of machine-generated PNGs. Palette/alpha/16-bit/interlaced
+Scope: 8-bit greyscale (color type 0), 8-bit RGB (color type 2), and
+8-bit palette (color type 3, PLTE-mapped to RGB), non-interlaced, all
+five standard scanline filters — the overwhelming majority of
+machine-generated PNGs. Alpha/16-bit/interlaced/sub-byte-palette
 raise ``NotImplementedError`` and follow the quarantine-skip policy.
 
 Decoder structure: chunk walk (IHDR → IDAT* → IEND) → ``zlib``
@@ -59,6 +60,28 @@ def encode_png(pixels: np.ndarray) -> bytes:
     )
 
 
+def encode_png_palette(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """Encode an HxW uint8 index array + Nx3 uint8 palette as a
+    color-type-3 PNG (filter-0 scanlines, like :func:`encode_png`)."""
+    if indices.ndim != 2:
+        raise ValueError("expected HxW uint8 index array")
+    if palette.ndim != 2 or palette.shape[1] != 3 or not 1 <= palette.shape[0] <= 256:
+        raise ValueError("expected Nx3 uint8 palette, 1 <= N <= 256")
+    h, w = indices.shape
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)
+        raw += indices[y].astype(np.uint8).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
 def _paeth(a: int, b: int, c: int) -> int:
     p = a + b - c
     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
@@ -74,6 +97,7 @@ def decode_png(buf: bytes) -> tuple[int, int, int, np.ndarray]:
     pos, width = len(_SIG), 0
     height = bit_depth = color_type = interlace = 0
     idat = bytearray()
+    palette: bytes | None = None
     while pos < len(buf):
         (length,) = struct.unpack_from(">I", buf, pos)
         tag = buf[pos + 4 : pos + 8]
@@ -83,16 +107,22 @@ def decode_png(buf: bytes) -> tuple[int, int, int, np.ndarray]:
             width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
+        elif tag == b"PLTE":
+            palette = bytes(body)
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
             break
-    if bit_depth != 8 or color_type not in (0, 2) or interlace != 0:
+    if bit_depth != 8 or color_type not in (0, 2, 3) or interlace != 0:
         raise NotImplementedError(
             f"PNG variant unsupported here (depth={bit_depth}, "
             f"color={color_type}, interlace={interlace})"
         )
-    channels = 1 if color_type == 0 else 3
+    if color_type == 3 and (palette is None or len(palette) % 3 or not palette):
+        raise NotImplementedError("palette PNG without a valid PLTE chunk")
+    # palette scanlines carry 1-byte indices; the filter pass runs on
+    # those, the palette lookup happens after
+    channels = 1 if color_type in (0, 3) else 3
     stride = width * channels
     raw = zlib.decompress(bytes(idat))
     if len(raw) != (stride + 1) * height:
@@ -123,4 +153,10 @@ def decode_png(buf: bytes) -> tuple[int, int, int, np.ndarray]:
         else:
             raise ValueError(f"bad PNG filter type {ftype}")
         out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
+    if color_type == 3:
+        pal = np.frombuffer(palette, dtype=np.uint8).reshape(-1, 3)
+        if int(out.max(initial=0)) >= len(pal):
+            raise ValueError("palette index out of range")
+        rgb = pal[out.reshape(height, width)]  # H x W x 3
+        return width, height, 3, rgb.reshape(height, width * 3)
     return width, height, channels, out

@@ -319,9 +319,10 @@ def q_bigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Real BPE token counting (no oracle: iterative argmax training is not
-# SQL-expressible — the driver records the weaker rows-only check; the
-# algorithm itself is differentially tested against a pure-Python
-# reference implementation in tests/test_bpe.py).
+# SQL-expressible, so __spark_entry__ filters this query from the
+# driver registry; the algorithm is differentially tested against a
+# pure-Python reference implementation in tests/test_bpe.py, and the
+# FIXED-merge twin below carries the oracle-backed driver coverage).
 # ---------------------------------------------------------------------------
 BPE_MERGES = 6
 
@@ -341,6 +342,79 @@ def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = train_bpe(docs, num_merges=BPE_MERGES)
     return (
         bpe_token_stats(docs.filter(F.col("doc_id") < 100), merges)
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenization under a FIXED, checked-in merge table — the
+# production shape (a tokenizer's merges file is a constant shipped
+# with the model, e.g. GPT-2's vocab.bpe), and fully SQL-expressible:
+# greedy left-to-right single-pass merge application is EXACTLY
+# non-overlapping left-to-right string replace over sentinel-wrapped
+# symbols (each token rides as \x01tok\x01, so a replace can only match
+# whole tokens and adjacent matches never share characters; equivalence
+# fuzz-tested against operators/bpe.encode_words in tests/test_bpe.py).
+# ---------------------------------------------------------------------------
+# Learned once by train_bpe on the sf0.01 documents corpus, then frozen.
+BPE_FIXED_MERGES = [
+    ("e", "r"),
+    ("e", "</w>"),
+    ("n", "</w>"),
+    ("er", "</w>"),
+    ("o", "w"),
+    ("ow", "</w>"),
+    ("o", "r"),
+    ("s", "t"),
+]
+_S = "\x01"  # token sentinel: cannot occur in whitespace-split words
+
+
+def _bpe_fixed_oracle() -> str:
+    enc = r"regexp_replace(w, '(.)', e'\x01\\1\x01', 'g') || e'\x01</w>\x01'"
+    for l, r in BPE_FIXED_MERGES:
+        enc = f"replace({enc}, e'\\x01{l}\\x01\\x01{r}\\x01', e'\\x01{l}{r}\\x01')"
+    return rf"""
+    WITH words AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        FROM documents WHERE doc_id < 100
+    ), enc AS (
+        SELECT doc_id, {enc} AS s FROM words WHERE w <> ''
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_words,
+           CAST(SUM((length(s) - length(replace(s, e'\x01', ''))) / 2)
+                AS BIGINT) AS n_bpe_tokens
+    FROM enc GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@register("q_bpe_apply_fixed_merges", oracle=_bpe_fixed_oracle())
+def q_bpe_apply_fixed_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts under the frozen merge table — same
+    output shape as q_bpe_token_stats but with the tokenizer as a
+    constant, which keeps the whole computation inside codegen'd
+    string expressions (scan → explode → chained replace → groupBy):
+    no Python in the hot path, trivially 100 TB-parallel."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    enc = F.concat(
+        F.regexp_replace(F.col("w"), "(.)", f"{_S}$1{_S}"), F.lit(f"{_S}</w>{_S}")
+    )
+    for l, r in BPE_FIXED_MERGES:
+        enc = F.replace(enc, F.lit(f"{_S}{l}{_S}{_S}{r}{_S}"), F.lit(f"{_S}{l}{r}{_S}"))
+    n_tok = (F.length(enc) - F.length(F.replace(enc, F.lit(_S), F.lit("")))) / 2
+    return (
+        words.select("doc_id", n_tok.alias("t"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("t").cast("long").alias("n_bpe_tokens"),
+        )
         .orderBy("doc_id")
     )
 

@@ -235,3 +235,56 @@ def test_train_bpe_frees_all_checkpoints(spark):
     before = persistent_rdd_ids(spark)
     train_bpe(docs, num_merges=6)
     assert persistent_rdd_ids(spark) - before == set()
+
+
+def test_fixed_merge_replace_chain_equals_greedy_encode():
+    """The SQL-expressible chained-replace tokenizer (sentinel-wrapped
+    symbols, one replace per merge) must equal greedy left-to-right
+    merge application for the frozen merge table."""
+    import random
+
+    from etl_pipeline_project_auraverse_spark.queries.curation import (
+        BPE_FIXED_MERGES,
+        _S,
+    )
+
+    def replace_chain_tokens(word: str) -> int:
+        s = "".join(_S + c + _S for c in word) + _S + END_TOKEN + _S
+        for l, r in BPE_FIXED_MERGES:
+            s = s.replace(_S + l + _S + _S + r + _S, _S + l + r + _S)
+        return s.count(_S) // 2
+
+    rng = random.Random(0)
+    words = ["lower", "newest", "now", "ower", "strow", "erer", "ee", "snow"]
+    words += [
+        "".join(rng.choice("eronwst</>aei") for _ in range(rng.randint(1, 10)))
+        for _ in range(3000)
+    ]
+    enc = encode_words(words, [(l, r, 0) for l, r in BPE_FIXED_MERGES])
+    for w, e in zip(words, enc):
+        assert replace_chain_tokens(w) == len(e), (w, e)
+
+
+def test_fixed_merge_query_matches_trained_tokenizer(spark, sf_dir):
+    """q_bpe_apply_fixed_merges (pure Column expressions) must produce
+    the same counts as the mapInPandas tokenizer applying the same
+    frozen merges."""
+    from etl_pipeline_project_auraverse_spark.queries import QUERIES, load_all
+    from etl_pipeline_project_auraverse_spark.queries.curation import BPE_FIXED_MERGES
+    from etl_pipeline_project_auraverse_spark.session import load_table
+
+    load_all()
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in QUERIES["q_bpe_apply_fixed_merges"](spark, sf_dir).collect()
+    }
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    want = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_token_stats(
+            docs, [(l, r, 0) for l, r in BPE_FIXED_MERGES]
+        ).collect()
+    }
+    assert got == want

@@ -16,6 +16,7 @@ from etl_pipeline_project_auraverse_spark.operators.png_codec import (
     _chunk,
     decode_png,
     encode_png,
+    encode_png_palette,
 )
 
 
@@ -86,13 +87,76 @@ def test_each_filter_type_unfilters(ftype):
     assert np.array_equal(out, flat), f"filter {ftype} mismatch"
 
 
+def test_palette_round_trip():
+    idx = np.random.RandomState(5).randint(0, 16, size=(5, 9), dtype=np.uint8)
+    pal = _rand((16, 3), 6)
+    w, h, c, out = decode_png(encode_png_palette(idx, pal))
+    assert (w, h, c) == (9, 5, 3)
+    assert np.array_equal(out, pal[idx].reshape(5, 27))
+
+
+@pytest.mark.parametrize("ftype", [1, 2, 3, 4])
+def test_palette_filtered_scanlines_unfilter(ftype):
+    """Palette scanlines filter over 1-byte indices (bpp=1), and the
+    PLTE lookup happens after unfiltering — independent filter vectors
+    again, not our encoder's filter-0 output."""
+    h, w = 4, 6
+    idx = np.random.RandomState(20 + ftype).randint(0, 8, size=(h, w), dtype=np.uint8)
+    pal = _rand((8, 3), 21)
+    raw = bytearray()
+    prev = bytes(w)
+    for y in range(h):
+        raw.append(ftype)
+        raw += _filter_line(ftype, bytes(idx[y]), prev, 1)
+        prev = bytes(idx[y])
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    png = (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", pal.tobytes())
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+    got_w, got_h, got_c, out = decode_png(png)
+    assert (got_w, got_h, got_c) == (w, h, 3)
+    assert np.array_equal(out, pal[idx].reshape(h, w * 3)), f"filter {ftype}"
+
+
+def test_palette_index_out_of_range_rejected():
+    idx = np.full((2, 2), 9, dtype=np.uint8)
+    pal = _rand((4, 3), 7)  # only indices 0..3 valid
+    png = encode_png_palette(idx, pal)
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(png)
+
+
+def test_palette_png_flows_through_decode_stage(spark):
+    idx = np.random.RandomState(9).randint(0, 4, size=(6, 8), dtype=np.uint8)
+    pal = _rand((4, 3), 10)
+    rows = [(11, bytearray(encode_png_palette(idx, pal)), "image/png")]
+    df = spark.createDataFrame(rows, "doc_id long, content binary, media_type string")
+    got = mm.decode_images(df).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["width"], r["height"], r["channels"]) == (8, 6, 3)
+    assert abs(r["mean_pixel"] - float(pal[idx].mean())) < 1e-6
+
+
 def test_unsupported_variants_raise():
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)  # palette
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)  # palette, no PLTE
     png = _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", zlib.compress(b"\0" * 6)) + _chunk(b"IEND", b"")
     with pytest.raises(NotImplementedError):
         decode_png(png)
     with pytest.raises(NotImplementedError):
         decode_png(b"not a png at all")
+    # 16-bit and interlaced stay quarantined
+    for ihdr in (
+        struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0),
+        struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1),
+    ):
+        png = _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", zlib.compress(b"\0" * 6)) + _chunk(b"IEND", b"")
+        with pytest.raises(NotImplementedError):
+            decode_png(png)
 
 
 def test_png_flows_through_decode_stage(spark):
