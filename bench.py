@@ -86,6 +86,11 @@ HEADLINE = [
     "q_repetition_stats",
     "q_sequence_packing",
     "q_curation_pipeline_decisions",
+    # round-5 breadth: frozen-merge BPE tokenization, SQ8 recall,
+    # event anomaly scoring
+    "q_bpe_apply_fixed_merges",
+    "q_embedding_sq8_recall",
+    "q_event_anomaly_zscore",
 ]
 
 

@@ -786,3 +786,143 @@ def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "cand_id", "cand_bucket", "rank", "cos_sim")
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8) + recall instrumentation: the vector-DB
+# compression play — per-dimension global [min, max] -> 8-bit codes
+# (16x smaller than float32 at 100 TB), dequantized for scoring. The
+# query measures what the compression costs: top-k overlap between the
+# exact-cosine arm and the dequantized arm. Per-dim stats are one tiny
+# aggregate (64 rows) broadcast back; quantization is a zip_with over
+# the stats array — one scan, no shuffle beyond the 64-row stats.
+# Determinism: min/max are exact (no accumulation), and the dequant
+# expression is written IDENTICALLY on both engines (round of
+# non-negative values, so HALF_UP == half-away-from-zero).
+# ---------------------------------------------------------------------------
+SQ8_QUERY_MAX = 5
+SQ8_TOP_K = 10
+_SQ8_DIMS = 64
+
+
+def _sq8_oracle() -> str:
+    dq = (
+        "CASE WHEN mxs[i+1] = mns[i+1] THEN mns[i+1] "
+        "ELSE mns[i+1] + round((CAST(embedding[i+1] AS DOUBLE) - mns[i+1])"
+        "/(mxs[i+1] - mns[i+1]) * 255) * (mxs[i+1] - mns[i+1])/255 END"
+    )
+    return f"""
+    WITH dims AS (
+        SELECT d, MIN(CAST(v AS DOUBLE)) AS mn, MAX(CAST(v AS DOUBLE)) AS mx
+        FROM (
+            SELECT unnest(embedding) AS v,
+                   generate_subscripts(embedding, 1) - 1 AS d
+            FROM embeddings
+        ) GROUP BY d
+    ),
+    sq AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs FROM dims),
+    corpus AS (
+        SELECT vec_id, embedding,
+               list_transform(range(0, {_SQ8_DIMS}), i -> {dq}) AS qe
+        FROM embeddings, sq
+    ),
+    exact_r AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {sql_cosine("q.embedding", "c.embedding")} DESC,
+                            c.vec_id) AS rk
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < {SQ8_QUERY_MAX}
+    ),
+    quant_r AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {sql_cosine("q.embedding", "c.qe")} DESC,
+                            c.vec_id) AS rk
+        FROM embeddings q JOIN corpus c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < {SQ8_QUERY_MAX}
+    )
+    SELECT e.query_id,
+           COUNT(qr.cand_id) AS n_overlap,
+           CAST(ROUND(COUNT(qr.cand_id) * 1.0 / {SQ8_TOP_K}, 6) AS DOUBLE) AS recall
+    FROM exact_r e
+    LEFT JOIN quant_r qr
+           ON e.query_id = qr.query_id AND e.cand_id = qr.cand_id
+          AND qr.rk <= {SQ8_TOP_K}
+    WHERE e.rk <= {SQ8_TOP_K}
+    GROUP BY e.query_id
+    ORDER BY e.query_id
+    """
+
+
+@register("q_embedding_sq8_recall", oracle=_sq8_oracle())
+def q_embedding_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of int8 scalar-quantized vectors vs exact cosine: the
+    measurement that justifies (or vetoes) shipping compressed vectors
+    at scale, exactly like the IVF/LSH recall instrumentation."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = (
+        emb.select(F.posexplode("embedding").alias("d", "v"))
+        .groupBy("d")
+        .agg(
+            F.min(F.col("v").cast("double")).alias("mn"),
+            F.max(F.col("v").cast("double")).alias("mx"),
+        )
+    )
+    stats = dims.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("d", "mn", "mx"))).alias("sq")
+    )
+    dequant = F.zip_with(
+        F.col("embedding"),
+        F.col("sq"),
+        lambda x, s: F.when(s["mx"] == s["mn"], s["mn"]).otherwise(
+            s["mn"]
+            + F.round((x.cast("double") - s["mn"]) / (s["mx"] - s["mn"]) * 255)
+            * (s["mx"] - s["mn"])
+            / 255
+        ),
+    )
+    corpus = persist_tracked(
+        emb.crossJoin(F.broadcast(stats)).select(
+            "vec_id", "embedding", dequant.alias("qe")
+        )
+    )
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < SQ8_QUERY_MAX).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        )
+    )
+    w = W.partitionBy("query_id")
+
+    def _topk(score_col: str, arm: DataFrame) -> DataFrame:
+        rk = F.row_number().over(
+            w.orderBy(F.col(score_col).desc(), F.col("cand_id"))
+        )
+        return (
+            arm.withColumn("rk", rk)
+            .filter(F.col("rk") <= SQ8_TOP_K)
+            .select("query_id", "cand_id")
+        )
+
+    pairs = q.join(corpus, F.col("query_id") != F.col("vec_id")).select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        cosine(F.col("q_emb"), F.col("embedding")).alias("cos_exact"),
+        cosine(F.col("q_emb"), F.col("qe")).alias("cos_quant"),
+    )
+    pairs = persist_tracked(pairs)
+    exact_r = _topk("cos_exact", pairs)
+    quant_r = _topk("cos_quant", pairs)
+    return (
+        exact_r.join(quant_r.withColumn("__hit", F.lit(1)), ["query_id", "cand_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("__hit").alias("n_overlap"),
+            F.round(F.count("__hit") * 1.0 / SQ8_TOP_K, 6)
+            .cast("double")
+            .alias("recall"),
+        )
+        .orderBy("query_id")
+    )

@@ -397,3 +397,84 @@ def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-volume anomaly detection: hourly counts per event type scored
+# against that type's own distribution. Exact-integer sufficient
+# statistics (sum, sum-of-squares of BIGINT counts) make the mean and
+# variance deterministic; only the final z = (c - mean)/sqrt(var) runs
+# in double, as the IDENTICAL expression on both engines, so rounding
+# to 6 dp is cross-engine stable. Scale shape: one scan -> hourly
+# groupBy -> per-type window over hour rows (thousands per type, not
+# events) -> top-|z| truncation. The streaming twin would be a
+# windowed aggregate + foreachBatch score.
+# ---------------------------------------------------------------------------
+ANOM_TOP = 25
+
+
+@register(
+    "q_event_anomaly_zscore",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    scored AS (
+        SELECT event_type, h, c,
+               SUM(c) OVER w AS s, SUM(c * c) OVER w AS ss,
+               COUNT(*) OVER w AS n
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type)
+    )
+    SELECT event_type, CAST(h AS TIMESTAMP) AS hour, c AS n_events,
+           CAST(ROUND(
+               CASE WHEN CAST(ss AS DOUBLE)/n - (CAST(s AS DOUBLE)/n) * (CAST(s AS DOUBLE)/n) <= 0
+                    THEN 0
+                    ELSE (c - CAST(s AS DOUBLE)/n)
+                         / sqrt(CAST(ss AS DOUBLE)/n - (CAST(s AS DOUBLE)/n) * (CAST(s AS DOUBLE)/n))
+               END, 6) AS DOUBLE) AS zscore
+    FROM scored
+    ORDER BY abs(CAST(ROUND(
+               CASE WHEN CAST(ss AS DOUBLE)/n - (CAST(s AS DOUBLE)/n) * (CAST(s AS DOUBLE)/n) <= 0
+                    THEN 0
+                    ELSE (c - CAST(s AS DOUBLE)/n)
+                         / sqrt(CAST(ss AS DOUBLE)/n - (CAST(s AS DOUBLE)/n) * (CAST(s AS DOUBLE)/n))
+               END, 6) AS DOUBLE)) DESC, event_type, hour
+    LIMIT {ANOM_TOP}
+    """,
+)
+def q_event_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count("*").alias("c"))
+    w = W.partitionBy("event_type")
+    scored = hourly.select(
+        "event_type",
+        "h",
+        "c",
+        F.sum("c").over(w).alias("s"),
+        F.sum(F.col("c") * F.col("c")).over(w).alias("ss"),
+        F.count("*").over(w).alias("n"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = F.col("ss").cast("double") / F.col("n") - mean * mean
+    z = (
+        F.round(
+            F.when(var <= 0, F.lit(0.0)).otherwise(
+                (F.col("c") - mean) / F.sqrt(var)
+            ),
+            6,
+        )
+    ).cast("double")
+    return (
+        scored.select(
+            "event_type",
+            F.col("h").alias("hour"),
+            F.col("c").alias("n_events"),
+            z.alias("zscore"),
+        )
+        .orderBy(F.abs(F.col("zscore")).desc(), "event_type", "hour")
+        .limit(ANOM_TOP)
+    )
