@@ -91,6 +91,7 @@ HEADLINE = [
     "q_bpe_apply_fixed_merges",
     "q_embedding_sq8_recall",
     "q_event_anomaly_zscore",
+    "q_pagerank_copurchase",
 ]
 
 
