@@ -21,6 +21,8 @@ _EXT_FORMAT = {
     ".ndjson": "json",
     ".parquet": "parquet",
     ".orc": "orc",
+    ".arrow": "arrow",
+    ".feather": "arrow",
     ".txt": "text",
     ".md": "text",
 }
@@ -97,6 +99,12 @@ def read_table(spark: SparkSession, path: str, **kwargs) -> DataFrame:
         return spark.read.parquet(path)
     if fmt == "orc":
         return spark.read.orc(path)
+    if fmt == "arrow":
+        from etl_pipeline_project_auraverse_spark.sources.arrow_ipc import (
+            read_arrow_ipc,
+        )
+
+        return read_arrow_ipc(spark, path, **kwargs)
     return spark.read.text(path, wholetext=True)
 
 
