@@ -227,6 +227,47 @@ def rollup_stream(
     return writer.start()
 
 
+def scored_rollup(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Anomaly scores over the continuously-maintained rollup: each
+    (window, event_type) bucket z-scored against that type's own
+    distribution — the streaming face of ``q_event_anomaly_zscore``
+    (same exact-integer sufficient statistics, so the score of a
+    bucket is identical whether the rollup was built by one batch
+    pass or folded in over many micro-batches; asserted in
+    ``test_streaming.py``).
+
+    This is the hypertable pattern end to end: ``rollup_stream``
+    maintains the aggregate incrementally with exactly-once folds,
+    and scoring is a cheap batch query over the SMALL rollup (buckets,
+    not events) that can run on any cadence."""
+    from etl_pipeline_project_auraverse_spark.operators.incremental import (
+        IncrementalRollup,
+    )
+    from pyspark.sql.window import Window as W
+
+    roll = IncrementalRollup(state_dir).read(spark)
+    w = W.partitionBy("event_type")
+    scored = roll.select(
+        "event_type",
+        "win_start",
+        F.col("n_events").alias("c"),
+        F.sum("n_events").over(w).alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).over(w).alias("ss"),
+        F.count("*").over(w).alias("n"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = F.col("ss").cast("double") / F.col("n") - mean * mean
+    z = F.round(
+        F.when(var <= 0, F.lit(0.0)).otherwise((F.col("c") - mean) / F.sqrt(var)), 6
+    ).cast("double")
+    return scored.select(
+        "event_type",
+        "win_start",
+        F.col("c").alias("n_events"),
+        z.alias("zscore"),
+    )
+
+
 def to_memory(df: DataFrame, name: str, output_mode: str = "append"):
     """Test/driver sink: materialize the stream into an in-memory table."""
     return (

@@ -341,3 +341,48 @@ def test_stream_stream_purchase_context_matches_batch(spark, events_path):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_scored_rollup_matches_batch_scoring(spark, events_path, tmp_path):
+    """Anomaly scores over the incrementally-maintained rollup must be
+    IDENTICAL to scoring a one-shot batch rollup of the same events:
+    the exact-integer sufficient statistics make the z-scores
+    independent of how the aggregate was folded together."""
+    from pyspark.sql.window import Window as W
+
+    from etl_pipeline_project_auraverse_spark.operators.incremental import (
+        _partial_rollup,
+    )
+
+    state = str(tmp_path / "score_state")
+    chk = str(tmp_path / "score_chk")
+    stream = se.read_event_stream(spark, events_path, max_files_per_trigger=1)
+    q = se.rollup_stream(stream, state, checkpoint_dir=chk)
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r["event_type"], r["win_start"]): (r["n_events"], r["zscore"])
+        for r in se.scored_rollup(spark, state).collect()
+    }
+
+    batch = _partial_rollup(spark.read.parquet(events_path))
+    w = W.partitionBy("event_type")
+    scored = batch.select(
+        "event_type",
+        "win_start",
+        F.col("n_events").alias("c"),
+        F.sum("n_events").over(w).alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).over(w).alias("ss"),
+        F.count("*").over(w).alias("n"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = F.col("ss").cast("double") / F.col("n") - mean * mean
+    z = F.round(
+        F.when(var <= 0, F.lit(0.0)).otherwise((F.col("c") - mean) / F.sqrt(var)), 6
+    ).cast("double")
+    want = {
+        (r["event_type"], r["win_start"]): (r["c"], r["z"])
+        for r in scored.select("event_type", "win_start", "c", z.alias("z")).collect()
+    }
+    assert got == want and len(got) > 0
