@@ -73,6 +73,18 @@ def connected_components(
         .distinct()
         .withColumn("comp", F.col("id"))
     )
+
+    def _label_sum(df: DataFrame) -> object:
+        # exact decimal sum: min-propagation is MONOTONE (labels only
+        # ever decrease and the node set is fixed), so the label sum is
+        # unchanged iff NO label changed — a 1-row scan replaces the
+        # old join-and-count convergence probe. DECIMAL(38,0) keeps the
+        # sum exact at any node-count/id scale.
+        return df.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = _label_sum(labels)
     converged = False
     try:
         for _ in range(max_iter):
@@ -87,24 +99,19 @@ def connected_components(
             new_labels, new_ids = local_checkpoint_tracked(
                 msgs.groupBy("id").agg(F.min("comp").alias("comp"))
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "id")
-                .filter(F.col("n.comp") != F.col("o.comp"))
-                .limit(1)
-                .count()
-            )
+            new_sum = _label_sum(new_labels)
             # the convergence check was the old labels' last consumer —
             # free its blocks so exactly one label table stays pinned
             unpersist_rdd_ids(spark, live_ids)
             labels, live_ids = new_labels, new_ids
-            if changed == 0:
+            if new_sum == prev_sum:
                 converged = True
                 # the returned table's blocks outlive this call: hand
                 # them to the registry, freed by the next
                 # release_caches() (after the caller has consumed it)
                 register_checkpoint_ids(spark, live_ids)
                 return labels
+            prev_sum = new_sum
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"
         )
