@@ -78,6 +78,28 @@ class Engine:
     def sql(self, query: str) -> DataFrame:
         return self.spark.sql(query)
 
+    def read(self, path: str, **kwargs) -> DataFrame:
+        """Extension-routed lazy read (csv/json/parquet/orc/arrow/
+        feather/text), the generalized S14 dispatch."""
+        from etl_pipeline_project_auraverse_spark.sources.tabular import read_table
+
+        return read_table(self.spark, path, **kwargs)
+
+    def save(
+        self,
+        df: DataFrame,
+        path: str,
+        fmt: str = "parquet",
+        partition_by: list[str] | None = None,
+    ) -> None:
+        """Scale-path partitioned write (every executor writes its own
+        part files; ``partition_by`` enables downstream pruning)."""
+        from etl_pipeline_project_auraverse_spark.sources.tabular import (
+            write_partitioned,
+        )
+
+        write_partitioned(df, path, fmt=fmt, partition_by=partition_by)
+
     # -- registry queries ---------------------------------------------------
     @staticmethod
     def queries() -> list[str]:

@@ -89,8 +89,21 @@ def read_json_table(
 
 
 def read_table(spark: SparkSession, path: str, **kwargs) -> DataFrame:
-    """Extension-routed read (S14/S15 dispatch, tabular formats)."""
-    fmt = format_for_path(path)
+    """Extension-routed read (S14/S15 dispatch, tabular formats).
+
+    Directories (e.g. partitioned-writer output) are routed by the
+    extension of their data files — a driver-side listing peek, never
+    a data read."""
+    import os
+
+    probe = path
+    if os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            data = [f for f in files if not f.startswith(("_", "."))]
+            if data:
+                probe = os.path.join(root, data[0])
+                break
+    fmt = format_for_path(probe)
     if fmt == "csv":
         return read_csv_table(spark, path, **kwargs)
     if fmt == "json":

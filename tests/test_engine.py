@@ -130,3 +130,20 @@ def test_load_table_nested_untagged_timestamp_epoch_exact(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+
+
+def test_read_save_roundtrip(engine, tmp_path):
+    """Extension-routed read + partitioned save through the facade."""
+    src = engine.table("nation")
+    out = str(tmp_path / "nation_out")
+    engine.save(src, out, partition_by=["n_regionkey"])
+    back = engine.read(out + "/n_regionkey=0")  # partition-pruned path
+    assert back.count() == src.filter("n_regionkey = 0").count()
+
+    arrow = str(tmp_path / "nation.arrow")
+    from etl_pipeline_project_auraverse_spark.sources.arrow_ipc import (
+        write_arrow_ipc_single,
+    )
+
+    write_arrow_ipc_single(src, arrow)
+    assert engine.read(arrow).count() == src.count()
