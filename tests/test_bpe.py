@@ -288,3 +288,20 @@ def test_fixed_merge_query_matches_trained_tokenizer(spark, sf_dir):
         ).collect()
     }
     assert got == want
+
+
+def test_over_cap_fallback_stays_byte_identical(spark, monkeypatch):
+    """When the triple/quad collect would exceed the driver budget,
+    the round falls back to the prefix rule — output must STILL be
+    byte-identical to sequential, just in more rounds."""
+    from etl_pipeline_project_auraverse_spark.operators import bpe as bpe_mod
+
+    monkeypatch.setattr(bpe_mod, "MAX_STATS_ROWS", 1)
+    texts = _zipf_corpus(seed=3, nvocab=80, ndocs=12)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    stats: dict = {}
+    got = bpe_mod.train_bpe(docs, num_merges=12, stats=stats)
+    assert got == _reference_bpe(texts, num_merges=12)
+    assert len(got) == 12
