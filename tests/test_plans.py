@@ -34,7 +34,17 @@ EQUI_JOIN_QUERIES = [
     "q_dedup_simhash",
     "q_range_join_purchase_context",
     "q_ann_lsh_cosine",
+    "q_pagerank_copurchase",
 ]
+
+
+def test_sq8_stats_are_broadcast(q):
+    """The 64-row per-dimension stats table must broadcast into the
+    corpus scan (a shuffle join keyed on nothing would be wrong); the
+    query-vs-corpus arms are intentional broadcast NLJs like the
+    brute-force baseline."""
+    plan = PI.physical_plan(q("q_embedding_sq8_recall"))
+    assert plan.count("BroadcastExchange") >= 1
 
 
 @pytest.mark.parametrize("name", EQUI_JOIN_QUERIES)
