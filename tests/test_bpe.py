@@ -305,3 +305,18 @@ def test_over_cap_fallback_stays_byte_identical(spark, monkeypatch):
     got = bpe_mod.train_bpe(docs, num_merges=12, stats=stats)
     assert got == _reference_bpe(texts, num_merges=12)
     assert len(got) == 12
+
+
+def test_tiny_window_relevance_filtering_stays_identical(spark):
+    """With a tiny candidate window most triples/quads fall OUTSIDE the
+    window-relevance collect filter — the cascade must still be
+    byte-identical (the floor rule stops it before any unseen stat
+    could matter)."""
+    for seed, cand in ((21, 4), (22, 6), (23, 8)):
+        texts = _zipf_corpus(seed=seed, nvocab=120, ndocs=16)
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        )
+        got = train_bpe(docs, num_merges=15, batch_candidates=cand)
+        want = _reference_bpe(texts, num_merges=15)
+        assert got == want, (seed, cand)
