@@ -42,6 +42,7 @@ _MODULES = [
     "etl_pipeline_project_auraverse_spark.queries.relational",
     "etl_pipeline_project_auraverse_spark.queries.tpch_extra",
     "etl_pipeline_project_auraverse_spark.queries.tpch_extra2",
+    "etl_pipeline_project_auraverse_spark.queries.tpch_extra3",
     "etl_pipeline_project_auraverse_spark.queries.extended",
     "etl_pipeline_project_auraverse_spark.queries.curation",
     "etl_pipeline_project_auraverse_spark.queries.timeseries",

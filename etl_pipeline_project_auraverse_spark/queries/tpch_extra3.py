@@ -1,0 +1,213 @@
+"""TPC-H Q11/Q16/Q20 analogues, completing all 22 TPC-H query shapes
+over the reduced star schema (no partsupp table — inventory value is
+derived from shipped lineitems, the same adaptation tpch_extra2.py
+uses for Q2).
+
+Shapes preserved:
+
+- Q11 "important stock": two-level aggregation with a correlated
+  threshold — per-(nation, part) value kept only when it exceeds a
+  multiple of that nation's average part value. The original's scalar
+  subquery over one nation generalizes to a per-nation threshold join
+  (a 25-row broadcast), which is both more useful and non-degenerate
+  at every scale factor.
+- Q16 "parts/supplier relationship": COUNT(DISTINCT supplier) per part
+  attribute group with a NOT-IN supplier exclusion (an anti-join
+  against a broadcast-sized blacklist).
+- Q20 "potential part promotion": nested semi-join — suppliers whose
+  shipped quantity of a name-filtered part family in a date window
+  exceeds a threshold.
+
+Scale notes (100 TB posture): part/supplier/nation dims broadcast, so
+the only fact-table shuffles are the groupBys on (nation, part) /
+(brand, type, size) / suppkey — all high-cardinality keys. The Q11
+threshold side is a per-nation aggregate (<= 25 rows) joined back by
+broadcast; the Q16 blacklist and Q20 qualifying-supplier set are
+broadcast semi/anti joins, never a shuffle of the fact table by a
+low-cardinality key. Quantity/value sums accumulate through
+DECIMAL(25,6) so the threshold comparisons are exact and
+order-independent (see queries/_util.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_project_auraverse_spark.queries import register
+from etl_pipeline_project_auraverse_spark.queries._util import DEC, dec_sum, sql_dec_sum
+from etl_pipeline_project_auraverse_spark.session import load_table
+
+REV = "l_extendedprice * (1 - l_discount)"
+
+# Q11: keep parts whose value exceeds IMPORTANCE x the nation's average
+# part value. Exact-decimal comparison: v * n_parts > IMPORTANCE * total.
+IMPORTANCE = 2
+
+# Q16: exclude one brand, one type family, large sizes, and suppliers
+# with negative account balance (the "customer complaints" stand-in).
+Q16_BRAND = "Brand#1"
+Q16_TYPE = "PROMO"
+Q16_MAX_SIZE = 25
+
+# Q20: part-name family, ship-date window, quantity threshold.
+Q20_NAME_PREFIX = "blue"
+Q20_DATE_LO = "1996-01-01"
+Q20_DATE_HI = "1998-01-01"
+Q20_MIN_QTY = 500
+
+
+@register(
+    "q11_important_parts",
+    oracle=f"""
+    WITH natl AS (
+        SELECT n.n_name, l.l_partkey,
+               SUM(CAST(({REV}) AS DECIMAL(25,6))) AS v
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        GROUP BY n.n_name, l.l_partkey
+    ),
+    tot AS (
+        SELECT n_name, SUM(v) AS total, COUNT(*) AS n_parts
+        FROM natl GROUP BY n_name
+    )
+    SELECT natl.n_name, natl.l_partkey AS part,
+           CAST(ROUND(natl.v, 2) AS DOUBLE) AS value
+    FROM natl JOIN tot USING (n_name)
+    WHERE natl.v * tot.n_parts > {IMPORTANCE} * tot.total
+    ORDER BY value DESC, natl.n_name, part
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts worth more than IMPORTANCE x their nation's average part
+    value (TPC-H Q11 shape: aggregation filtered by a correlated
+    aggregate threshold)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    natl = (
+        li.join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(nation, supp["s_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name", "l_partkey")
+        .agg(F.sum(F.expr(REV).cast(DEC)).alias("v"))
+    )
+    # per-nation totals: <= 25 rows, broadcast back — the fact table is
+    # never re-shuffled for the threshold
+    tot = F.broadcast(
+        natl.groupBy("n_name").agg(
+            F.sum("v").alias("total"), F.count("*").alias("n_parts")
+        )
+    )
+    return (
+        natl.join(tot, "n_name")
+        .filter(F.col("v") * F.col("n_parts") > F.lit(IMPORTANCE) * F.col("total"))
+        .select(
+            "n_name",
+            F.col("l_partkey").alias("part"),
+            F.round("v", 2).cast("double").alias("value"),
+        )
+        .orderBy(F.col("value").desc(), "n_name", "part")
+    )
+
+
+@register(
+    "q16_supplier_part_relation",
+    oracle=f"""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> '{Q16_BRAND}'
+      AND p.p_type <> '{Q16_TYPE}'
+      AND p.p_size <= {Q16_MAX_SIZE}
+      AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_supplier_part_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-supplier counts per (brand, type, size), excluding a
+    supplier blacklist (TPC-H Q16 shape: NOT IN -> broadcast anti-join,
+    then COUNT(DISTINCT) over a high-cardinality group key)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(
+            (F.col("p_brand") != Q16_BRAND)
+            & (F.col("p_type") != Q16_TYPE)
+            & (F.col("p_size") <= Q16_MAX_SIZE)
+        )
+    )
+    blacklist = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(blacklist, li["l_suppkey"] == blacklist["s_suppkey"], "left_anti")
+        .join(part, li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q20_promotion_suppliers",
+    oracle=f"""
+    SELECT s.s_name, n.n_name,
+           CAST(ROUND(s.s_acctbal, 2) AS DOUBLE) AS s_acctbal
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_name LIKE '{Q20_NAME_PREFIX}%'
+          AND l.l_shipdate >= TIMESTAMP '{Q20_DATE_LO}'
+          AND l.l_shipdate <  TIMESTAMP '{Q20_DATE_HI}'
+        GROUP BY l.l_suppkey
+        HAVING SUM(CAST(l.l_quantity AS DECIMAL(25,6))) > {Q20_MIN_QTY}
+    )
+    ORDER BY s.s_name
+    """,
+)
+def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who moved more than Q20_MIN_QTY units of the
+    name-filtered part family in the window (TPC-H Q20 shape: nested
+    IN -> aggregate-then-semi-join)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(
+            F.col("p_name").startswith(Q20_NAME_PREFIX)
+        )
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    qualifying = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(Q20_DATE_LO).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(Q20_DATE_HI).cast("timestamp"))
+        )
+        .join(part, li["l_partkey"] == part["p_partkey"])
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("qty"))
+        .filter(F.col("qty") > Q20_MIN_QTY)
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(
+            F.broadcast(qualifying),
+            supp["s_suppkey"] == qualifying["l_suppkey"],
+            "left_semi",
+        )
+        .join(nation, supp["s_nationkey"] == nation["n_nationkey"])
+        .select(
+            "s_name",
+            "n_name",
+            F.round("s_acctbal", 2).cast("double").alias("s_acctbal"),
+        )
+        .orderBy("s_name")
+    )
