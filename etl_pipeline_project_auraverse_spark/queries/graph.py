@@ -35,6 +35,8 @@ from etl_pipeline_project_auraverse_spark.queries.extended import (
 )
 from etl_pipeline_project_auraverse_spark.session import load_table
 
+TRI_TOP = 30
+
 PR_R0 = 1_000_000_000
 PR_TELEPORT = 150_000_000  # (1 - d) * R0 with d = 0.85
 PR_ITERS = 3
@@ -133,3 +135,143 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank").desc(), "part")
         .limit(PR_TOP)
     )
+
+
+def _tri_oracle() -> str:
+    return f"""
+    WITH basket AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    ok_orders AS (
+        SELECT l_orderkey FROM basket
+        GROUP BY l_orderkey HAVING COUNT(*) <= {BASKET_CAP}
+    ),
+    b AS (SELECT basket.* FROM basket JOIN ok_orders USING (l_orderkey)),
+    pairs AS (
+        SELECT x.l_partkey AS a, y.l_partkey AS b
+        FROM b x JOIN b y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        GROUP BY a, b
+        HAVING COUNT(*) >= {MIN_PAIR_SUPPORT}
+    ),
+    tri AS (
+        SELECT e1.a, e1.b, e2.b AS c
+        FROM pairs e1
+        JOIN pairs e2 ON e2.a = e1.b
+        JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    per_part AS (
+        SELECT part, COUNT(*) AS n_triangles FROM (
+            SELECT a AS part FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ) GROUP BY part
+    )
+    SELECT part, CAST(n_triangles AS BIGINT) AS n_triangles
+    FROM per_part
+    ORDER BY n_triangles DESC, part
+    LIMIT {TRI_TOP}
+    """
+
+
+@register("q_triangle_copurchase", oracle=_tri_oracle())
+def q_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle participation in the co-purchase graph
+    (clustering structure: parts embedded in tightly-knit baskets).
+
+    Scale shape — degree-ordered edge orientation: every undirected
+    edge is directed from its (degree, id)-smaller endpoint to the
+    larger one, so each triangle is generated by exactly one wedge at
+    its smallest-degree corner. Wedge fan-out is then bounded by
+    out-degree, which orientation caps at O(sqrt(E)) — total wedge work
+    O(E^1.5) instead of sum(deg^2); a hub part with a million
+    co-purchases generates NO wedges (all its edges point inward). The
+    oracle orients by part id instead (simpler SQL) — the triangle SET
+    is orientation-independent, so results are identical.
+
+    The closing-edge probe and the wedge build are equi-joins on
+    compact keys; no cartesian anywhere (pinned in tests/test_plans).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") <= BASKET_CAP)
+    )
+    lhs = baskets.select("parts", F.posexplode("parts").alias("i", "part_a"))
+    pairs = (
+        lhs.select(
+            "part_a",
+            F.explode(
+                F.expr("slice(parts, i + 2, size(parts) - i - 1)")
+            ).alias("part_b"),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= MIN_PAIR_SUPPORT)
+        .select("part_a", "part_b")
+    )
+    # undirected degree, then orient each edge small -> large by
+    # (degree, id); okey packs the sort key for a single-column join
+    deg = (
+        pairs.select(F.col("part_a").alias("part"))
+        .unionByName(pairs.select(F.col("part_b").alias("part")))
+        .groupBy("part")
+        .agg(F.count("*").alias("deg"))
+    )
+    with_keys = (
+        pairs.join(deg.withColumnRenamed("part", "part_a"), "part_a")
+        .withColumnRenamed("deg", "deg_a")
+        .join(
+            deg.withColumnRenamed("part", "part_b").withColumnRenamed("deg", "deg_b"),
+            "part_b",
+        )
+    )
+    oriented = persist_tracked(
+        with_keys.select(
+            F.when(
+                F.struct(
+                    F.col("deg_a").alias("deg"), F.col("part_a").alias("part")
+                )
+                < F.struct(
+                    F.col("deg_b").alias("deg"), F.col("part_b").alias("part")
+                ),
+                F.struct(
+                    F.col("part_a").alias("u"),
+                    F.col("part_b").alias("v"),
+                    F.struct(
+                        F.col("deg_b").alias("deg"), F.col("part_b").alias("part")
+                    ).alias("vkey"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col("part_b").alias("u"),
+                    F.col("part_a").alias("v"),
+                    F.struct(
+                        F.col("deg_a").alias("deg"), F.col("part_a").alias("part")
+                    ).alias("vkey"),
+                )
+            )
+            .alias("e")
+        ).select("e.u", "e.v", "e.vkey")
+    )
+    e1 = oriented.select(
+        F.col("u").alias("a"), F.col("v").alias("b"), F.col("vkey").alias("bkey")
+    )
+    e2 = oriented.select(
+        F.col("u").alias("a2"), F.col("v").alias("c"), F.col("vkey").alias("ckey")
+    )
+    # wedges at the smallest corner: two out-edges, canonicalized so
+    # each unordered {b, c} appears once with bkey < ckey
+    wedges = e1.join(e2, (e1["a"] == e2["a2"]) & (e1["bkey"] < e2["ckey"])).select(
+        "a", "b", "c"
+    )
+    closing = oriented.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    tri = wedges.join(closing, ["b", "c"], "left_semi")
+    per_part = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("part"))
+        .groupBy("part")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    return per_part.orderBy(F.col("n_triangles").desc(), "part").limit(TRI_TOP)
