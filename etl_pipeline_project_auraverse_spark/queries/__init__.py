@@ -51,6 +51,7 @@ _MODULES = [
     "etl_pipeline_project_auraverse_spark.queries.profiling",
     "etl_pipeline_project_auraverse_spark.queries.text",
     "etl_pipeline_project_auraverse_spark.queries.graph",
+    "etl_pipeline_project_auraverse_spark.queries.cdc",
 ]
 
 

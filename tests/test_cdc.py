@@ -1,0 +1,67 @@
+"""CDC apply / merge_snapshot semantics: latest-wins, tombstones,
+out-of-order deletes, revive-after-delete, idempotent re-merge."""
+
+from __future__ import annotations
+
+from etl_pipeline_project_auraverse_spark.operators.cdc import (
+    apply_changes,
+    merge_snapshot,
+)
+
+COLS = ["k", "seq", "op", "val"]
+
+
+def _feed(spark, rows):
+    return spark.createDataFrame(rows, COLS)
+
+
+def _state(df):
+    return {r["k"]: (r["seq"], r["val"]) for r in df.collect()}
+
+
+def test_latest_wins_per_key(spark):
+    feed = _feed(
+        spark,
+        [(1, 1, "U", "a"), (1, 3, "U", "c"), (1, 2, "U", "b"), (2, 1, "U", "x")],
+    )
+    out = apply_changes(feed, ["k"], ["seq", "val"])
+    assert _state(out) == {1: (3, "c"), 2: (1, "x")}
+
+
+def test_winning_delete_tombstones_key(spark):
+    feed = _feed(spark, [(1, 1, "U", "a"), (1, 2, "D", "a"), (2, 1, "U", "x")])
+    out = apply_changes(feed, ["k"], ["seq", "val"], op_col="op")
+    assert _state(out) == {2: (1, "x")}
+
+
+def test_stale_delete_is_noop_and_reinsert_revives(spark):
+    # delete at seq 2 loses to the later upsert at seq 3
+    feed = _feed(spark, [(1, 1, "U", "a"), (1, 2, "D", "a"), (1, 3, "U", "z")])
+    out = apply_changes(feed, ["k"], ["seq", "val"], op_col="op")
+    assert _state(out) == {1: (3, "z")}
+
+
+def test_merge_advances_base_snapshot(spark):
+    base = _feed(spark, [(1, 1, "U", "a"), (2, 5, "U", "x")])
+    batch = _feed(spark, [(1, 2, "U", "b"), (2, 4, "U", "stale"), (3, 1, "U", "new")])
+    out = merge_snapshot(base, batch, ["k"], ["seq"], op_col="op")
+    # key 1 advances, key 2 keeps the newer base row, key 3 inserts
+    assert _state(out) == {1: (2, "b"), 2: (5, "x"), 3: (1, "new")}
+    assert out.columns == COLS  # helper columns never escape
+
+
+def test_merge_delete_removes_from_base(spark):
+    base = _feed(spark, [(1, 1, "U", "a"), (2, 1, "U", "x")])
+    batch = _feed(spark, [(2, 2, "D", "x")])
+    out = merge_snapshot(base, batch, ["k"], ["seq"], op_col="op")
+    assert _state(out) == {1: (1, "a")}
+
+
+def test_reapplying_same_batch_is_idempotent(spark):
+    base = _feed(spark, [(9, 0, "U", "seed")])
+    batch = _feed(
+        spark, [(1, 1, "U", "a"), (1, 2, "U", "b"), (2, 2, "D", "x"), (9, 1, "U", "s2")]
+    )
+    once = merge_snapshot(base, batch, ["k"], ["seq", "val"], op_col="op")
+    twice = merge_snapshot(once, batch, ["k"], ["seq", "val"], op_col="op")
+    assert _state(once) == _state(twice) == {1: (2, "b"), 9: (1, "s2")}
