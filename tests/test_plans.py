@@ -35,7 +35,41 @@ EQUI_JOIN_QUERIES = [
     "q_range_join_purchase_context",
     "q_ann_lsh_cosine",
     "q_pagerank_copurchase",
+    "q_triangle_copurchase",
+    "q11_important_parts",
+    "q16_supplier_part_relation",
+    "q20_promotion_suppliers",
+    "q_cdc_latest_order_state",
 ]
+
+
+def test_q11_threshold_side_is_broadcast(q):
+    """The per-nation totals (<= 25 rows) must broadcast back into the
+    per-(nation, part) aggregate — the fact-derived side is never
+    re-shuffled by the low-cardinality nation key."""
+    plan = PI.physical_plan(q("q11_important_parts"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q16_blacklist_is_broadcast_anti_join(q):
+    plan = PI.physical_plan(q("q16_supplier_part_relation"))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_q20_qualifiers_semi_join(q):
+    plan = PI.physical_plan(q("q20_promotion_suppliers"))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_triangle_wedge_join_is_equi(q):
+    """Wedge build and closing-edge probe must be hash/sort-merge
+    equi-joins (the bkey < ckey canonicalization rides as a join
+    residual, not a nested-loop condition)."""
+    plan = PI.physical_plan(q("q_triangle_copurchase"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_sq8_stats_are_broadcast(q):
