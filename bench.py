@@ -92,6 +92,9 @@ HEADLINE = [
     "q_embedding_sq8_recall",
     "q_event_anomaly_zscore",
     "q_pagerank_copurchase",
+    "q_triangle_copurchase",
+    "q11_important_parts",
+    "q_cdc_latest_order_state",
 ]
 
 
