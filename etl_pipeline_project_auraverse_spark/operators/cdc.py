@@ -78,3 +78,68 @@ def merge_snapshot(
     return apply_changes(
         feed, keys, [*seq_cols, _TIE], op_col=op_col, delete_op=delete_op
     ).drop(_TIE)
+
+
+# ---------------------------------------------------------------------------
+# Persistent snapshot state: the foreachBatch face. Reuses the
+# manifest-in-dir atomic swap from operators/incremental.py, so a
+# replayed micro-batch (foreachBatch is at-least-once) is detected by
+# its batch id and skipped — exactly-once upserts across restarts,
+# with the same crashed-swap recovery contract.
+# ---------------------------------------------------------------------------
+
+_SNAP = "snapshot"
+
+
+def apply_upsert_batch(
+    spark,
+    state_dir: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    keys: list[str],
+    seq_cols: list[str],
+) -> bool:
+    """Merge one micro-batch into the persistent keyed snapshot exactly
+    once; returns False if ``batch_id`` was already applied."""
+    import os
+
+    from etl_pipeline_project_auraverse_spark.operators.incremental import (
+        _read_meta,
+        _recover,
+        _swap_in,
+    )
+
+    snap_dir = os.path.join(state_dir, _SNAP)
+    _recover(state_dir, _SNAP)  # surface a crashed swap before the meta read
+    meta = _read_meta(snap_dir)
+    if int(meta.get("last_batch_id", -1)) >= batch_id:
+        return False
+    batch_latest = apply_changes(batch_df, keys, seq_cols)  # keep tombstone rows
+    if os.path.exists(snap_dir):
+        merged = merge_snapshot(
+            spark.read.parquet(snap_dir), batch_latest, keys, seq_cols
+        )
+    else:
+        merged = batch_latest
+    # Tombstones stay IN the stored snapshot (filtered at read): a
+    # delete must keep outranking earlier upserts that arrive late in
+    # subsequent batches; dropping it here would resurrect the key.
+    _swap_in(state_dir, merged, {**meta, "last_batch_id": batch_id}, _SNAP)
+    return True
+
+
+def read_upsert_snapshot(
+    spark, state_dir: str, op_col: str | None = None, delete_op: str = "D"
+) -> DataFrame:
+    """Current state: the stored snapshot minus delete tombstones."""
+    import os
+
+    from etl_pipeline_project_auraverse_spark.operators.incremental import (
+        _recover,
+    )
+
+    _recover(state_dir, _SNAP)
+    df = spark.read.parquet(os.path.join(state_dir, _SNAP))
+    if op_col is not None:
+        df = df.filter(F.col(op_col) != delete_op)
+    return df

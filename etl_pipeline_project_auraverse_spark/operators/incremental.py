@@ -62,7 +62,7 @@ def _read_meta(rollup_dir: str) -> dict:
         return json.load(f)
 
 
-def _recover(state_dir: str) -> None:
+def _recover(state_dir: str, name: str = "rollup") -> None:
     """Crash recovery FIRST, sweep SECOND.
 
     The swap in :func:`_merge_and_swap` has a window (between renaming
@@ -81,20 +81,38 @@ def _recover(state_dir: str) -> None:
     considers committed. Must run before any manifest read, too:
     reading a missing manifest as empty state would double-fold a
     replayed batch into the later-recovered rollup."""
-    rollup_dir = os.path.join(state_dir, "rollup")
+    rollup_dir = os.path.join(state_dir, name)
     os.makedirs(state_dir, exist_ok=True)
     if not os.path.exists(rollup_dir):
         survivors = sorted(
             s
             for s in os.listdir(state_dir)
-            if s.startswith("rollup.tmp.")
+            if s.startswith(f"{name}.tmp.")
             and os.path.exists(os.path.join(state_dir, s, _MANIFEST_NAME))
-        ) or sorted(s for s in os.listdir(state_dir) if s.startswith("rollup.old."))
+        ) or sorted(s for s in os.listdir(state_dir) if s.startswith(f"{name}.old."))
         if survivors:
             os.rename(os.path.join(state_dir, survivors[0]), rollup_dir)
     for stale in os.listdir(state_dir):
-        if stale.startswith(("rollup.tmp.", "rollup.old.")):
+        if stale.startswith((f"{name}.tmp.", f"{name}.old.")):
             shutil.rmtree(os.path.join(state_dir, stale), ignore_errors=True)
+
+
+def _swap_in(state_dir: str, df: DataFrame, meta: dict, name: str = "rollup") -> None:
+    """Materialize ``df`` + its manifest in a tmp dir and atomically
+    swap it in as ``state_dir/name``; see :func:`_recover` for the
+    crash contract (the manifest is written only after the parquet
+    write completes, so its presence marks a fully materialized dir)."""
+    live_dir = os.path.join(state_dir, name)
+    tmp = os.path.join(state_dir, f"{name}.tmp.{uuid.uuid4().hex[:8]}")
+    df.write.mode("overwrite").parquet(tmp)
+    with open(os.path.join(tmp, _MANIFEST_NAME), "w", encoding="utf-8") as f:
+        json.dump(meta, f)
+    old = os.path.join(state_dir, f"{name}.old.{uuid.uuid4().hex[:8]}")
+    if os.path.exists(live_dir):
+        os.rename(live_dir, old)
+    os.rename(tmp, live_dir)
+    if os.path.exists(old):
+        shutil.rmtree(old, ignore_errors=True)
 
 
 def _merge_and_swap(
@@ -117,17 +135,7 @@ def _merge_and_swap(
         )
     else:
         merged = fresh
-
-    tmp = os.path.join(state_dir, f"rollup.tmp.{uuid.uuid4().hex[:8]}")
-    merged.write.mode("overwrite").parquet(tmp)
-    with open(os.path.join(tmp, _MANIFEST_NAME), "w", encoding="utf-8") as f:
-        json.dump(meta, f)
-    old = os.path.join(state_dir, f"rollup.old.{uuid.uuid4().hex[:8]}")
-    if os.path.exists(rollup_dir):
-        os.rename(rollup_dir, old)
-    os.rename(tmp, rollup_dir)
-    if os.path.exists(old):
-        shutil.rmtree(old, ignore_errors=True)
+    _swap_in(state_dir, merged, meta)
 
 
 def apply_rollup_batch(

@@ -227,6 +227,35 @@ def rollup_stream(
     return writer.start()
 
 
+def upsert_stream(
+    events: DataFrame,
+    state_dir: str,
+    keys: list[str],
+    seq_cols: list[str],
+    checkpoint_dir: str | None = None,
+):
+    """Streaming CDC apply: each micro-batch merges into a persistent
+    keyed snapshot (``operators/cdc.apply_upsert_batch``) — the
+    MERGE-INTO sink for a change feed. Exactly-once across restarts by
+    the same swapped-in batch-id contract as ``rollup_stream``; delete
+    tombstones persist in the stored snapshot (so late-arriving older
+    upserts stay dead) and are filtered by
+    ``operators/cdc.read_upsert_snapshot``."""
+    from etl_pipeline_project_auraverse_spark.operators.cdc import (
+        apply_upsert_batch,
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        apply_upsert_batch(
+            batch_df.sparkSession, state_dir, batch_df, batch_id, keys, seq_cols
+        )
+
+    writer = events.writeStream.foreachBatch(_apply).trigger(availableNow=True)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def scored_rollup(spark: SparkSession, state_dir: str) -> DataFrame:
     """Anomaly scores over the continuously-maintained rollup: each
     (window, event_type) bucket z-scored against that type's own

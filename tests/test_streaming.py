@@ -386,3 +386,81 @@ def test_scored_rollup_matches_batch_scoring(spark, events_path, tmp_path):
         for r in scored.select("event_type", "win_start", "c", z.alias("z")).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_upsert_is_exactly_once(spark, events_path, tmp_path):
+    """Streaming CDC apply: the persistent keyed snapshot after the
+    stream drains must equal the batch apply_changes over the whole
+    feed; a restart with no new data changes nothing; a replayed batch
+    id is skipped; and a key whose winning row is a tombstone stays
+    hidden at read."""
+    from etl_pipeline_project_auraverse_spark.operators.cdc import (
+        apply_changes,
+        apply_upsert_batch,
+        read_upsert_snapshot,
+    )
+
+    state = str(tmp_path / "upsert_state")
+    chk = str(tmp_path / "upsert_chk")
+    keys, seq = ["user_id"], ["ts", "event_id"]
+
+    def run_once() -> None:
+        stream = se.read_event_stream(spark, events_path, max_files_per_trigger=2)
+        q = se.upsert_stream(stream, state, keys, seq, checkpoint_dir=chk)
+        q.processAllAvailable()
+        q.stop()
+
+    def snap() -> dict:
+        df = read_upsert_snapshot(spark, state, op_col="event_type", delete_op="error")
+        return {r["user_id"]: (r["ts"], r["event_id"], r["event_type"]) for r in df.collect()}
+
+    run_once()
+    want_full = apply_changes(spark.read.parquet(events_path), keys, seq)
+    want = {
+        r["user_id"]: (r["ts"], r["event_id"], r["event_type"])
+        for r in want_full.filter(F.col("event_type") != "error").collect()
+    }
+    got = snap()
+    assert got == want
+    # tombstoned keys really are hidden (feed is big enough that some
+    # user's LATEST event is an 'error')
+    n_tombstoned = want_full.filter(F.col("event_type") == "error").count()
+    assert n_tombstoned > 0
+    assert read_upsert_snapshot(spark, state).count() == len(want) + n_tombstoned
+
+    # restart with no new data: nothing changes
+    run_once()
+    assert snap() == want
+
+    # crash-replay: an already-applied batch id must be a detected no-op
+    replay = spark.read.parquet(events_path).limit(50)
+    assert apply_upsert_batch(spark, state, replay, 0, keys, seq) is False
+    assert snap() == want
+
+
+def test_upsert_snapshot_survives_crashed_swap(spark, tmp_path):
+    """Kill-window recovery for the snapshot state: if a crash lands
+    between the two renames (no snapshot/ dir; completed tmp on disk),
+    the next touch must restore the tmp, not sweep it."""
+    import shutil
+
+    from etl_pipeline_project_auraverse_spark.operators.cdc import (
+        apply_upsert_batch,
+        read_upsert_snapshot,
+    )
+
+    state = str(tmp_path / "crash_state")
+    feed = spark.createDataFrame([(1, 1, "a"), (2, 1, "b")], ["k", "seq", "val"])
+    assert apply_upsert_batch(spark, state, feed, 0, ["k"], ["seq"]) is True
+    before = {r["k"]: r["val"] for r in read_upsert_snapshot(spark, state).collect()}
+
+    # simulate the crash: snapshot/ renamed aside to a completed tmp,
+    # nothing renamed back in
+    os.rename(
+        os.path.join(state, "snapshot"), os.path.join(state, "snapshot.tmp.deadbeef")
+    )
+    after = {r["k"]: r["val"] for r in read_upsert_snapshot(spark, state).collect()}
+    assert after == before
+    # and the replay guard still knows batch 0 was applied
+    assert apply_upsert_batch(spark, state, feed, 0, ["k"], ["seq"]) is False
+    shutil.rmtree(state)
