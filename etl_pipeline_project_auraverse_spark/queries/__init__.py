@@ -52,6 +52,7 @@ _MODULES = [
     "etl_pipeline_project_auraverse_spark.queries.text",
     "etl_pipeline_project_auraverse_spark.queries.graph",
     "etl_pipeline_project_auraverse_spark.queries.cdc",
+    "etl_pipeline_project_auraverse_spark.queries.robust",
 ]
 
 

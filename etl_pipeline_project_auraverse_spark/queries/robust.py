@@ -1,0 +1,142 @@
+"""Robust aggregation queries: winsorized means and equi-depth
+histograms, built on the distribution-safe exact order statistics in
+``operators/order_stats.py`` (never ``F.percentile``'s
+whole-group-in-one-buffer aggregate).
+
+Exactness contract: the percentile bounds are interpolated doubles
+that Spark ``percentile`` and DuckDB ``quantile_cont`` compute
+bit-identically (same rank arithmetic, same interpolation — already
+relied on by ``q_percentiles_by_returnflag``); every downstream
+comparison/clamp on those doubles is then deterministic in both
+engines, and the final means/sums accumulate through DECIMAL(25,6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_project_auraverse_spark.operators.order_stats import (
+    exact_group_percentiles,
+)
+from etl_pipeline_project_auraverse_spark.queries import register
+from etl_pipeline_project_auraverse_spark.queries._util import (
+    dec_avg,
+    dec_sum,
+    sql_dec_avg,
+    sql_dec_sum,
+)
+from etl_pipeline_project_auraverse_spark.session import load_table
+
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+N_BUCKETS = 8
+
+
+@register(
+    "q_winsorized_price_stats",
+    oracle=f"""
+    WITH b AS (
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, {WINSOR_LO}) AS lo,
+               quantile_cont(l_extendedprice, {WINSOR_HI}) AS hi
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           COUNT(*) AS n_rows,
+           {sql_dec_avg('l.l_extendedprice', 4)} AS raw_mean,
+           {sql_dec_avg('LEAST(GREATEST(l.l_extendedprice, b.lo), b.hi)', 4)}
+               AS winsorized_mean,
+           CAST(ROUND(b.lo, 4) AS DOUBLE) AS lo_bound,
+           CAST(ROUND(b.hi, 4) AS DOUBLE) AS hi_bound
+    FROM lineitem l JOIN b USING (l_returnflag)
+    GROUP BY l.l_returnflag, b.lo, b.hi
+    ORDER BY l.l_returnflag
+    """,
+)
+def q_winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per return flag: prices clamped to the exact
+    [p5, p95] of their group before averaging — the outlier-robust
+    aggregate a metrics pipeline runs next to the raw mean. Bounds come
+    from the range-shuffle order-statistics operator (bounded per-task
+    state at any group size), then broadcast back (3 rows) so the fact
+    scan is touched exactly twice with no low-cardinality funnel."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = exact_group_percentiles(
+        li,
+        "l_returnflag",
+        "l_extendedprice",
+        [WINSOR_LO, WINSOR_HI],
+        names=["lo", "hi"],
+    ).select("l_returnflag", "lo", "hi")
+    clamped = F.least(
+        F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi")
+    )
+    return (
+        li.join(F.broadcast(bounds), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            dec_avg("l_extendedprice", 4).alias("raw_mean"),
+            dec_avg(clamped, 4).alias("winsorized_mean"),
+            F.round(F.first("lo"), 4).cast("double").alias("lo_bound"),
+            F.round(F.first("hi"), 4).cast("double").alias("hi_bound"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def _equidepth_oracle() -> str:
+    qs = ", ".join(
+        f"quantile_cont(o_totalprice, {i / N_BUCKETS})" for i in range(1, N_BUCKETS)
+    )
+    return f"""
+    WITH b AS (SELECT [{qs}] AS bounds FROM orders),
+    assigned AS (
+        SELECT o.o_totalprice,
+               len(list_filter(b.bounds, x -> x < o.o_totalprice)) AS bucket
+        FROM orders o, b
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(MIN(o_totalprice), 2) AS DOUBLE) AS lo,
+           CAST(ROUND(MAX(o_totalprice), 2) AS DOUBLE) AS hi,
+           {sql_dec_sum('o_totalprice', 2)} AS total_price
+    FROM assigned
+    GROUP BY bucket
+    ORDER BY bucket
+    """
+
+
+@register("q_equidepth_histogram_price", oracle=_equidepth_oracle())
+def q_equidepth_histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile-bounded) histogram of order prices: bucket
+    boundaries are the exact global octiles, assignment is a map-side
+    count of bounds below the value (broadcast 7-double array — no
+    global NTILE window, which would funnel every row through one sort
+    task). The same shape an optimizer's column-statistics build or a
+    feature-binning pass uses at scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    with_g = orders.withColumn("__g", F.lit("all"))
+    ps = [i / N_BUCKETS for i in range(1, N_BUCKETS)]
+    names = [f"b{i}" for i in range(1, N_BUCKETS)]
+    bounds = exact_group_percentiles(
+        with_g, "__g", "o_totalprice", ps, names=names
+    ).select(F.array(*names).alias("bounds"))
+    assigned = orders.join(F.broadcast(bounds)).select(
+        "o_totalprice",
+        F.aggregate(
+            "bounds",
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + F.when(x < F.col("o_totalprice"), 1).otherwise(0),
+        ).alias("bucket"),
+    )
+    return (
+        assigned.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).cast("double").alias("lo"),
+            F.round(F.max("o_totalprice"), 2).cast("double").alias("hi"),
+            dec_sum("o_totalprice", 2).alias("total_price"),
+        )
+        .orderBy("bucket")
+    )
