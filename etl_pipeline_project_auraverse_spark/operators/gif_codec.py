@@ -1,0 +1,201 @@
+"""From-scratch GIF87a/89a codec (stdlib + numpy only), shrinking the
+multimodal quarantine seam one more format: GIF payloads now decode
+for real instead of raising into the corrupt-row policy.
+
+Decoder: full variable-width LZW over the image sub-blocks — clear /
+end-of-information codes, dictionary growth with width bumps at table
+sizes 2^w, the deferred-clear rule (a full 4096-entry table keeps
+emitting 12-bit codes until an explicit clear), and global or local
+color tables. Interlaced images and multi-frame animations raise
+``NotImplementedError`` — they stay on the quarantine path with the
+other codec-library formats.
+
+Encoder (test-fixture twin): the canonical "literal-codes" GIF writer —
+every pixel is emitted as its own root code while tracking the SAME
+table-growth/width-bump state machine a decoder runs, with a clear
+code whenever the table would reach 4095. Valid output for any
+conformant decoder; compression ratio is irrelevant for fixtures.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_MAX_TABLE = 4096
+
+
+def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """One-frame GIF from (h, w) uint8 palette indices + (n, 3) RGB
+    palette; n must be a power of two in [2, 256]."""
+    h, w = indices.shape
+    n = len(palette)
+    assert n in (2, 4, 8, 16, 32, 64, 128, 256) and indices.max() < n
+    bits = max((n - 1).bit_length(), 1)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+    out += bytes(np.asarray(palette, dtype=np.uint8).reshape(-1))
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+
+    min_code = max(bits, 2)
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    out.append(min_code)
+
+    bitbuf = 0
+    nbits = 0
+    data = bytearray()
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            data.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            nbits -= 8
+
+    # mirror the decoder's table-size/width state while emitting only
+    # root codes: after each emitted code (beyond the first since a
+    # clear) the decoder adds one table entry; width bumps when the
+    # table size hits 2^width; clear resets before the table fills
+    width = min_code + 1
+    emit(clear, width)
+    table_size = eoi + 1
+    first_after_clear = True
+    for px in indices.reshape(-1):
+        emit(int(px), width)
+        if first_after_clear:
+            first_after_clear = False
+        else:
+            table_size += 1
+            if table_size == _MAX_TABLE - 1:
+                emit(clear, width)
+                width = min_code + 1
+                table_size = eoi + 1
+                first_after_clear = True
+            elif table_size == (1 << width):
+                width += 1
+    emit(eoi, width)
+    if nbits:
+        data.append(bitbuf & 0xFF)
+
+    for i in range(0, len(data), 255):
+        block = data[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif(buf: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Decode the first (and only permitted) frame; returns
+    (width, height, 3, rows) with rows shaped (h, w*3) uint8 RGB —
+    the decoder-seam contract of ``operators/multimodal.py``."""
+    if buf[:6] not in (b"GIF87a", b"GIF89a"):
+        raise NotImplementedError("not a GIF signature")
+    try:
+        return _decode_frame(buf)
+    except (struct.error, IndexError) as exc:  # truncated mid-structure
+        raise NotImplementedError(f"truncated GIF: {exc}") from exc
+
+
+def _decode_frame(buf: bytes) -> tuple[int, int, int, np.ndarray]:
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", buf, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(buf, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+
+    frames_seen = 0
+    while pos < len(buf):
+        marker = buf[pos]
+        pos += 1
+        if marker == 0x3B:  # trailer
+            break
+        if marker == 0x21:  # extension: skip sub-blocks
+            pos += 1  # label
+            while buf[pos]:
+                pos += 1 + buf[pos]
+            pos += 1
+            continue
+        if marker != 0x2C:
+            raise NotImplementedError(f"unknown GIF block 0x{marker:02x}")
+        frames_seen += 1
+        if frames_seen > 1:
+            raise NotImplementedError("animated (multi-frame) GIF")
+        _left, _top, w, h, iflags = struct.unpack_from("<HHHHB", buf, pos)
+        pos += 9
+        if iflags & 0x40:
+            raise NotImplementedError("interlaced GIF")
+        table = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            table = np.frombuffer(buf, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        if table is None:
+            raise NotImplementedError("GIF frame without a color table")
+
+        min_code = buf[pos]
+        pos += 1
+        data = bytearray()
+        while buf[pos]:
+            size = buf[pos]
+            data += buf[pos + 1 : pos + 1 + size]
+            pos += 1 + size
+        pos += 1
+
+        indices = _lzw_decode(bytes(data), min_code, w * h)
+        rgb = table[np.asarray(indices, dtype=np.uint16)].reshape(h, w * 3)
+        return w, h, 3, np.ascontiguousarray(rgb)
+    raise NotImplementedError("GIF with no image frame")
+
+
+def _lzw_decode(data: bytes, min_code: int, n_pixels: int) -> list[int]:
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    table: list[tuple[int, ...]] = [(i,) for i in range(1 << min_code)] + [(), ()]
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+
+    bitbuf = 0
+    nbits = 0
+    i = 0
+    while len(out) < n_pixels:
+        while nbits < width:
+            if i >= len(data):
+                raise NotImplementedError("truncated GIF LZW stream")
+            bitbuf |= data[i] << nbits
+            nbits += 8
+            i += 1
+        code = bitbuf & ((1 << width) - 1)
+        bitbuf >>= width
+        nbits -= width
+
+        if code == clear:
+            table = table[: eoi + 1]
+            width = min_code + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + (entry[0],))
+        elif code == len(table):  # the KwKwK case
+            entry = prev + (prev[0],)
+            table.append(entry)
+        else:
+            raise NotImplementedError("corrupt GIF LZW code")
+        out.extend(entry)
+        # deferred clear: at 4096 entries the width stays 12 and the
+        # table stops growing until an explicit clear arrives
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        prev = entry
+    return out[:n_pixels]

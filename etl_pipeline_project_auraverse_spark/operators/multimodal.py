@@ -108,10 +108,14 @@ def _decode_image_bytes(buf: bytes) -> tuple[int, int, int, np.ndarray]:
         from etl_pipeline_project_auraverse_spark.operators.png_codec import decode_png
 
         return decode_png(buf)
+    if buf is not None and buf.startswith(b"GIF8"):
+        from etl_pipeline_project_auraverse_spark.operators.gif_codec import decode_gif
+
+        return decode_gif(buf)
     if buf is None or not buf.startswith(FAKE_MAGIC):
         raise NotImplementedError(
             "this payload needs a codec library (PIL/cv2/ffmpeg — not "
-            "installed); BMP, PNG and FAKEIMG decode natively"
+            "installed); BMP, PNG, GIF and FAKEIMG decode natively"
         )
     w, h, c = struct.unpack_from("<HHB", buf, len(FAKE_MAGIC))
     pixels = np.frombuffer(buf, dtype=np.uint8, offset=len(FAKE_MAGIC) + 5)

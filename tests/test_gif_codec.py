@@ -1,0 +1,112 @@
+"""From-scratch GIF codec tests: encoder/decoder round-trips (incl.
+table-reset territory), a hand-assembled LZW vector so the decoder is
+checked against the spec rather than our own encoder, extension-block
+skipping, and the quarantine seams for interlace/animation."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from etl_pipeline_project_auraverse_spark.operators import multimodal as mm
+from etl_pipeline_project_auraverse_spark.operators.gif_codec import (
+    _lzw_decode,
+    decode_gif,
+    encode_gif,
+)
+
+PAL4 = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8)
+
+
+def _rand_idx(shape, n, seed):
+    return np.random.RandomState(seed).randint(0, n, size=shape, dtype=np.uint8)
+
+
+def test_small_round_trip():
+    idx = _rand_idx((5, 7), 4, 1)
+    w, h, c, rows = decode_gif(encode_gif(idx, PAL4))
+    assert (w, h, c) == (7, 5, 3)
+    assert np.array_equal(rows, PAL4[idx].reshape(5, 21))
+
+
+def test_256_color_round_trip():
+    pal = np.arange(256 * 3, dtype=np.uint16).reshape(256, 3) % 256
+    pal = pal.astype(np.uint8)
+    idx = _rand_idx((9, 11), 256, 2)
+    w, h, c, rows = decode_gif(encode_gif(idx, pal))
+    assert (w, h, c) == (11, 9, 3)
+    assert np.array_equal(rows, pal[idx].reshape(9, 33))
+
+
+def test_two_color_min_code_floor():
+    """1-bit palettes still use LZW min code size 2 (spec floor)."""
+    pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    idx = _rand_idx((8, 8), 2, 3)
+    w, h, c, rows = decode_gif(encode_gif(idx, pal))
+    assert np.array_equal(rows, pal[idx].reshape(8, 24))
+
+
+def test_large_image_crosses_table_reset():
+    """Enough pixels that the literal encoder's table passes every
+    width bump and at least one 4095-entry clear/reset."""
+    idx = _rand_idx((70, 80), 4, 4)  # 5600 codes > 4096
+    w, h, c, rows = decode_gif(encode_gif(idx, PAL4))
+    assert (w, h) == (80, 70)
+    assert np.array_equal(rows, PAL4[idx].reshape(70, 240))
+
+
+def test_lzw_spec_vector_with_compressed_codes():
+    """Hand-built stream exercising real dictionary hits (codes above
+    the root range) and the KwKwK self-reference case — paths our
+    literal-only encoder never emits. min_code=2: clear=4, eoi=5;
+    stream: clear, 1, 2, 6(='12'), 8(=KwKwK '121') -> 1 2 1 2 1 2 1."""
+    codes = [(4, 3), (1, 3), (2, 3), (6, 3), (8, 4)]
+    bitbuf = nbits = 0
+    data = bytearray()
+    for code, width in codes:
+        bitbuf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            data.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(bitbuf & 0xFF)
+    assert _lzw_decode(bytes(data), 2, 7) == [1, 2, 1, 2, 1, 2, 1]
+
+
+def test_extension_blocks_are_skipped():
+    """A graphic-control extension between header and frame must not
+    break decoding (every GIF89a exporter writes one)."""
+    idx = _rand_idx((3, 4), 4, 5)
+    raw = bytearray(encode_gif(idx, PAL4))
+    frame_at = raw.index(0x2C, 13)
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    patched = bytes(raw[:frame_at]) + gce + bytes(raw[frame_at:])
+    w, h, c, rows = decode_gif(patched)
+    assert np.array_equal(rows, PAL4[idx].reshape(3, 12))
+
+
+def test_interlaced_raises_to_quarantine():
+    raw = bytearray(encode_gif(_rand_idx((3, 4), 4, 6), PAL4))
+    frame_at = raw.index(0x2C, 13)
+    raw[frame_at + 9] |= 0x40  # set interlace flag
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        decode_gif(bytes(raw))
+
+
+def test_decoder_seam_routes_gif():
+    """multimodal._decode_image_bytes now decodes GIF instead of
+    quarantining it."""
+    idx = _rand_idx((4, 5), 4, 7)
+    w, h, c, rows = mm._decode_image_bytes(encode_gif(idx, PAL4))
+    assert (w, h, c) == (5, 4, 3)
+    assert np.array_equal(rows, PAL4[idx].reshape(4, 15))
+
+
+def test_truncated_stream_raises():
+    raw = encode_gif(_rand_idx((6, 6), 4, 8), PAL4)
+    with pytest.raises(NotImplementedError):
+        decode_gif(raw[: len(raw) // 2])
