@@ -478,3 +478,47 @@ def q_event_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("zscore")).desc(), "event_type", "hour")
         .limit(ANOM_TOP)
     )
+
+
+@register(
+    "q_salted_event_type_stats",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           {sql_dec_sum('value', 4)} AS total_value,
+           CAST(ROUND(MIN(value), 4) AS DOUBLE) AS min_value,
+           CAST(ROUND(MAX(value), 4) AS DOUBLE) AS max_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_salted_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type event stats through the two-phase SALTED aggregate
+    (operators/skew.py): event_type has ~5 values, the textbook
+    hot-key shape — a plain groupBy would drain the whole table
+    through 5 reducers at 100 TB. Phase 1 groups on (type, salt) so
+    every core works; phase 2 merges the tiny salted partials. The
+    result is identical to the plain aggregate (counts, decimal sums
+    and min/max are decomposable), which is what the oracle checks."""
+    from etl_pipeline_project_auraverse_spark.operators.skew import salted_agg
+    from etl_pipeline_project_auraverse_spark.queries._util import DEC
+
+    events = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        events,
+        keys=["event_type"],
+        aggs={
+            "n_events": ("count", F.lit(1)),
+            "total_value": ("sum", F.col("value").cast(DEC)),
+            "min_value": ("min", F.col("value")),
+            "max_value": ("max", F.col("value")),
+        },
+    )
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("total_value", 4).cast("double").alias("total_value"),
+        F.round("min_value", 4).cast("double").alias("min_value"),
+        F.round("max_value", 4).cast("double").alias("max_value"),
+    ).orderBy("event_type")

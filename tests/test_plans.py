@@ -63,6 +63,15 @@ def test_q20_qualifiers_semi_join(q):
     assert "CartesianProduct" not in plan
 
 
+def test_salted_agg_is_two_phase(q):
+    """The salted aggregate must show both phases: a partial grouped on
+    (key, _salt) and a merge grouped on the key alone — the shape that
+    spreads a hot key over every core."""
+    plan = PI.physical_plan(q("q_salted_event_type_stats"))
+    assert "_salt" in plan
+    assert plan.count("Exchange hashpartitioning") >= 2
+
+
 def test_triangle_wedge_join_is_equi(q):
     """Wedge build and closing-edge probe must be hash/sort-merge
     equi-joins (the bkey < ckey canonicalization rides as a join
