@@ -65,3 +65,35 @@ def test_reapplying_same_batch_is_idempotent(spark):
     once = merge_snapshot(base, batch, ["k"], ["seq", "val"], op_col="op")
     twice = merge_snapshot(once, batch, ["k"], ["seq", "val"], op_col="op")
     assert _state(once) == _state(twice) == {1: (2, "b"), 9: (1, "s2")}
+
+
+def test_apply_changes_matches_reference_fold(spark):
+    """Differential: random feeds against a dict-based latest-wins fold
+    (sequential reference semantics), including duplicate sequence
+    tiebreaking via the unique change id."""
+    from hypothesis import given, settings, strategies as st
+
+    row = st.tuples(
+        st.integers(0, 5),  # key
+        st.integers(0, 3),  # seq (collides often)
+        st.sampled_from(["U", "U", "U", "D"]),
+        st.integers(0, 100),  # change id: unique-ified below
+    )
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.lists(row, min_size=1, max_size=30))
+    def run(rows):
+        # make the change id unique: it is the final tiebreaker
+        rows = [(k, s, op, i) for i, (k, s, op, _cid) in enumerate(rows)]
+        want = {}
+        for k, s, op, cid in sorted(rows, key=lambda r: (r[1], r[3])):
+            want[k] = (s, op, cid)
+        want = {k: v for k, v in want.items() if v[1] != "D"}
+        feed = spark.createDataFrame(rows, ["k", "seq", "op", "cid"])
+        got = {
+            r["k"]: (r["seq"], r["op"], r["cid"])
+            for r in apply_changes(feed, ["k"], ["seq", "cid"], op_col="op").collect()
+        }
+        assert got == want, (rows, got, want)
+
+    run()
