@@ -19,7 +19,12 @@ from pyspark.sql.window import Window as W
 
 from etl_pipeline_project_auraverse_spark.functions.text import words
 from etl_pipeline_project_auraverse_spark.queries import register
-from etl_pipeline_project_auraverse_spark.queries._util import parallelize, persist_tracked
+from etl_pipeline_project_auraverse_spark.queries._util import (
+    dec_sum,
+    parallelize,
+    persist_tracked,
+    sql_dec_sum,
+)
 from etl_pipeline_project_auraverse_spark.session import load_table
 
 # ---------------------------------------------------------------------------
@@ -455,3 +460,88 @@ def q_scd2_customer_order_history(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("custkey", "version")
     )
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT / melt: the 4 lineitem measures into (measure, value) rows,
+# aggregated per (returnflag, measure). Spark STACK generator; the
+# DuckDB twin spells the melt as UNION ALL (identical semantics).
+# ---------------------------------------------------------------------------
+_MEASURES = ["quantity", "extendedprice", "discount", "tax"]
+
+
+@register(
+    "q_unpivot_lineitem_measures",
+    oracle=f"""
+    WITH melted AS (
+        {" UNION ALL ".join(
+            f"SELECT l_returnflag, '{m}' AS measure, l_{m} AS value FROM lineitem"
+            for m in _MEASURES
+        )}
+    )
+    SELECT l_returnflag, measure,
+           COUNT(*) AS n_rows,
+           {sql_dec_sum('value', 4)} AS total,
+           CAST(ROUND(MIN(value), 4) AS DOUBLE) AS min_value,
+           CAST(ROUND(MAX(value), 4) AS DOUBLE) AS max_value
+    FROM melted
+    GROUP BY l_returnflag, measure
+    ORDER BY l_returnflag, measure
+    """,
+)
+def q_unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshape (UNPIVOT) via the stack generator — one
+    scan emitting 4 rows per input row map-side, then a normal
+    aggregate; never 4 separate scans unioned."""
+    li = load_table(spark, sf_dir, "lineitem")
+    stack_expr = "stack({}, {}) as (measure, value)".format(
+        len(_MEASURES),
+        ", ".join(f"'{m}', l_{m}" for m in _MEASURES),
+    )
+    return (
+        li.select("l_returnflag", F.expr(stack_expr))
+        .groupBy("l_returnflag", "measure")
+        .agg(
+            F.count("*").alias("n_rows"),
+            dec_sum("value", 4).alias("total"),
+            F.round(F.min("value"), 4).cast("double").alias("min_value"),
+            F.round(F.max("value"), 4).cast("double").alias("max_value"),
+        )
+        .orderBy("l_returnflag", "measure")
+    )
+
+
+@register(
+    "q_map_functions_per_order",
+    oracle="""
+    SELECT o_orderkey,
+           2 AS n_keys,
+           'priority,status' AS keys_sorted,
+           o_orderstatus AS status_val,
+           o_orderpriority AS priority_val,
+           CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS n_open_entries,
+           concat(o_orderstatus, '|', o_orderpriority) AS values_joined
+    FROM orders
+    WHERE o_orderkey <= 200
+    ORDER BY o_orderkey
+    """,
+)
+def q_map_functions_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType function battery (create_map, map_keys/values,
+    element_at, map_filter, map_concat) with scalar outputs checked
+    against direct-column identities — DuckDB never sees a map, so the
+    oracle stays canonicalizer-safe (the q_array_functions lesson)."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
+    m = F.map_concat(
+        F.create_map(F.lit("status"), F.col("o_orderstatus")),
+        F.create_map(F.lit("priority"), F.col("o_orderpriority")),
+    )
+    return orders.select(
+        "o_orderkey",
+        F.size(m).alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+        F.element_at(m, "status").alias("status_val"),
+        F.element_at(m, "priority").alias("priority_val"),
+        F.size(F.map_filter(m, lambda _k, v: v == "O")).alias("n_open_entries"),
+        F.array_join(F.map_values(m), "|").alias("values_joined"),
+    ).orderBy("o_orderkey")

@@ -63,6 +63,13 @@ def test_q20_qualifiers_semi_join(q):
     assert "CartesianProduct" not in plan
 
 
+def test_unpivot_is_single_scan(q):
+    """The melt must be one scan + a generator, never 4 unioned scans
+    of the same table."""
+    plan = PI.physical_plan(q("q_unpivot_lineitem_measures"))
+    assert plan.count("FileScan parquet") == 1
+
+
 def test_salted_agg_is_two_phase(q):
     """The salted aggregate must show both phases: a partial grouped on
     (key, _salt) and a merge grouped on the key alone — the shape that
