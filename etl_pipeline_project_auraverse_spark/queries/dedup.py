@@ -622,3 +622,142 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH recall instrumentation: how much of the exact-Jaccard
+# ground truth do the band candidates actually catch, per threshold?
+# ---------------------------------------------------------------------------
+MH_RECALL_TAUS = [0.5, 0.8]
+
+
+def _mh_recall_oracle() -> str:
+    mins = ",\n               ".join(
+        f"MIN(({MH_A[i]} * h + {MH_B[i]}) % {MH_P}) AS mh{i}" for i in range(N_MH)
+    )
+    bands = "\n        UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, CAST(mh{2*b} AS VARCHAR) || ',' || "
+        f"CAST(mh{2*b+1} AS VARCHAR) AS key FROM mhc"
+        for b in range(N_BANDS)
+    )
+    taus = ", ".join(str(t) for t in MH_RECALL_TAUS)
+    return f"""
+    WITH {SQL_SHINGLE_CTE},
+    hot AS (SELECT h FROM sh GROUP BY h HAVING COUNT(*) > {DF_CAP}),
+    shc AS (SELECT doc_id, h FROM sh WHERE h NOT IN (SELECT h FROM hot)),
+    sizesc AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
+    truth AS (
+        SELECT p.doc_a, p.doc_b,
+               p.n_common * 1.0 / (sa.n + sb.n - p.n_common) AS jac
+        FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+            FROM shc a JOIN shc b ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ) p
+        JOIN sizesc sa ON sa.doc_id = p.doc_a
+        JOIN sizesc sb ON sb.doc_id = p.doc_b
+    ),
+    mhc AS (
+        SELECT doc_id,
+               {mins}
+        FROM shc GROUP BY doc_id
+    ),
+    bands AS (
+        {bands}
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+    ),
+    th AS (SELECT unnest([{taus}]) AS tau)
+    SELECT th.tau,
+           COUNT(*) AS n_true_pairs,
+           COUNT(c.doc_a) AS n_caught,
+           CAST(ROUND(COUNT(c.doc_a) * 1.0 / COUNT(*), 6) AS DOUBLE) AS recall
+    FROM th
+    JOIN truth t ON t.jac >= th.tau
+    LEFT JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+    GROUP BY th.tau
+    ORDER BY th.tau
+    """
+
+
+@register("q_dedup_minhash_recall", oracle=_mh_recall_oracle())
+def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of the 4x2 LSH band scheme against exact
+    Jaccard ground truth, at MH_RECALL_TAUS thresholds — the
+    instrumentation that justifies (or indicts) the band parameters,
+    mirroring q_ann_ivf_recall / q_ann_lsh_recall for the dedup
+    family. Both arms use the SAME DF-capped shingle representation
+    (the production representation — q_dedup_ngram_jaccard's scale
+    rationale), so the comparison is apples to apples. The exact arm's
+    inverted-index self-join is the bounded DF_CAP^2 shape; the
+    threshold join is a 2-row broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = persist_tracked(_shingle_hashes(docs))
+    hot = raw.groupBy("h").agg(F.count("*").alias("df")).filter(F.col("df") > DF_CAP)
+    shc = persist_tracked(raw.join(F.broadcast(hot.select("h")), "h", "left_anti"))
+    sizes = shc.groupBy("doc_id").agg(F.count("*").alias("n"))
+    pairs = (
+        shc.alias("a")
+        .join(
+            shc.alias("b"),
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    truth = (
+        pairs.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("n_common") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("n_common"))).alias("jac"),
+        )
+    )
+    mhc = shc.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(MH_A[i]) * F.col("h") + F.lit(MH_B[i])) % F.lit(MH_P)).alias(f"mh{i}")
+            for i in range(N_MH)
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(",", F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}")).alias("key"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = mhc.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+        .withColumn("caught", F.lit(1))
+    )
+    th = spark.createDataFrame([(t,) for t in MH_RECALL_TAUS], "tau double")
+    return (
+        truth.join(F.broadcast(th), F.col("jac") >= F.col("tau"))
+        .join(cand, ["doc_a", "doc_b"], "left")
+        .groupBy("tau")
+        .agg(
+            F.count("*").alias("n_true_pairs"),
+            F.count("caught").alias("n_caught"),
+            F.round(F.count("caught") * 1.0 / F.count("*"), 6)
+            .cast("double")
+            .alias("recall"),
+        )
+        .orderBy("tau")
+    )
