@@ -23,6 +23,7 @@ from etl_pipeline_project_auraverse_spark.queries._util import (
     dec_sum,
     parallelize,
     persist_tracked,
+    sql_dec_avg,
     sql_dec_sum,
 )
 from etl_pipeline_project_auraverse_spark.session import load_table
@@ -545,3 +546,114 @@ def q_map_functions_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.map_filter(m, lambda _k, v: v == "O")).alias("n_open_entries"),
         F.array_join(F.map_values(m), "|").alias("values_joined"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "q_null_semantics_battery",
+    oracle=f"""
+    WITH c AS (
+        SELECT c_custkey, c_mktsegment,
+               CASE WHEN c_acctbal < 100 THEN NULL ELSE c_acctbal END AS nb
+        FROM customer
+    ),
+    probe AS (SELECT NULL::DOUBLE AS pv, 'null_probe' AS tag
+              UNION ALL SELECT 0.0, 'zero_probe'),
+    matches AS (
+        SELECT c_mktsegment, p.tag, COUNT(*) AS n
+        FROM c JOIN probe p ON c.nb IS NOT DISTINCT FROM p.pv
+        GROUP BY c_mktsegment, p.tag
+    ),
+    ranked AS (
+        SELECT c_mktsegment,
+               ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY nb ASC NULLS FIRST, c_custkey) AS rf,
+               ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY nb ASC NULLS LAST, c_custkey) AS rl,
+               c_custkey
+        FROM c
+    )
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_rows,
+           COUNT(c.nb) AS n_nonnull,
+           COUNT(*) - COUNT(c.nb) AS n_null,
+           COUNT(DISTINCT c.nb) AS n_distinct,
+           CAST(ROUND(MIN(c.nb), 2) AS DOUBLE) AS min_nb,
+           {sql_dec_avg('c.nb', 4)} AS avg_nb,
+           {sql_dec_sum('COALESCE(c.nb, 0.0)', 2)} AS sum_coalesced,
+           (SELECT n FROM matches m WHERE m.c_mktsegment = c.c_mktsegment
+             AND m.tag = 'null_probe') AS nullsafe_null_matches,
+           (SELECT rk.c_custkey FROM ranked rk
+             WHERE rk.c_mktsegment = c.c_mktsegment AND rk.rf = 1)
+               AS first_key_nulls_first,
+           (SELECT rk.c_custkey FROM ranked rk
+             WHERE rk.c_mktsegment = c.c_mktsegment AND rk.rl = 1)
+               AS first_key_nulls_last
+    FROM c
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+def q_null_semantics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-semantics parity battery: aggregate null skipping
+    (COUNT/MIN/AVG/COUNT DISTINCT), COALESCE totals, null-safe
+    equality (<=> joins a 2-row broadcast probe where the NULL probe
+    matches exactly the null rows), and NULLS FIRST/LAST window
+    ordering — the semantics corner every engine must agree on before
+    any other query result can be trusted."""
+    from etl_pipeline_project_auraverse_spark.queries._util import DEC
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.when(F.col("c_acctbal") < 100, F.lit(None))
+        .otherwise(F.col("c_acctbal"))
+        .alias("nb"),
+    )
+    probe = spark.createDataFrame([(None, "null_probe"), (0.0, "zero_probe")], "pv double, tag string")
+    null_matches = (
+        cust.join(F.broadcast(probe), F.expr("nb <=> pv"))
+        .filter(F.col("tag") == "null_probe")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("nullsafe_null_matches"))
+    )
+    wf = W.partitionBy("c_mktsegment").orderBy(
+        F.col("nb").asc_nulls_first(), "c_custkey"
+    )
+    wl = W.partitionBy("c_mktsegment").orderBy(
+        F.col("nb").asc_nulls_last(), "c_custkey"
+    )
+    ranked = cust.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wl).alias("rl"),
+    )
+    firsts = (
+        ranked.groupBy("c_mktsegment")
+        .agg(
+            F.max(F.when(F.col("rf") == 1, F.col("c_custkey"))).alias(
+                "first_key_nulls_first"
+            ),
+            F.max(F.when(F.col("rl") == 1, F.col("c_custkey"))).alias(
+                "first_key_nulls_last"
+            ),
+        )
+    )
+    base = cust.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_rows"),
+        F.count("nb").alias("n_nonnull"),
+        (F.count("*") - F.count("nb")).alias("n_null"),
+        F.countDistinct("nb").alias("n_distinct"),
+        F.round(F.min("nb"), 2).cast("double").alias("min_nb"),
+        F.round(F.sum(F.col("nb").cast(DEC)).cast("double") / F.count("nb"), 4)
+        .cast("double")
+        .alias("avg_nb"),
+        F.round(F.sum(F.coalesce(F.col("nb"), F.lit(0.0)).cast(DEC)), 2)
+        .cast("double")
+        .alias("sum_coalesced"),
+    )
+    return (
+        base.join(F.broadcast(null_matches), "c_mktsegment")
+        .join(F.broadcast(firsts), "c_mktsegment")
+        .orderBy("c_mktsegment")
+    )
