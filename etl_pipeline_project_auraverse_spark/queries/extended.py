@@ -554,7 +554,7 @@ def q_map_functions_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH c AS (
         SELECT c_custkey, c_mktsegment,
                CASE WHEN c_acctbal < 100 THEN NULL ELSE c_acctbal END AS nb
-        FROM customer
+        FROM customer WHERE c_custkey <= 1000
     ),
     probe AS (SELECT NULL::DOUBLE AS pv, 'null_probe' AS tag
               UNION ALL SELECT 0.0, 'zero_probe'),
@@ -599,10 +599,14 @@ def q_null_semantics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     equality (<=> joins a 2-row broadcast probe where the NULL probe
     matches exactly the null rows), and NULLS FIRST/LAST window
     ordering — the semantics corner every engine must agree on before
-    any other query result can be trusted."""
+    any other query result can be trusted. Bounded to a fixed 1000-key
+    probe subset: the battery tests SEMANTICS, and the 5-value segment
+    window would otherwise funnel per-segment sorts at scale."""
     from etl_pipeline_project_auraverse_spark.queries._util import DEC
 
-    cust = load_table(spark, sf_dir, "customer").select(
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") <= 1000
+    ).select(
         "c_custkey",
         "c_mktsegment",
         F.when(F.col("c_acctbal") < 100, F.lit(None))
