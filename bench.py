@@ -95,6 +95,10 @@ HEADLINE = [
     "q_triangle_copurchase",
     "q11_important_parts",
     "q_cdc_latest_order_state",
+    "q_winsorized_price_stats",
+    "q_equidepth_histogram_price",
+    "q_dedup_minhash_recall",
+    "q_unpivot_lineitem_measures",
 ]
 
 
