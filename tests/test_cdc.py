@@ -97,3 +97,36 @@ def test_apply_changes_matches_reference_fold(spark):
         assert got == want, (rows, got, want)
 
     run()
+
+
+def test_merge_is_batch_boundary_independent(spark):
+    """Applying a feed as one batch, or split at ANY boundary into two
+    sequential merge_snapshot calls, must land on the same snapshot —
+    the invariant that makes micro-batch sizing a pure tuning knob."""
+    from hypothesis import given, settings, strategies as st
+
+    row = st.tuples(
+        st.integers(0, 4), st.integers(0, 3), st.sampled_from(["U", "U", "D"])
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(row, min_size=2, max_size=16), st.data())
+    def run(rows, data):
+        rows = [(k, s, op, i) for i, (k, s, op) in enumerate(rows)]
+        cut = data.draw(st.integers(1, len(rows) - 1))
+        cols = ["k", "seq", "op", "cid"]
+        whole = apply_changes(
+            spark.createDataFrame(rows, cols), ["k"], ["seq", "cid"]
+        )
+        base = apply_changes(
+            spark.createDataFrame(rows[:cut], cols), ["k"], ["seq", "cid"]
+        )
+        split = merge_snapshot(
+            base, spark.createDataFrame(rows[cut:], cols), ["k"], ["seq", "cid"]
+        )
+        # compare INCLUDING tombstone rows (op filter is a read-time
+        # concern; the stored state must agree)
+        sig = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+        assert sig(split) == sig(whole), (rows, cut)
+
+    run()
