@@ -661,3 +661,74 @@ def q_null_semantics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(firsts), "c_mktsegment")
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "q_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT o_custkey,
+               MIN(date_trunc('month', o_orderdate)) AS cohort_month
+        FROM orders GROUP BY o_custkey
+    ),
+    activity AS (
+        SELECT f.cohort_month,
+               date_diff('month', f.cohort_month,
+                         date_trunc('month', o.o_orderdate)) AS month_offset,
+               o.o_custkey
+        FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+    ),
+    cohort_sizes AS (
+        SELECT cohort_month, COUNT(*) AS cohort_size FROM firsts
+        GROUP BY cohort_month
+    )
+    SELECT CAST(a.cohort_month AS TIMESTAMP) AS cohort_month,
+           CAST(a.month_offset AS BIGINT) AS month_offset,
+           COUNT(DISTINCT a.o_custkey) AS n_active,
+           s.cohort_size,
+           CAST(ROUND(COUNT(DISTINCT a.o_custkey) * 1.0 / s.cohort_size, 6)
+                AS DOUBLE) AS retention
+    FROM activity a JOIN cohort_sizes s ON s.cohort_month = a.cohort_month
+    WHERE a.month_offset <= 11
+    GROUP BY a.cohort_month, a.month_offset, s.cohort_size
+    ORDER BY cohort_month, month_offset
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly cohort retention matrix: customers grouped by
+    first-order month, tracked for a year of month offsets. The
+    cohort assignment is a high-cardinality groupBy(custkey); cohort
+    sizes are a tiny per-month table broadcast back — no fact-side
+    shuffle on the low-cardinality month key."""
+    orders = load_table(spark, sf_dir, "orders")
+    month = F.date_trunc("month", F.col("o_orderdate"))
+    firsts = orders.groupBy("o_custkey").agg(
+        F.min(month).alias("cohort_month")
+    )
+    sizes = F.broadcast(
+        firsts.groupBy("cohort_month").agg(F.count("*").alias("cohort_size"))
+    )
+    activity = orders.join(firsts, "o_custkey").select(
+        "cohort_month",
+        (
+            (F.year(month) - F.year("cohort_month")) * 12
+            + (F.month(month) - F.month("cohort_month"))
+        ).cast("long").alias("month_offset"),
+        "o_custkey",
+    )
+    return (
+        activity.filter(F.col("month_offset") <= 11)
+        .groupBy("cohort_month", "month_offset")
+        .agg(F.countDistinct("o_custkey").alias("n_active"))
+        .join(sizes, "cohort_month")
+        .select(
+            "cohort_month",
+            "month_offset",
+            "n_active",
+            "cohort_size",
+            F.round(F.col("n_active") * 1.0 / F.col("cohort_size"), 6)
+            .cast("double")
+            .alias("retention"),
+        )
+        .orderBy("cohort_month", "month_offset")
+    )
