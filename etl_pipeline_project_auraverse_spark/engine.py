@@ -126,3 +126,33 @@ class Engine:
 
     def schema_artifact(self, df: DataFrame) -> dict[str, Any]:
         return generate_schema(df)
+
+    # -- CDC / MERGE upsert -------------------------------------------------
+    def apply_changes(
+        self,
+        changes: DataFrame,
+        keys: list[str],
+        seq_cols: list[str],
+        op_col: str | None = None,
+        delete_op: str = "D",
+    ) -> DataFrame:
+        """Collapse a change feed to latest state per key (see
+        ``operators/cdc.apply_changes``)."""
+        from etl_pipeline_project_auraverse_spark.operators.cdc import apply_changes
+
+        return apply_changes(changes, keys, seq_cols, op_col, delete_op)
+
+    def merge_snapshot(
+        self,
+        base: DataFrame,
+        changes: DataFrame,
+        keys: list[str],
+        seq_cols: list[str],
+        op_col: str | None = None,
+        delete_op: str = "D",
+    ) -> DataFrame:
+        """Advance a snapshot by one change batch — MERGE INTO shape,
+        idempotent on re-application (``operators/cdc.merge_snapshot``)."""
+        from etl_pipeline_project_auraverse_spark.operators.cdc import merge_snapshot
+
+        return merge_snapshot(base, changes, keys, seq_cols, op_col, delete_op)

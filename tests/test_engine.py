@@ -147,3 +147,19 @@ def test_read_save_roundtrip(engine, tmp_path):
 
     write_arrow_ipc_single(src, arrow)
     assert engine.read(arrow).count() == src.count()
+
+
+def test_engine_cdc_facade(spark, sf_dir):
+    from etl_pipeline_project_auraverse_spark.engine import Engine
+
+    eng = Engine(sf_dir, spark=spark)
+    feed = spark.createDataFrame(
+        [(1, 1, "U"), (1, 2, "U"), (2, 1, "D")], ["k", "seq", "op"]
+    )
+    snap = eng.apply_changes(feed, ["k"], ["seq"], op_col="op")
+    assert {(r["k"], r["seq"]) for r in snap.collect()} == {(1, 2)}
+    advanced = eng.merge_snapshot(
+        snap, spark.createDataFrame([(3, 1, "U")], ["k", "seq", "op"]),
+        ["k"], ["seq"], op_col="op",
+    )
+    assert {r["k"] for r in advanced.collect()} == {1, 3}
