@@ -732,3 +732,134 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_month", "month_offset")
     )
+
+
+@register(
+    "q_rfm_segmentation",
+    oracle=f"""
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(date_diff('day', MAX(o_orderdate),
+                    (SELECT MAX(o_orderdate) FROM orders)) AS DOUBLE) AS recency,
+               CAST(COUNT(*) AS DOUBLE) AS frequency,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(25,6))), 2) AS DOUBLE)
+                   AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    b AS (
+        SELECT 'r' AS metric, quantile_cont(recency, 0.25) AS p25,
+               quantile_cont(recency, 0.5) AS p50,
+               quantile_cont(recency, 0.75) AS p75 FROM cust
+        UNION ALL
+        SELECT 'f', quantile_cont(frequency, 0.25),
+               quantile_cont(frequency, 0.5), quantile_cont(frequency, 0.75)
+        FROM cust
+        UNION ALL
+        SELECT 'm', quantile_cont(monetary, 0.25),
+               quantile_cont(monetary, 0.5), quantile_cont(monetary, 0.75)
+        FROM cust
+    ),
+    scored AS (
+        SELECT c.o_custkey, c.monetary,
+               1 + CASE WHEN c.recency > br.p25 THEN 1 ELSE 0 END
+                 + CASE WHEN c.recency > br.p50 THEN 1 ELSE 0 END
+                 + CASE WHEN c.recency > br.p75 THEN 1 ELSE 0 END AS r_score,
+               1 + CASE WHEN c.frequency > bf.p25 THEN 1 ELSE 0 END
+                 + CASE WHEN c.frequency > bf.p50 THEN 1 ELSE 0 END
+                 + CASE WHEN c.frequency > bf.p75 THEN 1 ELSE 0 END AS f_score,
+               1 + CASE WHEN c.monetary > bm.p25 THEN 1 ELSE 0 END
+                 + CASE WHEN c.monetary > bm.p50 THEN 1 ELSE 0 END
+                 + CASE WHEN c.monetary > bm.p75 THEN 1 ELSE 0 END AS m_score
+        FROM cust c,
+             (SELECT * FROM b WHERE metric = 'r') br,
+             (SELECT * FROM b WHERE metric = 'f') bf,
+             (SELECT * FROM b WHERE metric = 'm') bm
+    )
+    SELECT CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           COUNT(*) AS n_customers,
+           {sql_dec_avg('monetary', 4)} AS avg_monetary
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """,
+)
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency/frequency/monetary) quartile segmentation: one
+    per-customer aggregate pass, then ONE exact-order-statistics call
+    over the melted (metric, value) table computes all nine quartile
+    bounds distribution-safely; scoring is a map-side comparison
+    against the broadcast 3-row bounds table. No global NTILE, no
+    per-metric extra pass."""
+    from etl_pipeline_project_auraverse_spark.operators.order_stats import (
+        exact_group_percentiles,
+    )
+    from etl_pipeline_project_auraverse_spark.queries._util import DEC
+
+    orders = load_table(spark, sf_dir, "orders")
+    maxd = orders.agg(F.max("o_orderdate").alias("maxd"))
+    cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").cast("double").alias("frequency"),
+            F.round(F.sum(F.col("o_totalprice").cast(DEC)), 2)
+            .cast("double")
+            .alias("monetary"),
+        )
+        .join(F.broadcast(maxd))
+        .select(
+            "o_custkey",
+            F.datediff("maxd", "last_order").cast("double").alias("recency"),
+            "frequency",
+            "monetary",
+        )
+    )
+    cust = persist_tracked(cust)  # feeds the bounds pass AND scoring
+    melted = cust.select(
+        "o_custkey",
+        F.expr(
+            "stack(3, 'r', recency, 'f', frequency, 'm', monetary) "
+            "as (metric, value)"
+        ),
+    )
+    bounds = exact_group_percentiles(
+        melted, "metric", "value", [0.25, 0.5, 0.75], names=["p25", "p50", "p75"]
+    ).select("metric", "p25", "p50", "p75")
+    score = (
+        F.lit(1)
+        + (F.col("value") > F.col("p25")).cast("int")
+        + (F.col("value") > F.col("p50")).cast("int")
+        + (F.col("value") > F.col("p75")).cast("int")
+    )
+    scores = (
+        melted.join(F.broadcast(bounds), "metric")
+        .groupBy("o_custkey")
+        .agg(
+            *[
+                F.max(F.when(F.col("metric") == m, score)).alias(f"{m}_score")
+                for m in ("r", "f", "m")
+            ]
+        )
+    )
+    return (
+        scores.join(cust.select("o_custkey", "monetary"), "o_custkey")
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(
+                F.sum(F.col("monetary").cast(DEC)).cast("double") / F.count("*"), 4
+            )
+            .cast("double")
+            .alias("avg_monetary"),
+        )
+        .select(
+            F.col("r_score").cast("long").alias("r_score"),
+            F.col("f_score").cast("long").alias("f_score"),
+            F.col("m_score").cast("long").alias("m_score"),
+            "n_customers",
+            "avg_monetary",
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
