@@ -29,16 +29,34 @@ _MAX_TABLE = 4096
 def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
     """One-frame GIF from (h, w) uint8 palette indices + (n, 3) RGB
     palette; n must be a power of two in [2, 256]."""
-    h, w = indices.shape
+    return encode_gif_frames([indices], palette)
+
+
+def encode_gif_frames(
+    frames: list[np.ndarray], palette: np.ndarray, delay_cs: int = 4
+) -> bytes:
+    """Animated GIF from same-shaped (h, w) index frames; each frame
+    gets a graphic-control extension carrying ``delay_cs``."""
+    h, w = frames[0].shape
     n = len(palette)
-    assert n in (2, 4, 8, 16, 32, 64, 128, 256) and indices.max() < n
+    assert n in (2, 4, 8, 16, 32, 64, 128, 256)
     bits = max((n - 1).bit_length(), 1)
 
     out = bytearray(b"GIF89a")
     out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
     out += bytes(np.asarray(palette, dtype=np.uint8).reshape(-1))
-    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    for indices in frames:
+        assert indices.shape == (h, w) and indices.max() < n
+        if len(frames) > 1:
+            out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out += _encode_image_data(indices, bits)
+    out += b"\x3b"
+    return bytes(out)
 
+
+def _encode_image_data(indices: np.ndarray, bits: int) -> bytes:
+    out = bytearray()
     min_code = max(bits, 2)
     clear, eoi = 1 << min_code, (1 << min_code) + 1
     out.append(min_code)
@@ -85,7 +103,7 @@ def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
         block = data[i : i + 255]
         out.append(len(block))
         out += block
-    out += b"\x00\x3b"
+    out += b"\x00"  # sub-block terminator (trailer is the container's)
     return bytes(out)
 
 
@@ -96,12 +114,35 @@ def decode_gif(buf: bytes) -> tuple[int, int, int, np.ndarray]:
     if buf[:6] not in (b"GIF87a", b"GIF89a"):
         raise NotImplementedError("not a GIF signature")
     try:
-        return _decode_frame(buf)
+        frames = _decode_frames(buf)
     except (struct.error, IndexError) as exc:  # truncated mid-structure
+        raise NotImplementedError(f"truncated GIF: {exc}") from exc
+    if not frames:
+        raise NotImplementedError("GIF with no image frame")
+    if len(frames) > 1:
+        # the image seam decodes stills; multi-frame payloads go
+        # through decode_gif_frames (the frame-sampling path)
+        raise NotImplementedError("animated (multi-frame) GIF")
+    _delay, w, h, rgb = frames[0]
+    return w, h, 3, rgb
+
+
+def decode_gif_frames(buf: bytes) -> list[tuple[int, int, int, np.ndarray]]:
+    """All frames of a (possibly animated) GIF:
+    ``[(delay_cs, width, height, rows), ...]`` with rows shaped
+    (h, w*3) uint8 RGB. Every frame must be full-logical-screen
+    (left=top=0, frame size == screen size) — sub-rectangle patch
+    frames need disposal compositing and raise to the quarantine
+    path instead of silently producing wrong pixels."""
+    if buf[:6] not in (b"GIF87a", b"GIF89a"):
+        raise NotImplementedError("not a GIF signature")
+    try:
+        return _decode_frames(buf)
+    except (struct.error, IndexError) as exc:
         raise NotImplementedError(f"truncated GIF: {exc}") from exc
 
 
-def _decode_frame(buf: bytes) -> tuple[int, int, int, np.ndarray]:
+def _decode_frames(buf: bytes) -> list[tuple[int, int, int, np.ndarray]]:
     sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", buf, 6)
     pos = 13
     gct = None
@@ -110,27 +151,32 @@ def _decode_frame(buf: bytes) -> tuple[int, int, int, np.ndarray]:
         gct = np.frombuffer(buf, np.uint8, n * 3, pos).reshape(n, 3)
         pos += n * 3
 
-    frames_seen = 0
+    frames: list[tuple[int, int, int, np.ndarray]] = []
+    delay_cs = 0  # from the graphic-control extension preceding a frame
     while pos < len(buf):
         marker = buf[pos]
         pos += 1
         if marker == 0x3B:  # trailer
             break
-        if marker == 0x21:  # extension: skip sub-blocks
-            pos += 1  # label
+        if marker == 0x21:  # extension
+            label = buf[pos]
+            pos += 1
+            if label == 0xF9 and buf[pos] >= 3:  # graphic control: delay
+                delay_cs = struct.unpack_from("<H", buf, pos + 2)[0]
             while buf[pos]:
                 pos += 1 + buf[pos]
             pos += 1
             continue
         if marker != 0x2C:
             raise NotImplementedError(f"unknown GIF block 0x{marker:02x}")
-        frames_seen += 1
-        if frames_seen > 1:
-            raise NotImplementedError("animated (multi-frame) GIF")
-        _left, _top, w, h, iflags = struct.unpack_from("<HHHHB", buf, pos)
+        left, top, w, h, iflags = struct.unpack_from("<HHHHB", buf, pos)
         pos += 9
         if iflags & 0x40:
             raise NotImplementedError("interlaced GIF")
+        if (left, top) != (0, 0) or (w, h) != (sw, sh):
+            raise NotImplementedError(
+                "sub-rectangle GIF frame (needs disposal compositing)"
+            )
         table = gct
         if iflags & 0x80:
             n = 2 << (iflags & 0x07)
@@ -150,8 +196,9 @@ def _decode_frame(buf: bytes) -> tuple[int, int, int, np.ndarray]:
 
         indices = _lzw_decode(bytes(data), min_code, w * h)
         rgb = table[np.asarray(indices, dtype=np.uint16)].reshape(h, w * 3)
-        return w, h, 3, np.ascontiguousarray(rgb)
-    raise NotImplementedError("GIF with no image frame")
+        frames.append((delay_cs, w, h, np.ascontiguousarray(rgb)))
+        delay_cs = 0
+    return frames
 
 
 def _lzw_decode(data: bytes, min_code: int, n_pixels: int) -> list[int]:

@@ -317,3 +317,56 @@ def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_mean"])
 
     return df.mapInPandas(run, schema="doc_id long, frame_idx int, frame_mean double")
+
+
+def sample_gif_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL animated-frame sampling: decodes every Nth frame of an
+    animated GIF payload (from-scratch LZW, ``gif_codec``) and emits
+    per-frame stats + timeline position — the actual shape of a video
+    frame-sampling stage, exercised on a real container format rather
+    than the FAKE one. Undecodable payloads (sub-rectangle patch
+    frames, interlace, non-GIF bytes) are skipped into the same
+    quarantine policy as ``decode_images``."""
+    from etl_pipeline_project_auraverse_spark.operators.gif_codec import (
+        decode_gif_frames,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                try:
+                    frames = decode_gif_frames(bytes(content))
+                except NotImplementedError:
+                    continue
+                t_cs = 0
+                for idx, (delay_cs, w, h, rgb) in enumerate(frames):
+                    if idx % every_n == 0:
+                        rows.append(
+                            (
+                                int(doc_id),
+                                idx,
+                                t_cs,
+                                w,
+                                h,
+                                round(float(rgb.mean()), 6),
+                            )
+                        )
+                    t_cs += delay_cs
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "frame_idx",
+                    "t_centisec",
+                    "width",
+                    "height",
+                    "frame_mean",
+                ],
+            )
+
+    return df.mapInPandas(
+        run,
+        schema="doc_id long, frame_idx int, t_centisec int, "
+        "width int, height int, frame_mean double",
+    )

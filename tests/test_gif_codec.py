@@ -110,3 +110,58 @@ def test_truncated_stream_raises():
     raw = encode_gif(_rand_idx((6, 6), 4, 8), PAL4)
     with pytest.raises(NotImplementedError):
         decode_gif(raw[: len(raw) // 2])
+
+
+def test_animated_round_trip_with_delays():
+    from etl_pipeline_project_auraverse_spark.operators.gif_codec import (
+        decode_gif_frames,
+        encode_gif_frames,
+    )
+
+    frames = [_rand_idx((4, 5), 4, 10 + i) for i in range(5)]
+    buf = encode_gif_frames(frames, PAL4, delay_cs=7)
+    got = decode_gif_frames(buf)
+    assert len(got) == 5
+    for (delay, w, h, rgb), want in zip(got, frames):
+        assert (delay, w, h) == (7, 5, 4)
+        assert np.array_equal(rgb, PAL4[want].reshape(4, 15))
+    # the still-image seam refuses the animation rather than showing
+    # only its first frame
+    with pytest.raises(NotImplementedError, match="animated"):
+        decode_gif(buf)
+
+
+def test_subrectangle_frame_raises():
+    from etl_pipeline_project_auraverse_spark.operators.gif_codec import (
+        decode_gif_frames,
+        encode_gif_frames,
+    )
+
+    buf = bytearray(encode_gif_frames([_rand_idx((4, 5), 4, 20)] * 2, PAL4))
+    # shrink the second frame descriptor's width field by one
+    second = buf.index(0x2C, buf.index(0x2C, 13) + 1)
+    w = struct.unpack_from("<H", buf, second + 5)[0]
+    struct.pack_into("<H", buf, second + 5, w - 1)
+    with pytest.raises(NotImplementedError, match="sub-rectangle"):
+        decode_gif_frames(bytes(buf))
+
+
+def test_sample_gif_frames_operator(spark):
+    from etl_pipeline_project_auraverse_spark.operators.gif_codec import (
+        encode_gif_frames,
+    )
+
+    rows = []
+    for doc_id in range(3):
+        frames = [_rand_idx((3, 4), 4, 30 + doc_id * 10 + i) for i in range(6)]
+        rows.append((doc_id, bytearray(encode_gif_frames(frames, PAL4, delay_cs=5))))
+    rows.append((99, bytearray(b"not a gif")))  # quarantined, not fatal
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    out = mm.sample_gif_frames(df, every_n=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["frame_idx"], r["t_centisec"]))
+    assert set(by_doc) == {0, 1, 2}
+    for doc in by_doc.values():
+        assert sorted(doc) == [(0, 0), (2, 10), (4, 20)]
+    assert all(r["width"] == 4 and r["height"] == 3 for r in out)
