@@ -863,3 +863,54 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+@register(
+    "q_fuzzy_name_matches",
+    oracle="""
+    WITH names AS (
+        SELECT p_name, split_part(p_name, ' ', 1) AS block,
+               COUNT(*) AS n_parts
+        FROM part GROUP BY p_name
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_distance,
+           a.n_parts AS n_a, b.n_parts AS n_b
+    FROM names a JOIN names b
+      ON a.block = b.block AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    ORDER BY edit_distance, name_a, name_b
+    """,
+)
+def q_fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy record linkage: near-identical part names by edit
+    distance. The classic scale shape — dedupe to the DISTINCT value
+    dictionary first (the value space is orders of magnitude smaller
+    than the row space), block by first token so the quadratic
+    levenshtein only runs within blocks, and carry row frequencies so
+    matches attribute back without touching rows again."""
+    part = load_table(spark, sf_dir, "part")
+    names = part.groupBy("p_name").agg(F.count("*").alias("n_parts")).select(
+        "p_name", F.split("p_name", " ").getItem(0).alias("block"), "n_parts"
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"), "block", F.col("n_parts").alias("n_a")
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        F.col("block").alias("block_b"),
+        F.col("n_parts").alias("n_b"),
+    )
+    lev = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, (F.col("block") == F.col("block_b")) & (F.col("name_a") < F.col("name_b")))
+        .filter(lev <= 3)
+        .select(
+            "name_a",
+            "name_b",
+            lev.cast("long").alias("edit_distance"),
+            "n_a",
+            "n_b",
+        )
+        .orderBy("edit_distance", "name_a", "name_b")
+    )
