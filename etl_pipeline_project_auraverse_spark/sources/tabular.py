@@ -28,11 +28,26 @@ _EXT_FORMAT = {
 }
 
 
+# transparent-compression suffixes Spark's text-based readers (csv/
+# json/text) decompress natively; strip before routing on the real
+# extension. NOT parquet/orc/arrow — those embed their own codecs and
+# a whole-file-compressed container would be invalid anyway.
+_COMPRESSION_EXTS = (".gz", ".bz2", ".zst", ".lz4", ".deflate", ".snappy")
+
+
 def format_for_path(path: str) -> str:
     """Extension → reader format (the server.js:22-27 routing,
-    driver-side only — never a per-row decision)."""
-    dot = path.rfind(".")
-    ext = path[dot:].lower() if dot >= 0 else ""
+    driver-side only — never a per-row decision). ``data.json.gz``
+    routes as json: Spark decompresses per-file codecs natively
+    (non-splittable — one task per .gz file, which is exactly the
+    many-small-files layout such archives arrive in)."""
+    low = path.lower()
+    for comp in _COMPRESSION_EXTS:
+        if low.endswith(comp):
+            low = low[: -len(comp)]
+            break
+    dot = low.rfind(".")
+    ext = low[dot:] if dot >= 0 else ""
     fmt = _EXT_FORMAT.get(ext)
     if fmt is None:
         raise ValueError(f"Unsupported file type: {ext}")  # S3 guard

@@ -78,3 +78,21 @@ def test_json_corrupt_records_surfaced(spark, tmp_path):
     assert bad == ["THIS IS NOT JSON"]
     with pytest.raises(ValueError, match="explicit schema"):
         tabular.read_json_table(spark, str(p), keep_corrupt=True)
+
+
+def test_compressed_extension_routes_and_reads(spark, tmp_path):
+    """data.jsonl.gz routes as json and reads through Spark's native
+    per-file decompression."""
+    import gzip
+
+    assert tabular.format_for_path("a/b/data.jsonl.gz") == "json"
+    assert tabular.format_for_path("x.csv.bz2") == "csv"
+    assert tabular.format_for_path("notes.TXT.GZ") == "text"
+    with pytest.raises(ValueError):
+        tabular.format_for_path("archive.tar.gz")  # .tar is not a table
+
+    path = str(tmp_path / "rows.jsonl.gz")
+    with gzip.open(path, "wt") as f:
+        f.write('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n')
+    got = tabular.read_table(spark, path)
+    assert {(r["a"], r["b"]) for r in got.collect()} == {(1, "x"), (2, "y")}
