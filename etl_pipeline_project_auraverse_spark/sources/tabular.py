@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 _EXT_FORMAT = {
     ".csv": "csv",
+    ".tsv": "tsv",
     ".json": "json",
     ".jsonl": "json",
     ".ndjson": "json",
@@ -60,10 +61,11 @@ def read_csv_table(
     schema: str | None = None,
     header: bool = True,
     infer: bool = True,
+    sep: str = ",",
 ) -> DataFrame:
-    """CSV scan. Prefer an explicit schema at scale: inference is a
-    full extra pass over the data."""
-    reader = spark.read.option("header", header)
+    """CSV/TSV scan. Prefer an explicit schema at scale: inference is
+    a full extra pass over the data."""
+    reader = spark.read.option("header", header).option("sep", sep)
     if schema is not None:
         reader = reader.schema(schema)
     else:
@@ -120,6 +122,9 @@ def read_table(spark: SparkSession, path: str, **kwargs) -> DataFrame:
                 break
     fmt = format_for_path(probe)
     if fmt == "csv":
+        return read_csv_table(spark, path, **kwargs)
+    if fmt == "tsv":
+        kwargs.setdefault("sep", "\t")
         return read_csv_table(spark, path, **kwargs)
     if fmt == "json":
         return read_json_table(spark, path, **kwargs)

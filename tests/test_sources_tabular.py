@@ -96,3 +96,11 @@ def test_compressed_extension_routes_and_reads(spark, tmp_path):
         f.write('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n')
     got = tabular.read_table(spark, path)
     assert {(r["a"], r["b"]) for r in got.collect()} == {(1, "x"), (2, "y")}
+
+
+def test_tsv_routes_with_tab_separator(spark, tmp_path):
+    path = str(tmp_path / "rows.tsv")
+    with open(path, "w") as f:
+        f.write("a\tb\n1\tx\n2\ty\n")
+    got = tabular.read_table(spark, path)
+    assert {(r["a"], r["b"]) for r in got.collect()} == {(1, "x"), (2, "y")}
