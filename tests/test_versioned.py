@@ -1,0 +1,72 @@
+"""VersionedTable: snapshot isolation, time travel, crash sweep."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from etl_pipeline_project_auraverse_spark.operators.versioned import VersionedTable
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, ["k", "v"])
+
+
+def _vals(df):
+    return {(r["k"], r["v"]) for r in df.collect()}
+
+
+def test_commit_read_history_time_travel(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "vt"))
+    assert t.latest_version() is None
+    v1 = t.commit(_df(spark, [(1, "a")]), ts=100.0, note="init")
+    v2 = t.commit(_df(spark, [(1, "a2"), (2, "b")]), ts=200.0)
+    assert (v1, v2) == (1, 2)
+    assert t.latest_version() == 2
+    assert _vals(t.read(spark)) == {(1, "a2"), (2, "b")}
+    assert _vals(t.read(spark, version=1)) == {(1, "a")}
+    assert [e["version"] for e in t.history()] == [1, 2]
+    assert t.history()[0]["note"] == "init"
+    # time travel: at ts 150 only v1 existed; exactly at a commit ts
+    # the commit is visible
+    assert _vals(t.time_travel(spark, 150.0)) == {(1, "a")}
+    assert _vals(t.time_travel(spark, 200.0)) == {(1, "a2"), (2, "b")}
+    with pytest.raises(ValueError):
+        t.time_travel(spark, 50.0)
+    with pytest.raises(ValueError):
+        t.read(spark, version=9)
+
+
+def test_old_snapshots_are_immutable_across_commits(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "vt"))
+    t.commit(_df(spark, [(1, "a")]), ts=1.0)
+    before = _vals(t.read(spark, version=1))
+    for i in range(2, 5):
+        t.commit(_df(spark, [(i, "x")]), ts=float(i))
+    assert _vals(t.read(spark, version=1)) == before
+
+
+def test_ts_must_not_decrease(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "vt"))
+    t.commit(_df(spark, [(1, "a")]), ts=100.0)
+    with pytest.raises(ValueError, match="decrease"):
+        t.commit(_df(spark, [(2, "b")]), ts=99.0)
+
+
+def test_crashed_commit_is_invisible_and_swept(spark, tmp_path):
+    root = str(tmp_path / "vt")
+    t = VersionedTable(root)
+    t.commit(_df(spark, [(1, "a")]), ts=1.0)
+    # simulate a crash AFTER the snapshot rename but BEFORE the pointer
+    # swap: a v-dir exists that no pointer references
+    orphan = os.path.join(root, "v000002")
+    _df(spark, [(9, "ghost")]).write.parquet(orphan)
+    assert t.latest_version() == 1  # reader never sees it
+    assert _vals(t.read(spark)) == {(1, "a")}
+    # and a tmp-dir crash (before the snapshot rename) likewise
+    _df(spark, [(8, "ghost2")]).write.parquet(os.path.join(root, "v000003.tmp.dead"))
+    v = t.commit(_df(spark, [(2, "b")]), ts=2.0)  # sweeps, then commits
+    assert v == 2
+    assert not os.path.exists(os.path.join(root, "v000003.tmp.dead"))
+    assert _vals(t.read(spark, version=2)) == {(2, "b")}
