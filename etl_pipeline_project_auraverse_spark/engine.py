@@ -156,3 +156,13 @@ class Engine:
         from etl_pipeline_project_auraverse_spark.operators.cdc import merge_snapshot
 
         return merge_snapshot(base, changes, keys, seq_cols, op_col, delete_op)
+
+    # -- versioned tables ---------------------------------------------------
+    def versioned(self, root: str):
+        """Snapshot-versioned parquet table with time travel
+        (``operators/versioned.VersionedTable``)."""
+        from etl_pipeline_project_auraverse_spark.operators.versioned import (
+            VersionedTable,
+        )
+
+        return VersionedTable(root)
