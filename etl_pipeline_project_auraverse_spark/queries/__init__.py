@@ -56,6 +56,8 @@ _MODULES = [
     "etl_pipeline_project_auraverse_spark.queries.graph",
     "etl_pipeline_project_auraverse_spark.queries.cdc",
     "etl_pipeline_project_auraverse_spark.queries.robust",
+    "etl_pipeline_project_auraverse_spark.queries.chunking",
+    "etl_pipeline_project_auraverse_spark.queries.layout",
 ]
 
 

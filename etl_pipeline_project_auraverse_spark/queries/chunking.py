@@ -1,0 +1,131 @@
+"""Document chunking: fixed-size overlapping windows over ``text``.
+
+The standard pre-tokenization step of an LLM training pipeline: long
+documents are cut into model-window-sized chunks with an overlap so no
+span is lost at a boundary, and each chunk gets a content fingerprint
+so chunk-level dedup can run downstream (a near-duplicate tail of one
+doc and the head of another collide at chunk granularity even when the
+whole-document hashes differ).
+
+Scale shape: chunking is a pure per-row ``posexplode`` projection —
+no shuffle, stays inside whole-stage codegen, and the fan-out per row
+is bounded by ceil(len/stride) (a document contributes chunks
+proportional to its own size, never to the corpus). The chunk-dedup
+query's only wide op is a groupBy on the 64-bit chunk fingerprint —
+maximal-cardinality keys, no skew funnel.
+
+Determinism: offsets are integer arithmetic, the fingerprint is an
+md5 prefix of the exact substring — both engines agree byte-for-byte
+(``substring`` is 1-based with the same clamping semantics in Spark
+and DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_project_auraverse_spark.queries import register
+from etl_pipeline_project_auraverse_spark.queries._util import parallelize
+from etl_pipeline_project_auraverse_spark.session import load_table
+
+CHUNK = 120  # window size in characters (model-window stand-in)
+STRIDE = 80  # step between window starts
+OVERLAP = CHUNK - STRIDE  # characters shared by adjacent chunks
+
+# n_chunks = ceil((len - OVERLAP) / STRIDE), at least 1 — integer form
+# (len - OVERLAP + STRIDE - 1) // STRIDE so no float rounding is involved.
+_SQL_N_CHUNKS = f"GREATEST(1, (length(text) - {OVERLAP} + {STRIDE - 1}) // {STRIDE})"
+
+
+def _chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id, chunk_idx, chunk_start, chunk_len, chunk_hash for every
+    overlapping window of every document (shared by both queries)."""
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.floor((F.length("text") - OVERLAP + (STRIDE - 1)) / F.lit(STRIDE)),
+    ).cast("int")
+    exploded = docs.select(
+        "doc_id",
+        "text",
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx", "_i"),
+    )
+    chunk_text = F.substring(
+        F.col("text"), F.col("chunk_idx") * STRIDE + 1, CHUNK
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        (F.col("chunk_idx").cast("long") * STRIDE).alias("chunk_start"),
+        F.length(chunk_text).cast("long").alias("chunk_len"),
+        F.substring(F.md5(chunk_text), 1, 16).alias("chunk_hash"),
+    )
+
+
+@register(
+    "q_doc_chunks_overlap",
+    oracle=f"""
+    WITH exploded AS (
+        SELECT doc_id, text,
+               unnest(generate_series(0, {_SQL_N_CHUNKS} - 1)) AS chunk_idx
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(chunk_idx * {STRIDE} AS BIGINT) AS chunk_start,
+           CAST(length(substr(text, chunk_idx * {STRIDE} + 1, {CHUNK})) AS BIGINT)
+               AS chunk_len,
+           substr(md5(substr(text, chunk_idx * {STRIDE} + 1, {CHUNK})), 1, 16)
+               AS chunk_hash
+    FROM exploded
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def q_doc_chunks_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping {CHUNK}-char chunks at stride {STRIDE} for every
+    document: offset table, per-chunk length (the tail chunk is
+    shorter) and a 64-bit content fingerprint. Map-side only."""
+    return _chunks(spark, sf_dir).orderBy("doc_id", "chunk_idx")
+
+
+@register(
+    "q_chunk_dedup_crossdoc",
+    oracle=f"""
+    WITH exploded AS (
+        SELECT doc_id, text,
+               unnest(generate_series(0, {_SQL_N_CHUNKS} - 1)) AS chunk_idx
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id,
+               substr(md5(substr(text, chunk_idx * {STRIDE} + 1, {CHUNK})), 1, 16)
+                   AS chunk_hash
+        FROM exploded
+    )
+    SELECT chunk_hash,
+           COUNT(*) AS n_chunks,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           MIN(doc_id) AS keeper_doc
+    FROM hashed
+    GROUP BY chunk_hash
+    HAVING COUNT(DISTINCT doc_id) > 1
+    ORDER BY chunk_hash
+    """,
+)
+def q_chunk_dedup_crossdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granularity exact dedup across documents: fingerprints
+    shared by more than one doc_id, with the smallest doc_id as the
+    canonical keeper. Catches copied passages that whole-document
+    hashing misses. One groupBy on the high-cardinality fingerprint."""
+    return (
+        _chunks(spark, sf_dir)
+        .groupBy("chunk_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc"),
+        )
+        .where(F.col("n_docs") > 1)
+        .orderBy("chunk_hash")
+    )
