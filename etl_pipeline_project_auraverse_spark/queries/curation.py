@@ -838,3 +838,111 @@ def q_curation_pipeline_decisions(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Split drift: Population Stability Index between the train and val
+# splits over global n_chars deciles — the guardrail that a hash split
+# did not skew the length distribution (and the same query a feature
+# store runs between training and serving windows). Decile bounds are
+# exact global quantiles broadcast as one 9-double array; assignment
+# is a map-side count of bounds below the value (no NTILE funnel);
+# counts use +1/+10 Laplace smoothing so empty cells stay finite.
+# ln() may differ in the last bit between engines, so every derived
+# double is rounded to 6 places.
+# ---------------------------------------------------------------------------
+PSI_DECILES = 10
+
+
+def _psi_oracle() -> str:
+    qs = ", ".join(str(i / PSI_DECILES) for i in range(1, PSI_DECILES))
+    hash_bucket = (
+        "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 100"
+    )
+    return f"""
+    WITH b AS (SELECT quantile_cont(n_chars, [{qs}]) AS bounds FROM documents),
+    a AS (
+        SELECT CASE WHEN bucket < {SPLIT_TRAIN_PCT} THEN 'train'
+                    ELSE 'val' END AS split,
+               len(list_filter(b.bounds, x -> x < d.n_chars)) AS decile
+        FROM (SELECT n_chars, {hash_bucket} AS bucket FROM documents) d, b
+        WHERE bucket < {SPLIT_VAL_PCT}
+    ),
+    c AS (
+        SELECT decile,
+               COUNT(CASE WHEN split = 'train' THEN 1 END) AS n_train,
+               COUNT(CASE WHEN split = 'val' THEN 1 END) AS n_val
+        FROM a GROUP BY decile
+    ),
+    t AS (
+        SELECT CAST(SUM(n_train) AS BIGINT) AS tt,
+               CAST(SUM(n_val) AS BIGINT) AS tv
+        FROM c
+    )
+    SELECT CAST(c.decile AS BIGINT) AS decile,
+           c.n_train, c.n_val,
+           CAST(ROUND((c.n_train + 1) / (t.tt + {PSI_DECILES}.0), 6) AS DOUBLE)
+               AS p_train,
+           CAST(ROUND((c.n_val + 1) / (t.tv + {PSI_DECILES}.0), 6) AS DOUBLE)
+               AS p_val,
+           CAST(ROUND(((c.n_train + 1) / (t.tt + {PSI_DECILES}.0)
+                       - (c.n_val + 1) / (t.tv + {PSI_DECILES}.0))
+                      * ln(((c.n_train + 1) / (t.tt + {PSI_DECILES}.0))
+                           / ((c.n_val + 1) / (t.tv + {PSI_DECILES}.0))), 6)
+               AS DOUBLE) AS psi_term
+    FROM c, t
+    ORDER BY decile
+    """
+
+
+@register("q_split_drift_psi", oracle=_psi_oracle())
+def q_split_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI between train and val splits over n_chars deciles: per-decile
+    smoothed shares and (p - q) * ln(p / q) terms. Everything is one
+    scan plus two 1-row broadcasts (bounds, totals)."""
+    from etl_pipeline_project_auraverse_spark.operators.order_stats import (
+        exact_group_percentiles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ps = [i / PSI_DECILES for i in range(1, PSI_DECILES)]
+    names = [f"d{i}" for i in range(1, PSI_DECILES)]
+    bounds = exact_group_percentiles(
+        docs.withColumn("__g", F.lit("all")), "__g", "n_chars", ps, names=names
+    ).select(F.array(*names).alias("bounds"))
+
+    bucket = h28(F.col("doc_id").cast("string")) % 100
+    split = F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train")).otherwise(F.lit("val"))
+    assigned = (
+        docs.where(bucket < SPLIT_VAL_PCT)
+        .join(F.broadcast(bounds))
+        .select(
+            split.alias("split"),
+            F.aggregate(
+                "bounds",
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + F.when(x < F.col("n_chars"), 1).otherwise(0),
+            ).alias("decile"),
+        )
+    )
+    cells = assigned.groupBy("decile").agg(
+        F.count(F.when(F.col("split") == "train", F.lit(1))).alias("n_train"),
+        F.count(F.when(F.col("split") == "val", F.lit(1))).alias("n_val"),
+    )
+    totals = cells.agg(
+        F.sum("n_train").alias("tt"), F.sum("n_val").alias("tv")
+    )
+    p = (F.col("n_train") + 1) / (F.col("tt") + float(PSI_DECILES))
+    q = (F.col("n_val") + 1) / (F.col("tv") + float(PSI_DECILES))
+    return (
+        cells.crossJoin(F.broadcast(totals))
+        .select(
+            "decile",
+            "n_train",
+            "n_val",
+            F.round(p, 6).cast("double").alias("p_train"),
+            F.round(q, 6).cast("double").alias("p_val"),
+            F.round((p - q) * F.log(p / q), 6).cast("double").alias("psi_term"),
+        )
+        .orderBy("decile")
+    )

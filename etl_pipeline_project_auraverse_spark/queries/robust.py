@@ -140,3 +140,125 @@ def q_equidepth_histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Median / MAD outlier detection: the robust z-score. Two exact
+# order-statistics passes (median of values, then median of absolute
+# deviations), bounds broadcast back (3 rows each) so the fact table
+# is scanned three times with bounded per-task state and no
+# low-cardinality sort funnel. The 3 * 1.4826 * MAD fence is the
+# standard robust equivalent of "3 sigma".
+# ---------------------------------------------------------------------------
+MAD_CONSISTENCY = 1.4826  # MAD -> sigma for a normal distribution
+MAD_FENCE = 3.0
+
+
+@register(
+    "q_mad_outlier_prices",
+    oracle=f"""
+    WITH m AS (
+        SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+        FROM lineitem GROUP BY l_returnflag
+    ),
+    d AS (
+        SELECT l.l_returnflag, m.med,
+               ABS(l.l_extendedprice - m.med) AS dev
+        FROM lineitem l JOIN m USING (l_returnflag)
+    ),
+    s AS (
+        SELECT l_returnflag, quantile_cont(dev, 0.5) AS mad
+        FROM d GROUP BY l_returnflag
+    )
+    SELECT d.l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(ROUND(MIN(d.med), 4) AS DOUBLE) AS median_price,
+           CAST(ROUND(MIN(s.mad), 4) AS DOUBLE) AS mad,
+           COUNT(CASE WHEN d.dev > {MAD_FENCE} * {MAD_CONSISTENCY} * s.mad
+                      THEN 1 END) AS n_outliers
+    FROM d JOIN s USING (l_returnflag)
+    GROUP BY d.l_returnflag
+    ORDER BY d.l_returnflag
+    """,
+)
+def q_mad_outlier_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier counts per return flag: rows whose price deviates
+    from the group median by more than 3 x 1.4826 x MAD. Medians and
+    MADs are exact (range-shuffle order statistics), the fence
+    comparison is identical double arithmetic in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    med = exact_group_percentiles(
+        li, "l_returnflag", "l_extendedprice", [0.5], names=["med"]
+    ).select("l_returnflag", "med")
+    with_dev = li.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag",
+        "med",
+        F.abs(F.col("l_extendedprice") - F.col("med")).alias("dev"),
+    )
+    mad = exact_group_percentiles(
+        with_dev, "l_returnflag", "dev", [0.5], names=["mad"]
+    ).select("l_returnflag", "mad")
+    fence = F.lit(MAD_FENCE) * F.lit(MAD_CONSISTENCY) * F.col("mad")
+    return (
+        with_dev.join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("med"), 4).cast("double").alias("median_price"),
+            F.round(F.min("mad"), 4).cast("double").alias("mad"),
+            F.count(F.when(F.col("dev") > fence, F.lit(1))).alias("n_outliers"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sketch-guided exact heavy hitters: Misra-Gries candidate pass, then
+# exact recount of the (provable-superset) candidates. Equal to plain
+# GROUP BY ... HAVING because threshold (PHI * n) > n / HH_K, but the
+# only full-cardinality structure ever built is the per-partition
+# k-counter sketch — no full-key shuffle at 100 TB.
+# ---------------------------------------------------------------------------
+HH_K = 4000  # sketch counters per partition; guarantee holds for freq > n/HH_K
+HH_PHI = 0.0005  # report items in >= 0.05% of rows (> 1/HH_K, so exact)
+
+
+@register(
+    "q_heavy_hitter_parts",
+    oracle=f"""
+    WITH n AS (SELECT COUNT(*) AS total FROM lineitem)
+    SELECT l_partkey,
+           COUNT(*) AS n_rows,
+           CAST(ROUND(COUNT(*) / (MIN(n.total) * 1.0), 6) AS DOUBLE) AS share
+    FROM lineitem, n
+    GROUP BY l_partkey
+    HAVING COUNT(*) >= MIN(n.total) * {HH_PHI}
+    ORDER BY l_partkey
+    """,
+)
+def q_heavy_hitter_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts appearing in >= {HH_PHI:.2%} of lineitems, with exact
+    counts — found via the Misra-Gries sketch + exact-recount operator
+    (`operators/heavy_hitters.py`), whose candidate set provably
+    contains every such part because PHI > 1/HH_K."""
+    from etl_pipeline_project_auraverse_spark.operators.heavy_hitters import (
+        exact_heavy_hitters,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    total = li.agg(F.count(F.lit(1)).alias("total"))
+    threshold = total.select(
+        (F.col("total") * F.lit(HH_PHI)).alias("threshold")
+    )
+    hh = exact_heavy_hitters(li, "l_partkey", HH_K, threshold)
+    return (
+        hh.crossJoin(F.broadcast(total))
+        .select(
+            "l_partkey",
+            "n_rows",
+            F.round(F.col("n_rows") / (F.col("total") * 1.0), 6)
+            .cast("double")
+            .alias("share"),
+        )
+        .orderBy("l_partkey")
+    )
