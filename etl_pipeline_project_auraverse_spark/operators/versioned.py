@@ -106,6 +106,33 @@ class VersionedTable:
             raise ValueError(f"unknown version {version}")
         return spark.read.parquet(os.path.join(self.root, f"v{version:06d}"))
 
+    def compact(
+        self, spark: SparkSession, ts: float, target_files: int = 1
+    ) -> int:
+        """Rewrite the latest snapshot into ``target_files`` part files
+        as a NEW version (the small-file fix: streaming/incremental
+        commits accrete many tiny parts; scans then pay per-file open
+        and scheduling cost). ``coalesce`` merges without a shuffle;
+        readers of the old version are untouched (snapshots are
+        immutable), and the swap is the same atomic pointer commit."""
+        df = self.read(spark)
+        return self.commit(df.coalesce(target_files), ts, note="compact")
+
+    def vacuum(self, keep_last: int) -> list[int]:
+        """Drop all but the newest ``keep_last`` versions (retention).
+        Returns the dropped version numbers. The version counter keeps
+        advancing, so later commits never reuse a vacuumed number; the
+        pointer is rewritten first, then unreferenced dirs are swept —
+        a crash between the two leaves only sweepable orphans."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        meta = self._read_pointer()
+        dropped = [e["version"] for e in meta["log"][:-keep_last]]
+        meta["log"] = meta["log"][-keep_last:]
+        self._write_pointer(meta)
+        self._sweep(meta)
+        return dropped
+
     def time_travel(self, spark: SparkSession, ts: float) -> DataFrame:
         """The snapshot current as of ``ts`` (latest commit with
         commit ts <= ts)."""

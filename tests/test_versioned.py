@@ -70,3 +70,45 @@ def test_crashed_commit_is_invisible_and_swept(spark, tmp_path):
     assert v == 2
     assert not os.path.exists(os.path.join(root, "v000003.tmp.dead"))
     assert _vals(t.read(spark, version=2)) == {(2, "b")}
+
+
+def _n_part_files(root: str, version: int) -> int:
+    vdir = os.path.join(root, f"v{version:06d}")
+    return sum(1 for f in os.listdir(vdir) if f.endswith(".parquet"))
+
+
+def test_compact_merges_files_preserving_content(spark, tmp_path):
+    root = str(tmp_path / "vt")
+    t = VersionedTable(root)
+    many = _df(spark, [(i, f"x{i}") for i in range(40)]).repartition(8)
+    t.commit(many, ts=1.0)
+    assert _n_part_files(root, 1) > 1
+    before = _vals(t.read(spark))
+    v = t.compact(spark, ts=2.0, target_files=1)
+    assert v == 2
+    assert _n_part_files(root, 2) == 1
+    assert _vals(t.read(spark)) == before
+    # the pre-compaction snapshot is still readable (immutable)
+    assert _vals(t.read(spark, version=1)) == before
+    assert t.history()[-1]["note"] == "compact"
+
+
+def test_vacuum_drops_old_versions_keeps_counter(spark, tmp_path):
+    root = str(tmp_path / "vt")
+    t = VersionedTable(root)
+    for i in range(1, 5):
+        t.commit(_df(spark, [(i, "v")]), ts=float(i))
+    dropped = t.vacuum(keep_last=2)
+    assert dropped == [1, 2]
+    assert not os.path.exists(os.path.join(root, "v000001"))
+    assert _vals(t.read(spark, version=3)) == {(3, "v")}
+    assert _vals(t.read(spark)) == {(4, "v")}
+    with pytest.raises(ValueError):
+        t.read(spark, version=1)
+    # time travel before the retained window is gone too
+    with pytest.raises(ValueError):
+        t.time_travel(spark, 1.5)
+    # the version counter never reuses a vacuumed number
+    assert t.commit(_df(spark, [(5, "v")]), ts=5.0) == 5
+    with pytest.raises(ValueError):
+        t.vacuum(keep_last=0)
