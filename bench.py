@@ -99,6 +99,12 @@ HEADLINE = [
     "q_equidepth_histogram_price",
     "q_dedup_minhash_recall",
     "q_unpivot_lineitem_measures",
+    # round-5 part 3: chunking, layout clustering, sketch-guided
+    # heavy hitters, robust outliers
+    "q_doc_chunks_overlap",
+    "q_zorder_order_cells",
+    "q_heavy_hitter_parts",
+    "q_mad_outlier_prices",
 ]
 
 

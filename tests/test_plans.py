@@ -299,3 +299,52 @@ def test_split_assignment_is_map_side(q):
     plan = PI.physical_plan(q("q_split_train_val_test"))
     assert "Join" not in plan
     assert plan.count("Exchange") <= 2
+
+
+def test_chunking_is_map_side_until_the_sort(q):
+    """Chunk generation must be a pure projection: scan -> explode ->
+    project. The only shuffles are the small-file parallelize spread
+    and the presentation sort; and the scan reads just (doc_id, text)."""
+    df = q("q_doc_chunks_overlap")
+    assert PI.exchange_count(df) <= 2
+    cols = PI.scan_columns(df)
+    assert "text" in cols and "n_chars" not in cols
+
+
+def test_chunk_dedup_groups_on_fingerprint_only(q):
+    """Shuffles: parallelize spread, the two-level distinct aggregate
+    ((hash, doc) then hash — Spark's standard COUNT DISTINCT
+    expansion, both on maximal-cardinality keys), presentation sort.
+    Nothing else — in particular no join back to the documents scan."""
+    df = q("q_chunk_dedup_crossdoc")
+    assert PI.exchange_count(df) <= 4
+    assert "Join" not in PI.physical_plan(df)
+
+
+def test_zorder_bounds_are_broadcast(q):
+    """Quantization bounds join as a broadcast 1-row side; the Morton
+    key itself is codegen bit arithmetic (no UDF in the plan)."""
+    plan = PI.physical_plan(q("q_zorder_order_cells"))
+    assert "BroadcastExchange" in plan
+    assert "Python" not in plan  # no UDF fallback crept in
+
+
+def test_heavy_hitters_recount_is_broadcast_semi_join(q):
+    """The exact recount must semi-join against broadcast candidates —
+    the full key cardinality never shuffles."""
+    plan = PI.physical_plan(q("q_heavy_hitter_parts"))
+    assert "LeftSemi" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_mad_bounds_are_broadcast(q):
+    """Median and MAD (3 rows each) broadcast back over the fact scan."""
+    plan = PI.physical_plan(q("q_mad_outlier_prices"))
+    assert plan.count("BroadcastExchange") >= 2
+
+
+def test_psi_bounds_and_totals_are_broadcast(q):
+    """Decile bounds and split totals are 1-row broadcasts; assignment
+    stays map-side."""
+    plan = PI.physical_plan(q("q_split_drift_psi"))
+    assert plan.count("BroadcastExchange") >= 2
