@@ -157,6 +157,55 @@ class Engine:
 
         return merge_snapshot(base, changes, keys, seq_cols, op_col, delete_op)
 
+    # -- layout / sketches --------------------------------------------------
+    def zorder_by(self, df: DataFrame, cols: list[str], n_files: int = 64,
+                  bits: int = 8) -> DataFrame:
+        """Cluster ``df`` on the Morton (Z-order) curve of ``cols`` so a
+        subsequent write yields files with tight min/max envelopes in
+        EVERY listed column (``operators/zorder``). Numeric columns are
+        quantized against their global min/max (one 1-row broadcast)."""
+        from pyspark.sql import functions as F
+
+        from etl_pipeline_project_auraverse_spark.operators.zorder import (
+            quantize,
+            zorder_key,
+            zorder_layout,
+        )
+
+        aggs = []
+        for c in cols:
+            aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
+        stats = df.agg(*aggs)
+        quantized = [
+            quantize(F.col(c), F.col(f"__mn_{c}"), F.col(f"__mx_{c}"), bits)
+            for c in cols
+        ]
+        clustered = zorder_layout(
+            df.crossJoin(F.broadcast(stats)), zorder_key(quantized, bits), n_files
+        )
+        return clustered.drop(*[f"__mn_{c}" for c in cols], *[f"__mx_{c}" for c in cols])
+
+    def heavy_hitters(self, df: DataFrame, col: str, phi: float,
+                      k: int | None = None) -> DataFrame:
+        """Exact counts of values of ``col`` occurring in ≥ ``phi`` of
+        rows, via the Misra–Gries sketch + recount two-pass
+        (``operators/heavy_hitters``). ``k`` defaults to 2/phi so the
+        sketch containment bound (phi > 1/k) holds with slack."""
+        from pyspark.sql import functions as F
+
+        from etl_pipeline_project_auraverse_spark.operators.heavy_hitters import (
+            exact_heavy_hitters,
+        )
+
+        if k is None:
+            k = int(2.0 / phi)
+        if phi <= 1.0 / k:
+            raise ValueError(f"phi={phi} must exceed 1/k={1.0 / k}")
+        threshold = df.agg(
+            (F.count(F.lit(1)) * F.lit(phi)).alias("threshold")
+        )
+        return exact_heavy_hitters(df, col, k, threshold)
+
     # -- versioned tables ---------------------------------------------------
     def versioned(self, root: str):
         """Snapshot-versioned parquet table with time travel

@@ -163,3 +163,42 @@ def test_engine_cdc_facade(spark, sf_dir):
         ["k"], ["seq"], op_col="op",
     )
     assert {r["k"] for r in advanced.collect()} == {1, 3}
+
+
+def test_engine_zorder_and_heavy_hitters(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_project_auraverse_spark.engine import Engine
+
+    eng = Engine(sf_dir, spark=spark)
+    orders = eng.table("orders")
+    clustered = eng.zorder_by(orders, ["o_custkey", "o_totalprice"], n_files=8)
+    assert clustered.columns == orders.columns  # helper cols dropped
+    assert clustered.count() == orders.count()
+    # clustering bounds the price envelope per partition vs the raw scan
+    spans = (
+        clustered.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg((F.max("o_totalprice") - F.min("o_totalprice")).alias("span"))
+        .agg(F.avg("span"))
+        .first()[0]
+    )
+    full_span = orders.agg(
+        F.max("o_totalprice") - F.min("o_totalprice")
+    ).first()[0]
+    assert spans < full_span * 0.8
+
+    hh = eng.heavy_hitters(eng.table("events"), "event_type", phi=0.1)
+    exact = {
+        (r["event_type"], r["n_rows"])
+        for r in eng.table("events").groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_rows")
+        ).collect()
+        if r["n_rows"] >= eng.table("events").count() * 0.1
+    }
+    assert {(r["event_type"], r["n_rows"]) for r in hh.collect()} == exact
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="phi"):
+        eng.heavy_hitters(orders, "o_custkey", phi=0.001, k=10)
