@@ -346,3 +346,73 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality scoring: a FROZEN logistic-regression quality
+# classifier applied at corpus scale — the shape of fastText/KenLM-
+# style quality filters in LLM data pipelines (train tiny offline,
+# score petabytes as a pure projection). Weights are literals; the
+# whole scorer is codegen arithmetic over the same feature battery the
+# rule-based scorer uses. exp() can differ in the last bit between
+# engines, so the score is rounded to 6 places and the keep decision
+# reads the ROUNDED score in both.
+# ---------------------------------------------------------------------------
+LOGIT_BIAS = -1.2
+LOGIT_W_LEN = 2.5  # on min(1, n_tokens/200)
+LOGIT_W_STOP = 3.0  # on stopword ratio
+LOGIT_W_PUNCT = -8.0  # on punctuation density
+
+
+@register(
+    "q_quality_logistic_scores",
+    oracle=f"""
+    WITH feats AS (
+        SELECT doc_id, lang,
+               LEAST(1.0, {SQL_N_WORDS} / 200.0) AS f_len,
+               ({SQL_STOP_HITS} * 1.0 / {SQL_N_WORDS}) AS f_stop,
+               ({SQL_PUNCT_HITS} * 1.0 / length(text)) AS f_punct
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang,
+               CAST(ROUND(1.0 / (1.0 + exp(-({LOGIT_BIAS}
+                    + {LOGIT_W_LEN} * f_len
+                    + {LOGIT_W_STOP} * f_stop
+                    + {LOGIT_W_PUNCT} * f_punct))), 6) AS DOUBLE) AS score
+        FROM feats
+    )
+    SELECT doc_id, lang, score, score >= 0.5 AS keep
+    FROM scored
+    ORDER BY doc_id
+    """,
+)
+def q_quality_logistic_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen logistic quality model over (length, stopword, punct)
+    features: sigmoid score per document plus the keep decision at
+    0.5. Pure map-side projection — no shuffle at any corpus size."""
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    t = F.col("text")
+    feats = docs.select(
+        "doc_id",
+        "lang",
+        F.least(F.lit(1.0), n_words(t) / 200.0).alias("f_len"),
+        (match_count(F.lower(t), STOPWORD_RE) * 1.0 / n_words(t)).alias("f_stop"),
+        (match_count(t, PUNCT_RE) * 1.0 / F.length(t)).alias("f_punct"),
+    )
+    z = (
+        F.lit(LOGIT_BIAS)
+        + F.lit(LOGIT_W_LEN) * F.col("f_len")
+        + F.lit(LOGIT_W_STOP) * F.col("f_stop")
+        + F.lit(LOGIT_W_PUNCT) * F.col("f_punct")
+    )
+    score = F.round(1.0 / (1.0 + F.exp(-z)), 6).cast("double")
+    return (
+        feats.select(
+            "doc_id",
+            "lang",
+            score.alias("score"),
+            (score >= 0.5).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

@@ -522,3 +522,65 @@ def q_salted_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("min_value", 4).cast("double").alias("min_value"),
         F.round("max_value", 4).cast("double").alias("max_value"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week seasonality: the multiplicative seasonal index of
+# purchase revenue (avg daily revenue on that weekday / overall avg
+# daily revenue) — the decomposition a capacity planner or anomaly
+# detector uses before comparing days. Two bounded aggregations (366
+# daily rows -> 7 weekday rows) plus a 1-row broadcast; weekday
+# numbering is normalized to 0=Monday in both engines (Spark
+# weekday(); DuckDB isodow()-1).
+# ---------------------------------------------------------------------------
+@register(
+    "q_dow_seasonality",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               {sql_dec_sum('value', 2)} AS revenue
+        FROM events
+        WHERE event_type = 'purchase'
+        GROUP BY CAST(ts AS DATE)
+    ),
+    by_dow AS (
+        SELECT CAST(isodow(d) - 1 AS BIGINT) AS dow,
+               COUNT(*) AS n_days,
+               {sql_dec_avg('revenue', 4)} AS avg_revenue
+        FROM daily GROUP BY isodow(d)
+    ),
+    overall AS (SELECT {sql_dec_avg('revenue', 4)} AS overall_avg FROM daily)
+    SELECT dow, n_days, avg_revenue,
+           CAST(ROUND(avg_revenue / overall_avg, 6) AS DOUBLE) AS seasonal_index
+    FROM by_dow, overall
+    ORDER BY dow
+    """,
+)
+def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday seasonal indices of purchase revenue. Daily totals and
+    weekday averages accumulate through DECIMAL so both aggregation
+    levels are order-independent; the index divides two already-rounded
+    doubles."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(dec_sum("value", 2).alias("revenue"))
+    )
+    by_dow = daily.groupBy(F.weekday("d").cast("long").alias("dow")).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        dec_avg("revenue", 4).alias("avg_revenue"),
+    )
+    overall = daily.agg(dec_avg("revenue", 4).alias("overall_avg"))
+    return (
+        by_dow.crossJoin(F.broadcast(overall))
+        .select(
+            "dow",
+            "n_days",
+            "avg_revenue",
+            F.round(F.col("avg_revenue") / F.col("overall_avg"), 6)
+            .cast("double")
+            .alias("seasonal_index"),
+        )
+        .orderBy("dow")
+    )
