@@ -58,6 +58,7 @@ _MODULES = [
     "etl_pipeline_project_auraverse_spark.queries.robust",
     "etl_pipeline_project_auraverse_spark.queries.chunking",
     "etl_pipeline_project_auraverse_spark.queries.layout",
+    "etl_pipeline_project_auraverse_spark.queries.sketches",
 ]
 
 

@@ -1,0 +1,156 @@
+"""Deterministic HyperLogLog: distinct counting as a mergeable sketch,
+exactly reproducible in any engine.
+
+The standard cardinality sketch, rebuilt so the driver's oracle can
+check it bit-for-bit: the hash is a portable md5 prefix, the register
+update is an integer max, and the register SUM is computed in scaled
+INTEGER arithmetic (sum of ``1 << (RHO_MAX - rho)``) so no
+floating-point accumulation order can perturb it — the only float ops
+are single divisions/multiplications over identical operands and the
+small-range ``ln`` correction, which is rounded.
+
+Scale shape: registers are a ``groupBy(group, bucket)`` max — a
+map-side-combinable aggregate over at most ``m`` rows per group.
+That IS the HLL merge: the same query over a union of shards produces
+the same registers, so per-partition sketches combine associatively
+(Spark's partial aggregation does it automatically). A 100 TB distinct
+count moves m=256 longs per group, not the key set.
+
+Accuracy: relative error ~ 1.04/sqrt(m) ~ 6.5% at m=256 — the query
+reports the exact count side by side so the error is measured, not
+asserted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_project_auraverse_spark.queries import register
+from etl_pipeline_project_auraverse_spark.session import load_table
+
+HLL_M = 256  # registers per group (power of two)
+RHO_MAX = 40  # register cap: P(rho > 40) = 2^-40, and it keeps the
+#               scaled-integer register sum exactly representable
+_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)  # standard bias constant
+_SCALE = float(1 << RHO_MAX)  # 2^RHO_MAX, exact in double
+
+
+def _oracle() -> str:
+    return f"""
+    WITH h AS (
+        SELECT event_type,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM events
+    ),
+    r AS (
+        SELECT event_type, h % {HLL_M} AS bucket,
+               MAX(CASE WHEN h // {HLL_M} = 0 THEN {RHO_MAX}
+                        ELSE LEAST(length(bin(h // {HLL_M}))
+                                   - length(rtrim(bin(h // {HLL_M}), '0')) + 1,
+                                   {RHO_MAX}) END) AS m_rho
+        FROM h GROUP BY event_type, h % {HLL_M}
+    ),
+    g AS (
+        SELECT event_type,
+               CAST(SUM(CAST(1 AS BIGINT) << ({RHO_MAX} - m_rho)) AS BIGINT)
+                   AS s_int,
+               COUNT(*) AS n_regs
+        FROM r GROUP BY event_type
+    ),
+    est AS (
+        SELECT event_type,
+               CAST({_ALPHA!r} AS DOUBLE) * CAST({HLL_M * HLL_M} AS DOUBLE)
+                   / (s_int / CAST({_SCALE!r} AS DOUBLE)
+                      + ({HLL_M} - n_regs)) AS raw,
+               {HLL_M} - n_regs AS zeros
+        FROM g
+    ),
+    final AS (
+        SELECT event_type,
+               CAST(ROUND(CASE WHEN raw <= CAST({2.5 * HLL_M!r} AS DOUBLE)
+                                    AND zeros > 0
+                               THEN CAST({HLL_M} AS DOUBLE)
+                                    * ln(CAST({HLL_M} AS DOUBLE) / zeros)
+                               ELSE raw END, 4) AS DOUBLE) AS hll_estimate
+        FROM est
+    ),
+    e AS (
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_exact FROM events
+        GROUP BY event_type
+    )
+    SELECT e.event_type, e.n_exact, f.hll_estimate,
+           CAST(ROUND(ABS(f.hll_estimate - e.n_exact) / e.n_exact, 6) AS DOUBLE)
+               AS rel_error
+    FROM e JOIN final f USING (event_type)
+    ORDER BY e.event_type
+    """
+
+
+def hll_distinct(df: DataFrame, group_col: str, item_col: str) -> DataFrame:
+    """``(group_col, hll_estimate)`` — the deterministic HLL estimate
+    of ``COUNT(DISTINCT item_col)`` per group. Registers are a
+    max-combinable aggregate (so Spark's partial aggregation is the
+    sketch merge); the estimate is rounded to 4 places."""
+    h = F.conv(
+        F.substring(F.md5(F.col(item_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    w = F.expr(f"div(h, {HLL_M})")
+    tz = F.length(F.bin(w)) - F.length(F.rtrim(F.bin(w), F.lit("0")))
+    rho = F.when(w == 0, F.lit(RHO_MAX)).otherwise(
+        F.least(tz + 1, F.lit(RHO_MAX))
+    )
+    regs = (
+        df.select(group_col, h.alias("h"))
+        .select(group_col, (F.col("h") % HLL_M).alias("bucket"), rho.alias("rho"))
+        .groupBy(group_col, "bucket")
+        .agg(F.max("rho").alias("m_rho"))
+    )
+    g = regs.groupBy(group_col).agg(
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {RHO_MAX} - m_rho)")).alias(
+            "s_int"
+        ),
+        F.count(F.lit(1)).alias("n_regs"),
+    )
+    raw = (
+        F.lit(_ALPHA)
+        * F.lit(float(HLL_M * HLL_M))
+        / (F.col("s_int") / F.lit(_SCALE) + (HLL_M - F.col("n_regs")))
+    )
+    zeros = HLL_M - F.col("n_regs")
+    estimate = F.round(
+        F.when(
+            (raw <= F.lit(2.5 * HLL_M)) & (zeros > 0),
+            F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros),
+        ).otherwise(raw),
+        4,
+    ).cast("double")
+    return g.select(group_col, estimate.alias("hll_estimate"))
+
+
+@register("q_hll_distinct_users", oracle=_oracle())
+def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct users per event type, next to the exact count and
+    the measured relative error. Registers: one max-combinable
+    aggregate; estimate arithmetic: scaled-integer register sum, then
+    identical double ops in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    final = hll_distinct(ev, "event_type", "user_id")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return (
+        exact.join(final, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            "hll_estimate",
+            F.round(
+                F.abs(F.col("hll_estimate") - F.col("n_exact")) / F.col("n_exact"),
+                6,
+            )
+            .cast("double")
+            .alias("rel_error"),
+        )
+        .orderBy("event_type")
+    )
