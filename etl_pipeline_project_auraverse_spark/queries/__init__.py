@@ -59,6 +59,7 @@ _MODULES = [
     "etl_pipeline_project_auraverse_spark.queries.chunking",
     "etl_pipeline_project_auraverse_spark.queries.layout",
     "etl_pipeline_project_auraverse_spark.queries.sketches",
+    "etl_pipeline_project_auraverse_spark.queries.dq",
 ]
 
 
