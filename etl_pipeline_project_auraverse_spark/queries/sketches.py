@@ -154,3 +154,101 @@ def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter join pruning: measured. Build a 1 Kbit filter from the
+# high-balance customers, probe every order map-side, then compare
+# against exact membership — the report carries candidate counts, the
+# false-positive rate the filter bought, and a false-negative count
+# that must be zero (the Bloom guarantee, attested by the oracle).
+# ---------------------------------------------------------------------------
+BLOOM_M = 1024
+BLOOM_K = 4
+RICH_BAL = 9000.0
+
+
+def _bloom_oracle() -> str:
+    def pos_sql(key: str, i: int) -> str:
+        return (
+            f"('0x' || substr(md5(CAST({key} AS VARCHAR) || '#{i}'), 1, 15))::BIGINT"
+            f" % {BLOOM_M}"
+        )
+
+    bits = " UNION ".join(
+        f"SELECT {pos_sql('c_custkey', i)} AS pos FROM rich"
+        for i in range(BLOOM_K)
+    )
+    probes = ", ".join(f"{pos_sql('o_custkey', i)} AS p{i}" for i in range(BLOOM_K))
+    passes = " AND ".join(f"p{i} IN (SELECT pos FROM bits)" for i in range(BLOOM_K))
+    return f"""
+    WITH rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > {RICH_BAL}),
+    bits AS ({bits}),
+    probe AS (SELECT o_orderkey, o_custkey, {probes} FROM orders),
+    flag AS (
+        SELECT ({passes}) AS bloom_pass,
+               o_custkey IN (SELECT c_custkey FROM rich) AS is_member
+        FROM probe
+    )
+    SELECT COUNT(*) AS n_orders,
+           COUNT(CASE WHEN bloom_pass THEN 1 END) AS n_candidates,
+           COUNT(CASE WHEN is_member THEN 1 END) AS n_true,
+           COUNT(CASE WHEN bloom_pass AND NOT is_member THEN 1 END)
+               AS n_false_pos,
+           COUNT(CASE WHEN is_member AND NOT bloom_pass THEN 1 END)
+               AS n_false_neg,
+           CAST(ROUND(COUNT(CASE WHEN bloom_pass AND NOT is_member THEN 1 END)
+                      / ((COUNT(*) - COUNT(CASE WHEN is_member THEN 1 END))
+                         * 1.0), 6) AS DOUBLE) AS fp_rate
+    FROM flag
+    """
+
+
+@register("q_bloom_prune_orders", oracle=_bloom_oracle())
+def q_bloom_prune_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom pruning of the orders scan against high-balance
+    customers: the packed filter (operators/bloom.py) broadcasts as
+    one map row, probing is pure map-side bit arithmetic, and the
+    report proves zero false negatives with the measured FP rate."""
+    from etl_pipeline_project_auraverse_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    rich = customer.where(F.col("c_acctbal") > RICH_BAL).select("c_custkey")
+    bloom = bloom_build(rich, "c_custkey", BLOOM_M, BLOOM_K)
+    probed = bloom_might_contain(
+        orders.select("o_orderkey", "o_custkey"), "o_custkey", bloom, BLOOM_M, BLOOM_K
+    )
+    flagged = probed.join(
+        F.broadcast(rich.withColumn("is_member", F.lit(True))),
+        probed["o_custkey"] == rich["c_custkey"],
+        "left",
+    ).select(
+        "bloom_pass", F.coalesce("is_member", F.lit(False)).alias("is_member")
+    )
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count(F.when(F.col("bloom_pass"), F.lit(1))).alias("n_candidates"),
+        F.count(F.when(F.col("is_member"), F.lit(1))).alias("n_true"),
+        F.count(F.when(F.col("bloom_pass") & ~F.col("is_member"), F.lit(1))).alias(
+            "n_false_pos"
+        ),
+        F.count(F.when(F.col("is_member") & ~F.col("bloom_pass"), F.lit(1))).alias(
+            "n_false_neg"
+        ),
+    )
+    return agg.select(
+        "n_orders",
+        "n_candidates",
+        "n_true",
+        "n_false_pos",
+        "n_false_neg",
+        F.round(
+            F.col("n_false_pos") / ((F.col("n_orders") - F.col("n_true")) * 1.0), 6
+        )
+        .cast("double")
+        .alias("fp_rate"),
+    )

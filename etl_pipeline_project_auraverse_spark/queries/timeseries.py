@@ -584,3 +584,47 @@ def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Windowed dedup / rate limiting: keep only the FIRST event per
+# (user, event_type) in each 1-hour tumbling window — the batch twin
+# of the streaming watermark dedup, and the throttling rule of any
+# notification/ingestion pipeline. The partition key (user, type,
+# hour) is maximal-cardinality, so the window never funnels; ties
+# break on (ts, event_id) for full determinism.
+# ---------------------------------------------------------------------------
+@register(
+    "q_event_dedup_hourly",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           date_trunc('hour', ts) AS window_start
+    FROM (
+        SELECT event_id, user_id, event_type, ts,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, event_type, date_trunc('hour', ts)
+                   ORDER BY ts, event_id) AS rn
+        FROM events
+    )
+    WHERE rn = 1
+    ORDER BY event_id
+    """,
+)
+def q_event_dedup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First event per (user, type, hour window); one shuffle on the
+    high-cardinality window key."""
+    ev = load_table(spark, sf_dir, "events")
+    wstart = F.date_trunc("hour", F.col("ts"))
+    w = W.partitionBy("user_id", "event_type", wstart).orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            wstart.alias("window_start"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("event_id")
+    )
