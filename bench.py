@@ -105,6 +105,10 @@ HEADLINE = [
     "q_zorder_order_cells",
     "q_heavy_hitter_parts",
     "q_mad_outlier_prices",
+    "q_hll_distinct_users",
+    "q_bloom_prune_orders",
+    "q_dq_orders_report",
+    "q_event_dedup_hourly",
 ]
 
 
