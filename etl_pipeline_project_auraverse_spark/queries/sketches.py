@@ -252,3 +252,223 @@ def q_bloom_prune_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("fp_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: frequency estimation in integer-only arithmetic.
+# D portable hash rows x W counters; every observation increments one
+# counter per row, a key's estimate is the MIN of its D counters —
+# always >= the true count, never below it (the CMS guarantee, which
+# the oracle attests per key via the overcount column). The sketch is
+# D*W integers regardless of key cardinality; the build is a
+# map-side-combinable count aggregate, so at 100 TB the sketch — not
+# the key set — is what moves. No floats anywhere: the whole query is
+# engine-exact by construction.
+# ---------------------------------------------------------------------------
+CMS_D = 4
+CMS_W = 2048
+
+
+def _cms_pos_sql(key: str, d: str) -> str:
+    return (
+        f"('0x' || substr(md5(CAST({key} AS VARCHAR) || '#' "
+        f"|| CAST({d} AS VARCHAR)), 1, 15))::BIGINT % {CMS_W}"
+    )
+
+
+def _cms_oracle() -> str:
+    return f"""
+    WITH obs AS (
+        SELECT l_partkey AS key,
+               unnest(generate_series(0, {CMS_D - 1})) AS d
+        FROM lineitem
+    ),
+    cnt AS (
+        SELECT d, {_cms_pos_sql('key', 'd')} AS bucket, COUNT(*) AS c
+        FROM obs GROUP BY d, {_cms_pos_sql('key', 'd')}
+    ),
+    keys AS (
+        SELECT l_partkey AS key, COUNT(*) AS n_exact FROM lineitem
+        GROUP BY l_partkey
+    ),
+    kd AS (
+        SELECT key, n_exact, unnest(generate_series(0, {CMS_D - 1})) AS d
+        FROM keys
+    ),
+    est AS (
+        SELECT kd.key, kd.n_exact, MIN(c.c) AS cms_estimate
+        FROM kd JOIN cnt c
+          ON c.d = kd.d AND c.bucket = {_cms_pos_sql('kd.key', 'kd.d')}
+        GROUP BY kd.key, kd.n_exact
+    )
+    SELECT key AS l_partkey, n_exact, cms_estimate,
+           cms_estimate - n_exact AS overcount
+    FROM est
+    ORDER BY l_partkey
+    """
+
+
+@register("q_cms_part_frequencies", oracle=_cms_oracle())
+def q_cms_part_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS frequency estimate vs exact count for every part key, with
+    the per-key overcount (always >= 0). Build: one explode({CMS_D})
+    + one bounded groupBy; probe: equi-join on (row, bucket)."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def pos(key, d):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(key.cast("string"), F.lit("#"), d.cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % CMS_W
+        )
+
+    d_col = F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("d")
+    cnt = (
+        li.select(F.col("l_partkey").alias("key"))
+        .select("key", d_col)
+        .select("d", pos(F.col("key"), F.col("d")).alias("bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    keys = li.groupBy(F.col("l_partkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    kd = keys.select("key", "n_exact", d_col).select(
+        "key", "n_exact", "d", pos(F.col("key"), F.col("d")).alias("bucket")
+    )
+    est = (
+        kd.join(F.broadcast(cnt), ["d", "bucket"])
+        .groupBy("key", "n_exact")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    return est.select(
+        F.col("key").alias("l_partkey"),
+        "n_exact",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("n_exact")).alias("overcount"),
+    ).orderBy("l_partkey")
+
+
+# ---------------------------------------------------------------------------
+# ANALYZE-style column statistics: the optimizer-stats build. One
+# melted scan produces (column, value-string) rows; a single aggregate
+# pass yields counts/null-fractions/avg width, the deterministic HLL
+# gives the NDV estimate (what a real ANALYZE stores — exact NDV is
+# reported alongside only to measure it), and everything joins on the
+# 3-row column key. At scale: one scan + two bounded aggregates.
+# ---------------------------------------------------------------------------
+_STATS_COLS = ["l_partkey", "l_suppkey", "l_returnflag"]
+
+
+def _hll_chain_sql() -> str:
+    """Register math over a CTE ``h(col, h)`` -> CTE ``final(col,
+    hll_estimate)`` (same arithmetic as the HLL query)."""
+    return f"""
+    r AS (
+        SELECT col, h % {HLL_M} AS bucket,
+               MAX(CASE WHEN h // {HLL_M} = 0 THEN {RHO_MAX}
+                        ELSE LEAST(length(bin(h // {HLL_M}))
+                                   - length(rtrim(bin(h // {HLL_M}), '0')) + 1,
+                                   {RHO_MAX}) END) AS m_rho
+        FROM h GROUP BY col, h % {HLL_M}
+    ),
+    g AS (
+        SELECT col,
+               CAST(SUM(CAST(1 AS BIGINT) << ({RHO_MAX} - m_rho)) AS BIGINT)
+                   AS s_int,
+               COUNT(*) AS n_regs
+        FROM r GROUP BY col
+    ),
+    est AS (
+        SELECT col,
+               CAST({_ALPHA!r} AS DOUBLE) * CAST({HLL_M * HLL_M} AS DOUBLE)
+                   / (s_int / CAST({_SCALE!r} AS DOUBLE)
+                      + ({HLL_M} - n_regs)) AS raw,
+               {HLL_M} - n_regs AS zeros
+        FROM g
+    ),
+    final AS (
+        SELECT col,
+               CAST(ROUND(CASE WHEN raw <= CAST({2.5 * HLL_M!r} AS DOUBLE)
+                                    AND zeros > 0
+                               THEN CAST({HLL_M} AS DOUBLE)
+                                    * ln(CAST({HLL_M} AS DOUBLE) / zeros)
+                               ELSE raw END, 4) AS DOUBLE) AS hll_estimate
+        FROM est
+    )"""
+
+
+def _column_stats_oracle() -> str:
+    melt = " UNION ALL ".join(
+        f"SELECT '{c}' AS col, CAST({c} AS VARCHAR) AS v FROM lineitem"
+        for c in _STATS_COLS
+    )
+    return f"""
+    WITH m AS ({melt}),
+    s AS (
+        SELECT col, COUNT(*) AS n_rows, COUNT(v) AS n_nonnull,
+               COUNT(DISTINCT v) AS ndv_exact,
+               CAST(ROUND(SUM(length(v)) / (COUNT(v) * 1.0), 6) AS DOUBLE)
+                   AS avg_width
+        FROM m GROUP BY col
+    ),
+    h AS (
+        SELECT col, ('0x' || substr(md5(v), 1, 15))::BIGINT AS h
+        FROM m WHERE v IS NOT NULL
+    ),
+    {_hll_chain_sql().lstrip()}
+    SELECT s.col AS column_name, s.n_rows,
+           s.n_rows - s.n_nonnull AS n_nulls,
+           s.ndv_exact, f.hll_estimate AS ndv_hll, s.avg_width
+    FROM s JOIN final f USING (col)
+    ORDER BY column_name
+    """
+
+
+@register("q_column_stats_lineitem", oracle=_column_stats_oracle())
+def q_column_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimizer statistics for three lineitem columns from one melted
+    scan: row/null counts, average width, HLL NDV (with the exact NDV
+    alongside to measure it)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    melted = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"),
+                        F.col(c).cast("string").alias("v"),
+                    )
+                    for c in _STATS_COLS
+                ]
+            )
+        ).alias("kv")
+    ).select("kv.col", "kv.v")
+    s = melted.groupBy("col").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("v").alias("n_nonnull"),
+        F.countDistinct("v").alias("ndv_exact"),
+        F.round(F.sum(F.length("v")) / (F.count("v") * 1.0), 6)
+        .cast("double")
+        .alias("avg_width"),
+    )
+    hll = hll_distinct(melted.where(F.col("v").isNotNull()), "col", "v")
+    return (
+        s.join(hll, "col")
+        .select(
+            F.col("col").alias("column_name"),
+            "n_rows",
+            (F.col("n_rows") - F.col("n_nonnull")).alias("n_nulls"),
+            "ndv_exact",
+            F.col("hll_estimate").alias("ndv_hll"),
+            "avg_width",
+        )
+        .orderBy("column_name")
+    )
