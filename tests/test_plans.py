@@ -348,3 +348,18 @@ def test_psi_bounds_and_totals_are_broadcast(q):
     stays map-side."""
     plan = PI.physical_plan(q("q_split_drift_psi"))
     assert plan.count("BroadcastExchange") >= 2
+
+
+def test_cms_counter_side_is_broadcast(q):
+    """The D*W counter table broadcasts to the probe join; the probe
+    never shuffles the key set for the sketch lookup."""
+    plan = PI.physical_plan(q("q_cms_part_frequencies"))
+    assert "BroadcastExchange" in plan
+    assert not PI.has_cartesian(q("q_cms_part_frequencies"))
+
+
+def test_column_stats_scan_prunes_to_stat_columns(q):
+    """The melted ANALYZE scan must read only the three profiled
+    columns, never the full lineitem schema."""
+    cols = PI.scan_columns(q("q_column_stats_lineitem"))
+    assert cols <= {"l_partkey", "l_suppkey", "l_returnflag"}, cols
