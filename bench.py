@@ -109,6 +109,12 @@ HEADLINE = [
     "q_bloom_prune_orders",
     "q_dq_orders_report",
     "q_event_dedup_hourly",
+    # round-5 part 4: span-level dedup, event transition matrix,
+    # rolling median, char entropy
+    "q_dedup_word_spans",
+    "q_event_type_transitions",
+    "q_rolling_median_daily_revenue",
+    "q_text_char_entropy",
 ]
 
 

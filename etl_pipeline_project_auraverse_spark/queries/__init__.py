@@ -60,6 +60,7 @@ _MODULES = [
     "etl_pipeline_project_auraverse_spark.queries.layout",
     "etl_pipeline_project_auraverse_spark.queries.sketches",
     "etl_pipeline_project_auraverse_spark.queries.dq",
+    "etl_pipeline_project_auraverse_spark.queries.sequences",
 ]
 
 

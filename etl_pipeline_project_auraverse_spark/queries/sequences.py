@@ -1,0 +1,338 @@
+"""Sequence / distribution queries: span-level exact dedup, event
+transition matrices, rolling medians, proportional stratified sampling.
+
+These extend the LLM-data-pipeline surface (SURVEY.md §7 M5/M6) with
+the span-granularity dedup used by C4-style cleaning (duplicate text
+REGIONS, not whole documents), a first-order Markov view of the event
+stream, and an outlier-robust rolling statistic.
+
+Determinism: counts are exact integers; every ratio is a single double
+division rounded; the rolling median interpolates between two doubles
+exactly like DuckDB's ``quantile_cont(0.5)``; sampling order comes from
+the portable md5-prefix hash (``functions/text.h28``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from etl_pipeline_project_auraverse_spark.functions.text import h28
+from etl_pipeline_project_auraverse_spark.queries import register
+from etl_pipeline_project_auraverse_spark.queries._util import (
+    dec_sum,
+    parallelize,
+    sql_dec_sum,
+)
+from etl_pipeline_project_auraverse_spark.session import load_table
+
+# ---------------------------------------------------------------------------
+# C4-style span dedup: disjoint SPAN_W-word windows, exact-match counts
+# across the corpus, per-document duplicated-span fraction. This is the
+# "remove repeated three-sentence spans" shape from the C4 paper at the
+# granularity the word-soup test corpus supports. Scale: the explode is
+# linear in corpus size, both groupBys key on high-cardinality values
+# (doc block / span text), and the count join is a same-key shuffle —
+# no low-cardinality funnel anywhere.
+# ---------------------------------------------------------------------------
+SPAN_W = 4
+
+
+@register(
+    "q_dedup_word_spans",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    idx AS (SELECT doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS w
+            FROM w),
+    spans AS (SELECT doc_id, CAST(FLOOR((i - 1) / {SPAN_W}.0) AS BIGINT) AS blk,
+                     string_agg(w, ' ' ORDER BY i) AS span
+              FROM idx GROUP BY doc_id, blk),
+    cnt AS (SELECT span, COUNT(*) AS n_occ FROM spans GROUP BY span)
+    SELECT s.doc_id,
+           COUNT(*) AS n_spans,
+           CAST(SUM(CASE WHEN c.n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS dup_spans,
+           CAST(ROUND(SUM(CASE WHEN c.n_occ > 1 THEN 1 ELSE 0 END) * 1.0
+                      / COUNT(*), 6) AS DOUBLE) AS dup_frac
+    FROM spans s JOIN cnt c USING (span)
+    GROUP BY s.doc_id
+    ORDER BY s.doc_id
+    """,
+)
+def q_dedup_word_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact dedup (C4-style): cut every document into
+    disjoint SPAN_W-word spans, count identical spans across the whole
+    corpus, and report each document's duplicated-span fraction — the
+    signal used to strip boilerplate regions rather than whole docs."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = parallelize(
+        docs.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+        )
+    )
+    spans = words.groupBy(
+        "doc_id", F.floor(F.col("pos") / SPAN_W).alias("blk")
+    ).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("span")
+    )
+    counts = spans.groupBy("span").agg(F.count("*").alias("n_occ"))
+    dup = F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0)).cast("long")
+    return (
+        spans.join(counts, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            dup.alias("dup_spans"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(F.col("dup_spans") / F.col("n_spans"), 6),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# First-order Markov transition matrix over the event stream: what does
+# a user do NEXT after each event type? lead() inside per-user windows
+# (the sessionize shape), then two high-cardinality-enough groupBys;
+# the from-type totals join is 5 rows — broadcast.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_event_type_transitions",
+    oracle="""
+    WITH nxt AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        FROM events
+    ),
+    pairs AS (SELECT event_type, next_type FROM nxt
+              WHERE next_type IS NOT NULL),
+    tot AS (SELECT event_type, COUNT(*) AS n_from FROM pairs
+            GROUP BY event_type)
+    SELECT p.event_type AS from_type,
+           p.next_type,
+           COUNT(*) AS n,
+           CAST(ROUND(COUNT(*) * 1.0 / MAX(t.n_from), 6) AS DOUBLE) AS prob
+    FROM pairs p JOIN tot t USING (event_type)
+    GROUP BY p.event_type, p.next_type
+    ORDER BY from_type, next_type
+    """,
+)
+def q_event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition probabilities: for each (from, to) pair of
+    consecutive events within a user's timeline, the count and the
+    probability relative to all transitions leaving `from`."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "event_type", F.lead("event_type").over(w).alias("next_type")
+        )
+        .filter(F.col("next_type").isNotNull())
+    )
+    tot = pairs.groupBy("event_type").agg(F.count("*").alias("n_from"))
+    return (
+        pairs.groupBy("event_type", "next_type")
+        .agg(F.count("*").alias("n"))
+        .join(F.broadcast(tot), "event_type")
+        .select(
+            F.col("event_type").alias("from_type"),
+            "next_type",
+            "n",
+            F.round(F.col("n") / F.col("n_from"), 6).alias("prob"),
+        )
+        .orderBy("from_type", "next_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day exact median of daily revenue. The daily aggregate is
+# decimal-accumulated; the rolling window is ordered by calendar day so
+# the single-partition window input is bounded by calendar length (the
+# gapfill argument), and the exact median of <= 7 doubles is computed
+# by sorting the collected frame — interpolating even-sized frames the
+# same way DuckDB's quantile_cont(0.5) does.
+# ---------------------------------------------------------------------------
+MED_DAYS = 7
+
+
+@register(
+    "q_rolling_median_daily_revenue",
+    oracle=f"""
+    WITH daily AS (
+        SELECT o_orderdate AS day,
+               {sql_dec_sum('o_totalprice', 2)} AS revenue
+        FROM orders GROUP BY o_orderdate
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day,
+           revenue,
+           CAST(ROUND(quantile_cont(revenue, 0.5) OVER (
+                ORDER BY day ROWS BETWEEN {MED_DAYS - 1} PRECEDING
+                AND CURRENT ROW), 4) AS DOUBLE) AS med7
+    FROM daily
+    ORDER BY day
+    """,
+)
+def q_rolling_median_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day exact median of daily order revenue — the
+    outlier-robust trend line a metrics pipeline plots next to the
+    rolling mean."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        dec_sum("o_totalprice", 2).alias("revenue")
+    )
+    w = W.orderBy("day").rowsBetween(-(MED_DAYS - 1), W.currentRow)
+    sorted_frame = F.array_sort(F.collect_list("revenue").over(w))
+    n = F.size(sorted_frame)
+    lo = F.element_at(sorted_frame, (F.floor((n - 1) / 2) + 1).cast("int"))
+    hi = F.element_at(sorted_frame, (F.floor(n / 2) + 1).cast("int"))
+    return (
+        daily.select(
+            F.col("day").cast("timestamp").alias("day"),
+            "revenue",
+            F.round((lo + hi) / 2.0, 4).alias("med7"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Proportional stratified sampling: each language gets
+# max(1, floor(TARGET * share)) slots, filled by the hash-smallest
+# documents. The rank window reuses the reservoir two-level pre-filter
+# (operators-level skew posture: no single-language sort funnel).
+# ---------------------------------------------------------------------------
+STRAT_TARGET = 60
+
+
+@register(
+    "q_sample_stratified_proportional",
+    oracle=f"""
+    WITH alloc AS (
+        SELECT lang,
+               GREATEST(1, CAST(FLOOR({STRAT_TARGET}.0 * COUNT(*) /
+                   (SELECT COUNT(*) FROM documents)) AS BIGINT)) AS n_take
+        FROM documents GROUP BY lang
+    ),
+    ranked AS (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT,
+                            doc_id) AS rk
+        FROM documents
+    )
+    SELECT r.lang, r.doc_id, r.rk, a.n_take
+    FROM ranked r JOIN alloc a USING (lang)
+    WHERE r.rk <= a.n_take
+    ORDER BY lang, rk
+    """,
+)
+def q_sample_stratified_proportional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional-allocation stratified sample: TARGET slots split
+    across languages by corpus share (floor, min 1), filled
+    deterministically by portable-hash order. Candidate generation goes
+    through the salted two-level pre-filter so no language funnels the
+    rank sort through one task."""
+    from etl_pipeline_project_auraverse_spark.queries.curation import (
+        reservoir_candidates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.agg(F.count("*").alias("__total"))
+    alloc = (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("__n"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            F.greatest(
+                F.lit(1),
+                F.floor(
+                    F.lit(float(STRAT_TARGET)) * F.col("__n") / F.col("__total")
+                ),
+            )
+            .cast("long")
+            .alias("n_take"),
+        )
+    )
+    # Every language's allocation is <= STRAT_TARGET, so the two-level
+    # pre-filter with k = STRAT_TARGET provably contains all survivors.
+    cand = reservoir_candidates(docs, STRAT_TARGET)
+    w = W.partitionBy("lang").orderBy(F.col("__h").asc(), F.col("doc_id").asc())
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .join(F.broadcast(alloc), "lang")
+        .filter(F.col("rk") <= F.col("n_take"))
+        .select("lang", "doc_id", "rk", "n_take")
+        .orderBy("lang", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Character-level Shannon entropy per language — a classic quality /
+# gibberish signal. Computed from exact integer counts via
+# H = log2(N) - (1/N) * sum(c_i * log2(c_i)): each per-character term
+# is rounded then decimal-summed, so partition order can't perturb the
+# floating-point accumulation.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_text_char_entropy",
+    oracle="""
+    WITH chars AS (
+        SELECT lang, unnest(string_split(text, '')) AS ch FROM documents
+    ),
+    freq AS (
+        SELECT lang, ch, COUNT(*) AS cnt FROM chars GROUP BY lang, ch
+    ),
+    terms AS (
+        SELECT lang, cnt, ROUND(cnt * log2(cnt), 6) AS term FROM freq
+    )
+    SELECT lang,
+           CAST(SUM(cnt) AS BIGINT) AS n_chars,
+           COUNT(*) AS n_symbols,
+           CAST(ROUND(log2(SUM(cnt))
+                - CAST(SUM(CAST(term AS DECIMAL(25,6))) AS DOUBLE) / SUM(cnt),
+                6) AS DOUBLE) AS entropy_bits
+    FROM terms
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language character entropy in bits/char, from exact corpus
+    character counts (low entropy → repetitive/boilerplate text)."""
+    docs = load_table(spark, sf_dir, "documents")
+    chars = parallelize(
+        docs.select("lang", F.explode(F.split("text", "")).alias("ch"))
+    )
+    freq = chars.groupBy("lang", "ch").agg(F.count("*").alias("cnt"))
+    terms = freq.select(
+        "lang",
+        "cnt",
+        F.round(F.col("cnt") * F.log2("cnt"), 6).alias("term"),
+    )
+    total = F.sum("cnt")
+    term_sum = F.sum(F.col("term").cast("decimal(25,6)")).cast("double")
+    return (
+        terms.groupBy("lang")
+        .agg(
+            total.cast("long").alias("n_chars"),
+            F.count("*").alias("n_symbols"),
+            F.round(F.log2(total) - term_sum / total, 6).alias("entropy_bits"),
+        )
+        .orderBy("lang")
+    )

@@ -261,6 +261,9 @@ BOUNDED_GLOBAL_WINDOW_OK = {
     "q_window_moving_avg_price",
     # global max over the already-aggregated per-supplier table
     "q15_top_supplier",
+    # rolling median over the per-day aggregate: input bounded by
+    # calendar length, same argument as the gapfill spine
+    "q_rolling_median_daily_revenue",
 }
 
 # Iterative builders whose CONSTRUCTION runs full multi-job loops
