@@ -115,6 +115,7 @@ HEADLINE = [
     "q_event_type_transitions",
     "q_rolling_median_daily_revenue",
     "q_text_char_entropy",
+    "q_ann_pq_recall",
 ]
 
 

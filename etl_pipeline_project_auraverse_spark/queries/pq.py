@@ -1,0 +1,284 @@
+"""Product-quantization (PQ) ANN: subspace codebooks, asymmetric
+distance computation (ADC), and recall instrumentation.
+
+PQ is the standard memory-compressed ANN index (Jégou et al., IVFADC):
+split each vector into M subvectors, quantize each against a per-
+subspace codebook of K codewords, and score query-to-vector inner
+products as the sum of M table lookups — the database side never
+touches the original floats. Here the full pipeline is expressed as
+DataFrame ops with a DuckDB oracle twin:
+
+- Codebooks are the subvectors of the K lowest-``vec_id`` vectors
+  (the same deterministic seed-selection trick as the IVF centroids in
+  ``queries/similarity.py`` — a k-means fit would ship as a table with
+  the identical plan shape, but would not be oracle-expressible).
+- Encoding assigns each (vector, subspace) to the codeword with the
+  smallest ROUNDED squared L2 distance (codeword-id tiebreak), so the
+  codes are bit-identical across engines.
+- ADC scores accumulate per-subspace lookup values through
+  DECIMAL(25,6), so the M-term float sum is partition-order-proof.
+
+Scale posture: the codebook is M*K rows (broadcast); encoding is one
+linear scan x M*K rounded distances (no shuffle); the query LUT is
+|Q|*M*K rows (broadcast); the candidate ranking is a TWO-LEVEL top-k
+(shard-local rank bounded to k, then global rank over <= k*SHARDS
+survivors) so no single task ever sorts the full corpus per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from etl_pipeline_project_auraverse_spark.functions.vectors import dot, sql_dot
+from etl_pipeline_project_auraverse_spark.queries import register
+from etl_pipeline_project_auraverse_spark.session import load_table
+
+PQ_DIMS = 64
+PQ_M = 4  # subspaces
+PQ_SUB = PQ_DIMS // PQ_M  # dims per subspace
+PQ_K = 16  # codewords per subspace
+PQ_QUERY_MAX = 10  # query set = vec_id < this
+PQ_TOP_K = 10
+PQ_SHARDS = 16  # two-level top-k shard count
+
+
+def _subspaces(df: DataFrame, id_col: str, out: str) -> DataFrame:
+    """Explode (id, embedding) into (id, m, <out>=subvector m)."""
+    parts = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.slice("embedding", m * PQ_SUB + 1, PQ_SUB).alias(out),
+            )
+            for m in range(PQ_M)
+        ]
+    )
+    return df.select(id_col, F.inline(parts))
+
+
+def pq_codebook(emb: DataFrame) -> DataFrame:
+    """(m, code_id, c_sub): K codewords per subspace — the subvectors
+    of the K lowest-vec_id vectors. M*K rows, always broadcast."""
+    return _subspaces(
+        emb.filter(F.col("vec_id") < PQ_K), "vec_id", "c_sub"
+    ).select(F.col("m"), F.col("vec_id").alias("code_id"), "c_sub")
+
+
+def pq_codes(emb: DataFrame) -> DataFrame:
+    """(vec_id, m, code): nearest-codeword assignment per subspace by
+    rounded squared-L2 (code_id tiebreak). One linear scan, the
+    argmin over the M*K broadcast codebook stays inside codegen."""
+    xs = _subspaces(emb, "vec_id", "x_sub")
+    d2 = F.round(
+        dot(F.col("x_sub"), F.col("x_sub"))
+        - 2.0 * dot(F.col("x_sub"), F.col("c_sub"))
+        + dot(F.col("c_sub"), F.col("c_sub")),
+        6,
+    )
+    w = W.partitionBy("vec_id", "m").orderBy(F.col("__d2").asc(), F.col("code_id").asc())
+    return (
+        xs.join(F.broadcast(pq_codebook(emb)), "m")
+        .withColumn("__d2", d2)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", "m", F.col("code_id").alias("code"))
+    )
+
+
+def _sql_subspaces(src: str, id_col: str, out: str) -> str:
+    """DuckDB twin of :func:`_subspaces` (FROM-clause fragment body)."""
+    return (
+        f"SELECT {id_col}, CAST(m AS INT) AS m, "
+        f"list_slice(embedding, m * {PQ_SUB} + 1, m * {PQ_SUB} + {PQ_SUB}) AS {out} "
+        f"FROM {src}, (SELECT unnest(range(0, {PQ_M})) AS m) ms"
+    )
+
+
+def sql_pq_ctes() -> str:
+    """DuckDB CTEs ``cb`` (m, code_id, c_sub) and ``codes``
+    (vec_id, m, code) — twins of :func:`pq_codebook` / :func:`pq_codes`."""
+    d2 = (
+        f"ROUND({sql_dot('x_sub', 'x_sub', PQ_SUB)} - "
+        f"2.0 * {sql_dot('x_sub', 'c_sub', PQ_SUB)} + "
+        f"{sql_dot('c_sub', 'c_sub', PQ_SUB)}, 6)"
+    )
+    return f"""
+    cb AS (
+        SELECT m, vec_id AS code_id, c_sub FROM (
+            {_sql_subspaces(f'(SELECT * FROM embeddings WHERE vec_id < {PQ_K})', 'vec_id', 'c_sub')}
+        )
+    ),
+    codes AS (
+        SELECT vec_id, m, code FROM (
+            SELECT x.vec_id, x.m, cb.code_id AS code,
+                   ROW_NUMBER() OVER (PARTITION BY x.vec_id, x.m
+                       ORDER BY {d2} ASC, cb.code_id ASC) AS rn
+            FROM ({_sql_subspaces('embeddings', 'vec_id', 'x_sub')}) x
+            JOIN cb USING (m)
+        ) WHERE rn = 1
+    )"""
+
+
+def _adc_scores(emb: DataFrame) -> DataFrame:
+    """(query_id, cand_id, adc): ADC inner-product approximation for
+    every (query, database vector) pair — M broadcast-LUT lookups per
+    candidate, decimal-summed. Excludes self-pairs."""
+    qsubs = _subspaces(
+        emb.filter(F.col("vec_id") < PQ_QUERY_MAX), "vec_id", "q_sub"
+    ).select(F.col("vec_id").alias("query_id"), "m", "q_sub")
+    lut = (
+        qsubs.join(F.broadcast(pq_codebook(emb)), "m")
+        .select(
+            "query_id",
+            "m",
+            F.col("code_id").alias("code"),
+            F.round(dot(F.col("q_sub"), F.col("c_sub")), 6).alias("lut"),
+        )
+    )
+    return (
+        pq_codes(emb)
+        .join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("cand_id"))
+        .agg(
+            F.round(F.sum(F.col("lut").cast("decimal(25,6)")), 6)
+            .cast("double")
+            .alias("adc")
+        )
+    )
+
+
+_SQL_ADC = f"""
+    qsubs AS (
+        SELECT vec_id AS query_id, m, q_sub FROM (
+            {_sql_subspaces(f'(SELECT * FROM embeddings WHERE vec_id < {PQ_QUERY_MAX})', 'vec_id', 'q_sub')}
+        )
+    ),
+    lut AS (
+        SELECT q.query_id, q.m, cb.code_id AS code,
+               ROUND({sql_dot('q.q_sub', 'cb.c_sub', PQ_SUB)}, 6) AS lut
+        FROM qsubs q JOIN cb USING (m)
+    ),
+    adc AS (
+        SELECT l.query_id, c.vec_id AS cand_id,
+               CAST(ROUND(SUM(CAST(l.lut AS DECIMAL(25,6))), 6) AS DOUBLE) AS adc
+        FROM codes c JOIN lut l ON l.m = c.m AND l.code = c.code
+        WHERE c.vec_id <> l.query_id
+        GROUP BY l.query_id, c.vec_id
+    )"""
+
+
+@register(
+    "q_ann_pq_topk",
+    oracle=f"""
+    WITH {sql_pq_ctes()},
+    {_SQL_ADC}
+    SELECT query_id, cand_id, CAST(rank AS BIGINT) AS rank, adc FROM (
+        SELECT query_id, cand_id, adc,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY adc DESC, cand_id) AS rank
+        FROM adc
+    ) WHERE rank <= {PQ_TOP_K}
+    ORDER BY query_id, rank
+    """,
+)
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC top-k search: every candidate scored by M LUT lookups
+    (never its raw floats), ranked per query by a TWO-LEVEL top-k —
+    shard-local rank bounded to k, global rank over the <= k*SHARDS
+    survivors — so no task sorts the whole corpus even at 100 TB."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    adc = _adc_scores(emb)
+    w_local = W.partitionBy("query_id", "__shard").orderBy(
+        F.col("adc").desc(), "cand_id"
+    )
+    w_global = W.partitionBy("query_id").orderBy(F.col("adc").desc(), "cand_id")
+    return (
+        adc.withColumn("__shard", F.col("cand_id") % PQ_SHARDS)
+        .withColumn("__lrn", F.row_number().over(w_local))
+        .filter(F.col("__lrn") <= PQ_TOP_K)
+        .withColumn("rank", F.row_number().over(w_global).cast("long"))
+        .filter(F.col("rank") <= PQ_TOP_K)
+        .select("query_id", "cand_id", "rank", "adc")
+        .orderBy("query_id", "rank")
+    )
+
+
+@register(
+    "q_ann_pq_recall",
+    oracle=f"""
+    WITH {sql_pq_ctes()},
+    {_SQL_ADC},
+    approx AS (
+        SELECT query_id, cand_id FROM (
+            SELECT query_id, cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY adc DESC, cand_id) AS rank
+            FROM adc
+        ) WHERE rank <= {PQ_TOP_K}
+    ),
+    exact AS (
+        SELECT query_id, cand_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY ROUND({sql_dot('q.embedding', 'c.embedding')}, 6) DESC,
+                                c.vec_id) AS rank
+            FROM (SELECT * FROM embeddings WHERE vec_id < {PQ_QUERY_MAX}) q
+            JOIN embeddings c ON q.vec_id <> c.vec_id
+        ) WHERE rank <= {PQ_TOP_K}
+    )
+    SELECT a.query_id,
+           COUNT(e.cand_id) AS n_hits,
+           CAST(COUNT(e.cand_id) AS DOUBLE) / {PQ_TOP_K} AS recall_at_k
+    FROM approx a LEFT JOIN exact e
+      ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+    GROUP BY a.query_id
+    ORDER BY a.query_id
+    """,
+)
+def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of PQ/ADC against the exact inner-product top-k (the
+    quantity PQ approximates) per query — the compression-vs-fidelity
+    measurement that sizes M and K. The exact arm is a broadcast NLJ
+    over the bounded query set (linear measurement cost, same shape as
+    the IVF recall instrumentation)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    w_rank = W.partitionBy("query_id").orderBy(F.col("adc").desc(), "cand_id")
+    approx = (
+        _adc_scores(emb)
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= PQ_TOP_K)
+        .select("query_id", "cand_id")
+    )
+    qset = F.broadcast(emb.filter(F.col("vec_id") < PQ_QUERY_MAX))
+    w_exact = W.partitionBy("query_id").orderBy(F.col("ip").desc(), "cand_id")
+    exact = (
+        qset.alias("q")
+        .join(emb.alias("c"), F.col("q.vec_id") != F.col("c.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("cand_id"),
+            F.round(dot(F.col("q.embedding"), F.col("c.embedding")), 6).alias("ip"),
+        )
+        .withColumn("rank", F.row_number().over(w_exact))
+        .filter(F.col("rank") <= PQ_TOP_K)
+        .select("query_id", F.col("cand_id").alias("hit_id"))
+    )
+    return (
+        approx.join(
+            exact,
+            (approx["query_id"] == exact["query_id"])
+            & (approx["cand_id"] == exact["hit_id"]),
+            "left",
+        )
+        .groupBy(approx["query_id"].alias("query_id"))
+        .agg(F.count("hit_id").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            (F.col("n_hits").cast("double") / PQ_TOP_K).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )

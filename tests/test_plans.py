@@ -241,6 +241,16 @@ def test_gopher_filter_single_scan(q):
     assert plan.count("FileScan parquet") == 1
 
 
+def test_pq_topk_no_corpus_sort_funnel(q):
+    """PQ/ADC search must keep the codebook and query LUT broadcast
+    (never shuffle the corpus against them) and rank candidates through
+    the two-level shard top-k — no cartesian pairing anywhere."""
+    rep = PI.lint_plan(q("q_ann_pq_topk"))
+    assert not rep.cartesian
+    assert rep.broadcast_joins >= 2, "codebook + LUT joins must broadcast"
+    assert rep.unpartitioned_windows == 0
+
+
 def test_decontam_eval_side_is_broadcast(q):
     """Decontamination must broadcast the (tiny) eval shingle set and
     hash-join the streaming train side — never a shuffle of the train
