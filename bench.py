@@ -116,6 +116,8 @@ HEADLINE = [
     "q_rolling_median_daily_revenue",
     "q_text_char_entropy",
     "q_ann_pq_recall",
+    "q_ann_ivfadc_topk",
+    "q_daily_users_new_returning",
 ]
 
 

@@ -296,6 +296,82 @@ def decode_audio(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, schema=AUDIO_DDL)
 
 
+AUDIO_FRAME_DDL = (
+    "doc_id long, frame_idx int, start_sec double, rms double, "
+    "zcr double, is_silence boolean"
+)
+
+
+def audio_frame_features(
+    df: DataFrame, frame_ms: int = 25, silence_rms: float = 500.0
+) -> DataFrame:
+    """Per-frame audio features over PCM16 WAV payloads: windowed RMS
+    energy, zero-crossing rate, and a silence flag — the VAD /
+    silence-trimming front end of an audio training-data pipeline
+    (one output row per ``frame_ms`` window, the explode shape a
+    spectrogram stage consumes). Vectorized numpy inside Arrow-batched
+    ``mapInPandas``; non-WAV payloads fall into the same quarantine
+    policy as :func:`decode_audio`."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                buf = bytes(content)
+                if not buf.startswith(b"RIFF"):
+                    continue
+                try:
+                    with wave.open(io.BytesIO(buf), "rb") as w:
+                        sr = w.getframerate()
+                        width = w.getsampwidth()
+                        raw = w.readframes(w.getnframes())
+                except Exception:
+                    continue
+                if width != 2 or sr <= 0:
+                    continue
+                samples = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+                hop = max(1, sr * frame_ms // 1000)
+                n_frames = max(1, -(-len(samples) // hop))
+                for fi in range(n_frames):
+                    frame = samples[fi * hop : (fi + 1) * hop]
+                    if not len(frame):
+                        continue
+                    rms = float(np.sqrt((frame**2).mean()))
+                    # sign changes per sample pair, ignoring exact zeros
+                    signs = np.sign(frame[frame != 0.0])
+                    zcr = (
+                        float((signs[1:] != signs[:-1]).sum()) / len(frame)
+                        if len(signs) > 1
+                        else 0.0
+                    )
+                    rows.append(
+                        (
+                            int(doc_id),
+                            fi,
+                            round(fi * hop / sr, 6),
+                            round(rms, 6),
+                            round(zcr, 6),
+                            rms < silence_rms,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "frame_idx",
+                    "start_sec",
+                    "rms",
+                    "zcr",
+                    "is_silence",
+                ],
+            )
+
+    return df.mapInPandas(run, schema=AUDIO_FRAME_DDL)
+
+
 def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
     """Frame-sampling stage for video-like payloads: treats each pixel
     row of the fake format as a 'frame', emits every Nth — the

@@ -33,6 +33,10 @@ from pyspark.sql.window import Window as W
 
 from etl_pipeline_project_auraverse_spark.functions.vectors import dot, sql_dot
 from etl_pipeline_project_auraverse_spark.queries import register
+from etl_pipeline_project_auraverse_spark.queries.similarity import (
+    sql_centroid_cte,
+    sql_probes_cte,
+)
 from etl_pipeline_project_auraverse_spark.session import load_table
 
 PQ_DIMS = 64
@@ -121,36 +125,44 @@ def sql_pq_ctes() -> str:
     )"""
 
 
+def _adc_lut(emb: DataFrame) -> DataFrame:
+    """(query_id, m, code, lut): per-query distance lookup table —
+    dot of each query subvector with each codeword. |Q|*M*K rows,
+    always broadcast into the scoring join."""
+    qsubs = _subspaces(
+        emb.filter(F.col("vec_id") < PQ_QUERY_MAX), "vec_id", "q_sub"
+    ).select(F.col("vec_id").alias("query_id"), "m", "q_sub")
+    return qsubs.join(F.broadcast(pq_codebook(emb)), "m").select(
+        "query_id",
+        "m",
+        F.col("code_id").alias("code"),
+        F.round(dot(F.col("q_sub"), F.col("c_sub")), 6).alias("lut"),
+    )
+
+
+def _adc_sum(col: str = "lut"):
+    """Decimal-accumulated ADC total of the M per-subspace lookups."""
+    return (
+        F.round(F.sum(F.col(col).cast("decimal(25,6)")), 6)
+        .cast("double")
+        .alias("adc")
+    )
+
+
 def _adc_scores(emb: DataFrame) -> DataFrame:
     """(query_id, cand_id, adc): ADC inner-product approximation for
     every (query, database vector) pair — M broadcast-LUT lookups per
     candidate, decimal-summed. Excludes self-pairs."""
-    qsubs = _subspaces(
-        emb.filter(F.col("vec_id") < PQ_QUERY_MAX), "vec_id", "q_sub"
-    ).select(F.col("vec_id").alias("query_id"), "m", "q_sub")
-    lut = (
-        qsubs.join(F.broadcast(pq_codebook(emb)), "m")
-        .select(
-            "query_id",
-            "m",
-            F.col("code_id").alias("code"),
-            F.round(dot(F.col("q_sub"), F.col("c_sub")), 6).alias("lut"),
-        )
-    )
     return (
         pq_codes(emb)
-        .join(F.broadcast(lut), ["m", "code"])
+        .join(F.broadcast(_adc_lut(emb)), ["m", "code"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", F.col("vec_id").alias("cand_id"))
-        .agg(
-            F.round(F.sum(F.col("lut").cast("decimal(25,6)")), 6)
-            .cast("double")
-            .alias("adc")
-        )
+        .agg(_adc_sum())
     )
 
 
-_SQL_ADC = f"""
+_SQL_QLUT = f"""
     qsubs AS (
         SELECT vec_id AS query_id, m, q_sub FROM (
             {_sql_subspaces(f'(SELECT * FROM embeddings WHERE vec_id < {PQ_QUERY_MAX})', 'vec_id', 'q_sub')}
@@ -160,7 +172,9 @@ _SQL_ADC = f"""
         SELECT q.query_id, q.m, cb.code_id AS code,
                ROUND({sql_dot('q.q_sub', 'cb.c_sub', PQ_SUB)}, 6) AS lut
         FROM qsubs q JOIN cb USING (m)
-    ),
+    )"""
+
+_SQL_ADC = f"""{_SQL_QLUT},
     adc AS (
         SELECT l.query_id, c.vec_id AS cand_id,
                CAST(ROUND(SUM(CAST(l.lut AS DECIMAL(25,6))), 6) AS DOUBLE) AS adc
@@ -281,4 +295,88 @@ def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_hits").cast("double") / PQ_TOP_K).alias("recall_at_k"),
         )
         .orderBy("query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVFADC: the composed production index (Jégou et al.) — IVF coarse
+# blocks BOUND the candidate set, ADC scores the survivors from codes.
+# This is the shape that works at 100 TB: candidates per query =
+# nprobe * block-size (not the corpus), and each candidate costs M
+# integer lookups instead of a 64-dim float dot.
+# ---------------------------------------------------------------------------
+IVFADC_NPROBE = 3
+
+
+@register(
+    "q_ann_ivfadc_topk",
+    oracle=f"""
+    WITH {sql_centroid_cte()},
+    {sql_probes_cte(IVFADC_NPROBE)},
+    {sql_pq_ctes().lstrip()},
+    {_SQL_QLUT},
+    cand AS (
+        SELECT p.vec_id AS query_id, a.vec_id AS cand_id
+        FROM probes p
+        JOIN assign a ON a.centroid_id = p.centroid_id
+                     AND a.vec_id <> p.vec_id
+        WHERE p.vec_id < {PQ_QUERY_MAX}
+    ),
+    scores AS (
+        SELECT cd.query_id, cd.cand_id,
+               CAST(ROUND(SUM(CAST(l.lut AS DECIMAL(25,6))), 6) AS DOUBLE)
+                   AS adc
+        FROM cand cd
+        JOIN codes c ON c.vec_id = cd.cand_id
+        JOIN lut l ON l.query_id = cd.query_id
+                  AND l.m = c.m AND l.code = c.code
+        GROUP BY cd.query_id, cd.cand_id
+    )
+    SELECT query_id, cand_id, CAST(rank AS BIGINT) AS rank, adc FROM (
+        SELECT query_id, cand_id, adc,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY adc DESC, cand_id) AS rank
+        FROM scores
+    ) WHERE rank <= {PQ_TOP_K}
+    ORDER BY query_id, rank
+    """,
+)
+def q_ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC search: candidates bounded to the query's top-P coarse
+    blocks (each database vector has exactly one home block, so pairs
+    are unique by construction), scored by the PQ LUT — never their
+    raw floats — and ranked per query over the bounded candidate set."""
+    from etl_pipeline_project_auraverse_spark.queries.similarity import (
+        centroid_assignments,
+        centroid_probes,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = centroid_probes(emb, IVFADC_NPROBE).filter(
+        F.col("vec_id") < PQ_QUERY_MAX
+    )
+    cand = (
+        probes.alias("p")
+        .join(
+            centroid_assignments(emb).alias("a"),
+            (F.col("p.centroid_id") == F.col("a.centroid_id"))
+            & (F.col("p.vec_id") != F.col("a.vec_id")),
+        )
+        .select(
+            F.col("p.vec_id").alias("query_id"),
+            F.col("a.vec_id").alias("cand_id"),
+        )
+    )
+    scores = (
+        cand.join(pq_codes(emb), cand["cand_id"] == F.col("vec_id"))
+        .join(F.broadcast(_adc_lut(emb)), ["query_id", "m", "code"])
+        .groupBy("query_id", "cand_id")
+        .agg(_adc_sum())
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("adc").desc(), "cand_id")
+    return (
+        scores.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= PQ_TOP_K)
+        .select("query_id", "cand_id", "rank", "adc")
+        .orderBy("query_id", "rank")
     )

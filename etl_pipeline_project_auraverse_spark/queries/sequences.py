@@ -281,6 +281,76 @@ def q_sample_stratified_proportional(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 # ---------------------------------------------------------------------------
+# Daily user accounting: actives, new vs returning, cumulative reach.
+# The cumulative distinct count is NOT a COUNT(DISTINCT) OVER (which
+# would re-scan growing prefixes); each user contributes once at their
+# first-seen day, and the calendar-bounded running sum of those counts
+# IS the cumulative distinct — the scalable identity. All groupBys key
+# on user_id or day; the only window runs over the per-day aggregate.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_daily_users_new_returning",
+    oracle="""
+    WITH fs AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+        FROM events GROUP BY user_id
+    ),
+    act AS (
+        SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS active_users
+        FROM events GROUP BY day
+    ),
+    nu AS (SELECT first_day AS day, COUNT(*) AS new_users
+           FROM fs GROUP BY first_day)
+    SELECT CAST(a.day AS TIMESTAMP) AS day,
+           a.n_events,
+           a.active_users,
+           CAST(COALESCE(n.new_users, 0) AS BIGINT) AS new_users,
+           CAST(a.active_users - COALESCE(n.new_users, 0) AS BIGINT)
+               AS returning_users,
+           CAST(SUM(COALESCE(n.new_users, 0)) OVER (
+                ORDER BY a.day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cumulative_users
+    FROM act a LEFT JOIN nu n USING (day)
+    ORDER BY day
+    """,
+)
+def q_daily_users_new_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily actives split into new vs returning, plus cumulative
+    distinct reach computed as the running sum of first-seen counts —
+    the exact identity that replaces an unscalable COUNT(DISTINCT)
+    OVER a growing window."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("day")
+    )
+    new_users = first_seen.groupBy("day").agg(F.count("*").alias("new_users"))
+    act = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("active_users"),
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    joined = act.join(new_users, "day", "left").withColumn(
+        "new_users", F.coalesce(F.col("new_users"), F.lit(0)).cast("long")
+    )
+    return (
+        joined.select(
+            F.col("day").cast("timestamp").alias("day"),
+            "n_events",
+            "active_users",
+            "new_users",
+            (F.col("active_users") - F.col("new_users"))
+            .cast("long")
+            .alias("returning_users"),
+            F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Character-level Shannon entropy per language — a classic quality /
 # gibberish signal. Computed from exact integer counts via
 # H = log2(N) - (1/N) * sum(c_i * log2(c_i)): each per-character term

@@ -115,3 +115,44 @@ def test_audio_skips_non_wav(spark):
     df = spark.createDataFrame(rows, "doc_id long, content binary, media_type string")
     got = [r["doc_id"] for r in mm.decode_audio(df).collect()]
     assert got == [1]
+
+
+def test_audio_frame_features_real_math(spark):
+    # 800 samples @8kHz = 0.1s -> 25ms frames of 200 samples each
+    rows = [(7, bytearray(mm.synth_wav_bytes(7, n_samples=800, sample_rate=8000)),
+             "audio/wav")]
+    df = spark.createDataFrame(rows, "doc_id long, content binary, media_type string")
+    frames = sorted(mm.audio_frame_features(df).collect(),
+                    key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in frames] == [0, 1, 2, 3]
+    assert frames[1]["start_sec"] == 0.025
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(mm.synth_wav_bytes(7, 800, 8000)), "rb") as w:
+        samples = np.frombuffer(w.readframes(800), dtype="<i2").astype(float)
+    for r in frames:
+        seg = samples[r["frame_idx"] * 200:(r["frame_idx"] + 1) * 200]
+        assert abs(r["rms"] - float(np.sqrt((seg ** 2).mean()))) < 1e-4
+        # a 450 Hz sine crosses zero ~2*450 times/sec -> ~22.5 per 200
+        # samples -> zcr ~ 0.1125
+        assert 0.05 < r["zcr"] < 0.2
+        assert r["is_silence"] is False
+
+
+def test_audio_frame_features_silence_flag(spark):
+    import io
+    import wave
+
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(np.zeros(400, dtype="<i2").tobytes())
+    rows = [(1, bytearray(bio.getvalue()), "audio/wav")]
+    df = spark.createDataFrame(rows, "doc_id long, content binary, media_type string")
+    frames = mm.audio_frame_features(df).collect()
+    assert len(frames) == 2
+    assert all(r["is_silence"] for r in frames)
+    assert all(r["rms"] == 0.0 and r["zcr"] == 0.0 for r in frames)

@@ -274,6 +274,8 @@ BOUNDED_GLOBAL_WINDOW_OK = {
     # rolling median over the per-day aggregate: input bounded by
     # calendar length, same argument as the gapfill spine
     "q_rolling_median_daily_revenue",
+    # cumulative running sum over the per-day aggregate (calendar-bounded)
+    "q_daily_users_new_returning",
 }
 
 # Iterative builders whose CONSTRUCTION runs full multi-job loops
