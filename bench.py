@@ -118,6 +118,7 @@ HEADLINE = [
     "q_ann_pq_recall",
     "q_ann_ivfadc_topk",
     "q_daily_users_new_returning",
+    "q_hll_rolling_7d_users",
 ]
 
 

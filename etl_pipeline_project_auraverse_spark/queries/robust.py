@@ -262,3 +262,76 @@ def q_heavy_hitter_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit: a classic anomaly screen for monetary
+# columns — compare the observed leading-digit distribution against
+# Benford's law. One scan + a 9-row aggregate; the expected
+# frequencies are constants, every ratio a single rounded division.
+# ---------------------------------------------------------------------------
+import math
+
+_BENFORD = {d: round(math.log10(1.0 + 1.0 / d), 6) for d in range(1, 10)}
+
+
+def _benford_sql_expected() -> str:
+    whens = " ".join(f"WHEN {d} THEN {_BENFORD[d]!r}" for d in range(1, 10))
+    return f"CAST(CASE digit {whens} END AS DOUBLE)"
+
+
+@register(
+    "q_benford_price_digits",
+    oracle=f"""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+                           1, 1) AS INT) AS digit
+        FROM orders WHERE o_totalprice >= 1.0
+    ),
+    tot AS (SELECT COUNT(*) AS n_total FROM digits)
+    SELECT d.digit,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(COUNT(*) * 1.0 / MAX(t.n_total), 6) AS DOUBLE)
+               AS obs_freq,
+           {_benford_sql_expected()} AS exp_freq,
+           CAST(ROUND(ABS(COUNT(*) * 1.0 / MAX(t.n_total)
+                          - {_benford_sql_expected()}), 6) AS DOUBLE)
+               AS abs_dev
+    FROM digits d, tot t
+    GROUP BY d.digit
+    ORDER BY d.digit
+    """,
+)
+def q_benford_price_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading-digit distribution of order totals vs Benford's law —
+    the standard screen for fabricated or truncated monetary data.
+    Reports observed vs expected frequency and absolute deviation per
+    digit (synthetic uniform-ish prices deviate strongly — which is
+    exactly what the audit should say about them)."""
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+    ).cast("int")
+    digits = orders.filter(F.col("o_totalprice") >= 1.0).select(
+        digit.alias("digit")
+    )
+    tot = digits.agg(F.count(F.lit(1)).alias("n_total"))
+    expected = F.lit(None).cast("double")
+    for d in range(1, 10):
+        expected = F.when(F.col("digit") == d, F.lit(_BENFORD[d])).otherwise(
+            expected
+        )
+    obs = F.round(F.col("n_orders") / F.col("n_total"), 6)
+    return (
+        digits.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_orders",
+            obs.cast("double").alias("obs_freq"),
+            expected.alias("exp_freq"),
+            F.round(F.abs(obs - expected), 6).cast("double").alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )

@@ -87,11 +87,10 @@ def _oracle() -> str:
     """
 
 
-def hll_distinct(df: DataFrame, group_col: str, item_col: str) -> DataFrame:
-    """``(group_col, hll_estimate)`` — the deterministic HLL estimate
-    of ``COUNT(DISTINCT item_col)`` per group. Registers are a
-    max-combinable aggregate (so Spark's partial aggregation is the
-    sketch merge); the estimate is rounded to 4 places."""
+def hll_registers(df: DataFrame, group_cols: list[str], item_col: str) -> DataFrame:
+    """``(*group_cols, bucket, m_rho)`` — the HLL register table per
+    group. This IS the sketch's mergeable state: registers for any
+    union of groups combine with a further ``max`` per bucket."""
     h = F.conv(
         F.substring(F.md5(F.col(item_col).cast("string")), 1, 15), 16, 10
     ).cast("long")
@@ -100,13 +99,20 @@ def hll_distinct(df: DataFrame, group_col: str, item_col: str) -> DataFrame:
     rho = F.when(w == 0, F.lit(RHO_MAX)).otherwise(
         F.least(tz + 1, F.lit(RHO_MAX))
     )
-    regs = (
-        df.select(group_col, h.alias("h"))
-        .select(group_col, (F.col("h") % HLL_M).alias("bucket"), rho.alias("rho"))
-        .groupBy(group_col, "bucket")
+    return (
+        df.select(*group_cols, h.alias("h"))
+        .select(*group_cols, (F.col("h") % HLL_M).alias("bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
         .agg(F.max("rho").alias("m_rho"))
     )
-    g = regs.groupBy(group_col).agg(
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """``(*group_cols, hll_estimate)`` from a register table (possibly
+    one produced by merging finer-grained registers with max)."""
+    g = regs.groupBy(*group_cols).agg(
         F.sum(F.expr(f"shiftleft(cast(1 as bigint), {RHO_MAX} - m_rho)")).alias(
             "s_int"
         ),
@@ -125,7 +131,17 @@ def hll_distinct(df: DataFrame, group_col: str, item_col: str) -> DataFrame:
         ).otherwise(raw),
         4,
     ).cast("double")
-    return g.select(group_col, estimate.alias("hll_estimate"))
+    return g.select(*group_cols, estimate.alias("hll_estimate"))
+
+
+def hll_distinct(df: DataFrame, group_col: str, item_col: str) -> DataFrame:
+    """``(group_col, hll_estimate)`` — the deterministic HLL estimate
+    of ``COUNT(DISTINCT item_col)`` per group. Registers are a
+    max-combinable aggregate (so Spark's partial aggregation is the
+    sketch merge); the estimate is rounded to 4 places."""
+    return hll_estimate_from_registers(
+        hll_registers(df, [group_col], item_col), [group_col]
+    )
 
 
 @register("q_hll_distinct_users", oracle=_oracle())
@@ -153,6 +169,141 @@ def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rel_error"),
         )
         .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day distinct users from MERGED daily HLL registers — the
+# pre-aggregated-sketch-table pattern: a sliding-window distinct count
+# answered by max-merging per-day registers (days x m rows), never by
+# re-scanning raw events per window. The exact arm re-derives the same
+# windows from (day, user) pairs for the measured error column.
+# ---------------------------------------------------------------------------
+HLL_WIN_DAYS = 7
+
+
+def _rolling_oracle() -> str:
+    rho_sql = (
+        f"MAX(CASE WHEN h // {HLL_M} = 0 THEN {RHO_MAX} "
+        f"ELSE LEAST(length(bin(h // {HLL_M})) "
+        f"- length(rtrim(bin(h // {HLL_M}), '0')) + 1, {RHO_MAX}) END)"
+    )
+    spread = (
+        f"unnest(generate_series(CAST(day AS TIMESTAMP), "
+        f"CAST(day AS TIMESTAMP) + INTERVAL {HLL_WIN_DAYS - 1} DAY, "
+        f"INTERVAL 1 DAY))::DATE"
+    )
+    return f"""
+    WITH ev AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+    h AS (
+        SELECT day,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM ev
+    ),
+    r AS (
+        SELECT day, h % {HLL_M} AS bucket, {rho_sql} AS m_rho
+        FROM h GROUP BY day, h % {HLL_M}
+    ),
+    days AS (SELECT DISTINCT day FROM ev),
+    spread AS (SELECT {spread} AS wend, bucket, m_rho FROM r),
+    wregs AS (
+        SELECT s.wend, s.bucket, MAX(s.m_rho) AS m_rho
+        FROM spread s JOIN days d ON d.day = s.wend
+        GROUP BY s.wend, s.bucket
+    ),
+    g AS (
+        SELECT wend,
+               CAST(SUM(CAST(1 AS BIGINT) << ({RHO_MAX} - m_rho)) AS BIGINT)
+                   AS s_int,
+               COUNT(*) AS n_regs
+        FROM wregs GROUP BY wend
+    ),
+    est AS (
+        SELECT wend,
+               CAST({_ALPHA!r} AS DOUBLE) * CAST({HLL_M * HLL_M} AS DOUBLE)
+                   / (s_int / CAST({_SCALE!r} AS DOUBLE)
+                      + ({HLL_M} - n_regs)) AS raw,
+               {HLL_M} - n_regs AS zeros
+        FROM g
+    ),
+    final AS (
+        SELECT wend,
+               CAST(ROUND(CASE WHEN raw <= CAST({2.5 * HLL_M!r} AS DOUBLE)
+                                    AND zeros > 0
+                               THEN CAST({HLL_M} AS DOUBLE)
+                                    * ln(CAST({HLL_M} AS DOUBLE) / zeros)
+                               ELSE raw END, 4) AS DOUBLE) AS hll_estimate
+        FROM est
+    ),
+    pairs AS (SELECT DISTINCT day, user_id FROM ev),
+    ex_spread AS (SELECT {spread} AS wend, user_id FROM pairs),
+    ex AS (
+        SELECT s.wend, COUNT(DISTINCT s.user_id) AS n_exact
+        FROM ex_spread s JOIN days d ON d.day = s.wend
+        GROUP BY s.wend
+    )
+    SELECT CAST(f.wend AS TIMESTAMP) AS window_end,
+           ex.n_exact,
+           f.hll_estimate,
+           CAST(ROUND(ABS(f.hll_estimate - ex.n_exact) / ex.n_exact, 6)
+                AS DOUBLE) AS rel_error
+    FROM ex JOIN final f USING (wend)
+    ORDER BY window_end
+    """
+
+
+@register("q_hll_rolling_7d_users", oracle=_rolling_oracle())
+def q_hll_rolling_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day, from max-merged daily HLL
+    registers: each day's register table fans out to the <= 7 window
+    ends it serves (register rows are bounded by days x m — sketch
+    state, not raw data), then one max-merge + estimate per window.
+    The exact arm measures the sketch error per window."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    regs = hll_registers(ev, ["day"], "user_id")
+    days = ev.select("day").distinct()
+    wends = days.withColumnRenamed("day", "wend")
+    spread = regs.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add("day", HLL_WIN_DAYS - 1))
+        ).alias("wend"),
+        "bucket",
+        "m_rho",
+    )
+    wregs = (
+        spread.join(F.broadcast(wends), "wend")
+        .groupBy("wend", "bucket")
+        .agg(F.max("m_rho").alias("m_rho"))
+    )
+    est = hll_estimate_from_registers(wregs, ["wend"])
+    pairs = ev.dropDuplicates(["day", "user_id"])
+    exact = (
+        pairs.select(
+            F.explode(
+                F.sequence(F.col("day"), F.date_add("day", HLL_WIN_DAYS - 1))
+            ).alias("wend"),
+            "user_id",
+        )
+        .join(F.broadcast(wends), "wend")
+        .groupBy("wend")
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+    )
+    return (
+        exact.join(est, "wend")
+        .select(
+            F.col("wend").cast("timestamp").alias("window_end"),
+            "n_exact",
+            "hll_estimate",
+            F.round(
+                F.abs(F.col("hll_estimate") - F.col("n_exact")) / F.col("n_exact"),
+                6,
+            )
+            .cast("double")
+            .alias("rel_error"),
+        )
+        .orderBy("window_end")
     )
 
 
