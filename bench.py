@@ -119,6 +119,8 @@ HEADLINE = [
     "q_ann_ivfadc_topk",
     "q_daily_users_new_returning",
     "q_hll_rolling_7d_users",
+    "q_event_sliding_windows",
+    "q_crossmodal_dedup_conflict",
 ]
 
 

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from etl_pipeline_project_auraverse_spark.functions.text import h28
+from etl_pipeline_project_auraverse_spark.functions.vectors import cosine, sql_cosine
 from etl_pipeline_project_auraverse_spark.queries import register
 from etl_pipeline_project_auraverse_spark.queries._util import (
     dec_sum,
@@ -405,4 +406,166 @@ def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.log2(total) - term_sum / total, 6).alias("entropy_bits"),
         )
         .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding event windows: 1-hour windows every 30 minutes — the batch
+# twin of the Structured Streaming sliding aggregate (each event lands
+# in exactly size/slide = 2 windows). Spark's window() generator is
+# map-side; the oracle derives the same two epoch-aligned starts per
+# event explicitly.
+# ---------------------------------------------------------------------------
+SLIDE_SEC = 1800
+WIN_SEC = 3600
+
+
+@register(
+    "q_event_sliding_windows",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_type, value,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS es
+        FROM events
+    ),
+    spread AS (
+        SELECT event_type, value,
+               (es - (es % {SLIDE_SEC})) - k * {SLIDE_SEC} AS ws
+        FROM e, (SELECT unnest([0, 1]) AS k) ks
+    )
+    SELECT TIMESTAMP '1970-01-01' + INTERVAL (ws) SECOND AS window_start,
+           TIMESTAMP '1970-01-01' + INTERVAL (ws + {WIN_SEC}) SECOND
+               AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_dec_sum('value', 2)} AS sum_value
+    FROM spread
+    GROUP BY ws, event_type
+    ORDER BY window_start, event_type
+    """,
+)
+def q_event_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregate (1 h size, 30 min slide) per event
+    type: counts and decimal-accumulated value sums. Identical
+    semantics to the streaming sliding aggregate, run as a batch
+    query — window assignment is a per-row generator, the only
+    shuffle is the final high-cardinality (window, type) groupBy."""
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window("ts", f"{WIN_SEC} seconds", f"{SLIDE_SEC} seconds")
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            dec_sum("value", 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-modal dedup conflict audit: pairs whose TEXT says duplicate
+# (>= MIN_SHARED shared word-spans) but whose EMBEDDINGS disagree
+# (cosine below CONFLICT_COS) — mislabeled translations, stale
+# re-embeddings, copy-paste with different provenance. The span join
+# is DF-capped (spans occurring in > SPAN_DF_CAP docs are dropped from
+# pair generation, the same bounded-fan-out rule as the n-gram
+# Jaccard dedup), so candidate generation stays an equi-join with
+# bounded blow-up at any corpus size.
+# ---------------------------------------------------------------------------
+SPAN_DF_CAP = 16
+MIN_SHARED = 3
+CONFLICT_COS = 0.2
+
+
+@register(
+    "q_crossmodal_dedup_conflict",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    idx AS (SELECT doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS w
+            FROM w),
+    spans AS (SELECT doc_id, CAST(FLOOR((i - 1) / {SPAN_W}.0) AS BIGINT) AS blk,
+                     string_agg(w, ' ' ORDER BY i) AS span
+              FROM idx GROUP BY doc_id, blk),
+    s AS (SELECT DISTINCT doc_id, span FROM spans),
+    ok AS (SELECT span FROM s GROUP BY span
+           HAVING COUNT(*) BETWEEN 2 AND {SPAN_DF_CAP}),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_spans
+        FROM s a JOIN ok USING (span)
+        JOIN s b ON b.span = a.span AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING COUNT(*) >= {MIN_SHARED}
+    )
+    SELECT p.doc_a, p.doc_b, p.n_shared_spans,
+           {sql_cosine('ea.embedding', 'eb.embedding')} AS cos_sim,
+           {sql_cosine('ea.embedding', 'eb.embedding')} < {CONFLICT_COS}
+               AS conflict
+    FROM pairs p
+    JOIN embeddings ea ON ea.vec_id = p.doc_a
+    JOIN embeddings eb ON eb.vec_id = p.doc_b
+    ORDER BY p.doc_a, p.doc_b
+    """,
+)
+def q_crossmodal_dedup_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-vs-embedding consistency audit: near-duplicate text pairs
+    (shared exact word-spans) whose embedding cosine is too low —
+    the signal that one modality is stale or mislabeled. On the
+    synthetic tables the embeddings are independent of the text, so
+    most pairs SHOULD flag — the audit correctly reports the corpus's
+    cross-modal inconsistency."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    words = parallelize(
+        docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
+    )
+    spans = (
+        words.groupBy("doc_id", F.floor(F.col("pos") / SPAN_W).alias("blk"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("span")
+        )
+        .select("doc_id", "span")
+        .distinct()
+    )
+    ok = spans.groupBy("span").agg(F.count("*").alias("__df")).filter(
+        (F.col("__df") >= 2) & (F.col("__df") <= SPAN_DF_CAP)
+    )
+    pairs = (
+        spans.join(ok.select("span"), "span")
+        .alias("a")
+        .join(
+            spans.alias("b"),
+            (F.col("a.span") == F.col("b.span"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared_spans"))
+        .filter(F.col("n_shared_spans") >= MIN_SHARED)
+    )
+    cos = cosine(F.col("ea.embedding"), F.col("eb.embedding"))
+    return (
+        pairs.join(emb.alias("ea"), F.col("doc_a") == F.col("ea.vec_id"))
+        .join(emb.alias("eb"), F.col("doc_b") == F.col("eb.vec_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared_spans",
+            cos.alias("cos_sim"),
+            (cos < CONFLICT_COS).alias("conflict"),
+        )
+        .orderBy("doc_a", "doc_b")
     )
