@@ -168,6 +168,20 @@ def test_text_quality_scan_prunes_columns(q):
     assert "source" not in cols, "unused documents.source must be pruned"
 
 
+def test_span_dedup_scan_prunes_columns(q):
+    """The span dedup touches only (doc_id, text): lang/source/n_chars
+    must never reach the parquet scan."""
+    cols = PI.scan_columns(q("q_dedup_word_spans"))
+    assert "lang" not in cols and "source" not in cols and "n_chars" not in cols
+
+
+def test_pq_scan_prunes_label(q):
+    """PQ encode/search reads (vec_id, embedding) — the unused label
+    column must be pruned from every embeddings scan."""
+    cols = PI.scan_columns(q("q_ann_pq_topk"))
+    assert "label" not in cols, "unused embeddings.label must be pruned"
+
+
 def test_tfidf_corpus_count_is_lazy_broadcast(q):
     """The IDF's corpus count must be a lazy 1-row aggregate broadcast
     into the plan (its BNL-cross is the intended shape for a scalar
