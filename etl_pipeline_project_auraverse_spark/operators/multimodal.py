@@ -296,6 +296,37 @@ def decode_audio(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, schema=AUDIO_DDL)
 
 
+HIST_DDL = "doc_id long, n_pixels long, hist array<double>"
+
+
+def image_histogram_features(df: DataFrame, bins: int = 16) -> DataFrame:
+    """Normalized grayscale-intensity histogram per image — the
+    classic cheap visual fingerprint for near-duplicate image
+    detection (two crops/re-encodes of one photo have nearly identical
+    histograms; compare downstream with L1 distance using the same
+    centroid-blocked pair machinery as the embedding dedup). Decodes
+    through the same codec seam as :func:`decode_images`; undecodable
+    payloads quarantine."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                try:
+                    w, h, c, pixels = _decode_image_bytes(bytes(content))
+                except NotImplementedError:
+                    continue
+                # decoders emit (h, w*c); average channels -> luminance
+                gray = pixels.astype(np.float64).reshape(h, w, c).mean(axis=2)
+                counts, _ = np.histogram(gray, bins=bins, range=(0.0, 256.0))
+                n = int(counts.sum())
+                hist = (counts / n).round(6).tolist() if n else [0.0] * bins
+                rows.append((int(doc_id), n, hist))
+            yield pd.DataFrame(rows, columns=["doc_id", "n_pixels", "hist"])
+
+    return df.mapInPandas(run, schema=HIST_DDL)
+
+
 AUDIO_FRAME_DDL = (
     "doc_id long, frame_idx int, start_sec double, rms double, "
     "zcr double, is_silence boolean"

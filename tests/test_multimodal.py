@@ -156,3 +156,20 @@ def test_audio_frame_features_silence_flag(spark):
     assert len(frames) == 2
     assert all(r["is_silence"] for r in frames)
     assert all(r["rms"] == 0.0 and r["zcr"] == 0.0 for r in frames)
+
+
+def test_image_histogram_features(spark):
+    rows = [(i, bytearray(mm.synth_bmp_bytes(i, width=8, height=6)), "image/bmp")
+            for i in range(3)] + [(9, bytearray(b"JFIF-nope"), "image/jpeg")]
+    df = spark.createDataFrame(rows, "doc_id long, content binary, media_type string")
+    got = {r["doc_id"]: r for r in mm.image_histogram_features(df, bins=8).collect()}
+    assert set(got) == {0, 1, 2}  # jpeg payload quarantined
+    for doc_id, r in got.items():
+        assert r["n_pixels"] == 8 * 6
+        assert abs(sum(r["hist"]) - 1.0) < 1e-4
+        # cross-check one histogram against a direct decode
+        w, h, c, px = mm._decode_bmp(mm.synth_bmp_bytes(doc_id, 8, 6))
+        gray = px.astype(float).reshape(h, w, c).mean(axis=2)
+        counts, _ = np.histogram(gray, bins=8, range=(0.0, 256.0))
+        want = (counts / counts.sum()).round(6).tolist()
+        assert r["hist"] == pytest.approx(want, abs=1e-6)

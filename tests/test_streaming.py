@@ -82,6 +82,34 @@ def test_windowed_counts_match_batch(spark, events_path):
     assert got == want
 
 
+def test_sliding_counts_match_batch(spark, events_path):
+    """Streaming sliding windows fold micro-batches into the same
+    overlapping-window totals as one batch pass (each event in
+    exactly size/slide = 2 windows)."""
+    stream = se.read_event_stream(spark, events_path, max_files_per_trigger=2)
+    name = f"slide_{uuid.uuid4().hex[:8]}"
+    _run_stream(
+        se.sliding_event_counts(stream, window="1 hour", slide="30 minutes"),
+        name,
+        output_mode="complete",
+    )
+    got = {
+        (r["win_start"], r["event_type"]): (r["n_events"], round(r["total_value"], 4))
+        for r in spark.table(name).collect()
+    }
+    batch = (
+        spark.read.parquet(events_path)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("tv"))
+        .collect()
+    )
+    want = {(r["win"]["start"], r["event_type"]): (r["n"], r["tv"]) for r in batch}
+    assert got == want
+    # every event appears in exactly two windows
+    n_events = spark.read.parquet(events_path).count()
+    assert sum(n for n, _ in got.values()) == 2 * n_events
+
+
 def test_sessionization_matches_batch_sessions(spark, events_path):
     stream = se.read_event_stream(spark, events_path, max_files_per_trigger=2)
     name = f"sess_{uuid.uuid4().hex[:8]}"
