@@ -121,6 +121,7 @@ HEADLINE = [
     "q_hll_rolling_7d_users",
     "q_event_sliding_windows",
     "q_crossmodal_dedup_conflict",
+    "q_dedup_incremental_minhash",
 ]
 
 

@@ -196,6 +196,48 @@ N_MH = 8
 N_BANDS = 4
 
 
+def minhash_sketch_bands(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(sketch, bands): the whole per-document MinHash sketch and its
+    LSH band keys.
+
+    Sketching is ONE map-side groupBy — explode grams so the md5 hash
+    runs inside whole-stage codegen (hashing inside a higher-order
+    ``transform()`` is interpreted per-element — measured 20x slower),
+    then a single aggregate builds the distinct shingle set
+    (collect_set) and all 8 minhashes (MIN over the duplicate-included
+    stream is identical). The sketch is persisted (tracked) because
+    every consumer touches it at least twice (band join + verify
+    joins)."""
+    sketch = (
+        _exploded_gram_hashes(docs)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_set("h").alias("hs"),
+            *[
+                F.min((F.lit(MH_A[i]) * F.col("h") + F.lit(MH_B[i])) % F.lit(MH_P)).alias(
+                    f"mh{i}"
+                )
+                for i in range(N_MH)
+            ],
+        )
+        .withColumn("n", F.size("hs"))
+    )
+    sketch = persist_tracked(sketch)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(",", F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}")).alias("key"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = sketch.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    return sketch, bands
+
+
 def _sql_minhash_cte() -> str:
     mins = ",\n               ".join(
         f"MIN(({MH_A[i]} * h + {MH_B[i]}) % {MH_P}) AS mh{i}" for i in range(N_MH)
@@ -264,38 +306,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (explode → DISTINCT → GROUP BY) — values are identical.
     """
     docs = load_table(spark, sf_dir, "documents")
-    # explode grams so the md5 hash runs inside whole-stage codegen
-    # (hashing inside a higher-order transform() is interpreted
-    # per-element — measured 20x slower), then ONE groupBy builds the
-    # whole sketch: the distinct shingle set (collect_set) and all 8
-    # minhashes (MIN over the duplicate-included stream is identical).
-    sketch = (
-        _exploded_gram_hashes(docs)
-        .groupBy("doc_id")
-        .agg(
-            F.collect_set("h").alias("hs"),
-            *[
-                F.min((F.lit(MH_A[i]) * F.col("h") + F.lit(MH_B[i])) % F.lit(MH_P)).alias(
-                    f"mh{i}"
-                )
-                for i in range(N_MH)
-            ],
-        )
-        .withColumn("n", F.size("hs"))
-    )
-    sketch = persist_tracked(sketch)  # band join + both verify joins
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(",", F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}")).alias("key"),
-            )
-            for b in range(N_BANDS)
-        ]
-    )
-    bands = sketch.select("doc_id", F.explode(band_structs).alias("bk")).select(
-        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
+    sketch, bands = minhash_sketch_bands(docs)
     cand = (
         bands.alias("x")
         .join(
@@ -760,4 +771,132 @@ def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall"),
         )
         .orderBy("tau")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: a NEW batch checked against the EXISTING corpus.
+# The operational shape of a training-data pipeline — each ingest
+# dedups the increment against the standing band index (new x old
+# equi-join), never the corpus against itself. The batch split is a
+# portable doc_id % 5 == 4 predicate so the same 20% slice is "new"
+# in both engines at any scale factor.
+# ---------------------------------------------------------------------------
+INC_NEW_MOD = 5  # doc_id % 5 == INC_NEW_REM -> new batch
+INC_NEW_REM = 4
+INC_DUP_J = 0.5
+
+
+@register(
+    "q_dedup_incremental_minhash",
+    oracle=f"""
+    WITH {SQL_SHINGLE_CTE},
+    {_sql_minhash_cte()},
+    cand AS (
+        SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS old_id
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.key = y.key
+        WHERE x.doc_id % {INC_NEW_MOD} = {INC_NEW_REM}
+          AND y.doc_id % {INC_NEW_MOD} <> {INC_NEW_REM}
+    ),
+    inter AS (
+        SELECT c.new_id, c.old_id, COUNT(*) AS n_common
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.new_id
+        JOIN sh sb ON sb.doc_id = c.old_id AND sb.h = sa.h
+        GROUP BY c.new_id, c.old_id
+    ),
+    scored AS (
+        SELECT c.new_id, c.old_id,
+               CAST(ROUND(COALESCE(i.n_common, 0) * 1.0
+                    / (ma.n + mb.n - COALESCE(i.n_common, 0)), 6) AS DOUBLE) AS j
+        FROM cand c
+        JOIN mh ma ON ma.doc_id = c.new_id
+        JOIN mh mb ON mb.doc_id = c.old_id
+        LEFT JOIN inter i ON i.new_id = c.new_id AND i.old_id = c.old_id
+    ),
+    best AS (
+        SELECT new_id, old_id, j,
+               ROW_NUMBER() OVER (PARTITION BY new_id
+                   ORDER BY j DESC, old_id) AS rn,
+               COUNT(*) OVER (PARTITION BY new_id) AS n_candidates
+        FROM scored
+    )
+    SELECT nd.doc_id AS new_id,
+           CAST(COALESCE(b.n_candidates, 0) AS BIGINT) AS n_candidates,
+           b.old_id AS best_old_id,
+           b.j AS best_jaccard,
+           COALESCE(b.j >= {INC_DUP_J}, FALSE) AS is_dup
+    FROM (SELECT doc_id FROM documents
+          WHERE doc_id % {INC_NEW_MOD} = {INC_NEW_REM}) nd
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.new_id = nd.doc_id
+    ORDER BY new_id
+    """,
+)
+def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-batch-vs-corpus MinHash dedup: every 'new' document (the
+    portable 20% slice) reports its candidate count from the band
+    index, its best-matching existing document by exact Jaccard over
+    the carried sketch arrays, and a keep/drop verdict. Only new x old
+    band pairs are generated — the increment joins the index, the
+    corpus never re-pairs with itself."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    sketch, bands = minhash_sketch_bands(docs)
+    is_new = (F.col("doc_id") % INC_NEW_MOD) == INC_NEW_REM
+    cand = (
+        bands.filter(is_new)
+        .alias("x")
+        .join(
+            bands.filter(~is_new).alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key")),
+        )
+        .select(
+            F.col("x.doc_id").alias("new_id"), F.col("y.doc_id").alias("old_id")
+        )
+        .distinct()
+    )
+    sa = sketch.select(
+        F.col("doc_id").alias("new_id"), F.col("hs").alias("hs_a"),
+        F.col("n").alias("n_a"),
+    )
+    sb = sketch.select(
+        F.col("doc_id").alias("old_id"), F.col("hs").alias("hs_b"),
+        F.col("n").alias("n_b"),
+    )
+    n_common = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
+    scored = (
+        cand.join(sa, "new_id")
+        .join(sb, "old_id")
+        .select(
+            "new_id",
+            "old_id",
+            F.round(
+                n_common * 1.0 / (F.col("n_a") + F.col("n_b") - n_common), 6
+            )
+            .cast("double")
+            .alias("j"),
+        )
+    )
+    w_rank = W.partitionBy("new_id").orderBy(F.col("j").desc(), "old_id")
+    best = (
+        scored.withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("n_candidates", F.count("*").over(W.partitionBy("new_id")))
+        .filter(F.col("rn") == 1)
+    )
+    newdocs = docs.filter(is_new).select(F.col("doc_id").alias("new_id"))
+    return (
+        newdocs.join(best, "new_id", "left")
+        .select(
+            "new_id",
+            F.coalesce(F.col("n_candidates"), F.lit(0))
+            .cast("long")
+            .alias("n_candidates"),
+            F.col("old_id").alias("best_old_id"),
+            F.col("j").alias("best_jaccard"),
+            F.coalesce(F.col("j") >= INC_DUP_J, F.lit(False)).alias("is_dup"),
+        )
+        .orderBy("new_id")
     )
