@@ -46,6 +46,7 @@ def exact_group_percentiles(
     percentiles: Sequence[float],
     names: Sequence[str] | None = None,
     count_name: str = "n_rows",
+    n_groups_hint: int | None = None,
 ) -> DataFrame:
     """Exact interpolated percentiles per group, distribution-safe.
 
@@ -86,8 +87,14 @@ def exact_group_percentiles(
     # tiny: at most (partitions × groups) rows
     cells = ranged.groupBy("__pid", g).agg(F.count("*").alias("__c"))
     # one cheap agg over the (about-to-be-)cached ranged table decides
-    # whether the side tables are broadcast-safe (see docstring)
-    n_groups = cells.select(g).distinct().count()
+    # whether the side tables are broadcast-safe (see docstring);
+    # callers that KNOW their group cardinality (3 return flags, one
+    # global group) pass n_groups_hint and skip this extra job
+    n_groups = (
+        n_groups_hint
+        if n_groups_hint is not None
+        else cells.select(g).distinct().count()
+    )
     bc = F.broadcast if n_groups <= _BROADCAST_GROUP_LIMIT else (lambda d: d)
     w_off = (
         Window.partitionBy(g)

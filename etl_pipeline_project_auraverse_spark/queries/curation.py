@@ -908,7 +908,8 @@ def q_split_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps = [i / PSI_DECILES for i in range(1, PSI_DECILES)]
     names = [f"d{i}" for i in range(1, PSI_DECILES)]
     bounds = exact_group_percentiles(
-        docs.withColumn("__g", F.lit("all")), "__g", "n_chars", ps, names=names
+        docs.withColumn("__g", F.lit("all")), "__g", "n_chars", ps, names=names,
+        n_groups_hint=1,
     ).select(F.array(*names).alias("bounds"))
 
     bucket = h28(F.col("doc_id").cast("string")) % 100

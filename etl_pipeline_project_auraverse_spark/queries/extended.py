@@ -306,7 +306,8 @@ def q_percentiles_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     pct = exact_group_percentiles(
-        li, "l_returnflag", "l_extendedprice", [0.5, 0.9, 0.99], ["p50", "p90", "p99"]
+        li, "l_returnflag", "l_extendedprice", [0.5, 0.9, 0.99], ["p50", "p90", "p99"],
+        n_groups_hint=3,
     )
     return pct.select(
         "l_returnflag",
@@ -825,7 +826,8 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     bounds = exact_group_percentiles(
-        melted, "metric", "value", [0.25, 0.5, 0.75], names=["p25", "p50", "p75"]
+        melted, "metric", "value", [0.25, 0.5, 0.75], names=["p25", "p50", "p75"],
+        n_groups_hint=4,
     ).select("metric", "p25", "p50", "p75")
     score = (
         F.lit(1)

@@ -22,6 +22,7 @@ from etl_pipeline_project_auraverse_spark.operators.order_stats import (
 from etl_pipeline_project_auraverse_spark.queries import register
 from etl_pipeline_project_auraverse_spark.queries._util import (
     dec_avg,
+    persist_tracked,
     dec_sum,
     sql_dec_avg,
     sql_dec_sum,
@@ -67,6 +68,7 @@ def q_winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_extendedprice",
         [WINSOR_LO, WINSOR_HI],
         names=["lo", "hi"],
+        n_groups_hint=3,
     ).select("l_returnflag", "lo", "hi")
     clamped = F.least(
         F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi")
@@ -120,7 +122,7 @@ def q_equidepth_histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps = [i / N_BUCKETS for i in range(1, N_BUCKETS)]
     names = [f"b{i}" for i in range(1, N_BUCKETS)]
     bounds = exact_group_percentiles(
-        with_g, "__g", "o_totalprice", ps, names=names
+        with_g, "__g", "o_totalprice", ps, names=names, n_groups_hint=1
     ).select(F.array(*names).alias("bounds"))
     assigned = orders.join(F.broadcast(bounds)).select(
         "o_totalprice",
@@ -188,15 +190,22 @@ def q_mad_outlier_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison is identical double arithmetic in both engines."""
     li = load_table(spark, sf_dir, "lineitem")
     med = exact_group_percentiles(
-        li, "l_returnflag", "l_extendedprice", [0.5], names=["med"]
+        li, "l_returnflag", "l_extendedprice", [0.5], names=["med"],
+        n_groups_hint=3,
     ).select("l_returnflag", "med")
-    with_dev = li.join(F.broadcast(med), "l_returnflag").select(
-        "l_returnflag",
-        "med",
-        F.abs(F.col("l_extendedprice") - F.col("med")).alias("dev"),
+    # persisted: the deviation projection feeds the MAD order-stats
+    # pass AND the final fence aggregate — without it each consumer
+    # re-scans the parquet and re-runs the broadcast join (3 narrow
+    # columns, so the cache is far cheaper than the recompute)
+    with_dev = persist_tracked(
+        li.join(F.broadcast(med), "l_returnflag").select(
+            "l_returnflag",
+            "med",
+            F.abs(F.col("l_extendedprice") - F.col("med")).alias("dev"),
+        )
     )
     mad = exact_group_percentiles(
-        with_dev, "l_returnflag", "dev", [0.5], names=["mad"]
+        with_dev, "l_returnflag", "dev", [0.5], names=["mad"], n_groups_hint=3
     ).select("l_returnflag", "mad")
     fence = F.lit(MAD_FENCE) * F.lit(MAD_CONSISTENCY) * F.col("mad")
     return (

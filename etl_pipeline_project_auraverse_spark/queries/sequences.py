@@ -569,3 +569,66 @@ def q_crossmodal_dedup_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-event gap distribution: exact median/p90 of the seconds between
+# a user's consecutive events, grouped by the LATER event's type — the
+# latency/engagement-cadence profile. The per-user lag window is the
+# sessionize shape; the percentiles go through the range-shuffle exact
+# order-statistics operator (bounded per-task state at any group size,
+# never a whole-group percentile buffer).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_event_gap_percentiles",
+    oracle="""
+    WITH gaps AS (
+        SELECT event_type,
+               ROUND(epoch(ts) - epoch(LAG(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)), 6) AS gap_sec
+        FROM events
+    ),
+    g AS (SELECT event_type, gap_sec FROM gaps WHERE gap_sec IS NOT NULL)
+    SELECT event_type,
+           COUNT(*) AS n_gaps,
+           CAST(ROUND(quantile_cont(gap_sec, 0.5), 4) AS DOUBLE) AS p50_sec,
+           CAST(ROUND(quantile_cont(gap_sec, 0.9), 4) AS DOUBLE) AS p90_sec
+    FROM g
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_event_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90 of inter-event gaps (seconds) per event type of
+    the later event — how long users go quiet before each action."""
+    from etl_pipeline_project_auraverse_spark.operators.order_stats import (
+        exact_group_percentiles,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            "event_type",
+            F.round(
+                F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w),
+                6,
+            ).alias("gap_sec"),
+        )
+        .filter(F.col("gap_sec").isNotNull())
+    )
+    pct = exact_group_percentiles(
+        gaps, "event_type", "gap_sec", [0.5, 0.9], names=["p50", "p90"],
+        count_name="n_gaps", n_groups_hint=5,
+    )
+    return (
+        pct.select(
+            "event_type",
+            "n_gaps",
+            F.round("p50", 4).cast("double").alias("p50_sec"),
+            F.round("p90", 4).cast("double").alias("p90_sec"),
+        )
+        .orderBy("event_type")
+    )
