@@ -86,41 +86,22 @@ HEADLINE = [
     "q_repetition_stats",
     "q_sequence_packing",
     "q_curation_pipeline_decisions",
-    # round-5 breadth: frozen-merge BPE tokenization, SQ8 recall,
-    # event anomaly scoring
-    "q_bpe_apply_fixed_merges",
-    "q_embedding_sq8_recall",
-    "q_event_anomaly_zscore",
+    # round-5: REPRESENTATIVES only. The headline is the min-of-3
+    # round-over-round comparison set (r1-r4's 42 queries above stay
+    # byte-stable for comparability); of the ~35 round-5 additions,
+    # eight representatives join it — one per new family, weighted
+    # toward the scale-story operators. Everything else is timed by
+    # the all-registry single-run sweep below, which covers every
+    # oracle-backed query; this bounds total bench wall-clock as the
+    # registry grows (measured: every min-of-3 entry costs ~8-10 s of
+    # bench wall even when the plan itself runs in <1 s).
     "q_pagerank_copurchase",
-    "q_triangle_copurchase",
-    "q11_important_parts",
     "q_cdc_latest_order_state",
-    "q_winsorized_price_stats",
-    "q_equidepth_histogram_price",
-    "q_dedup_minhash_recall",
-    "q_unpivot_lineitem_measures",
-    # round-5 part 3: chunking, layout clustering, sketch-guided
-    # heavy hitters, robust outliers
-    "q_doc_chunks_overlap",
-    "q_zorder_order_cells",
-    "q_heavy_hitter_parts",
     "q_mad_outlier_prices",
-    "q_hll_distinct_users",
-    "q_bloom_prune_orders",
     "q_dq_orders_report",
-    "q_event_dedup_hourly",
-    # round-5 part 4: span-level dedup, event transition matrix,
-    # rolling median, char entropy
     "q_dedup_word_spans",
-    "q_event_type_transitions",
-    "q_rolling_median_daily_revenue",
-    "q_text_char_entropy",
     "q_ann_pq_recall",
-    "q_ann_ivfadc_topk",
-    "q_daily_users_new_returning",
     "q_hll_rolling_7d_users",
-    "q_event_sliding_windows",
-    "q_crossmodal_dedup_conflict",
     "q_dedup_incremental_minhash",
 ]
 

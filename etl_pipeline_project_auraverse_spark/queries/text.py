@@ -416,3 +416,70 @@ def q_quality_logistic_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-weighted (importance) sampling: each document survives with
+# probability equal to its FROZEN model quality score — high-quality
+# text is oversampled, junk mostly dropped, and the expected kept
+# share per language equals its mean quality. Stateless map-side
+# predicate: portable 28-bit hash < floor(score * 2^28). The rounded
+# score makes the threshold bit-identical across engines, so the same
+# documents survive everywhere.
+# ---------------------------------------------------------------------------
+_H28_SPACE = 1 << 28
+
+
+@register(
+    "q_sample_quality_weighted",
+    oracle=f"""
+    WITH feats AS (
+        SELECT doc_id, lang,
+               LEAST(1.0, {SQL_N_WORDS} / 200.0) AS f_len,
+               ({SQL_STOP_HITS} * 1.0 / {SQL_N_WORDS}) AS f_stop,
+               ({SQL_PUNCT_HITS} * 1.0 / length(text)) AS f_punct
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang,
+               CAST(ROUND(1.0 / (1.0 + exp(-({LOGIT_BIAS}
+                    + {LOGIT_W_LEN} * f_len
+                    + {LOGIT_W_STOP} * f_stop
+                    + {LOGIT_W_PUNCT} * f_punct))), 6) AS DOUBLE) AS score
+        FROM feats
+    )
+    SELECT doc_id, lang, score
+    FROM scored
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+          < CAST(FLOOR(score * {_H28_SPACE}) AS BIGINT)
+    ORDER BY doc_id
+    """,
+)
+def q_sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling by model quality: P(keep) = logistic score,
+    decided by a stateless portable-hash threshold — one scan, no
+    shuffle, reproducible at any scale and across engines."""
+    from etl_pipeline_project_auraverse_spark.functions.text import h28
+
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    t = F.col("text")
+    feats = docs.select(
+        "doc_id",
+        "lang",
+        F.least(F.lit(1.0), n_words(t) / 200.0).alias("f_len"),
+        (match_count(F.lower(t), STOPWORD_RE) * 1.0 / n_words(t)).alias("f_stop"),
+        (match_count(t, PUNCT_RE) * 1.0 / F.length(t)).alias("f_punct"),
+    )
+    z = (
+        F.lit(LOGIT_BIAS)
+        + F.lit(LOGIT_W_LEN) * F.col("f_len")
+        + F.lit(LOGIT_W_STOP) * F.col("f_stop")
+        + F.lit(LOGIT_W_PUNCT) * F.col("f_punct")
+    )
+    score = F.round(1.0 / (1.0 + F.exp(-z)), 6).cast("double")
+    threshold = F.floor(F.col("score") * _H28_SPACE).cast("long")
+    return (
+        feats.select("doc_id", "lang", score.alias("score"))
+        .filter(h28(F.col("doc_id").cast("string")) < threshold)
+        .orderBy("doc_id")
+    )

@@ -139,6 +139,80 @@ def q_asof_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# As-of join WITH TOLERANCE (the kdb/TimescaleDB `asof ... tolerance`
+# semantics): a match older than TOL_SEC is discarded — the purchase
+# keeps its row with NULLs and a matched=false flag instead of joining
+# to an arbitrarily stale view. Same per-user window machinery as the
+# plain as-of; the tolerance is one comparison on the computed gap.
+# ---------------------------------------------------------------------------
+ASOF_TOL_SEC = 600.0
+
+
+@register(
+    "q_asof_view_tolerance",
+    oracle=f"""
+    WITH raw AS (
+        SELECT event_id, user_id, ts, event_type,
+               LAST_VALUE(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+                   OVER w AS last_view_id,
+               LAST_VALUE(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+                   OVER w AS last_view_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    gapped AS (
+        SELECT event_id, user_id, ts, last_view_id,
+               CAST((epoch_us(ts) - epoch_us(last_view_ts)) / 1000000.0
+                    AS DOUBLE) AS gap_sec
+        FROM raw WHERE event_type = 'purchase'
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN gap_sec <= {ASOF_TOL_SEC} THEN last_view_id END
+               AS view_id,
+           CASE WHEN gap_sec <= {ASOF_TOL_SEC} THEN gap_sec END
+               AS secs_since_view,
+           COALESCE(gap_sec <= {ASOF_TOL_SEC}, FALSE) AS matched
+    FROM gapped
+    ORDER BY event_id
+    """,
+)
+def q_asof_view_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a 10-minute tolerance: each purchase joins its
+    user's most recent prior view only if it happened within TOL_SEC;
+    staler matches are nulled with matched=false (kdb `aj` tolerance
+    semantics). Pure per-user window — no join node at all."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    view_id = F.when(F.col("event_type") == "view", F.col("event_id"))
+    view_ts = F.when(F.col("event_type") == "view", F.col("ts"))
+    gap = (
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("last_view_ts")))
+        / 1_000_000.0
+    ).cast("double")
+    in_tol = F.col("gap_sec") <= ASOF_TOL_SEC
+    return (
+        ev.withColumn("last_view_id", F.last(view_id, ignorenulls=True).over(w))
+        .withColumn("last_view_ts", F.last(view_ts, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .withColumn("gap_sec", gap)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.when(in_tol, F.col("last_view_id")).alias("view_id"),
+            F.when(in_tol, F.col("gap_sec")).alias("secs_since_view"),
+            F.coalesce(in_tol, F.lit(False)).alias("matched"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Tumbling-window aggregation (batch twin of the streaming windowed
 # count). Spark's window() is epoch-aligned; DuckDB's time_bucket
 # origin (2000-01-01) is also midnight-aligned, so 6h buckets agree.
