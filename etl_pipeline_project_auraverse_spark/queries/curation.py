@@ -35,7 +35,7 @@ from etl_pipeline_project_auraverse_spark.functions.text import (
 )
 from etl_pipeline_project_auraverse_spark.cache import persist_tracked
 from etl_pipeline_project_auraverse_spark.queries import register
-from etl_pipeline_project_auraverse_spark.queries._util import DEC
+from etl_pipeline_project_auraverse_spark.queries._util import DEC, parallelize
 from etl_pipeline_project_auraverse_spark.session import load_table
 
 # ---------------------------------------------------------------------------
@@ -946,4 +946,117 @@ def q_split_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((p - q) * F.log(p / q), 6).cast("double").alias("psi_term"),
         )
         .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM cross-entropy (perplexity filtering): the float-valued
+# relative of q_bigram_rarity — score every document by the average
+# -log2 P(w_i | w_{i-1}) under a Laplace-smoothed bigram model counted
+# from the corpus itself. This is the KenLM-shaped quality filter:
+# train (count) once over the corpus, score each document with two
+# high-cardinality equi-joins. Each per-bigram term is rounded then
+# decimal-summed so the float accumulation is partition-order-proof;
+# the vocabulary size joins in as a lazy 1-row broadcast.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_bigram_perplexity",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+    ),
+    uni AS (
+        SELECT doc_id, unnest(w) AS word FROM toks
+    ),
+    c1 AS (SELECT word, COUNT(*) AS c1 FROM uni GROUP BY word),
+    v AS (SELECT COUNT(*) AS v FROM c1),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w)), i -> w[i])) AS ctx,
+               unnest(list_transform(range(1, len(w)),
+                      i -> w[i] || ' ' || w[i+1])) AS bigram
+        FROM toks WHERE len(w) >= 2
+    ),
+    c2 AS (SELECT bigram, COUNT(*) AS c2 FROM bg GROUP BY bigram),
+    terms AS (
+        SELECT bg.doc_id,
+               ROUND(log2((c2.c2 + 1.0) / (c1.c1 + v.v)), 6) AS term
+        FROM bg
+        JOIN c2 USING (bigram)
+        JOIN c1 ON c1.word = bg.ctx
+        CROSS JOIN v
+    ),
+    scored AS (
+        SELECT doc_id,
+               COUNT(*) AS n_bigrams,
+               CAST(SUM(CAST(term AS DECIMAL(25,6))) AS DOUBLE) AS s
+        FROM terms GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           CAST(ROUND(-s / n_bigrams, 6) AS DOUBLE) AS cross_entropy_bits,
+           CAST(ROUND(pow(2.0, ROUND(-s / n_bigrams, 6)), 4) AS DOUBLE)
+               AS perplexity
+    FROM scored
+    WHERE doc_id < 200
+    ORDER BY doc_id
+    """,
+)
+def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram cross-entropy under a Laplace-smoothed
+    corpus LM — high perplexity flags garbled/unnatural text. Count
+    tables build in one pass each; scoring is two equi-joins on the
+    bigram / context-word keys (AQE spreads skewed stop-bigrams), so
+    the whole filter is train-once score-linearly at any corpus
+    size."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = parallelize(docs).select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w")
+    )
+    uni = toks.select("doc_id", F.explode("w").alias("word"))
+    c1 = uni.groupBy("word").agg(F.count("*").alias("c1"))
+    v = c1.agg(F.count("*").alias("v"))
+    grams = F.when(
+        F.size("w") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("w") - 2),
+            lambda i: F.struct(
+                F.get(F.col("w"), i).alias("ctx"),
+                F.concat_ws(
+                    " ", F.get(F.col("w"), i), F.get(F.col("w"), i + 1)
+                ).alias("bigram"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<ctx:string,bigram:string>>"))
+    bg = persist_tracked(  # feeds the c2 count AND the scoring joins
+        toks.select("doc_id", F.explode(grams).alias("g")).select(
+            "doc_id", F.col("g.ctx").alias("ctx"), F.col("g.bigram").alias("bigram")
+        )
+    )
+    c2 = bg.groupBy("bigram").agg(F.count("*").alias("c2"))
+    term = F.round(
+        F.log2((F.col("c2") + 1.0) / (F.col("c1") + F.col("v"))), 6
+    )
+    scored = (
+        bg.join(c2, "bigram")
+        .join(c1.withColumnRenamed("word", "ctx"), "ctx")
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", term.alias("term"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(F.col("term").cast("decimal(25,6)")).cast("double").alias("s"),
+        )
+    )
+    h = F.round(-F.col("s") / F.col("n_bigrams"), 6)
+    return (
+        scored.filter(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            "n_bigrams",
+            h.alias("cross_entropy_bits"),
+            F.round(F.pow(F.lit(2.0), h), 4).cast("double").alias("perplexity"),
+        )
+        .orderBy("doc_id")
     )
