@@ -900,3 +900,104 @@ def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("new_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtering similarity join (PPJoin-style): the provably
+# LOSSLESS candidate generator for high-threshold Jaccard. Order every
+# document's shingles by global rarity (df asc, hash asc — one total
+# order shared by all docs); two sets with J >= t MUST share a token
+# within their first n - ceil(t*n) + 1 tokens under that order, so the
+# equi-join of PREFIXES finds every qualifying pair while hot
+# stop-shingles (which sit at the END of the order) almost never enter
+# the index. Unlike the DF_CAP generator this drops nothing from the
+# REPRESENTATION — the oracle is the uncapped brute-force ground
+# truth, so the driver check attests candidate completeness itself.
+# ---------------------------------------------------------------------------
+PF_J = 0.8
+
+
+@register(
+    "q_dedup_prefix_filter_jaccard",
+    oracle=f"""
+    WITH {SQL_SHINGLE_CTE},
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b, p.n_common, sa.n AS n_a, sb.n AS n_b,
+           CAST(ROUND(p.n_common * 1.0 / (sa.n + sb.n - p.n_common), 6)
+                AS DOUBLE) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    WHERE p.n_common * 1.0 / (sa.n + sb.n - p.n_common) >= {PF_J}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact J >= {PF_J} pairs via prefix filtering: candidates come
+    ONLY from the rare-first prefix index (prefix length
+    n - ceil(t*n) + 1 per doc), then exact verification over the full
+    shingle sets. The oracle is the brute-force full self-join — a
+    missed candidate would fail the driver hash check, so completeness
+    of the prefix filter is continuously attested."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window as W
+
+    sh = persist_tracked(_shingle_hashes(docs))  # prefix build + verify joins
+    df_counts = sh.groupBy("h").agg(F.count("*").alias("__df"))
+    w_doc = W.partitionBy("doc_id").orderBy(F.col("__df").asc(), F.col("h").asc())
+    ranked = (
+        sh.join(df_counts, "h")
+        .withColumn("__rk", F.row_number().over(w_doc))
+        .withColumn("__n", F.count("*").over(W.partitionBy("doc_id")))
+    )
+    prefix = ranked.filter(
+        F.col("__rk") <= F.col("__n") - F.ceil(F.lit(PF_J) * F.col("__n")) + 1
+    ).select("doc_id", "h")
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact verification: count common shingles for each candidate via
+    # the inverted table joined on BOTH endpoints with equal hash
+    inter = (
+        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.h") == F.col("sb.h")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    jac = F.col("n_common") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")),
+            "doc_b",
+        )
+        .filter(jac >= PF_J)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.round(jac, 6).cast("double").alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
