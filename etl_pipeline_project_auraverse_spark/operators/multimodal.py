@@ -36,6 +36,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 FAKE_MAGIC = b"FAKEIMG!"
 
@@ -325,6 +326,41 @@ def image_histogram_features(df: DataFrame, bins: int = 16) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "n_pixels", "hist"])
 
     return df.mapInPandas(run, schema=HIST_DDL)
+
+
+def near_dup_images(df: DataFrame, max_l1: float = 0.15, bins: int = 16) -> DataFrame:
+    """Near-duplicate image pairs by histogram L1 distance: decode ->
+    normalized histogram fingerprint -> coarse bucket on the dominant
+    bin (the blocking key: re-encodes of one image share it) ->
+    within-bucket pair join -> exact L1 <= max_l1. The pair join is an
+    equi-join on the block key, never all-pairs; at corpus scale the
+    same shape as the embedding-dedup centroid blocking."""
+    hist = image_histogram_features(df, bins=bins)
+    blocked = hist.select(
+        "doc_id",
+        "hist",
+        F.expr(
+            "array_position(hist, array_max(hist))"
+        ).cast("int").alias("__blk"),
+    )
+    a = blocked.select(
+        F.col("doc_id").alias("doc_a"), F.col("hist").alias("h_a"), "__blk"
+    )
+    b = blocked.select(
+        F.col("doc_id").alias("doc_b"), F.col("hist").alias("h_b"), "__blk"
+    )
+    l1 = F.aggregate(
+        F.zip_with("h_a", "h_b", lambda x, y: F.abs(x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, "__blk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("l1_dist", F.round(l1, 6))
+        .filter(F.col("l1_dist") <= max_l1)
+        .select("doc_a", "doc_b", "l1_dist")
+    )
 
 
 AUDIO_FRAME_DDL = (

@@ -180,6 +180,7 @@ def purchase_context_join(
     events: DataFrame,
     range_minutes: int = 30,
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join (streaming twin of
     ``q_range_join_purchase_context``): each view pairs with the same
@@ -187,7 +188,12 @@ def purchase_context_join(
     watermarked and the join condition time-bounds the match window,
     so each side's state store holds at most
     ``watermark + range_minutes`` of events — the requirements Spark
-    enforces for unbounded-safe stream-stream joins."""
+    enforces for unbounded-safe stream-stream joins.
+
+    ``how="leftOuter"`` keeps unmatched views: Spark emits the
+    null-joined row only once the watermark proves no qualifying
+    purchase can still arrive — the state-correct streaming version of
+    "views that never converted"."""
     views = (
         events.filter(F.col("event_type") == "view")
         .withWatermark("ts", watermark)
@@ -215,7 +221,7 @@ def purchase_context_join(
             <= F.col("view_ts") + F.expr(f"INTERVAL {range_minutes} MINUTES")
         )
     )
-    return views.join(purchases, cond, "inner").select(
+    return views.join(purchases, cond, how).select(
         F.col("v_user").alias("user_id"),
         "view_id",
         "view_ts",

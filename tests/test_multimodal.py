@@ -173,3 +173,18 @@ def test_image_histogram_features(spark):
         counts, _ = np.histogram(gray, bins=8, range=(0.0, 256.0))
         want = (counts / counts.sum()).round(6).tolist()
         assert r["hist"] == pytest.approx(want, abs=1e-6)
+
+
+def test_near_dup_images_finds_duplicates(spark):
+    # doc 0 and doc 10 carry the SAME bmp payload (10 % 10 == 0 in the
+    # synth generator yields a different image, so duplicate bytes are
+    # built explicitly); doc 2 is different
+    same = bytearray(mm.synth_bmp_bytes(7, 8, 6))
+    rows = [(0, same, "image/bmp"), (10, same, "image/bmp"),
+            (2, bytearray(mm.synth_bmp_bytes(2, 8, 6)), "image/bmp")]
+    df = spark.createDataFrame(rows, "doc_id long, content binary, media_type string")
+    pairs = {(r["doc_a"], r["doc_b"]): r["l1_dist"]
+             for r in mm.near_dup_images(df, max_l1=0.05).collect()}
+    assert (0, 10) in pairs
+    assert pairs[(0, 10)] == 0.0
+    assert all(k == (0, 10) for k in pairs), pairs

@@ -492,3 +492,51 @@ def test_upsert_snapshot_survives_crashed_swap(spark, tmp_path):
     # and the replay guard still knows batch 0 was applied
     assert apply_upsert_batch(spark, state, feed, 0, ["k"], ["seq"]) is False
     shutil.rmtree(state)
+
+
+def test_outer_join_emits_unconverted_views(spark, events_path):
+    """leftOuter stream-stream join: matched rows equal the batch inner
+    join; null-joined rows appear once the watermark proves no
+    qualifying purchase can arrive, and each is genuinely unmatched in
+    a batch check. No view emits both matched and null rows."""
+    # all files in ONE batch: random per-file mtime order would drop
+    # behind-watermark arrivals as late data; the trailing no-data
+    # micro-batch then advances the watermark and flushes outer nulls
+    stream = se.read_event_stream(spark, events_path, max_files_per_trigger=8)
+    name = f"outer_{uuid.uuid4().hex[:8]}"
+    _run_stream(
+        se.purchase_context_join(stream, how="leftOuter"),
+        name,
+        output_mode="append",
+    )
+    rows = spark.table(name).collect()
+    matched = {(r["view_id"], r["purchase_id"]) for r in rows
+               if r["purchase_id"] is not None}
+    nulled = {r["view_id"] for r in rows if r["purchase_id"] is None}
+
+    ev = spark.read.parquet(events_path)
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    cond = (
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES"))
+    )
+    want_inner = {(r["view_id"], r["purchase_id"])
+                  for r in v.join(p, cond).collect()}
+    batch_matched_views = {vid for vid, _ in want_inner}
+
+    assert matched == want_inner and len(want_inner) > 0
+    # every null-joined view is truly unconverted, and some exist
+    assert nulled, "watermark never released any unmatched view"
+    assert not (nulled & batch_matched_views)
+    # a view emits either a match or a null row, never both
+    assert not (nulled & {vid for vid, _ in matched})
