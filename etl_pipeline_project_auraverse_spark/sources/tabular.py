@@ -26,6 +26,7 @@ _EXT_FORMAT = {
     ".feather": "arrow",
     ".txt": "text",
     ".md": "text",
+    ".xml": "xml",
 }
 
 
@@ -132,6 +133,12 @@ def read_table(spark: SparkSession, path: str, **kwargs) -> DataFrame:
         return spark.read.parquet(path)
     if fmt == "orc":
         return spark.read.orc(path)
+    if fmt == "xml":
+        from etl_pipeline_project_auraverse_spark.sources.xml_table import (
+            read_xml_table,
+        )
+
+        return read_xml_table(spark, path, **kwargs)
     if fmt == "arrow":
         from etl_pipeline_project_auraverse_spark.sources.arrow_ipc import (
             read_arrow_ipc,

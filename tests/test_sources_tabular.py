@@ -104,3 +104,33 @@ def test_tsv_routes_with_tab_separator(spark, tmp_path):
         f.write("a\tb\n1\tx\n2\ty\n")
     got = tabular.read_table(spark, path)
     assert {(r["a"], r["b"]) for r in got.collect()} == {(1, "x"), (2, "y")}
+
+
+def test_xml_table_roundtrip(spark, tmp_path):
+    """XML route: row elements -> union-of-keys table with attributes,
+    nested elements, repeated tags, and the malformed-file sentinel."""
+    from etl_pipeline_project_auraverse_spark.sources.tabular import read_table
+
+    good = tmp_path / "data.xml"
+    good.write_text(
+        """<rows>
+          <row id="1"><name>alice</name><score>9</score>
+            <tag>a</tag><tag>b</tag></row>
+          <row id="2"><name>bob</name>
+            <addr><city>ber</city></addr></row>
+        </rows>"""
+    )
+    df = read_table(spark, str(good))
+    rows = {r["@id"]: r.asDict() for r in df.collect()}
+    assert set(rows) == {"1", "2"}
+    assert rows["1"]["name"] == "alice"
+    assert rows["1"]["score"] == "9"
+    assert rows["1"]["tag"] == ["a", "b"]
+    assert rows["2"]["addr"]["city"] == "ber"
+    assert rows["2"]["score"] is None  # union-of-keys null fill
+
+    bad = tmp_path / "broken.xml"
+    bad.write_text("<rows><row>unclosed")
+    err = read_table(spark, str(bad))
+    assert err.columns == ["_error"]
+    assert "xml_parse" in err.collect()[0]["_error"]
