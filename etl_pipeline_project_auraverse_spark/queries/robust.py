@@ -344,3 +344,92 @@ def q_benford_price_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pearson correlation matrix over lineitem's numeric measures, from
+# EXACT decimal sufficient statistics: every sum (x, x^2, xy) is
+# accumulated as DECIMAL(18,6) products into DECIMAL(37,12) — exact
+# for <= 6-dp money/ratio inputs — so both engines derive the final
+# float correlation from IDENTICAL numbers (never from a streaming
+# float covariance whose partition order can drift). One scan, one
+# 1-row aggregate, the matrix assembled from the constants.
+# ---------------------------------------------------------------------------
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+# Spark multiplies (18,6)x(18,6) -> (37,12): exact. DuckDB must cast
+# wider — its DECIMAL(18) is int64-backed and the raw product
+# overflows before widening; DECIMAL(25,6) forces int128 storage and
+# the (38,12)-capped product stays exact for 6-dp inputs.
+_D18 = "DECIMAL(25,6)"
+
+
+def _corr_pairs() -> list[tuple[str, str]]:
+    return [
+        (_CORR_COLS[i], _CORR_COLS[j])
+        for i in range(len(_CORR_COLS))
+        for j in range(i + 1, len(_CORR_COLS))
+    ]
+
+
+def _corr_oracle() -> str:
+    sums = [f"COUNT(*) AS n"]
+    for c in _CORR_COLS:
+        sums.append(f"SUM(CAST({c} AS {_D18})) AS s_{c}")
+        sums.append(
+            f"SUM(CAST({c} AS {_D18}) * CAST({c} AS {_D18})) AS q_{c}"
+        )
+    for x, y in _corr_pairs():
+        sums.append(
+            f"SUM(CAST({x} AS {_D18}) * CAST({y} AS {_D18})) AS p_{x}_{y}"
+        )
+    rows = []
+    for x, y in _corr_pairs():
+        num = f"(n * CAST(p_{x}_{y} AS DOUBLE) - CAST(s_{x} AS DOUBLE) * CAST(s_{y} AS DOUBLE))"
+        dx = f"(n * CAST(q_{x} AS DOUBLE) - CAST(s_{x} AS DOUBLE) * CAST(s_{x} AS DOUBLE))"
+        dy = f"(n * CAST(q_{y} AS DOUBLE) - CAST(s_{y} AS DOUBLE) * CAST(s_{y} AS DOUBLE))"
+        rows.append(
+            f"SELECT '{x}' AS col_x, '{y}' AS col_y, "
+            f"CAST(ROUND({num} / SQRT({dx} * {dy}), 6) AS DOUBLE) AS corr "
+            f"FROM s"
+        )
+    return (
+        "WITH s AS (SELECT " + ", ".join(sums) + " FROM lineitem)\n"
+        + "\nUNION ALL ".join(rows)
+        + "\nORDER BY col_x, col_y"
+    )
+
+
+@register("q_corr_matrix_lineitem", oracle=_corr_oracle())
+def q_corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of the lineitem measures from one
+    exact-decimal sufficient-statistics scan (the ANALYZE-style
+    column-dependence profile an optimizer or feature audit keys
+    on)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = lambda c: F.col(c).cast("decimal(18,6)")  # noqa: E731
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(F.sum(d(c)).alias(f"s_{c}"))
+        aggs.append(F.sum(d(c) * d(c)).alias(f"q_{c}"))
+    for x, y in _corr_pairs():
+        aggs.append(F.sum(d(x) * d(y)).alias(f"p_{x}_{y}"))
+    s = li.agg(*aggs)
+    out = None
+    for x, y in _corr_pairs():
+        n = F.col("n")
+        num = n * F.col(f"p_{x}_{y}").cast("double") - (
+            F.col(f"s_{x}").cast("double") * F.col(f"s_{y}").cast("double")
+        )
+        dx = n * F.col(f"q_{x}").cast("double") - (
+            F.col(f"s_{x}").cast("double") * F.col(f"s_{x}").cast("double")
+        )
+        dy = n * F.col(f"q_{y}").cast("double") - (
+            F.col(f"s_{y}").cast("double") * F.col(f"s_{y}").cast("double")
+        )
+        row = s.select(
+            F.lit(x).alias("col_x"),
+            F.lit(y).alias("col_y"),
+            F.round(num / F.sqrt(dx * dy), 6).cast("double").alias("corr"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("col_x", "col_y")

@@ -632,3 +632,96 @@ def q_event_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Neyman-allocation stratified sampling: slots proportional to
+# N_l * sigma_l (strata that are bigger OR more variable get more
+# budget) — the variance-optimal survey-sampling allocation. The
+# per-stratum variance comes from EXACT integer sufficient statistics
+# (n_chars is BIGINT: sum and sum-of-squares are exact), so the float
+# sigma is bit-identical in both engines; the fill reuses the salted
+# two-level hash-rank machinery.
+# ---------------------------------------------------------------------------
+NEYMAN_TARGET = 60
+
+
+@register(
+    "q_sample_stratified_neyman",
+    oracle=f"""
+    WITH stats AS (
+        SELECT lang, COUNT(*) AS n_l,
+               SUM(n_chars) AS s1,
+               SUM(n_chars * n_chars) AS s2
+        FROM documents GROUP BY lang
+    ),
+    sigma AS (
+        SELECT lang, n_l,
+               SQRT((s2 - s1 * s1 * 1.0 / n_l) / (n_l - 1)) AS sd
+        FROM stats WHERE n_l >= 2
+    ),
+    wtot AS (SELECT SUM(n_l * sd) AS w FROM sigma),
+    alloc AS (
+        SELECT s.lang,
+               GREATEST(1, CAST(FLOOR({NEYMAN_TARGET} * s.n_l * s.sd / t.w)
+                   AS BIGINT)) AS n_take
+        FROM sigma s, wtot t
+    ),
+    ranked AS (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT,
+                            doc_id) AS rk
+        FROM documents
+    )
+    SELECT r.lang, r.doc_id, r.rk, a.n_take
+    FROM ranked r JOIN alloc a USING (lang)
+    WHERE r.rk <= a.n_take
+    ORDER BY lang, rk
+    """,
+)
+def q_sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-optimal stratified sample: allocation proportional to
+    stratum-size x stratum-stddev of n_chars (exact integer sufficient
+    statistics -> deterministic sigma), filled by portable-hash order
+    through the salted two-level pre-filter."""
+    from etl_pipeline_project_auraverse_spark.queries.curation import (
+        reservoir_candidates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.groupBy("lang").agg(
+        F.count("*").alias("n_l"),
+        F.sum("n_chars").alias("s1"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("s2"),
+    )
+    sigma = stats.filter(F.col("n_l") >= 2).select(
+        "lang",
+        "n_l",
+        F.sqrt(
+            (F.col("s2") - F.col("s1") * F.col("s1") * 1.0 / F.col("n_l"))
+            / (F.col("n_l") - 1)
+        ).alias("sd"),
+    )
+    wtot = sigma.agg(F.sum(F.col("n_l") * F.col("sd")).alias("w"))
+    alloc = sigma.crossJoin(F.broadcast(wtot)).select(
+        "lang",
+        F.greatest(
+            F.lit(1),
+            F.floor(
+                F.lit(NEYMAN_TARGET) * F.col("n_l") * F.col("sd") / F.col("w")
+            ),
+        )
+        .cast("long")
+        .alias("n_take"),
+    )
+    cand = reservoir_candidates(docs, NEYMAN_TARGET)
+    w_rank = W.partitionBy("lang").orderBy(F.col("__h").asc(), F.col("doc_id").asc())
+    return (
+        cand.withColumn("rk", F.row_number().over(w_rank))
+        .join(F.broadcast(alloc), "lang")
+        .filter(F.col("rk") <= F.col("n_take"))
+        .select("lang", "doc_id", "rk", "n_take")
+        .orderBy("lang", "rk")
+    )
