@@ -36,11 +36,13 @@ ORACLE: dict[str, str] = {}
 # round. Rounds 1-3 led with relational/TPC-H (all driver-green by r3),
 # round 4 led with dedup/similarity/profiling/curation (all green in
 # CORRECTNESS_r04), round 5 leads relational/TPC-H again plus the new
-# tpch_extra3/extended queries. NEXT ROUND: move curation/dedup/
-# similarity/profiling/text/graph/cdc/robust back to the front so the
-# tail families (incl. the round-5 additions at the end of this list)
-# get a fresh driver attestation. Keep alternating until the driver
-# samples > the registry size.
+# tpch_extra3/extended queries. NEXT ROUND (r6): the registry now far
+# exceeds the driver's ~50-query sample, so rotate the TAIL families
+# to the FRONT — sequences, pq, sketches, dq, layout, chunking,
+# robust, cdc, graph (none of which have ever had a driver row) —
+# followed by curation/dedup/similarity/profiling/text (last attested
+# r4), with relational/tpch (attested r3 and r5) moving to the back.
+# Keep rotating so every family has a driver row within ~3 rounds.
 _MODULES = [
     "etl_pipeline_project_auraverse_spark.queries.relational",
     "etl_pipeline_project_auraverse_spark.queries.tpch_extra",
