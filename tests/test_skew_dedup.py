@@ -164,3 +164,39 @@ def test_reservoir_skew_prefilter_bounds_window_input(spark, tmp_path):
     ]
     assert got == naive
     assert len({lang for lang, _, _ in got}) == 5  # every lang represented
+
+
+def test_crossmodal_span_cap_bounds_hot_span_join(spark, tmp_path):
+    """A span shared by every document must NOT enter the cross-modal
+    pair join: the SPAN_DF_CAP filter drops it from candidate
+    generation (the same bounded-fan-out rule as the Jaccard DF cap),
+    so the hot corpus yields zero pairs while a genuinely duplicated
+    rare span still pairs its two documents."""
+    from etl_pipeline_project_auraverse_spark.queries.sequences import (
+        SPAN_DF_CAP,
+        SPAN_W,
+    )
+
+    d = str(tmp_path / "span_docs")
+    # every doc opens with the same 4-word span (df = 300 >> cap);
+    # docs 300/301 also share a RARE 8-word tail (2 spans, df = 2)
+    hot = "one two three four"
+    rare = "red green blue cyan pink gold teal grey jade ruby onyx opal"
+    texts = [f"{hot} filler{i}a filler{i}b filler{i}c filler{i}d" for i in range(300)]
+    texts.append(f"{hot} {rare}")  # doc 300
+    texts.append(f"{hot} {rare}")  # doc 301
+    _write_documents(spark, d, texts)
+    # vec ids must cover the doc ids for the embedding join
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 10) for j in range(64)], "x") for i in range(302)],
+        "vec_id long, embedding array<double>, label string",
+    )
+    emb.coalesce(2).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    pairs = QUERIES["q_crossmodal_dedup_conflict"](spark, d).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(300, 301)}
+    (row,) = pairs
+    # identical embeddings -> cosine 1.0 -> no conflict flagged
+    assert row["n_shared_spans"] >= 2
+    assert row["conflict"] is False
+    assert SPAN_DF_CAP < 300  # the fixture genuinely exceeds the cap

@@ -134,3 +134,45 @@ def test_xml_table_roundtrip(spark, tmp_path):
     err = read_table(spark, str(bad))
     assert err.columns == ["_error"]
     assert "xml_parse" in err.collect()[0]["_error"]
+
+
+def test_xml_roundtrip_property(spark, tmp_path):
+    """Property: any flat string table serialized as XML reads back
+    with identical values (hypothesis-generated shapes, including
+    heterogeneous per-row keys)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from etl_pipeline_project_auraverse_spark.sources.xml_table import read_xml_table
+
+    key = st.sampled_from(["alpha", "beta", "gamma", "delta"])
+    val = st.text(
+        alphabet=st.characters(whitelist_categories=("Ll", "Nd")), min_size=1, max_size=8
+    )
+    rows_st = st.lists(
+        st.dictionaries(key, val, min_size=1, max_size=4), min_size=1, max_size=6
+    )
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(rows=rows_st)
+    def check(rows):
+        import uuid as _uuid
+
+        p = tmp_path / f"{_uuid.uuid4().hex}.xml"
+        body = "".join(
+            "<row>" + "".join(f"<{k}>{v}</{k}>" for k, v in r.items()) + "</row>"
+            for r in rows
+        )
+        p.write_text(f"<root>{body}</root>")
+        got = [r.asDict() for r in read_xml_table(spark, str(p)).collect()]
+        want = [
+            {k: r.get(k) for k in sorted({k for r in rows for k in r})}
+            for r in rows
+        ]
+        canon = lambda rs: sorted(  # noqa: E731
+            [tuple(sorted((k, v) for k, v in r.items() if v is not None)) for r in rs]
+        )
+        assert canon(got) == canon(want)
+
+    check()
