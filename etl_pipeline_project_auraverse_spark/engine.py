@@ -206,6 +206,31 @@ class Engine:
         )
         return exact_heavy_hitters(df, col, k, threshold)
 
+    # -- plan inspection ----------------------------------------------------
+    def explain(self, df_or_name: DataFrame | str) -> dict[str, Any]:
+        """Plan-quality report for a DataFrame or a named registry
+        query: formatted physical plan plus the lint summary the plan
+        tests enforce (cartesian products, broadcast joins, shuffle
+        count, pushed filters, scanned columns, unpartitioned
+        windows) — the 100 TB checklist as a user API."""
+        from etl_pipeline_project_auraverse_spark.plans import inspect as PI
+
+        df = (
+            self.query(df_or_name)
+            if isinstance(df_or_name, str)
+            else df_or_name
+        )
+        rep = PI.lint_plan(df)
+        return {
+            "plan": PI.physical_plan(df),
+            "cartesian": rep.cartesian,
+            "broadcast_joins": rep.broadcast_joins,
+            "shuffle_exchanges": rep.shuffle_exchanges,
+            "pushed_filters": rep.pushed_filters,
+            "scan_columns": sorted(rep.scan_columns),
+            "unpartitioned_windows": rep.unpartitioned_windows,
+        }
+
     # -- versioned tables ---------------------------------------------------
     def versioned(self, root: str):
         """Snapshot-versioned parquet table with time travel

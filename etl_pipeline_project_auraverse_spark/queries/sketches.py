@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_pipeline_project_auraverse_spark.queries import register
+from etl_pipeline_project_auraverse_spark.queries._util import persist_tracked
 from etl_pipeline_project_auraverse_spark.session import load_table
 
 HLL_M = 256  # registers per group (power of two)
@@ -622,4 +623,156 @@ def q_column_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_width",
         )
         .orderBy("column_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# HLL set algebra: audience-overlap estimates between event types via
+# inclusion-exclusion — |A∩B| ≈ est(A) + est(B) − est(A∪B), where the
+# union estimate comes from max-merging the two register tables (the
+# only operation HLL supports natively). Register state per pair is
+# 2·m rows; the exact arm measures the estimate's error.
+# ---------------------------------------------------------------------------
+
+
+def _overlap_oracle() -> str:
+    rho_sql = (
+        f"MAX(CASE WHEN h // {HLL_M} = 0 THEN {RHO_MAX} "
+        f"ELSE LEAST(length(bin(h // {HLL_M})) "
+        f"- length(rtrim(bin(h // {HLL_M}), '0')) + 1, {RHO_MAX}) END)"
+    )
+
+    def est(src: str, group: str) -> str:
+        return f"""
+    g_{src} AS (
+        SELECT {group},
+               CAST(SUM(CAST(1 AS BIGINT) << ({RHO_MAX} - m_rho)) AS BIGINT)
+                   AS s_int,
+               COUNT(*) AS n_regs
+        FROM {src} GROUP BY {group}
+    ),
+    e_{src} AS (
+        SELECT {group},
+               CAST(ROUND(CASE WHEN raw <= CAST({2.5 * HLL_M!r} AS DOUBLE)
+                                    AND zeros > 0
+                               THEN CAST({HLL_M} AS DOUBLE)
+                                    * ln(CAST({HLL_M} AS DOUBLE) / zeros)
+                               ELSE raw END, 4) AS DOUBLE) AS est
+        FROM (
+            SELECT {group},
+                   CAST({_ALPHA!r} AS DOUBLE) * CAST({HLL_M * HLL_M} AS DOUBLE)
+                       / (s_int / CAST({_SCALE!r} AS DOUBLE)
+                          + ({HLL_M} - n_regs)) AS raw,
+                   {HLL_M} - n_regs AS zeros
+            FROM g_{src}
+        )
+    )"""
+
+    return f"""
+    WITH h AS (
+        SELECT event_type,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM events
+    ),
+    r AS (
+        SELECT event_type, h % {HLL_M} AS bucket, {rho_sql} AS m_rho
+        FROM h GROUP BY event_type, h % {HLL_M}
+    ),
+    prs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b
+        FROM (SELECT DISTINCT event_type FROM events) a
+        JOIN (SELECT DISTINCT event_type FROM events) b
+          ON a.event_type < b.event_type
+    ),
+    u AS (
+        SELECT p.type_a, p.type_b, r.bucket, MAX(r.m_rho) AS m_rho
+        FROM prs p JOIN r ON r.event_type IN (p.type_a, p.type_b)
+        GROUP BY p.type_a, p.type_b, r.bucket
+    ),
+    {est('r', 'event_type').lstrip()},
+    {est('u', 'type_a, type_b').lstrip()},
+    ex AS (
+        SELECT x.type_a, x.type_b, COUNT(*) AS n_exact
+        FROM (SELECT DISTINCT p.type_a, p.type_b, e.user_id
+              FROM prs p JOIN events e ON e.event_type = p.type_a) x
+        JOIN (SELECT DISTINCT event_type, user_id FROM events) y
+          ON y.event_type = x.type_b AND y.user_id = x.user_id
+        GROUP BY x.type_a, x.type_b
+    )
+    SELECT p.type_a AS type_a, p.type_b AS type_b,
+           COALESCE(ex.n_exact, 0) AS n_exact,
+           CAST(ROUND(ea.est + eb.est - eu.est, 4) AS DOUBLE)
+               AS hll_overlap_estimate
+    FROM prs p
+    JOIN e_r ea ON ea.event_type = p.type_a
+    JOIN e_r eb ON eb.event_type = p.type_b
+    JOIN e_u eu ON eu.type_a = p.type_a AND eu.type_b = p.type_b
+    LEFT JOIN ex ON ex.type_a = p.type_a AND ex.type_b = p.type_b
+    ORDER BY p.type_a, p.type_b
+    """
+
+
+@register("q_hll_overlap_event_types", oracle=_overlap_oracle())
+def q_hll_overlap_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimated audience overlap |users(A) ∩ users(B)| for every
+    event-type pair via HLL inclusion-exclusion (union = register
+    max-merge), next to the exact intersection — sketch algebra over
+    state that is 256 longs per type, not the user sets."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    regs = persist_tracked(hll_registers(ev, ["event_type"], "user_id"))
+    types = ev.select("event_type").distinct()
+    prs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .join(
+            types.select(F.col("event_type").alias("type_b")),
+            F.col("type_a") < F.col("type_b"),
+        )
+    )
+    singles = hll_estimate_from_registers(regs, ["event_type"])
+    union_regs = (
+        F.broadcast(prs)
+        .join(
+            regs,
+            (F.col("event_type") == F.col("type_a"))
+            | (F.col("event_type") == F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b", "bucket")
+        .agg(F.max("m_rho").alias("m_rho"))
+    )
+    unions = hll_estimate_from_registers(union_regs, ["type_a", "type_b"])
+    pairs_users = persist_tracked(ev.distinct())
+    exact = (
+        pairs_users.select(F.col("event_type").alias("type_a"), "user_id")
+        .join(
+            pairs_users.select(F.col("event_type").alias("type_b"),
+                               F.col("user_id").alias("u2")),
+            F.col("user_id") == F.col("u2"),
+        )
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_exact"))
+    )
+    return (
+        prs.join(
+            singles.select(F.col("event_type").alias("type_a"),
+                           F.col("hll_estimate").alias("est_a")),
+            "type_a",
+        )
+        .join(
+            singles.select(F.col("event_type").alias("type_b"),
+                           F.col("hll_estimate").alias("est_b")),
+            "type_b",
+        )
+        .join(unions.withColumnRenamed("hll_estimate", "est_u"),
+              ["type_a", "type_b"])
+        .join(exact, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            F.coalesce(F.col("n_exact"), F.lit(0)).cast("long").alias("n_exact"),
+            F.round(
+                F.col("est_a") + F.col("est_b") - F.col("est_u"), 4
+            ).cast("double").alias("hll_overlap_estimate"),
+        )
+        .orderBy("type_a", "type_b")
     )

@@ -202,3 +202,18 @@ def test_engine_zorder_and_heavy_hitters(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="phi"):
         eng.heavy_hitters(orders, "o_custkey", phi=0.001, k=10)
+
+
+def test_engine_explain_reports_plan_quality(engine):
+    rep = engine.explain("q01_pricing_summary")
+    assert not rep["cartesian"]
+    assert "FileScan" in rep["plan"]
+    assert rep["unpartitioned_windows"] == 0
+    assert any("l_" in c for c in rep["scan_columns"])
+    # also accepts a raw DataFrame
+    df = engine.table("region").filter("r_regionkey = 1").select("r_name")
+    rep2 = engine.explain(df)
+    assert rep2["pushed_filters"], "filter must reach the scan"
+    assert rep2["scan_columns"] <= ["r_name", "r_regionkey"] or set(
+        rep2["scan_columns"]
+    ) <= {"r_name", "r_regionkey"}
