@@ -702,3 +702,53 @@ def q_event_dedup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# CEP-style burst detection: an alert for every error event that is the
+# k-th (or later) error of its user within a trailing time window —
+# the MATCH_RECOGNIZE-lite pattern a monitoring pipeline runs. Pure
+# per-user RANGE window over the (pre-filtered, tiny) error stream;
+# the streaming face is `streaming/events.py::error_burst_alerts`.
+# ---------------------------------------------------------------------------
+BURST_WINDOW_SEC = 6 * 3600
+BURST_K = 3
+
+
+@register(
+    "q_error_burst_alerts",
+    oracle=f"""
+    WITH err AS (
+        SELECT user_id, ts, event_id FROM events WHERE event_type = 'error'
+    ),
+    w AS (
+        SELECT user_id, ts, event_id,
+               COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL {BURST_WINDOW_SEC} SECOND PRECEDING
+                   AND CURRENT ROW) AS n_in_window
+        FROM err
+    )
+    SELECT user_id, ts, event_id, CAST(n_in_window AS BIGINT) AS n_in_window
+    FROM w WHERE n_in_window >= {BURST_K}
+    ORDER BY user_id, event_id
+    """,
+)
+def q_error_burst_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert rows: error events preceded by >= K-1 further errors from
+    the same user inside the trailing window. The RANGE frame counts
+    time-peers identically in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id"
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-BURST_WINDOW_SEC * 1_000_000, 0)
+    )
+    return (
+        err.withColumn("n_in_window", F.count(F.lit(1)).over(w))
+        .filter(F.col("n_in_window") >= BURST_K)
+        .select("user_id", "ts", "event_id", "n_in_window")
+        .orderBy("user_id", "event_id")
+    )

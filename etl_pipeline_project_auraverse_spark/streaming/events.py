@@ -159,6 +159,82 @@ def stateful_user_counters(events: DataFrame, watermark: str = "1 hour") -> Data
     )
 
 
+def error_burst_alerts(
+    events: DataFrame,
+    window_sec: int = 6 * 3600,
+    k: int = 3,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """CEP-style burst detector (streaming twin of
+    ``q_error_burst_alerts``): alert for every error event that is the
+    k-th or later error of its user within the trailing window.
+
+    Custom state via ``applyInPandasWithState``: per user, the error
+    timeline accumulates in state and each invocation emits only the
+    NEWLY crossing events (emitted ids are remembered), so the union
+    of all emissions equals the batch answer regardless of micro-batch
+    arrival order. State here keeps the full per-user error timeline
+    for exactness under arbitrary reordering; a production deployment
+    prunes events older than ``watermark + window`` once the watermark
+    passes them, which bounds state like every other watermarked op."""
+
+    out_schema = "user_id long, event_id long, ts timestamp, n_in_window long"
+    state_schema = (
+        "ts_us array<long>, event_ids array<long>, "
+        "emitted_ids array<long>, emitted_ns array<long>"
+    )
+
+    def update(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        ts_us, ids, em_ids, em_ns = (
+            state.get if state.exists else ([], [], [], [])
+        )
+        ts_us, ids = list(ts_us), list(ids)
+        last_n = dict(zip(em_ids, em_ns))
+        for pdf in batches:
+            ts_us.extend(int(t.value // 1000) for t in pd.to_datetime(pdf["ts"]))
+            ids.extend(int(i) for i in pdf["event_id"])
+        order = sorted(range(len(ids)), key=lambda i: (ts_us[i], ids[i]))
+        ts_sorted = [ts_us[i] for i in order]
+        ids_sorted = [ids[i] for i in order]
+        rows = []
+        lo = 0
+        win_us = window_sec * 1_000_000
+        for i, t in enumerate(ts_sorted):
+            while ts_sorted[lo] < t - win_us:
+                lo += 1
+            n = i - lo + 1
+            # re-emit when a late earlier event GREW an alert's window
+            # count, so the latest emission always equals the batch n
+            if n >= k and last_n.get(ids_sorted[i]) != n:
+                last_n[ids_sorted[i]] = n
+                rows.append((key[0], ids_sorted[i], t, n))
+        state.update(
+            (ts_us, ids, list(last_n.keys()), list(last_n.values()))
+        )
+        yield pd.DataFrame(
+            rows, columns=["user_id", "event_id", "__ts_us", "n_in_window"]
+        ).assign(
+            ts=lambda d: pd.to_datetime(d["__ts_us"], unit="us")
+        )[["user_id", "event_id", "ts", "n_in_window"]]
+
+    return (
+        events.filter(F.col("event_type") == "error")
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def enriched_event_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
     """Stream-static join: each micro-batch hash-joins against the
     static dimension (re-read per batch, so dim updates are picked up).

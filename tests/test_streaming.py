@@ -540,3 +540,45 @@ def test_outer_join_emits_unconverted_views(spark, events_path):
     assert not (nulled & batch_matched_views)
     # a view emits either a match or a null row, never both
     assert not (nulled & {vid for vid, _ in matched})
+
+
+def test_error_burst_alerts_match_batch(spark, events_path):
+    """The stateful CEP burst detector's LATEST emission per event must
+    equal the batch range-window answer, independent of micro-batch
+    arrival order (late earlier errors trigger corrected re-emission)."""
+    stream = se.read_event_stream(spark, events_path, max_files_per_trigger=1)
+    name = f"burst_{uuid.uuid4().hex[:8]}"
+    _run_stream(
+        se.error_burst_alerts(stream, window_sec=6 * 3600, k=3),
+        name,
+        output_mode="update",
+    )
+    from pyspark.sql.window import Window as W
+
+    emitted = spark.table(name)
+    latest = (
+        emitted.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("user_id", "event_id").orderBy(F.col("n_in_window").desc())
+            ),
+        )
+        .filter("rn = 1")
+        .select("user_id", "event_id", "n_in_window")
+    )
+    got = {(r["user_id"], r["event_id"]): r["n_in_window"] for r in latest.collect()}
+
+    ev = spark.read.parquet(events_path)
+    err = ev.filter(F.col("event_type") == "error")
+    wb = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-6 * 3600 * 1_000_000, 0)
+    )
+    batch = (
+        err.withColumn("n", F.count(F.lit(1)).over(wb))
+        .filter("n >= 3")
+        .select("user_id", "event_id", "n")
+    )
+    want = {(r["user_id"], r["event_id"]): r["n"] for r in batch.collect()}
+    assert got == want and len(want) > 0
