@@ -752,3 +752,153 @@ def q_error_burst_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "ts", "event_id", "n_in_window")
         .orderBy("user_id", "event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-bound sequential funnel: view -> click -> purchase where each
+# step must happen within CONV_WINDOW of the previous step (the
+# product-analytics "conversion window" funnel, not mere presence).
+# Two chained per-user window passes: qualify clicks against the last
+# prior view, then purchases against the last prior QUALIFYING click.
+# Everything stays inside per-user windows — one shuffle key, bounded
+# state, no self-join explosion.
+# ---------------------------------------------------------------------------
+CONV_WINDOW_US = 6 * 3600 * 1_000_000
+
+
+@register(
+    "q_funnel_conversion_window",
+    oracle=f"""
+    WITH s AS (
+        SELECT user_id, event_id, ts, event_type,
+               LAST_VALUE(CASE WHEN event_type = 'view'
+                               THEN epoch_us(ts) END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_view_us
+        FROM events
+    ),
+    qual AS (
+        SELECT user_id, event_id, ts, event_type,
+               (event_type = 'click' AND prev_view_us IS NOT NULL
+                AND epoch_us(ts) - prev_view_us <= {CONV_WINDOW_US})
+                   AS is_qual_click
+        FROM s
+    ),
+    s2 AS (
+        SELECT user_id, ts, event_type,
+               LAST_VALUE(CASE WHEN is_qual_click
+                               THEN epoch_us(ts) END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_qc_us
+        FROM qual
+    ),
+    per_user AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s1,
+               MAX(CASE WHEN is_qual_click THEN 1 ELSE 0 END) AS s2
+        FROM qual GROUP BY user_id
+    ),
+    purch AS (
+        SELECT user_id, 1 AS s3 FROM s2
+        WHERE event_type = 'purchase' AND prev_qc_us IS NOT NULL
+          AND epoch_us(ts) - prev_qc_us <= {CONV_WINDOW_US}
+        GROUP BY user_id
+    ),
+    stages AS (
+        SELECT p.user_id, p.s1, p.s2, COALESCE(pu.s3, 0) AS s3
+        FROM per_user p LEFT JOIN purch pu USING (user_id)
+    ),
+    counts AS (
+        SELECT CAST(SUM(s1) AS BIGINT) AS n1,
+               CAST(SUM(s2) AS BIGINT) AS n2,
+               CAST(SUM(s3) AS BIGINT) AS n3
+        FROM stages
+    )
+    SELECT step, n_users, CAST(ROUND(conv, 6) AS DOUBLE) AS conversion
+    FROM (
+        SELECT 1 AS step, 'view' AS stage, n1 AS n_users, 1.0 AS conv FROM counts
+        UNION ALL
+        SELECT 2, 'click<=6h', n2, n2 * 1.0 / n1 FROM counts
+        UNION ALL
+        SELECT 3, 'purchase<=6h', n3, n3 * 1.0 / n2 FROM counts
+    )
+    ORDER BY step
+    """,
+)
+def q_funnel_conversion_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users surviving each funnel stage when every step must follow
+    the previous within the conversion window, plus step-to-step
+    conversion rates."""
+    ev = load_table(spark, sf_dir, "events")
+    w_prev = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    view_us = F.when(F.col("event_type") == "view", F.unix_micros("ts"))
+    s = ev.withColumn(
+        "prev_view_us", F.last(view_us, ignorenulls=True).over(w_prev)
+    )
+    is_qc = (
+        (F.col("event_type") == "click")
+        & F.col("prev_view_us").isNotNull()
+        & ((F.unix_micros("ts") - F.col("prev_view_us")) <= CONV_WINDOW_US)
+    )
+    qual = s.withColumn("is_qual_click", is_qc)
+    qc_us = F.when(F.col("is_qual_click"), F.unix_micros("ts"))
+    s2 = qual.withColumn(
+        "prev_qc_us", F.last(qc_us, ignorenulls=True).over(w_prev)
+    )
+    per_user = qual.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("s1"),
+        F.max(F.when(F.col("is_qual_click"), 1).otherwise(0)).alias("s2"),
+    )
+    purch = (
+        s2.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("prev_qc_us").isNotNull()
+            & ((F.unix_micros("ts") - F.col("prev_qc_us")) <= CONV_WINDOW_US)
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("s3", F.lit(1))
+    )
+    counts = (
+        per_user.join(purch, "user_id", "left")
+        .agg(
+            F.sum("s1").cast("long").alias("n1"),
+            F.sum("s2").cast("long").alias("n2"),
+            F.sum(F.coalesce(F.col("s3"), F.lit(0))).cast("long").alias("n3"),
+        )
+    )
+    rows = counts.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("step"),
+                    F.col("n1").alias("n_users"),
+                    F.lit(1.0).alias("conv"),
+                ),
+                F.struct(
+                    F.lit(2).alias("step"),
+                    F.col("n2").alias("n_users"),
+                    (F.col("n2") * 1.0 / F.col("n1")).alias("conv"),
+                ),
+                F.struct(
+                    F.lit(3).alias("step"),
+                    F.col("n3").alias("n_users"),
+                    (F.col("n3") * 1.0 / F.col("n2")).alias("conv"),
+                ),
+            )
+        ).alias("r")
+    )
+    return (
+        rows.select(
+            F.col("r.step").alias("step"),
+            F.col("r.n_users").alias("n_users"),
+            F.round(F.col("r.conv"), 6).cast("double").alias("conversion"),
+        )
+        .orderBy("step")
+    )
