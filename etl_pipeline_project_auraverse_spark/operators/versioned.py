@@ -140,3 +140,58 @@ class VersionedTable:
         if not eligible:
             raise ValueError(f"no version at or before ts={ts}")
         return self.read(spark, eligible[-1]["version"])
+
+    def diff(
+        self,
+        spark: SparkSession,
+        key_cols: list[str],
+        v_from: int,
+        v_to: int | None = None,
+    ) -> DataFrame:
+        """Change-data-feed between two snapshots: one row per changed
+        key with ``_change in ('insert','delete','update')`` — the
+        Delta-CDF shape derived from plain snapshots. A full outer
+        join on the key columns classifies each key; unchanged rows
+        (all non-key columns equal, null-safe) are dropped. Cost: one
+        co-partitioned outer join of the two snapshots — no state kept
+        between commits."""
+        from pyspark.sql import functions as F
+
+        if v_to is None:
+            v_to = self.latest_version()
+        old = self.read(spark, v_from)
+        new = self.read(spark, v_to)
+        val_cols = [c for c in new.columns if c not in key_cols]
+        if set(old.columns) != set(new.columns):
+            raise ValueError("diff requires identical schemas")
+        o = old.select(
+            *[F.col(c).alias(f"__o_{c}") for c in old.columns]
+        )
+        cond = None
+        for k in key_cols:
+            c = F.col(f"__o_{k}") == F.col(k)
+            cond = c if cond is None else (cond & c)
+        joined = new.join(o, cond, "full_outer")
+        old_key_null = F.col(f"__o_{key_cols[0]}").isNull()
+        new_key_null = F.col(key_cols[0]).isNull()
+        same = F.lit(True)
+        for c in val_cols:
+            same = same & F.col(c).eqNullSafe(F.col(f"__o_{c}"))
+        change = (
+            F.when(old_key_null, F.lit("insert"))
+            .when(new_key_null, F.lit("delete"))
+            .when(~same, F.lit("update"))
+        )
+        out_keys = [
+            F.coalesce(F.col(k), F.col(f"__o_{k}")).alias(k) for k in key_cols
+        ]
+        return (
+            joined.withColumn("_change", change)
+            .filter(F.col("_change").isNotNull())
+            .select(
+                *out_keys,
+                F.col("_change"),
+                *[F.col(c).alias(f"new_{c}") for c in val_cols],
+                *[F.col(f"__o_{c}").alias(f"old_{c}") for c in val_cols],
+            )
+        )

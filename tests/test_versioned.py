@@ -112,3 +112,24 @@ def test_vacuum_drops_old_versions_keeps_counter(spark, tmp_path):
     assert t.commit(_df(spark, [(5, "v")]), ts=5.0) == 5
     with pytest.raises(ValueError):
         t.vacuum(keep_last=0)
+
+
+def test_diff_classifies_changes(spark, tmp_path):
+    vt = VersionedTable(str(tmp_path / "t"))
+    v1 = vt.commit(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+        ),
+        ts=1.0,
+    )
+    v2 = vt.commit(
+        spark.createDataFrame(
+            [(2, "b"), (3, "C"), (4, "d")], "k long, v string"
+        ),
+        ts=2.0,
+    )
+    d = {r["k"]: r for r in vt.diff(spark, ["k"], v1, v2).collect()}
+    assert set(d) == {1, 3, 4}
+    assert d[1]["_change"] == "delete" and d[1]["old_v"] == "a"
+    assert d[3]["_change"] == "update" and (d[3]["old_v"], d[3]["new_v"]) == ("c", "C")
+    assert d[4]["_change"] == "insert" and d[4]["new_v"] == "d"
