@@ -433,3 +433,96 @@ def q_corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("col_x", "col_y")
+
+
+# ---------------------------------------------------------------------------
+# Revenue concentration (Lorenz curve at decile granularity): how much
+# of total revenue the poorest..richest customer deciles hold — the
+# Pareto/80-20 audit. Decile bounds come from the range-shuffle exact
+# order statistics over PER-CUSTOMER revenue (never a global NTILE
+# sort); assignment is a map-side broadcast-array comparison; the
+# cumulative share is a running sum over the 10-row decile aggregate.
+# ---------------------------------------------------------------------------
+LORENZ_BUCKETS = 10
+
+
+def _lorenz_oracle() -> str:
+    qs = ", ".join(
+        f"quantile_cont(rev, {i / LORENZ_BUCKETS})" for i in range(1, LORENZ_BUCKETS)
+    )
+    return f"""
+    WITH cust AS (
+        SELECT o_custkey, {sql_dec_sum('o_totalprice', 2)} AS rev
+        FROM orders GROUP BY o_custkey
+    ),
+    b AS (SELECT [{qs}] AS bounds FROM cust),
+    assigned AS (
+        SELECT c.rev,
+               len(list_filter(b.bounds, x -> x < c.rev)) + 1 AS decile
+        FROM cust c, b
+    ),
+    agg AS (
+        SELECT CAST(decile AS BIGINT) AS decile,
+               COUNT(*) AS n_customers,
+               {sql_dec_sum('rev', 2)} AS revenue
+        FROM assigned GROUP BY decile
+    ),
+    tot AS (SELECT {sql_dec_sum('rev', 2)} AS total FROM cust)
+    SELECT a.decile, a.n_customers, a.revenue,
+           CAST(ROUND(a.revenue / t.total, 6) AS DOUBLE) AS revenue_share,
+           CAST(ROUND(SUM(a.revenue) OVER (ORDER BY a.decile
+                ROWS UNBOUNDED PRECEDING) / t.total, 6) AS DOUBLE)
+               AS cum_share
+    FROM agg a, tot t
+    ORDER BY a.decile
+    """
+
+
+@register("q_revenue_concentration_deciles", oracle=_lorenz_oracle())
+def q_revenue_concentration_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile Lorenz curve of per-customer revenue: share and
+    cumulative share of total revenue held by each revenue decile."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        dec_sum("o_totalprice", 2).alias("rev")
+    )
+    ps = [i / LORENZ_BUCKETS for i in range(1, LORENZ_BUCKETS)]
+    names = [f"b{i}" for i in range(1, LORENZ_BUCKETS)]
+    bounds = exact_group_percentiles(
+        cust.withColumn("__g", F.lit("all")), "__g", "rev", ps, names=names,
+        n_groups_hint=1,
+    ).select(F.array(*names).alias("bounds"))
+    assigned = cust.join(F.broadcast(bounds)).select(
+        "rev",
+        (
+            F.aggregate(
+                "bounds",
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + F.when(x < F.col("rev"), 1).otherwise(0),
+            )
+            + 1
+        ).alias("decile"),
+    )
+    agg = assigned.groupBy("decile").agg(
+        F.count("*").alias("n_customers"),
+        dec_sum("rev", 2).alias("revenue"),
+    )
+    tot = cust.agg(dec_sum("rev", 2).alias("total"))
+    from pyspark.sql.window import Window as W
+
+    w_cum = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_customers",
+            "revenue",
+            F.round(F.col("revenue") / F.col("total"), 6)
+            .cast("double")
+            .alias("revenue_share"),
+            F.round(F.sum("revenue").over(w_cum) / F.col("total"), 6)
+            .cast("double")
+            .alias("cum_share"),
+        )
+        .orderBy("decile")
+    )

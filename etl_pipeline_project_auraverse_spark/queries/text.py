@@ -483,3 +483,91 @@ def q_sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(h28(F.col("doc_id").cast("string")) < threshold)
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf fit: least-squares slope of ln(freq) vs ln(rank) over the top
+# word frequencies — the corpus-health statistic (natural language
+# sits near slope -1; corrupted/templated corpora drift off). Counts
+# are exact integers; each point's logs are rounded then
+# decimal-summed, so the regression inputs are bit-identical in both
+# engines. The rank window runs over the TOP_N-bounded count table
+# (bounded input), not the corpus.
+# ---------------------------------------------------------------------------
+ZIPF_TOP_N = 100
+
+
+def _zipf_rank_window():
+    # global window over the LIMIT-bounded top-N table only (whitelisted
+    # in the plan lint as bounded-by-construction)
+    from pyspark.sql.window import Window
+
+    return Window.orderBy(F.col("c").desc(), "w")
+
+
+@register(
+    "q_zipf_word_fit",
+    oracle=rf"""
+    WITH words AS (
+        SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents
+    ),
+    counts AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
+    top AS (
+        SELECT w, c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rank
+        FROM counts ORDER BY c DESC, w LIMIT {ZIPF_TOP_N}
+    ),
+    pts AS (
+        SELECT ROUND(ln(rank), 6) AS x, ROUND(ln(c), 6) AS y FROM top
+    ),
+    s AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(ROUND(x * x, 6) AS DECIMAL(25,6))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(ROUND(x * y, 6) AS DECIMAL(25,6))) AS DOUBLE) AS sxy
+        FROM pts
+    )
+    SELECT n AS n_points,
+           CAST(ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS DOUBLE)
+               AS zipf_slope,
+           CAST(ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+                6) AS DOUBLE) AS intercept
+    FROM s
+    """,
+)
+def q_zipf_word_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf exponent of the corpus word distribution: regression slope
+    of ln(freq) on ln(rank) over the top-N words."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        parallelize(docs)
+        .select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    top = (
+        counts.orderBy(F.col("c").desc(), "w")
+        .limit(ZIPF_TOP_N)
+        .withColumn("rank", F.row_number().over(_zipf_rank_window()))
+    )
+    pts = top.select(
+        F.round(F.log("rank"), 6).alias("x"), F.round(F.log("c"), 6).alias("y")
+    )
+    dsum = lambda c: F.sum(c.cast("decimal(25,6)")).cast("double")  # noqa: E731
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("x")).alias("sx"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.round(F.col("x") * F.col("x"), 6)).alias("sxx"),
+        dsum(F.round(F.col("x") * F.col("y"), 6)).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").alias("n_points"),
+        F.round(slope, 6).cast("double").alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6)
+        .cast("double")
+        .alias("intercept"),
+    )

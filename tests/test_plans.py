@@ -290,6 +290,10 @@ BOUNDED_GLOBAL_WINDOW_OK = {
     "q_rolling_median_daily_revenue",
     # cumulative running sum over the per-day aggregate (calendar-bounded)
     "q_daily_users_new_returning",
+    # rank over the LIMIT-bounded top-N word-count table
+    "q_zipf_word_fit",
+    # running sum over the 10-row decile aggregate
+    "q_revenue_concentration_deciles",
 }
 
 # Iterative builders whose CONSTRUCTION runs full multi-job loops
