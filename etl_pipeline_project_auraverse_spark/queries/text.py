@@ -571,3 +571,95 @@ def q_zipf_word_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus data card: the one-row headline summary a dataset release
+# ships with — sizes, language spread, duplication, quality pass rate.
+# Composed from single scans; every aggregate is exact-integer or
+# decimal-accumulated, the four 1-row sides combine by broadcast.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_corpus_datacard",
+    oracle=rf"""
+    WITH base AS (
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM({SQL_N_WORDS}) AS BIGINT) AS n_tokens,
+               COUNT(DISTINCT lang) AS n_langs,
+               COUNT(DISTINCT source) AS n_sources,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        FROM documents
+    ),
+    dup AS (
+        SELECT COUNT(*) - COUNT(DISTINCT
+                   md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))))
+               AS n_exact_dups
+        FROM documents
+    ),
+    q AS (
+        SELECT COUNT(CASE WHEN ROUND(1.0 / (1.0 + exp(-({LOGIT_BIAS}
+                   + {LOGIT_W_LEN} * LEAST(1.0, {SQL_N_WORDS} / 200.0)
+                   + {LOGIT_W_STOP} * ({SQL_STOP_HITS} * 1.0 / {SQL_N_WORDS})
+                   + {LOGIT_W_PUNCT} * ({SQL_PUNCT_HITS} * 1.0 / length(text))))), 6)
+                   >= 0.5 THEN 1 END) AS n_quality_pass
+        FROM documents
+    )
+    SELECT b.n_docs, b.n_tokens, b.n_chars, b.n_langs, b.n_sources,
+           CAST(d.n_exact_dups AS BIGINT) AS n_exact_dups,
+           CAST(ROUND(d.n_exact_dups * 1.0 / b.n_docs, 6) AS DOUBLE)
+               AS dup_fraction,
+           CAST(q.n_quality_pass AS BIGINT) AS n_quality_pass,
+           CAST(ROUND(q.n_quality_pass * 1.0 / b.n_docs, 6) AS DOUBLE)
+               AS quality_pass_rate,
+           CAST(ROUND(b.n_tokens * 1.0 / b.n_docs, 6) AS DOUBLE)
+               AS avg_tokens_per_doc
+    FROM base b, dup d, q
+    """,
+)
+def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset release card: corpus sizes, language/source
+    spread, exact-duplicate fraction, frozen-model quality pass rate,
+    mean document length."""
+    from etl_pipeline_project_auraverse_spark.functions.text import norm_text
+
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    t = F.col("text")
+    z = (
+        F.lit(LOGIT_BIAS)
+        + F.lit(LOGIT_W_LEN) * F.least(F.lit(1.0), n_words(t) / 200.0)
+        + F.lit(LOGIT_W_STOP) * (match_count(F.lower(t), STOPWORD_RE) * 1.0 / n_words(t))
+        + F.lit(LOGIT_W_PUNCT) * (match_count(t, PUNCT_RE) * 1.0 / F.length(t))
+    )
+    card = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_words(t)).cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5(norm_text(t))))
+        .cast("long")
+        .alias("n_exact_dups"),
+        F.count(F.when(F.round(1.0 / (1.0 + F.exp(-z)), 6) >= 0.5, 1))
+        .cast("long")
+        .alias("n_quality_pass"),
+    )
+    return card.select(
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        "n_langs",
+        "n_sources",
+        "n_exact_dups",
+        F.round(F.col("n_exact_dups") * 1.0 / F.col("n_docs"), 6)
+        .cast("double")
+        .alias("dup_fraction"),
+        "n_quality_pass",
+        F.round(F.col("n_quality_pass") * 1.0 / F.col("n_docs"), 6)
+        .cast("double")
+        .alias("quality_pass_rate"),
+        F.round(F.col("n_tokens") * 1.0 / F.col("n_docs"), 6)
+        .cast("double")
+        .alias("avg_tokens_per_doc"),
+    )
