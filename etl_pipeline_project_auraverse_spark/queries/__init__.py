@@ -64,6 +64,7 @@ _MODULES = [
     "etl_pipeline_project_auraverse_spark.queries.dq",
     "etl_pipeline_project_auraverse_spark.queries.sequences",
     "etl_pipeline_project_auraverse_spark.queries.pq",
+    "etl_pipeline_project_auraverse_spark.queries.search",
 ]
 
 

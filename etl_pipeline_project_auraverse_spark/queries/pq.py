@@ -31,7 +31,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from etl_pipeline_project_auraverse_spark.functions.vectors import dot, sql_dot
+from etl_pipeline_project_auraverse_spark.functions.vectors import (
+    dot,
+    sql_cosine,
+    sql_dot,
+)
 from etl_pipeline_project_auraverse_spark.queries import register
 from etl_pipeline_project_auraverse_spark.queries.similarity import (
     sql_centroid_cte,
@@ -379,4 +383,102 @@ def q_ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= PQ_TOP_K)
         .select("query_id", "cand_id", "rank", "adc")
         .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# One exact Lloyd (k-means) iteration, oracle-checked: assign every
+# vector to its nearest seed centroid (rounded cosine, id tiebreak),
+# then recompute each centroid as the per-dimension mean of its
+# assigned vectors. The iterative-ML primitive in pure relational
+# form: assignment is a broadcast argmax, the update one
+# (centroid, dim)-keyed aggregate over rounded components with decimal
+# accumulation — both engines produce bit-identical new centroids, so
+# a full training loop (iterate N times) stays deterministic.
+# ---------------------------------------------------------------------------
+KM_K = 8
+
+
+@register(
+    "q_kmeans_lloyd_step",
+    oracle=f"""
+    WITH seeds AS (
+        SELECT vec_id AS centroid_id, embedding AS seed
+        FROM embeddings WHERE vec_id < {KM_K}
+    ),
+    scored AS (
+        SELECT e.vec_id, s.centroid_id, e.embedding,
+               {sql_cosine("e.embedding", "s.seed")} AS cos
+        FROM embeddings e CROSS JOIN seeds s
+    ),
+    assign AS (
+        SELECT vec_id, centroid_id, embedding FROM (
+            SELECT vec_id, centroid_id, embedding,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY cos DESC, centroid_id) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    ),
+    comps AS (
+        SELECT centroid_id,
+               CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+               ROUND(CAST(unnest(embedding) AS DOUBLE), 6) AS val
+        FROM assign
+    ),
+    sizes AS (SELECT centroid_id, COUNT(*) AS n_assigned FROM assign
+              GROUP BY centroid_id)
+    SELECT c.centroid_id, z.n_assigned, c.dim,
+           CAST(ROUND(CAST(SUM(CAST(c.val AS DECIMAL(25,6))) AS DOUBLE)
+                / COUNT(*), 6) AS DOUBLE) AS new_val
+    FROM comps c JOIN sizes z USING (centroid_id)
+    GROUP BY c.centroid_id, z.n_assigned, c.dim
+    ORDER BY c.centroid_id, c.dim
+    """,
+)
+def q_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One deterministic Lloyd iteration over the embeddings: nearest
+    seed by rounded cosine, then exact per-dimension centroid means."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = F.broadcast(
+        emb.filter(F.col("vec_id") < KM_K).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("seed"),
+        )
+    )
+    from etl_pipeline_project_auraverse_spark.functions.vectors import cosine
+
+    w = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), "centroid_id")
+    assign = (
+        emb.crossJoin(seeds)
+        .select(
+            "vec_id",
+            "centroid_id",
+            "embedding",
+            cosine(F.col("embedding"), F.col("seed")).alias("cos"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "centroid_id", "embedding")
+    )
+    comps = assign.select(
+        "centroid_id",
+        F.posexplode("embedding").alias("dim", "raw"),
+    ).select(
+        "centroid_id", "dim", F.round(F.col("raw").cast("double"), 6).alias("val")
+    )
+    sizes = assign.groupBy("centroid_id").agg(F.count("*").alias("n_assigned"))
+    return (
+        comps.groupBy("centroid_id", "dim")
+        .agg(
+            F.round(
+                F.sum(F.col("val").cast("decimal(25,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            )
+            .cast("double")
+            .alias("new_val")
+        )
+        .join(F.broadcast(sizes), "centroid_id")
+        .select("centroid_id", "n_assigned", "dim", "new_val")
+        .orderBy("centroid_id", "dim")
     )

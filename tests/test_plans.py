@@ -294,6 +294,8 @@ BOUNDED_GLOBAL_WINDOW_OK = {
     "q_zipf_word_fit",
     # running sum over the 10-row decile aggregate
     "q_revenue_concentration_deciles",
+    # global rank over the <= k*SHARDS two-level top-k survivors
+    "q_bm25_search",
 }
 
 # Iterative builders whose CONSTRUCTION runs full multi-job loops
