@@ -275,3 +275,85 @@ def q_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_triangles"))
     )
     return per_part.orderBy(F.col("n_triangles").desc(), "part").limit(TRI_TOP)
+
+
+# ---------------------------------------------------------------------------
+# Item-item collaborative filtering: cosine similarity between parts
+# from their order co-occurrence counts — sim(i,j) = c_ij /
+# sqrt(c_i * c_j) over baskets. The pair explode is the capped basket
+# combination (map-side, never a self-join of the fact table); per-
+# item totals broadcast back into the 3-column pair stream. The float
+# step is one rounded division over exact integers.
+# ---------------------------------------------------------------------------
+CF_MIN_CO = 3  # pairs must co-occur in >= this many orders
+CF_TOP = 200
+
+
+@register(
+    "q_item_item_cosine",
+    oracle=f"""
+    WITH baskets AS (
+        SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS parts
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    items AS (
+        SELECT unnest(parts) AS part, l_orderkey FROM baskets
+    ),
+    item_n AS (SELECT part, COUNT(*) AS n FROM items GROUP BY part),
+    prs AS (
+        SELECT a.part AS part_a, b.part AS part_b, COUNT(*) AS n_co
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.part < b.part
+        GROUP BY a.part, b.part
+        HAVING COUNT(*) >= {CF_MIN_CO}
+    )
+    SELECT p.part_a, p.part_b, p.n_co, na.n AS n_a, nb.n AS n_b,
+           CAST(ROUND(p.n_co / SQRT(na.n * nb.n), 6) AS DOUBLE) AS cosine_sim
+    FROM prs p
+    JOIN item_n na ON na.part = p.part_a
+    JOIN item_n nb ON nb.part = p.part_b
+    ORDER BY cosine_sim DESC, p.part_a, p.part_b
+    LIMIT {CF_TOP}
+    """,
+)
+def q_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top item-item cosine similarities from order co-occurrence —
+    the classic collaborative-filtering neighborhood build."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # map-side pair combinations from the per-order sorted part array
+    # (the basket-mining shape: no self-join, sortedness gives
+    # part_a < part_b for free)
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    item_n = baskets.select(F.explode("parts").alias("part")).groupBy(
+        "part"
+    ).agg(F.count("*").alias("n"))
+    lhs = baskets.select("parts", F.posexplode("parts").alias("i", "part_a"))
+    prs = (
+        lhs.select(
+            "part_a",
+            F.explode(
+                F.expr("slice(parts, i + 2, size(parts) - i - 1)")
+            ).alias("part_b"),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_co"))
+        .filter(F.col("n_co") >= CF_MIN_CO)
+    )
+    sim = F.round(
+        F.col("n_co") / F.sqrt(F.col("n_a") * F.col("n_b")), 6
+    ).cast("double")
+    return (
+        prs.join(
+            item_n.select(F.col("part").alias("part_a"), F.col("n").alias("n_a")),
+            "part_a",
+        )
+        .join(
+            item_n.select(F.col("part").alias("part_b"), F.col("n").alias("n_b")),
+            "part_b",
+        )
+        .select("part_a", "part_b", "n_co", "n_a", "n_b", sim.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), "part_a", "part_b")
+        .limit(CF_TOP)
+    )
