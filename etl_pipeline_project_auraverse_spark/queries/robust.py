@@ -526,3 +526,82 @@ def q_revenue_concentration_deciles(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped linear regression: daily-revenue trend slope per market
+# segment — ordinary least squares of revenue on day index, one slope
+# per group, all sufficient statistics exact (day indices are
+# integers, daily revenues decimal-accumulated) so the float solve is
+# identical in both engines. The generic shape for "fit a tiny model
+# per group across a huge table".
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_revenue_trend_by_segment",
+    oracle=f"""
+    WITH daily AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(datediff('day', DATE '1992-01-01', CAST(o.o_orderdate AS DATE)) AS BIGINT) AS day_idx,
+               {sql_dec_sum('o.o_totalprice', 2)} AS rev
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY segment, day_idx
+    ),
+    s AS (
+        SELECT segment, COUNT(*) AS n,
+               CAST(SUM(day_idx) AS BIGINT) AS sx,
+               CAST(SUM(day_idx * day_idx) AS BIGINT) AS sxx,
+               CAST(SUM(CAST(rev AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(ROUND(day_idx * rev, 4) AS DECIMAL(25,6)))
+                    AS DOUBLE) AS sxy
+        FROM daily GROUP BY segment
+    )
+    SELECT segment, CAST(n AS BIGINT) AS n_days,
+           CAST(ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS DOUBLE)
+               AS slope_per_day,
+           CAST(ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+                4) AS DOUBLE) AS intercept
+    FROM s
+    ORDER BY segment
+    """,
+)
+def q_revenue_trend_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS slope of daily revenue per market segment (revenue units
+    per day) from exact sufficient statistics."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    daily = (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+            .cast("long")
+            .alias("day_idx"),
+        )
+        .agg(dec_sum("o_totalprice", 2).alias("rev"))
+    )
+    s = daily.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("day_idx").cast("long").alias("sx"),
+        F.sum(F.col("day_idx") * F.col("day_idx")).cast("long").alias("sxx"),
+        F.sum(F.col("rev").cast("decimal(25,6)")).cast("double").alias("sy"),
+        F.sum(
+            F.round(F.col("day_idx") * F.col("rev"), 4).cast("decimal(25,6)")
+        )
+        .cast("double")
+        .alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "segment",
+        F.col("n").cast("long").alias("n_days"),
+        F.round(slope, 6).cast("double").alias("slope_per_day"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4)
+        .cast("double")
+        .alias("intercept"),
+    ).orderBy("segment")
