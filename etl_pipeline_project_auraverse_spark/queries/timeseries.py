@@ -902,3 +902,140 @@ def q_funnel_conversion_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("step")
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed seasonality-adjusted anomaly detection: daily revenue minus
+# the OLS trend minus the weekday effect -> residual z-scores. The
+# "is today actually unusual?" question answered properly — a raw
+# threshold would page on every weekend dip and growth drift. All
+# model parameters (slope, intercept, weekday means) derive from exact
+# sufficient statistics; the residual z uses exact decimal moments.
+# ---------------------------------------------------------------------------
+ANOM_Z = 2.0
+
+
+@register(
+    "q_revenue_anomaly_decomposed",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(datediff('day', DATE '1992-01-01',
+                    CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+               CAST(dayofweek(CAST(o_orderdate AS DATE)) AS BIGINT) AS dow,
+               {sql_dec_sum('o_totalprice', 2)} AS rev
+        FROM orders GROUP BY day, x, dow
+    ),
+    fit AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(CAST(rev AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(ROUND(x * rev, 4) AS DECIMAL(25,6))) AS DOUBLE)
+                   AS sxy
+        FROM daily
+    ),
+    params AS (
+        SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+               (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                   AS icept
+        FROM fit
+    ),
+    detrended AS (
+        SELECT d.day, d.dow, d.rev,
+               ROUND(d.rev - (p.icept + p.slope * d.x), 4) AS detr
+        FROM daily d, params p
+    ),
+    dow_eff AS (
+        SELECT dow,
+               CAST(ROUND(CAST(SUM(CAST(detr AS DECIMAL(25,6))) AS DOUBLE)
+                    / COUNT(*), 4) AS DOUBLE) AS dow_mean
+        FROM detrended GROUP BY dow
+    ),
+    resid AS (
+        SELECT t.day, ROUND(t.detr - e.dow_mean, 4) AS r
+        FROM detrended t JOIN dow_eff e USING (dow)
+    ),
+    mom AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(r AS DECIMAL(25,6))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(ROUND(r * r, 4) AS DECIMAL(25,6))) AS DOUBLE) AS s2
+        FROM resid
+    )
+    SELECT CAST(r.day AS TIMESTAMP) AS day,
+           r.r AS residual,
+           CAST(ROUND((r.r - m.s1 / m.n)
+                / SQRT((m.s2 - m.s1 * m.s1 / m.n) / (m.n - 1)), 4) AS DOUBLE)
+               AS z_score
+    FROM resid r, mom m
+    WHERE ABS((r.r - m.s1 / m.n)
+          / SQRT((m.s2 - m.s1 * m.s1 / m.n) / (m.n - 1))) >= {ANOM_Z}
+    ORDER BY day
+    """,
+)
+def q_revenue_anomaly_decomposed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days whose revenue is anomalous AFTER removing the linear trend
+    and the weekday effect — residual |z| >= {ANOM_Z}."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").alias("day"),
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+        .cast("long")
+        .alias("x"),
+        F.dayofweek("o_orderdate").cast("long").alias("dow"),
+    ).agg(dec_sum("o_totalprice", 2).alias("rev"))
+    fit = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("rev").cast("decimal(25,6)")).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("rev"), 4).cast("decimal(25,6)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    params = fit.select(
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("icept"),
+    )
+    detr = daily.crossJoin(F.broadcast(params)).select(
+        "day",
+        "dow",
+        F.round(
+            F.col("rev") - (F.col("icept") + F.col("slope") * F.col("x")), 4
+        ).alias("detr"),
+    )
+    dow_eff = detr.groupBy("dow").agg(
+        F.round(
+            F.sum(F.col("detr").cast("decimal(25,6)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        )
+        .cast("double")
+        .alias("dow_mean")
+    )
+    resid = detr.join(F.broadcast(dow_eff), "dow").select(
+        "day", F.round(F.col("detr") - F.col("dow_mean"), 4).alias("r")
+    )
+    mom = resid.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("r").cast("decimal(25,6)")).cast("double").alias("s1"),
+        F.sum(F.round(F.col("r") * F.col("r"), 4).cast("decimal(25,6)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    z = (F.col("r") - F.col("s1") / F.col("n")) / F.sqrt(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    )
+    return (
+        resid.crossJoin(F.broadcast(mom))
+        .filter(F.abs(z) >= ANOM_Z)
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            F.col("r").alias("residual"),
+            F.round(z, 4).cast("double").alias("z_score"),
+        )
+        .orderBy("day")
+    )
