@@ -10,8 +10,9 @@ DataFrame ops with a DuckDB oracle twin:
 
 - Codebooks are the subvectors of the K lowest-``vec_id`` vectors
   (the same deterministic seed-selection trick as the IVF centroids in
-  ``queries/similarity.py`` — a k-means fit would ship as a table with
-  the identical plan shape, but would not be oracle-expressible).
+  ``queries/similarity.py``). A TRAINED quantizer is also
+  oracle-expressible — ``q_ann_ivf_trained`` below chains exact Lloyd
+  iterations in both engines and searches over the fitted centroids.
 - Encoding assigns each (vector, subspace) to the codeword with the
   smallest ROUNDED squared L2 distance (codeword-id tiebreak), so the
   codes are bit-identical across engines.
@@ -481,4 +482,148 @@ def q_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sizes), "centroid_id")
         .select("centroid_id", "n_assigned", "dim", "new_val")
         .orderBy("centroid_id", "dim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF over a TRAINED quantizer: the coarse centroids come from two
+# deterministic Lloyd iterations (operators/kmeans.py), not from seed
+# vectors — the production IVF construction, still oracle-checked
+# because every Lloyd step is exact (the oracle chains the same
+# assign/update SQL twice, then runs the final assignment and probe
+# search over the trained centroids).
+# ---------------------------------------------------------------------------
+IVT_K = 8
+IVT_ITERS = 2
+IVT_NPROBE = 2
+IVT_TOP_K = 5
+
+
+def _sql_lloyd_chain(iters: int) -> str:
+    """CTE chain c0 (seed arrays) -> a1/c1 -> a2/c2 ... following the
+    exact arithmetic of operators/kmeans.py."""
+    parts = [
+        f"""c0 AS (
+        SELECT vec_id AS centroid_id,
+               list_transform(embedding, x -> ROUND(CAST(x AS DOUBLE), 6))
+                   AS centroid
+        FROM embeddings WHERE vec_id < {IVT_K}
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        prev = f"c{i - 1}"
+        parts.append(
+            f"""a{i} AS (
+        SELECT vec_id, centroid_id, embedding FROM (
+            SELECT e.vec_id, c.centroid_id, e.embedding,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                       {sql_cosine("e.embedding", "c.centroid")} DESC,
+                       c.centroid_id) AS rn
+            FROM embeddings e CROSS JOIN {prev} c
+        ) WHERE rn = 1
+    )"""
+        )
+        parts.append(
+            f"""c{i} AS (
+        SELECT centroid_id, list(mv ORDER BY dim) AS centroid FROM (
+            SELECT centroid_id, dim,
+                   CAST(ROUND(CAST(SUM(CAST(val AS DECIMAL(25,6))) AS DOUBLE)
+                        / COUNT(*), 6) AS DOUBLE) AS mv
+            FROM (
+                SELECT centroid_id,
+                       CAST(generate_subscripts(embedding, 1) AS INT) AS dim,
+                       ROUND(CAST(unnest(embedding) AS DOUBLE), 6) AS val
+                FROM a{i}
+            ) GROUP BY centroid_id, dim
+        ) GROUP BY centroid_id
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
+@register(
+    "q_ann_ivf_trained",
+    oracle=f"""
+    WITH {_sql_lloyd_chain(IVT_ITERS)},
+    blocked AS (
+        SELECT vec_id, centroid_id, embedding FROM (
+            SELECT e.vec_id, c.centroid_id, e.embedding,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                       {sql_cosine("e.embedding", "c.centroid")} DESC,
+                       c.centroid_id) AS rn
+            FROM embeddings e CROSS JOIN c{IVT_ITERS} c
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id, centroid_id, rn AS probe_rank FROM (
+            SELECT e.vec_id, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                       {sql_cosine("e.embedding", "c.centroid")} DESC,
+                       c.centroid_id) AS rn
+            FROM embeddings e CROSS JOIN c{IVT_ITERS} c
+            WHERE e.vec_id < {PQ_QUERY_MAX}
+        ) WHERE rn <= {IVT_NPROBE}
+    )
+    SELECT query_id, cand_id, CAST(rank AS BIGINT) AS rank, cos_sim FROM (
+        SELECT q.vec_id AS query_id, b.vec_id AS cand_id,
+               {sql_cosine("q.embedding", "b.embedding")} AS cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                   {sql_cosine("q.embedding", "b.embedding")} DESC,
+                   b.vec_id) AS rank
+        FROM (SELECT * FROM embeddings WHERE vec_id < {PQ_QUERY_MAX}) q
+        JOIN probes p ON p.vec_id = q.vec_id
+        JOIN blocked b ON b.centroid_id = p.centroid_id
+                      AND b.vec_id <> q.vec_id
+    ) WHERE rank <= {IVT_TOP_K}
+    ORDER BY query_id, rank
+    """,
+)
+def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k search over k-means-TRAINED coarse centroids: two
+    exact Lloyd iterations build the quantizer, the final assignment
+    defines home blocks, queries probe their top-P trained blocks and
+    rank candidates by true cosine."""
+    from etl_pipeline_project_auraverse_spark.functions.vectors import cosine
+    from etl_pipeline_project_auraverse_spark.operators.kmeans import (
+        _assign,
+        kmeans_fit,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    fit = kmeans_fit(emb, k=IVT_K, max_iters=IVT_ITERS)
+    cents = F.broadcast(fit.centroids)
+    blocked = _assign(emb, fit.centroids).select(
+        "vec_id", "centroid_id", "embedding"
+    )
+    w_probe = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), "centroid_id")
+    probes = (
+        emb.filter(F.col("vec_id") < PQ_QUERY_MAX)
+        .crossJoin(cents)
+        .select(
+            "vec_id",
+            "centroid_id",
+            "embedding",
+            cosine(F.col("embedding"), F.col("centroid")).alias("cos"),
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= IVT_NPROBE)
+        .select("vec_id", "centroid_id", "embedding")
+    )
+    w_rank = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "cand_id")
+    return (
+        probes.alias("q")
+        .join(
+            blocked.alias("b"),
+            (F.col("q.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("q.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("cand_id"),
+            cosine(F.col("q.embedding"), F.col("b.embedding")).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= IVT_TOP_K)
+        .select("query_id", "cand_id", "rank", "cos_sim")
+        .orderBy("query_id", "rank")
     )
