@@ -1001,3 +1001,96 @@ def q_dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment scoring: |A∩B| / |A| for band candidates — the
+# ASYMMETRIC near-duplicate signal. A quote or excerpt has low Jaccard
+# against its source (sizes differ) but high containment; dedup
+# policies keep the superset and drop the contained copy. Same band
+# index as the symmetric MinHash query; the verify join carries both
+# directions from one intersection count.
+# ---------------------------------------------------------------------------
+CONTAIN_T = 0.8
+
+
+@register(
+    "q_dedup_containment",
+    oracle=f"""
+    WITH {SQL_SHINGLE_CTE},
+    {_sql_minhash_cte()},
+    cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+    ),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b AND sb.h = sa.h
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT c.doc_a, c.doc_b,
+           COALESCE(i.n_common, 0) AS n_common,
+           ma.n AS n_a, mb.n AS n_b,
+           CAST(ROUND(COALESCE(i.n_common, 0) * 1.0 / ma.n, 6) AS DOUBLE)
+               AS containment_a_in_b,
+           CAST(ROUND(COALESCE(i.n_common, 0) * 1.0 / mb.n, 6) AS DOUBLE)
+               AS containment_b_in_a,
+           (COALESCE(i.n_common, 0) * 1.0 / ma.n >= {CONTAIN_T}
+            OR COALESCE(i.n_common, 0) * 1.0 / mb.n >= {CONTAIN_T})
+               AS is_contained
+    FROM cand c
+    JOIN mh ma ON ma.doc_id = c.doc_a
+    JOIN mh mb ON mb.doc_id = c.doc_b
+    LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    ORDER BY c.doc_a, c.doc_b
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment for every band candidate pair: how much
+    of each document's shingle set lives inside the other, plus the
+    contained-at-threshold flag — the excerpt/quote detector Jaccard
+    misses."""
+    docs = load_table(spark, sf_dir, "documents")
+    sketch, bands = minhash_sketch_bands(docs)
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sketch.select(
+        F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"),
+        F.col("n").alias("n_a"),
+    )
+    sb = sketch.select(
+        F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"),
+        F.col("n").alias("n_b"),
+    )
+    n_common = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
+    c_ab = F.round(n_common * 1.0 / F.col("n_a"), 6)
+    c_ba = F.round(n_common * 1.0 / F.col("n_b"), 6)
+    raw_ab = n_common * 1.0 / F.col("n_a")
+    raw_ba = n_common * 1.0 / F.col("n_b")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_common.cast("long").alias("n_common"),
+            "n_a",
+            "n_b",
+            c_ab.cast("double").alias("containment_a_in_b"),
+            c_ba.cast("double").alias("containment_b_in_a"),
+            ((raw_ab >= CONTAIN_T) | (raw_ba >= CONTAIN_T)).alias("is_contained"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
