@@ -287,14 +287,17 @@ def q_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 CF_MIN_CO = 3  # pairs must co-occur in >= this many orders
 CF_TOP = 200
+CF_BASKET_CAP = 20  # same bounded-fan-out rule as q_basket_part_pairs
 
 
 @register(
     "q_item_item_cosine",
     oracle=f"""
     WITH baskets AS (
-        SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS parts
-        FROM lineitem GROUP BY l_orderkey
+        SELECT l_orderkey, parts FROM (
+            SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS parts
+            FROM lineitem GROUP BY l_orderkey
+        ) WHERE len(parts) <= {CF_BASKET_CAP}
     ),
     items AS (
         SELECT unnest(parts) AS part, l_orderkey FROM baskets
@@ -318,13 +321,18 @@ CF_TOP = 200
 )
 def q_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top item-item cosine similarities from order co-occurrence —
-    the classic collaborative-filtering neighborhood build."""
+    the classic collaborative-filtering neighborhood build. Baskets
+    over CF_BASKET_CAP items are dropped before the combination
+    explode (the bounded-fan-out rule: one mega-basket of m items is
+    m^2/2 pairs)."""
     li = load_table(spark, sf_dir, "lineitem")
     # map-side pair combinations from the per-order sorted part array
     # (the basket-mining shape: no self-join, sortedness gives
     # part_a < part_b for free)
-    baskets = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") <= CF_BASKET_CAP)
     )
     item_n = baskets.select(F.explode("parts").alias("part")).groupBy(
         "part"
