@@ -1094,3 +1094,130 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted (tf-idf) cosine document similarity — the bag-of-words
+# complement to set-based Jaccard: repeated rare terms count, common
+# terms are damped by idf, and the DF cap drops stop-terms from the
+# REPRESENTATION (weights and norms alike) so the term-keyed pair join
+# keeps bounded fan-out. Every float (idf, weights, squared terms,
+# products) is rounded before its decimal accumulation.
+# ---------------------------------------------------------------------------
+TFC_DF_CAP = 64
+TFC_MIN_COS = 0.5
+
+
+@register(
+    "q_dedup_tfidf_cosine",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks GROUP BY doc_id, w),
+    dfreq AS (
+        SELECT w, COUNT(*) AS df FROM tf GROUP BY w
+        HAVING COUNT(*) <= {TFC_DF_CAP}
+    ),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    wt AS (
+        SELECT t.doc_id, t.w,
+               ROUND(t.tf * ROUND(ln(n.n * 1.0 / d.df), 6), 6) AS wgt
+        FROM tf t JOIN dfreq d USING (w) CROSS JOIN n
+    ),
+    norms AS (
+        SELECT doc_id,
+               ROUND(SQRT(CAST(SUM(CAST(ROUND(wgt * wgt, 6) AS DECIMAL(25,6)))
+                    AS DOUBLE)), 6) AS nrm
+        FROM wt GROUP BY doc_id
+    ),
+    dots AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               COUNT(*) AS n_shared_terms,
+               CAST(SUM(CAST(ROUND(a.wgt * b.wgt, 6) AS DECIMAL(25,6)))
+                    AS DOUBLE) AS dot
+        FROM wt a JOIN wt b ON a.w = b.w AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT d.doc_a, d.doc_b, d.n_shared_terms,
+           CAST(ROUND(d.dot / (na.nrm * nb.nrm), 6) AS DOUBLE) AS cos_sim
+    FROM dots d
+    JOIN norms na ON na.doc_id = d.doc_a
+    JOIN norms nb ON nb.doc_id = d.doc_b
+    WHERE d.dot / (na.nrm * nb.nrm) >= {TFC_MIN_COS}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs with tf-idf cosine >= {TFC_MIN_COS} over the
+    DF-capped term space — weighted near-dup detection where term
+    multiplicity and rarity both matter."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = parallelize(docs).select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+    )
+    tf = toks.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    tf = persist_tracked(tf)  # feeds dfreq AND the weight projection
+    dfreq = (
+        tf.groupBy("w")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= TFC_DF_CAP)
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    idf = F.round(F.log(F.col("n") * 1.0 / F.col("df")), 6)
+    wt = persist_tracked(  # feeds norms AND both sides of the pair join
+        tf.join(F.broadcast(dfreq), "w")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "w", F.round(F.col("tf") * idf, 6).alias("wgt")
+        )
+    )
+    norms = wt.groupBy("doc_id").agg(
+        F.round(
+            F.sqrt(
+                F.sum(
+                    F.round(F.col("wgt") * F.col("wgt"), 6).cast("decimal(25,6)")
+                ).cast("double")
+            ),
+            6,
+        ).alias("nrm")
+    )
+    dots = (
+        wt.alias("a")
+        .join(
+            wt.alias("b"),
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.count("*").alias("n_shared_terms"),
+            F.sum(
+                F.round(F.col("a.wgt") * F.col("b.wgt"), 6).cast("decimal(25,6)")
+            )
+            .cast("double")
+            .alias("dot"),
+        )
+    )
+    cos = F.col("dot") / (F.col("n_a") * F.col("n_b"))
+    return (
+        dots.join(
+            norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("n_b")),
+            "doc_b",
+        )
+        .filter(cos >= TFC_MIN_COS)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared_terms",
+            F.round(cos, 6).cast("double").alias("cos_sim"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -40,6 +40,27 @@ from etl_pipeline_project_auraverse_spark.session import load_table
 SPAN_W = 4
 
 
+def word_spans(docs):
+    """(doc_id, span): disjoint SPAN_W-word spans per document — the
+    shared builder for the span dedup and the cross-modal audit."""
+    words = parallelize(
+        docs.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+        )
+    )
+    return words.groupBy(
+        "doc_id", F.floor(F.col("pos") / SPAN_W).alias("blk")
+    ).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("span")
+    ).select("doc_id", "span")
+
+
 @register(
     "q_dedup_word_spans",
     oracle=f"""
@@ -67,22 +88,7 @@ def q_dedup_word_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, and report each document's duplicated-span fraction — the
     signal used to strip boilerplate regions rather than whole docs."""
     docs = load_table(spark, sf_dir, "documents")
-    words = parallelize(
-        docs.select(
-            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
-        )
-    )
-    spans = words.groupBy(
-        "doc_id", F.floor(F.col("pos") / SPAN_W).alias("blk")
-    ).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "w"))),
-                lambda s: s["w"],
-            ),
-            " ",
-        ).alias("span")
-    )
+    spans = word_spans(docs)
     counts = spans.groupBy("span").agg(F.count("*").alias("n_occ"))
     dup = F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0)).cast("long")
     return (
@@ -522,23 +528,7 @@ def q_crossmodal_dedup_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-modal inconsistency."""
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
-    words = parallelize(
-        docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
-    )
-    spans = (
-        words.groupBy("doc_id", F.floor(F.col("pos") / SPAN_W).alias("blk"))
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
-                    lambda s: s["w"],
-                ),
-                " ",
-            ).alias("span")
-        )
-        .select("doc_id", "span")
-        .distinct()
-    )
+    spans = word_spans(docs).distinct()
     ok = spans.groupBy("span").agg(F.count("*").alias("__df")).filter(
         (F.col("__df") >= 2) & (F.col("__df") <= SPAN_DF_CAP)
     )
