@@ -715,3 +715,83 @@ def q_sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id", "rk", "n_take")
         .orderBy("lang", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bot-likeness screening: users whose inter-event cadence is
+# suspiciously REGULAR — coefficient of variation of their gaps below
+# threshold. Human activity is bursty (CV near or above 1); schedulers
+# and scrapers tick (CV near 0). Gaps are exact integer microseconds,
+# so mean/stddev come from exact sums and the single float step is
+# identical in both engines.
+# ---------------------------------------------------------------------------
+BOT_MIN_EVENTS = 20
+BOT_MAX_CV = 0.8
+
+
+@register(
+    "q_bot_like_users",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT user_id,
+               epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)) AS g
+        FROM events
+    ),
+    g2 AS (SELECT user_id, g FROM gaps WHERE g IS NOT NULL),
+    s AS (
+        SELECT user_id, COUNT(*) AS n,
+               CAST(SUM(g) AS BIGINT) AS s1,
+               SUM(CAST(g AS HUGEINT) * g) AS s2
+        FROM g2 GROUP BY user_id HAVING COUNT(*) >= {BOT_MIN_EVENTS}
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+           CAST(ROUND(s1 / (n * 86400000000.0), 6) AS DOUBLE) AS mean_gap_days,
+           CAST(ROUND(SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                * CAST(s1 AS DOUBLE) / n) / (n - 1))
+                / (CAST(s1 AS DOUBLE) / n), 6) AS DOUBLE) AS cv,
+           SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                / n) / (n - 1)) / (CAST(s1 AS DOUBLE) / n) < {BOT_MAX_CV}
+               AS bot_like
+    FROM s
+    ORDER BY user_id
+    """,
+)
+def q_bot_like_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event cadence regularity: mean gap and
+    coefficient of variation from exact integer-microsecond moments;
+    CV below {BOT_MAX_CV} flags scheduler-like accounts."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    g = (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("g")
+    gaps = ev.select("user_id", g).filter(F.col("g").isNotNull())
+    s = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("g").cast("long").alias("s1"),
+            F.sum(F.col("g").cast("decimal(38,0)") * F.col("g")).alias("s2"),
+        )
+        .filter(F.col("n") >= BOT_MIN_EVENTS)
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    sd = F.sqrt(
+        (
+            F.col("s2").cast("double")
+            - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n")
+        )
+        / (F.col("n") - 1)
+    )
+    cv = sd / mean
+    return (
+        s.select(
+            "user_id",
+            F.col("n").cast("long").alias("n_gaps"),
+            F.round(F.col("s1") / (F.col("n") * 86400000000.0), 6)
+            .cast("double")
+            .alias("mean_gap_days"),
+            F.round(cv, 6).cast("double").alias("cv"),
+            (cv < BOT_MAX_CV).alias("bot_like"),
+        )
+        .orderBy("user_id")
+    )

@@ -211,3 +211,64 @@ def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fulfillment latency: days from order to FIRST shipment, exact
+# p50/p90 per order priority — the logistics SLA profile. The
+# per-order min-ship aggregate keys on orderkey (high cardinality);
+# the percentiles go through the range-shuffle order statistics.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_fulfillment_latency",
+    oracle="""
+    WITH per_order AS (
+        SELECT o.o_orderkey, o.o_orderpriority,
+               CAST(datediff('day', CAST(o.o_orderdate AS DATE),
+                    CAST(MIN(l.l_shipdate) AS DATE)) AS BIGINT) AS lat_days
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(quantile_cont(lat_days, 0.5), 4) AS DOUBLE) AS p50_days,
+           CAST(ROUND(quantile_cont(lat_days, 0.9), 4) AS DOUBLE) AS p90_days
+    FROM per_order
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90 order-to-first-shipment latency per priority."""
+    from etl_pipeline_project_auraverse_spark.operators.order_stats import (
+        exact_group_percentiles,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(F.min("l_shipdate").alias("first_ship"))
+        .select(
+            "o_orderpriority",
+            F.datediff(F.col("first_ship"), F.col("o_orderdate"))
+            .cast("long")
+            .alias("lat_days"),
+        )
+    )
+    pct = exact_group_percentiles(
+        per_order, "o_orderpriority", "lat_days", [0.5, 0.9],
+        names=["p50", "p90"], count_name="n_orders", n_groups_hint=5,
+    )
+    return (
+        pct.select(
+            "o_orderpriority",
+            "n_orders",
+            F.round("p50", 4).cast("double").alias("p50_days"),
+            F.round("p90", 4).cast("double").alias("p90_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
