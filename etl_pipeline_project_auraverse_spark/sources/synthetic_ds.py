@@ -14,7 +14,12 @@ from __future__ import annotations
 
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 _VOCAB = (
@@ -65,9 +70,43 @@ class SyntheticDocsReader(DataSourceReader):
             yield _gen_doc(doc_id, self.words_per_doc)
 
 
+class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the same generator: the offset is the next
+    doc_id, each micro-batch emits ``batch_size`` new documents.
+    Offsets round-trip through the checkpoint, so a restarted query
+    resumes exactly where it stopped and a replayed range regenerates
+    IDENTICAL rows (the stateless recurrence is the replayability
+    guarantee a real connector gets from its upstream log)."""
+
+    def __init__(self, options: dict):
+        self.batch_size = int(options.get("batch_size", 10))
+        self.max_docs = int(options.get("max_docs", 100))
+        self.words_per_doc = int(options.get("words_per_doc", 12))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        lo = start["next"]
+        hi = min(lo + self.batch_size, self.max_docs)
+        # a LIST, not a generator: the simple stream reader prefetches
+        # rows driver-side and pickles them with the offset
+        rows = [_gen_doc(i, self.words_per_doc) for i in range(lo, hi)]
+        return iter(rows), {"next": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        return iter(
+            [
+                _gen_doc(i, self.words_per_doc)
+                for i in range(start["next"], end["next"])
+            ]
+        )
+
+
 class SyntheticDocsSource(DataSource):
-    """``spark.read.format("synthetic_docs")`` after
-    ``spark.dataSource.register(SyntheticDocsSource)``."""
+    """``spark.read.format("synthetic_docs")`` (batch) or
+    ``spark.readStream.format("synthetic_docs")`` (micro-batch stream)
+    after ``spark.dataSource.register(SyntheticDocsSource)``."""
 
     @classmethod
     def name(cls) -> str:
@@ -78,6 +117,9 @@ class SyntheticDocsSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return SyntheticDocsReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> SimpleDataSourceStreamReader:
+        return SyntheticDocsStreamReader(self.options)
 
 
 def register(spark) -> None:

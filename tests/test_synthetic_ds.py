@@ -44,3 +44,30 @@ def test_feeds_the_engine_pipeline(spark):
     )
     total = counts.agg(F.sum("count")).collect()[0][0]
     assert total == 30 * 12
+
+
+def test_streaming_reader_emits_all_docs_once(spark, tmp_path):
+    """The streaming face advances its offset per micro-batch and a
+    full drain emits each document exactly once, identical to the
+    batch read of the same range."""
+    register(spark)
+    stream = (
+        spark.readStream.format("synthetic_docs")
+        .option("max_docs", 37)
+        .option("batch_size", 10)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("synth_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {(r["doc_id"], r["text"]) for r in spark.table("synth_stream").collect()}
+    want = {
+        (r["doc_id"], r["text"])
+        for r in _read(spark, n_docs=37, partitions=3).collect()
+    }
+    assert got == want and len(got) == 37
