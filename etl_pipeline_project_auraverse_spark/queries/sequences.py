@@ -795,3 +795,41 @@ def q_bot_like_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weekday x hour activity heatmap: the ops-dashboard staple. One
+# groupBy over derived calendar keys; Spark ISO dayofweek differs from
+# DuckDB's numbering, so the key is derived portably from the epoch
+# day (1970-01-01 was a Thursday).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_event_heatmap_dow_hour",
+    oracle=f"""
+    SELECT CAST((CAST(epoch(ts) AS BIGINT) // 86400 + 4) % 7 AS BIGINT)
+               AS dow,
+           CAST(hour(ts) AS BIGINT) AS hour,
+           COUNT(*) AS n_events,
+           {sql_dec_sum('value', 2)} AS total_value
+    FROM events
+    GROUP BY dow, hour
+    ORDER BY dow, hour
+    """,
+)
+def q_event_heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event volume and value by (weekday, hour) — dow 0 = Monday,
+    derived from the epoch day so both engines agree."""
+    ev = load_table(spark, sf_dir, "events")
+    dow = (
+        (F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)) + 4) % 7
+    ).cast("long")
+    return (
+        ev.groupBy(dow.alias("dow"), F.hour("ts").cast("long").alias("hour"))
+        .agg(
+            F.count("*").alias("n_events"),
+            dec_sum("value", 2).alias("total_value"),
+        )
+        .orderBy("dow", "hour")
+    )
