@@ -18,6 +18,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from etl_pipeline_project_auraverse_spark.cache import (
+    local_checkpoint_tracked,
+    register_checkpoint_ids,
+    unpersist_rdd_ids,
+)
 from etl_pipeline_project_auraverse_spark.functions.vectors import cosine
 
 
@@ -77,10 +82,13 @@ def kmeans_fit(emb: DataFrame, k: int = 8, max_iters: int = 10) -> KMeansResult:
             F.col("embedding"), lambda x: F.round(x.cast("double"), 6)
         ).alias("centroid"),
     )
+    spark = emb.sparkSession
     prev_assign: DataFrame | None = None
+    prev_a_ids: frozenset = frozenset()
+    cent_ids: frozenset = frozenset()
     result = KMeansResult(centroids=centroids, assignments=emb.limit(0))
     for it in range(1, max_iters + 1):
-        assign = _assign(emb, centroids).localCheckpoint(eager=True)
+        assign, a_ids = local_checkpoint_tracked(_assign(emb, centroids))
         inertia = assign.agg(
             F.round(
                 F.sum((1.0 - F.col("cos")).cast("decimal(25,6)")), 6
@@ -100,13 +108,23 @@ def kmeans_fit(emb: DataFrame, k: int = 8, max_iters: int = 10) -> KMeansResult:
                 .filter(F.col("centroid_id") != F.col("__prev"))
                 .count()
             )
+            # the previous assignment served its convergence diff —
+            # free its blocks now (the components.py discipline: at
+            # most one assignment + one centroid table stay pinned)
+            unpersist_rdd_ids(spark, prev_a_ids)
             if n_changed == 0:
                 result.converged = True
                 result.centroids = centroids
                 result.assignments = assign
+                register_checkpoint_ids(spark, a_ids | cent_ids)
                 return result
-        prev_assign = assign
-        centroids = _update(assign).localCheckpoint(eager=True)
+        prev_assign, prev_a_ids = assign, a_ids
+        # old centroids are baked into the checkpointed assignment
+        unpersist_rdd_ids(spark, cent_ids)
+        centroids, cent_ids = local_checkpoint_tracked(_update(assign))
     result.centroids = centroids
     result.assignments = prev_assign if prev_assign is not None else result.assignments
+    # hand the surviving blocks to the session registry: consumers of
+    # the returned DataFrames keep them until the next release_caches()
+    register_checkpoint_ids(spark, prev_a_ids | cent_ids)
     return result
