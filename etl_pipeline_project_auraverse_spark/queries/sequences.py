@@ -833,3 +833,73 @@ def q_event_heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hour")
     )
+
+
+# ---------------------------------------------------------------------------
+# Lag-1 autocorrelation of the daily event series — the persistence
+# diagnostic (is today's volume predicted by yesterday's?). Pairs come
+# from an equi-join of the daily aggregate with itself shifted one
+# calendar day (no window needed); all Pearson inputs are exact
+# integer sums over the paired days.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_daily_autocorr_lag1",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+        FROM events GROUP BY day
+    ),
+    pairs AS (
+        SELECT a.n AS x, b.n AS y
+        FROM daily a JOIN daily b ON b.day = a.day + INTERVAL 1 DAY
+    ),
+    s AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM pairs
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           CAST(ROUND((n * sxy - sx * sy)
+                / SQRT((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy)), 6)
+                AS DOUBLE) AS lag1_autocorr
+    FROM s
+    """,
+)
+def q_daily_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between consecutive days' event counts —
+    exact integer sufficient statistics, single float solve."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    pairs = (
+        daily.alias("a")
+        .join(
+            daily.alias("b"),
+            F.col("b.day") == F.date_add(F.col("a.day"), 1),
+        )
+        .select(F.col("a.n").alias("x"), F.col("b.n").alias("y"))
+    )
+    s = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * 1.0
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_pairs"),
+        F.round(num / den, 6).cast("double").alias("lag1_autocorr"),
+    )

@@ -272,3 +272,73 @@ def q_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Market concentration: Herfindahl–Hirschman index of supplier revenue
+# within each nation — sum of squared revenue shares (10000 x). Two
+# aggregates (supplier, then nation) + one rounded share square per
+# supplier, decimal-summed.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_supplier_hhi_by_nation",
+    oracle=f"""
+    WITH sup AS (
+        SELECT s.s_nationkey, l.l_suppkey,
+               {sql_dec_sum('l.l_extendedprice', 2)} AS rev
+        FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        GROUP BY s.s_nationkey, l.l_suppkey
+    ),
+    tot AS (
+        SELECT s_nationkey, {sql_dec_sum('rev', 2)} AS total,
+               COUNT(*) AS n_suppliers
+        FROM sup GROUP BY s_nationkey
+    )
+    SELECT n.n_name AS nation,
+           t.n_suppliers,
+           CAST(ROUND(SUM(CAST(ROUND(10000.0 * (s.rev / t.total)
+                * (s.rev / t.total), 6) AS DECIMAL(25,6))), 2) AS DOUBLE)
+               AS hhi
+    FROM sup s
+    JOIN tot t ON t.s_nationkey = s.s_nationkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY n.n_name, t.n_suppliers
+    ORDER BY nation
+    """,
+)
+def q_supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HHI of supplier revenue concentration per nation (10000 = one
+    supplier owns the market). Shares square per supplier, rounded then
+    decimal-summed."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup_dim = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sup = (
+        li.join(F.broadcast(sup_dim), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(dec_sum("l_extendedprice", 2).alias("rev"))
+    )
+    tot = sup.groupBy("s_nationkey").agg(
+        dec_sum("rev", 2).alias("total"), F.count("*").alias("n_suppliers")
+    )
+    share_sq = F.round(
+        10000.0 * (F.col("rev") / F.col("total")) * (F.col("rev") / F.col("total")),
+        6,
+    )
+    return (
+        sup.join(F.broadcast(tot), "s_nationkey")
+        .join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy(F.col("n_name").alias("nation"), "n_suppliers")
+        .agg(
+            F.round(F.sum(share_sq.cast("decimal(25,6)")), 2)
+            .cast("double")
+            .alias("hhi")
+        )
+        .orderBy("nation")
+    )
