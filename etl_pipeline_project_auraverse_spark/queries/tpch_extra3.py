@@ -342,3 +342,78 @@ def q_supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# Repeat-purchase timing: days from a customer's first to second order,
+# exact p50/p90 among repeaters, plus the censored fraction (customers
+# who never ordered again) — the survival-flavored retention metric.
+# One per-customer rank window (high-cardinality key), order stats for
+# the percentiles.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_repeat_purchase_timing",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_custkey, o_orderdate,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders
+    ),
+    firsts AS (SELECT o_custkey, o_orderdate AS d1 FROM ranked WHERE rn = 1),
+    seconds AS (SELECT o_custkey, o_orderdate AS d2 FROM ranked WHERE rn = 2),
+    gaps AS (
+        SELECT f.o_custkey,
+               CAST(datediff('day', CAST(f.d1 AS DATE), CAST(s.d2 AS DATE))
+                    AS BIGINT) AS gap_days
+        FROM firsts f LEFT JOIN seconds s USING (o_custkey)
+    )
+    SELECT COUNT(*) AS n_customers,
+           COUNT(gap_days) AS n_repeaters,
+           CAST(ROUND(COUNT(CASE WHEN gap_days IS NULL THEN 1 END) * 1.0
+                / COUNT(*), 6) AS DOUBLE) AS censored_fraction,
+           CAST(ROUND(quantile_cont(gap_days, 0.5), 4) AS DOUBLE) AS p50_days,
+           CAST(ROUND(quantile_cont(gap_days, 0.9), 4) AS DOUBLE) AS p90_days
+    FROM gaps
+    """,
+)
+def q_repeat_purchase_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-to-second-order gap: exact p50/p90 days among repeat
+    customers and the never-returned (censored) fraction."""
+    from pyspark.sql.window import Window as W
+
+    from etl_pipeline_project_auraverse_spark.operators.order_stats import (
+        exact_group_percentiles,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ranked = orders.withColumn("rn", F.row_number().over(w))
+    firsts = ranked.filter("rn = 1").select("o_custkey", F.col("o_orderdate").alias("d1"))
+    seconds = ranked.filter("rn = 2").select("o_custkey", F.col("o_orderdate").alias("d2"))
+    gaps = firsts.join(seconds, "o_custkey", "left").select(
+        "o_custkey", F.datediff("d2", "d1").cast("long").alias("gap_days")
+    )
+    counts = gaps.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.count("gap_days").alias("n_repeaters"),
+        F.round(
+            F.count(F.when(F.col("gap_days").isNull(), 1)) * 1.0
+            / F.count(F.lit(1)),
+            6,
+        )
+        .cast("double")
+        .alias("censored_fraction"),
+    )
+    pct = exact_group_percentiles(
+        gaps.withColumn("__g", F.lit("all")), "__g", "gap_days", [0.5, 0.9],
+        names=["p50", "p90"], n_groups_hint=1,
+    ).select(
+        F.round("p50", 4).cast("double").alias("p50_days"),
+        F.round("p90", 4).cast("double").alias("p90_days"),
+    )
+    return counts.crossJoin(F.broadcast(pct)).select(
+        "n_customers", "n_repeaters", "censored_fraction", "p50_days", "p90_days"
+    )
