@@ -1221,3 +1221,56 @@ def q_dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster size histogram — the corpus-health readout of the
+# closure: how many pairs, triples, mega-clusters exist, how many docs
+# dedup would drop (cluster size - 1 per cluster). One further tiny
+# aggregate over the components output.
+# ---------------------------------------------------------------------------
+
+
+def _cluster_hist_oracle() -> str:
+    base = _clusters_oracle()
+    core = base[: base.index("SELECT c.doc_id")].rstrip()
+    return f"""{core},
+    csizes AS (SELECT cluster_id, COUNT(*) AS n_docs FROM comp
+               GROUP BY cluster_id)
+    SELECT n_docs AS cluster_size,
+           COUNT(*) AS n_clusters,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs_total,
+           CAST(SUM(n_docs - 1) AS BIGINT) AS n_docs_droppable
+    FROM csizes
+    GROUP BY n_docs
+    ORDER BY cluster_size
+    """
+
+
+@register("q_dedup_cluster_sizes", oracle=_cluster_hist_oracle())
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of near-dup cluster sizes with per-size document and
+    droppable-document totals (keep-one-per-cluster policy)."""
+    from etl_pipeline_project_auraverse_spark.cache import (
+        local_checkpoint_tracked,
+        unpersist_rdd_ids,
+    )
+    from etl_pipeline_project_auraverse_spark.operators.components import (
+        connected_components,
+    )
+
+    edges, edge_ids = local_checkpoint_tracked(
+        q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    )
+    comp = connected_components(edges, "doc_a", "doc_b")
+    unpersist_rdd_ids(spark, edge_ids)
+    sizes = comp.groupBy("comp").agg(F.count("*").alias("n_docs"))
+    return (
+        sizes.groupBy(F.col("n_docs").alias("cluster_size"))
+        .agg(
+            F.count("*").alias("n_clusters"),
+            F.sum("n_docs").cast("long").alias("n_docs_total"),
+            F.sum(F.col("n_docs") - 1).cast("long").alias("n_docs_droppable"),
+        )
+        .orderBy("cluster_size")
+    )
