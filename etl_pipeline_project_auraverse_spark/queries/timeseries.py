@@ -1039,3 +1039,101 @@ def q_revenue_anomaly_decomposed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Session-attributed revenue: fold each purchase into its session
+# (the gap-based sessionization), then profile revenue by session
+# DURATION bucket — do longer sessions buy more? Same per-user window
+# machinery as q_sessionize_events plus one bucket aggregate.
+# ---------------------------------------------------------------------------
+SESS_BUCKET_MIN = [0, 5, 15, 30, 60]  # minutes: bucket lower bounds
+
+
+def _sess_bucket_sql(col: str) -> str:
+    whens = " ".join(
+        f"WHEN {col} >= {m * 60} THEN {m}"
+        for m in sorted(SESS_BUCKET_MIN, reverse=True)
+    )
+    return f"CAST(CASE {whens} ELSE 0 END AS BIGINT)"
+
+
+@register(
+    "q_session_revenue_by_duration",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, value, event_type,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > {SESSION_GAP_US}
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    ),
+    per_sess AS (
+        SELECT user_id, sid,
+               (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000.0 AS dur_sec,
+               {sql_dec_sum("CASE WHEN event_type = 'purchase' THEN value ELSE 0 END")}
+                   AS purchase_value,
+               COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases
+        FROM sessions GROUP BY user_id, sid
+    )
+    SELECT {_sess_bucket_sql('dur_sec')} AS duration_bucket_min,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(n_purchases) AS BIGINT) AS n_purchases,
+           {sql_dec_sum('purchase_value')} AS total_purchase_value
+    FROM per_sess
+    GROUP BY duration_bucket_min
+    ORDER BY duration_bucket_min
+    """,
+)
+def q_session_revenue_by_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue and purchase counts per session-duration bucket — the
+    engagement-to-monetization profile over gap-based sessions."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(
+        prev_us.isNull()
+        | ((F.unix_micros(F.col("ts")) - prev_us) > SESSION_GAP_US),
+        1,
+    ).otherwise(0)
+    per_sess = (
+        ev.withColumn("is_new", is_new)
+        .withColumn(
+            "sid",
+            F.sum("is_new").over(
+                w.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            (
+                (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+                / 1_000_000.0
+            ).alias("dur_sec"),
+            dec_sum(
+                F.when(F.col("event_type") == "purchase", F.col("value"))
+                .otherwise(0.0)
+            ).alias("purchase_value"),
+            F.count(
+                F.when(F.col("event_type") == "purchase", 1)
+            ).alias("n_purchases"),
+        )
+    )
+    bucket = F.lit(0)
+    for m in sorted(SESS_BUCKET_MIN):
+        bucket = F.when(F.col("dur_sec") >= m * 60, F.lit(m)).otherwise(bucket)
+    return (
+        per_sess.groupBy(bucket.cast("long").alias("duration_bucket_min"))
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_purchases").cast("long").alias("n_purchases"),
+            dec_sum("purchase_value").alias("total_purchase_value"),
+        )
+        .orderBy("duration_bucket_min")
+    )
