@@ -313,6 +313,38 @@ def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVFADC_NPROBE = 3
 
 
+def _ivfadc_scores(emb: DataFrame) -> DataFrame:
+    """(query_id, cand_id, adc): ADC scores over the IVF-bounded
+    candidate set (query probes x home blocks; pairs unique because
+    every candidate has exactly one home block)."""
+    from etl_pipeline_project_auraverse_spark.queries.similarity import (
+        centroid_assignments,
+        centroid_probes,
+    )
+
+    probes = centroid_probes(emb, IVFADC_NPROBE).filter(
+        F.col("vec_id") < PQ_QUERY_MAX
+    )
+    cand = (
+        probes.alias("p")
+        .join(
+            centroid_assignments(emb).alias("a"),
+            (F.col("p.centroid_id") == F.col("a.centroid_id"))
+            & (F.col("p.vec_id") != F.col("a.vec_id")),
+        )
+        .select(
+            F.col("p.vec_id").alias("query_id"),
+            F.col("a.vec_id").alias("cand_id"),
+        )
+    )
+    return (
+        cand.join(pq_codes(emb), cand["cand_id"] == F.col("vec_id"))
+        .join(F.broadcast(_adc_lut(emb)), ["query_id", "m", "code"])
+        .groupBy("query_id", "cand_id")
+        .agg(_adc_sum())
+    )
+
+
 @register(
     "q_ann_ivfadc_topk",
     oracle=f"""
@@ -351,33 +383,8 @@ def q_ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks (each database vector has exactly one home block, so pairs
     are unique by construction), scored by the PQ LUT — never their
     raw floats — and ranked per query over the bounded candidate set."""
-    from etl_pipeline_project_auraverse_spark.queries.similarity import (
-        centroid_assignments,
-        centroid_probes,
-    )
-
     emb = load_table(spark, sf_dir, "embeddings")
-    probes = centroid_probes(emb, IVFADC_NPROBE).filter(
-        F.col("vec_id") < PQ_QUERY_MAX
-    )
-    cand = (
-        probes.alias("p")
-        .join(
-            centroid_assignments(emb).alias("a"),
-            (F.col("p.centroid_id") == F.col("a.centroid_id"))
-            & (F.col("p.vec_id") != F.col("a.vec_id")),
-        )
-        .select(
-            F.col("p.vec_id").alias("query_id"),
-            F.col("a.vec_id").alias("cand_id"),
-        )
-    )
-    scores = (
-        cand.join(pq_codes(emb), cand["cand_id"] == F.col("vec_id"))
-        .join(F.broadcast(_adc_lut(emb)), ["query_id", "m", "code"])
-        .groupBy("query_id", "cand_id")
-        .agg(_adc_sum())
-    )
+    scores = _ivfadc_scores(emb)
     w = W.partitionBy("query_id").orderBy(F.col("adc").desc(), "cand_id")
     return (
         scores.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -626,4 +633,106 @@ def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= IVT_TOP_K)
         .select("query_id", "cand_id", "rank", "cos_sim")
         .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVFADC recall: how much exact-inner-product ground truth the
+# composed index retains — the end-to-end fidelity number that prices
+# BOTH approximations at once (coarse-block pruning AND PQ scoring).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ann_ivfadc_recall",
+    oracle=f"""
+    WITH {sql_centroid_cte()},
+    {sql_probes_cte(IVFADC_NPROBE)},
+    {sql_pq_ctes().lstrip()},
+    {_SQL_QLUT},
+    cand AS (
+        SELECT p.vec_id AS query_id, a.vec_id AS cand_id
+        FROM probes p
+        JOIN assign a ON a.centroid_id = p.centroid_id
+                     AND a.vec_id <> p.vec_id
+        WHERE p.vec_id < {PQ_QUERY_MAX}
+    ),
+    scores AS (
+        SELECT cd.query_id, cd.cand_id,
+               CAST(ROUND(SUM(CAST(l.lut AS DECIMAL(25,6))), 6) AS DOUBLE)
+                   AS adc
+        FROM cand cd
+        JOIN codes c ON c.vec_id = cd.cand_id
+        JOIN lut l ON l.query_id = cd.query_id
+                  AND l.m = c.m AND l.code = c.code
+        GROUP BY cd.query_id, cd.cand_id
+    ),
+    approx AS (
+        SELECT query_id, cand_id FROM (
+            SELECT query_id, cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY adc DESC, cand_id) AS rank
+            FROM scores
+        ) WHERE rank <= {PQ_TOP_K}
+    ),
+    exact AS (
+        SELECT query_id, cand_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY ROUND({sql_dot('q.embedding', 'c.embedding')}, 6) DESC,
+                                c.vec_id) AS rank
+            FROM (SELECT * FROM embeddings WHERE vec_id < {PQ_QUERY_MAX}) q
+            JOIN embeddings c ON q.vec_id <> c.vec_id
+        ) WHERE rank <= {PQ_TOP_K}
+    )
+    SELECT a.query_id,
+           COUNT(e.cand_id) AS n_hits,
+           CAST(COUNT(e.cand_id) AS DOUBLE) / {PQ_TOP_K} AS recall_at_k
+    FROM approx a LEFT JOIN exact e
+      ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+    GROUP BY a.query_id
+    ORDER BY a.query_id
+    """,
+)
+def q_ann_ivfadc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the composed IVFADC index against the exact
+    inner-product top-k — prices coarse pruning and PQ quantization
+    together, per query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    w_rank = W.partitionBy("query_id").orderBy(F.col("adc").desc(), "cand_id")
+    approx = (
+        _ivfadc_scores(emb)
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= PQ_TOP_K)
+        .select("query_id", "cand_id")
+    )
+    qset = F.broadcast(emb.filter(F.col("vec_id") < PQ_QUERY_MAX))
+    w_exact = W.partitionBy("query_id").orderBy(F.col("ip").desc(), "cand_id")
+    exact = (
+        qset.alias("q")
+        .join(emb.alias("c"), F.col("q.vec_id") != F.col("c.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("cand_id"),
+            F.round(dot(F.col("q.embedding"), F.col("c.embedding")), 6).alias("ip"),
+        )
+        .withColumn("rank", F.row_number().over(w_exact))
+        .filter(F.col("rank") <= PQ_TOP_K)
+        .select("query_id", F.col("cand_id").alias("hit_id"))
+    )
+    return (
+        approx.join(
+            exact,
+            (approx["query_id"] == exact["query_id"])
+            & (approx["cand_id"] == exact["hit_id"]),
+            "left",
+        )
+        .groupBy(approx["query_id"].alias("query_id"))
+        .agg(F.count("hit_id").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            (F.col("n_hits").cast("double") / PQ_TOP_K).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
     )
