@@ -365,3 +365,100 @@ def q_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine_sim").desc(), "part_a", "part_b")
         .limit(CF_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Association rules proper: support / confidence / lift for the
+# basket pairs — lift > 1 is genuine affinity, not popularity. Same
+# capped combination explode; the basket total joins as 1 row.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_part_affinity_lift",
+    oracle=f"""
+    WITH baskets AS (
+        SELECT l_orderkey, parts FROM (
+            SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS parts
+            FROM lineitem GROUP BY l_orderkey
+        ) WHERE len(parts) <= {CF_BASKET_CAP}
+    ),
+    nb AS (SELECT COUNT(*) AS n_baskets FROM baskets),
+    items AS (SELECT unnest(parts) AS part, l_orderkey FROM baskets),
+    item_n AS (SELECT part, COUNT(*) AS n FROM items GROUP BY part),
+    prs AS (
+        SELECT a.part AS part_a, b.part AS part_b, COUNT(*) AS n_co
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.part < b.part
+        GROUP BY a.part, b.part
+        HAVING COUNT(*) >= {CF_MIN_CO}
+    )
+    SELECT p.part_a, p.part_b, p.n_co,
+           CAST(ROUND(p.n_co * 1.0 / t.n_baskets, 6) AS DOUBLE) AS support,
+           CAST(ROUND(p.n_co * 1.0 / na.n, 6) AS DOUBLE) AS confidence_a_to_b,
+           CAST(ROUND(p.n_co * 1.0 * t.n_baskets / (na.n * nb2.n), 6)
+                AS DOUBLE) AS lift
+    FROM prs p
+    JOIN item_n na ON na.part = p.part_a
+    JOIN item_n nb2 ON nb2.part = p.part_b
+    CROSS JOIN nb t
+    ORDER BY lift DESC, p.part_a, p.part_b
+    LIMIT {CF_TOP}
+    """,
+)
+def q_part_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support, confidence and lift for co-purchased part pairs —
+    lift separates true affinity from item popularity."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") <= CF_BASKET_CAP)
+    )
+    nb = baskets.agg(F.count(F.lit(1)).alias("n_baskets"))
+    item_n = baskets.select(F.explode("parts").alias("part")).groupBy(
+        "part"
+    ).agg(F.count("*").alias("n"))
+    lhs = baskets.select("parts", F.posexplode("parts").alias("i", "part_a"))
+    prs = (
+        lhs.select(
+            "part_a",
+            F.explode(
+                F.expr("slice(parts, i + 2, size(parts) - i - 1)")
+            ).alias("part_b"),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_co"))
+        .filter(F.col("n_co") >= CF_MIN_CO)
+    )
+    return (
+        prs.join(
+            item_n.select(F.col("part").alias("part_a"), F.col("n").alias("n_a")),
+            "part_a",
+        )
+        .join(
+            item_n.select(F.col("part").alias("part_b"), F.col("n").alias("n_b")),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "part_a",
+            "part_b",
+            "n_co",
+            F.round(F.col("n_co") * 1.0 / F.col("n_baskets"), 6)
+            .cast("double")
+            .alias("support"),
+            F.round(F.col("n_co") * 1.0 / F.col("n_a"), 6)
+            .cast("double")
+            .alias("confidence_a_to_b"),
+            F.round(
+                F.col("n_co") * 1.0 * F.col("n_baskets")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            )
+            .cast("double")
+            .alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "part_a", "part_b")
+        .limit(CF_TOP)
+    )

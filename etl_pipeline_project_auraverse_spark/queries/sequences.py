@@ -903,3 +903,70 @@ def q_daily_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_pairs"),
         F.round(num / den, 6).cast("double").alias("lag1_autocorr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# D-N retention: fraction of users active again N (or more) days after
+# their first event, for the classic D1/D7/D30 checkpoints — the
+# product-health staple next to the cohort matrix. First-seen day per
+# user (one aggregate), max later-activity gap per user (one more),
+# three flags summed.
+# ---------------------------------------------------------------------------
+RETENTION_DAYS = [1, 7, 30]
+
+
+@register(
+    "q_retention_day_n",
+    oracle=f"""
+    WITH fs AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events
+        GROUP BY user_id
+    ),
+    spans AS (
+        SELECT e.user_id,
+               MAX(datediff('day', f.d0, CAST(e.ts AS DATE))) AS max_gap
+        FROM events e JOIN fs f USING (user_id)
+        GROUP BY e.user_id
+    )
+    SELECT CAST(n AS BIGINT) AS day_n,
+           COUNT(*) AS n_users,
+           CAST(SUM(CASE WHEN max_gap >= n THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_retained,
+           CAST(ROUND(SUM(CASE WHEN max_gap >= n THEN 1 ELSE 0 END) * 1.0
+                / COUNT(*), 6) AS DOUBLE) AS retention_rate
+    FROM spans, (SELECT unnest([{", ".join(str(d) for d in RETENTION_DAYS)}]) AS n) ds
+    GROUP BY n
+    ORDER BY day_n
+    """,
+)
+def q_retention_day_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1/D7/D30 retention: share of users with any activity at least
+    N days after their first event."""
+    ev = load_table(spark, sf_dir, "events")
+    fs = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
+    spans = (
+        ev.join(fs, "user_id")
+        .groupBy("user_id")
+        .agg(F.max(F.datediff(F.to_date("ts"), F.col("d0"))).alias("max_gap"))
+    )
+    days = spark.createDataFrame(
+        [(d,) for d in RETENTION_DAYS], "day_n long"
+    )
+    return (
+        spans.crossJoin(F.broadcast(days))
+        .groupBy("day_n")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum(
+                F.when(F.col("max_gap") >= F.col("day_n"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_retained"),
+        )
+        .withColumn(
+            "retention_rate",
+            F.round(F.col("n_retained") * 1.0 / F.col("n_users"), 6)
+            .cast("double"),
+        )
+        .orderBy("day_n")
+    )
