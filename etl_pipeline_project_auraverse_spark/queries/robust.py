@@ -605,3 +605,54 @@ def q_revenue_trend_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("intercept"),
     ).orderBy("segment")
+
+
+# ---------------------------------------------------------------------------
+# Round-number price bias: the data-forensics cousin of the Benford
+# screen — human-set (or fabricated) prices over-index on .00/.99 and
+# round thousands; machine-generated uniform values do not. Cent
+# pattern comes from exact integer cents, one 1-row aggregate.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_price_round_number_bias",
+    oracle="""
+    WITH cents AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) % 100 AS cc,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) % 100000 AS sub_k
+        FROM orders
+    )
+    SELECT COUNT(*) AS n_orders,
+           CAST(COUNT(CASE WHEN cc = 0 THEN 1 END) AS BIGINT) AS n_cents_00,
+           CAST(COUNT(CASE WHEN cc = 99 THEN 1 END) AS BIGINT) AS n_cents_99,
+           CAST(COUNT(CASE WHEN sub_k = 0 THEN 1 END) AS BIGINT)
+               AS n_round_thousand,
+           CAST(ROUND(COUNT(CASE WHEN cc IN (0, 99) THEN 1 END) * 1.0
+                / COUNT(*), 6) AS DOUBLE) AS round_cent_fraction,
+           CAST(ROUND(2.0 / 100.0, 6) AS DOUBLE) AS expected_uniform
+    FROM cents
+    """,
+)
+def q_price_round_number_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """.00/.99 cent patterns and round-thousand totals vs the uniform
+    expectation — the human-pricing / fabrication forensic."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents_total = F.round(F.col("o_totalprice") * 100).cast("long")
+    cc = cents_total % 100
+    sub_k = cents_total % 100000
+    return orders.select(cc.alias("cc"), sub_k.alias("sub_k")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count(F.when(F.col("cc") == 0, 1)).cast("long").alias("n_cents_00"),
+        F.count(F.when(F.col("cc") == 99, 1)).cast("long").alias("n_cents_99"),
+        F.count(F.when(F.col("sub_k") == 0, 1))
+        .cast("long")
+        .alias("n_round_thousand"),
+        F.round(
+            F.count(F.when(F.col("cc").isin(0, 99), 1)) * 1.0 / F.count(F.lit(1)),
+            6,
+        )
+        .cast("double")
+        .alias("round_cent_fraction"),
+        F.lit(round(2.0 / 100.0, 6)).cast("double").alias("expected_uniform"),
+    )

@@ -663,3 +663,63 @@ def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("avg_tokens_per_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lexical diversity: type-token ratio and hapax-legomena fraction per
+# language — the classic vocabulary-richness readout (templated or
+# looped text collapses TTR; natural text keeps a long hapax tail).
+# Two aggregates over the exploded token stream.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_text_lexical_diversity",
+    oracle=r"""
+    WITH toks AS (
+        SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS w
+        FROM documents
+    ),
+    freq AS (SELECT lang, w, COUNT(*) AS c FROM toks GROUP BY lang, w)
+    SELECT lang,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_types,
+           CAST(ROUND(COUNT(*) * 1.0 / SUM(c), 6) AS DOUBLE)
+               AS type_token_ratio,
+           CAST(COUNT(CASE WHEN c = 1 THEN 1 END) AS BIGINT) AS n_hapax,
+           CAST(ROUND(COUNT(CASE WHEN c = 1 THEN 1 END) * 1.0 / COUNT(*), 6)
+                AS DOUBLE) AS hapax_fraction
+    FROM freq
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q_text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language type-token ratio and hapax fraction — vocabulary
+    richness from exact token counts."""
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "lang", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+    )
+    freq = toks.groupBy("lang", "w").agg(F.count("*").alias("c"))
+    return (
+        freq.groupBy("lang")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count("*").alias("n_types"),
+            F.count(F.when(F.col("c") == 1, 1)).cast("long").alias("n_hapax"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "n_types",
+            F.round(F.col("n_types") * 1.0 / F.col("n_tokens"), 6)
+            .cast("double")
+            .alias("type_token_ratio"),
+            "n_hapax",
+            F.round(F.col("n_hapax") * 1.0 / F.col("n_types"), 6)
+            .cast("double")
+            .alias("hapax_fraction"),
+        )
+        .orderBy("lang")
+    )
