@@ -970,3 +970,73 @@ def q_retention_day_n(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_n")
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast evaluation: predict each day's revenue as
+# the SAME WEEKDAY one week earlier and score MAE / MAPE — the
+# baseline every real forecaster must beat, and the cheapest honest
+# backtest. Shifted-7-day equi-join over the daily aggregate; error
+# terms rounded then decimal-summed.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_seasonal_naive_error",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               {sql_dec_sum('o_totalprice', 2)} AS rev
+        FROM orders GROUP BY day
+    ),
+    paired AS (
+        SELECT a.day, a.rev AS actual, b.rev AS forecast,
+               ROUND(ABS(a.rev - b.rev), 4) AS abs_err,
+               ROUND(ABS(a.rev - b.rev) / a.rev, 6) AS ape
+        FROM daily a JOIN daily b ON b.day = a.day - INTERVAL 7 DAY
+    )
+    SELECT COUNT(*) AS n_days,
+           CAST(ROUND(CAST(SUM(CAST(abs_err AS DECIMAL(25,6))) AS DOUBLE)
+                / COUNT(*), 4) AS DOUBLE) AS mae,
+           CAST(ROUND(CAST(SUM(CAST(ape AS DECIMAL(25,6))) AS DOUBLE)
+                / COUNT(*), 6) AS DOUBLE) AS mape
+    FROM paired
+    """,
+)
+def q_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAE/MAPE of the same-weekday-last-week revenue forecast — the
+    seasonal-naive baseline every model must beat."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        dec_sum("o_totalprice", 2).alias("rev")
+    )
+    paired = (
+        daily.alias("a")
+        .join(
+            daily.alias("b"),
+            F.col("b.day") == F.date_sub(F.col("a.day"), 7),
+        )
+        .select(
+            F.round(F.abs(F.col("a.rev") - F.col("b.rev")), 4).alias("abs_err"),
+            F.round(
+                F.abs(F.col("a.rev") - F.col("b.rev")) / F.col("a.rev"), 6
+            ).alias("ape"),
+        )
+    )
+    return paired.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(
+            F.sum(F.col("abs_err").cast("decimal(25,6)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        )
+        .cast("double")
+        .alias("mae"),
+        F.round(
+            F.sum(F.col("ape").cast("decimal(25,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        )
+        .cast("double")
+        .alias("mape"),
+    )

@@ -417,3 +417,127 @@ def q_repeat_purchase_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.crossJoin(F.broadcast(pct)).select(
         "n_customers", "n_repeaters", "censored_fraction", "p50_days", "p90_days"
     )
+
+
+# ---------------------------------------------------------------------------
+# Customer value migration: revenue-quartile in the FIRST half of the
+# observed date range vs the SECOND half, as a transition matrix —
+# which customers are climbing, sliding or churning out. Exact
+# quartile bounds per half from the order-statistics operator;
+# customers absent from a half land in quartile 0 ("inactive").
+# ---------------------------------------------------------------------------
+
+
+def _half_rev_cte(cmp: str, alias: str) -> str:
+    return f"""{alias} AS (
+        SELECT o_custkey, {sql_dec_sum('o_totalprice', 2)} AS rev
+        FROM orders, mid WHERE CAST(o_orderdate AS DATE) {cmp} mid.m
+        GROUP BY o_custkey
+    )"""
+
+
+@register(
+    "q_customer_quartile_migration",
+    oracle=f"""
+    WITH mid AS (
+        SELECT MIN(CAST(o_orderdate AS DATE))
+               + to_days(CAST((datediff('day',
+                       MIN(CAST(o_orderdate AS DATE)),
+                       MAX(CAST(o_orderdate AS DATE))) // 2) AS INT)) AS m
+        FROM orders
+    ),
+    {_half_rev_cte('<=', 'h1')},
+    {_half_rev_cte('>', 'h2')},
+    b1 AS (SELECT quantile_cont(rev, 0.25) AS q1, quantile_cont(rev, 0.5) AS q2,
+                  quantile_cont(rev, 0.75) AS q3 FROM h1),
+    b2 AS (SELECT quantile_cont(rev, 0.25) AS q1, quantile_cont(rev, 0.5) AS q2,
+                  quantile_cont(rev, 0.75) AS q3 FROM h2),
+    custs AS (
+        SELECT o_custkey FROM h1 UNION SELECT o_custkey FROM h2
+    ),
+    assigned AS (
+        SELECT c.o_custkey,
+               CASE WHEN a.rev IS NULL THEN 0
+                    WHEN a.rev <= b1.q1 THEN 1 WHEN a.rev <= b1.q2 THEN 2
+                    WHEN a.rev <= b1.q3 THEN 3 ELSE 4 END AS from_q,
+               CASE WHEN z.rev IS NULL THEN 0
+                    WHEN z.rev <= b2.q1 THEN 1 WHEN z.rev <= b2.q2 THEN 2
+                    WHEN z.rev <= b2.q3 THEN 3 ELSE 4 END AS to_q
+        FROM custs c
+        LEFT JOIN h1 a USING (o_custkey)
+        LEFT JOIN h2 z USING (o_custkey)
+        CROSS JOIN b1 CROSS JOIN b2
+    )
+    SELECT CAST(from_q AS BIGINT) AS from_quartile,
+           CAST(to_q AS BIGINT) AS to_quartile,
+           COUNT(*) AS n_customers
+    FROM assigned
+    GROUP BY from_q, to_q
+    ORDER BY from_quartile, to_quartile
+    """,
+)
+def q_customer_quartile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transition matrix of customer revenue quartiles between the two
+    halves of the date range (quartile 0 = inactive in that half)."""
+    from etl_pipeline_project_auraverse_spark.operators.order_stats import (
+        exact_group_percentiles,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    mid = orders.agg(
+        F.date_add(
+            F.min("o_orderdate"),
+            (F.datediff(F.max("o_orderdate"), F.min("o_orderdate")) / 2)
+            .cast("int"),
+        ).alias("m")
+    )
+    with_mid = orders.crossJoin(F.broadcast(mid))
+
+    def half_rev(cond):
+        return (
+            with_mid.filter(cond)
+            .groupBy("o_custkey")
+            .agg(dec_sum("o_totalprice", 2).alias("rev"))
+        )
+
+    h1 = half_rev(F.col("o_orderdate") <= F.col("m"))
+    h2 = half_rev(F.col("o_orderdate") > F.col("m"))
+
+    def bounds(h, names):
+        return exact_group_percentiles(
+            h.withColumn("__g", F.lit("all")), "__g", "rev",
+            [0.25, 0.5, 0.75], names=names, n_groups_hint=1,
+        ).select(*names)
+
+    b1 = bounds(h1, ["q1a", "q2a", "q3a"])
+    b2 = bounds(h2, ["q1b", "q2b", "q3b"])
+    custs = h1.select("o_custkey").union(h2.select("o_custkey")).distinct()
+
+    def quart(rev, q1, q2, q3):
+        return (
+            F.when(rev.isNull(), 0)
+            .when(rev <= q1, 1)
+            .when(rev <= q2, 2)
+            .when(rev <= q3, 3)
+            .otherwise(4)
+        )
+
+    assigned = (
+        custs.join(h1.withColumnRenamed("rev", "rev1"), "o_custkey", "left")
+        .join(h2.withColumnRenamed("rev", "rev2"), "o_custkey", "left")
+        .crossJoin(F.broadcast(b1))
+        .crossJoin(F.broadcast(b2))
+        .select(
+            quart(F.col("rev1"), F.col("q1a"), F.col("q2a"), F.col("q3a"))
+            .cast("long")
+            .alias("from_quartile"),
+            quart(F.col("rev2"), F.col("q1b"), F.col("q2b"), F.col("q3b"))
+            .cast("long")
+            .alias("to_quartile"),
+        )
+    )
+    return (
+        assigned.groupBy("from_quartile", "to_quartile")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("from_quartile", "to_quartile")
+    )
