@@ -723,3 +723,159 @@ def q_text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Collocation mining: pointwise mutual information of adjacent word
+# pairs — PMI >> 0 flags true collocations ("machine learning") vs
+# chance adjacency. Counts are exact; the single log2 runs over a
+# ratio of integers so both engines agree, then top pairs by PMI with
+# a support floor.
+# ---------------------------------------------------------------------------
+PMI_MIN_COUNT = 5
+PMI_TOP = 100
+
+
+@register(
+    "q_collocations_pmi",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+    ),
+    uni AS (SELECT unnest(w) AS word FROM toks),
+    c1 AS (SELECT word, COUNT(*) AS c FROM uni GROUP BY word),
+    n1 AS (SELECT COUNT(*) AS n FROM uni),
+    bg AS (
+        SELECT unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+               unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS w2
+        FROM toks WHERE len(w) >= 2
+    ),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2
+           HAVING COUNT(*) >= {PMI_MIN_COUNT}),
+    n2 AS (SELECT COUNT(*) AS n FROM bg)
+    SELECT p.w1, p.w2, p.c AS n_pair,
+           CAST(ROUND(log2((p.c * 1.0 / n2.n)
+                / ((a.c * 1.0 / n1.n) * (b.c * 1.0 / n1.n))), 6) AS DOUBLE)
+               AS pmi
+    FROM c2 p
+    JOIN c1 a ON a.word = p.w1
+    JOIN c1 b ON b.word = p.w2
+    CROSS JOIN n1 CROSS JOIN n2
+    ORDER BY pmi DESC, p.w1, p.w2
+    LIMIT {PMI_TOP}
+    """,
+)
+def q_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top adjacent-word collocations by PMI with a support floor."""
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(F.split(F.trim(F.col("text")), r"\s+").alias("w"))
+    uni = toks.select(F.explode("w").alias("word"))
+    c1 = uni.groupBy("word").agg(F.count("*").alias("c"))
+    n1 = uni.agg(F.count(F.lit(1)).alias("n1"))
+    grams = F.when(
+        F.size("w") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("w") - 2),
+            lambda i: F.struct(
+                F.get(F.col("w"), i).alias("w1"),
+                F.get(F.col("w"), i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = toks.select(F.explode(grams).alias("g")).select("g.w1", "g.w2")
+    c2 = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= PMI_MIN_COUNT)
+    )
+    n2 = bg.agg(F.count(F.lit(1)).alias("n2"))
+    pmi = F.round(
+        F.log2(
+            (F.col("c") * 1.0 / F.col("n2"))
+            / ((F.col("ca") * 1.0 / F.col("n1")) * (F.col("cb") * 1.0 / F.col("n1")))
+        ),
+        6,
+    )
+    return (
+        c2.join(
+            F.broadcast(c1.select(F.col("word").alias("w1"), F.col("c").alias("ca"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(c1.select(F.col("word").alias("w2"), F.col("c").alias("cb"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            "w1",
+            "w2",
+            F.col("c").alias("n_pair"),
+            pmi.cast("double").alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(PMI_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mutual information between language and source — how much knowing
+# the source tells you about the language (0 = independent). Exact
+# cell counts; each cell's contribution is rounded then decimal-summed
+# so the double accumulation is order-proof.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_lang_source_mutual_info",
+    oracle="""
+    WITH cells AS (
+        SELECT lang, source, COUNT(*) AS c FROM documents GROUP BY lang, source
+    ),
+    margins AS (
+        SELECT l.lang, s.source, l.cl, s.cs, t.n
+        FROM (SELECT lang, SUM(c) AS cl FROM cells GROUP BY lang) l
+        CROSS JOIN (SELECT source, SUM(c) AS cs FROM cells GROUP BY source) s
+        CROSS JOIN (SELECT SUM(c) AS n FROM cells) t
+    ),
+    terms AS (
+        SELECT ROUND((c.c * 1.0 / m.n)
+               * log2((c.c * 1.0 * m.n) / (m.cl * 1.0 * m.cs)), 6) AS term
+        FROM cells c
+        JOIN margins m ON m.lang = c.lang AND m.source = c.source
+    )
+    SELECT COUNT(*) AS n_cells,
+           CAST(ROUND(CAST(SUM(CAST(term AS DECIMAL(25,6))) AS DOUBLE), 6)
+                AS DOUBLE) AS mutual_info_bits
+    FROM terms
+    """,
+)
+def q_lang_source_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I(lang; source) in bits from exact contingency counts — the
+    dependence audit between the two partitioning dimensions."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(F.count("*").alias("c"))
+    cl = cells.groupBy("lang").agg(F.sum("c").alias("cl"))
+    cs = cells.groupBy("source").agg(F.sum("c").alias("cs"))
+    n = cells.agg(F.sum("c").alias("n"))
+    term = F.round(
+        (F.col("c") * 1.0 / F.col("n"))
+        * F.log2(
+            (F.col("c") * 1.0 * F.col("n")) / (F.col("cl") * 1.0 * F.col("cs"))
+        ),
+        6,
+    )
+    return (
+        cells.join(F.broadcast(cl), "lang")
+        .join(F.broadcast(cs), "source")
+        .crossJoin(F.broadcast(n))
+        .select(term.alias("term"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.round(
+                F.sum(F.col("term").cast("decimal(25,6)")).cast("double"), 6
+            )
+            .cast("double")
+            .alias("mutual_info_bits"),
+        )
+    )
