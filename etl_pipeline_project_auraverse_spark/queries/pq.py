@@ -736,3 +736,125 @@ def q_ann_ivfadc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA power iteration, oracle-checked: two exact iterations of
+# v <- normalize(X^T (X v)) starting from the first basis vector —
+# the covariance-free top-principal-direction computation (Gram
+# matrices never materialize; each step is one linear scan producing
+# 64 decimal sums). Completes the iterative-ML trio next to PageRank
+# and k-means: per-row scores and per-dimension products are rounded
+# before decimal accumulation, so both engines walk the same path and
+# a full training loop stays deterministic.
+# ---------------------------------------------------------------------------
+PCA_ITERS = 2
+
+
+def _sql_power_chain(iters: int) -> str:
+    parts = [
+        """v0 AS (
+        SELECT CAST(d AS INT) AS dim,
+               CASE WHEN d = 0 THEN 1.0 ELSE 0.0 END AS v
+        FROM (SELECT unnest(range(0, 64)) AS d)
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        prev = f"v{i - 1}"
+        parts.append(
+            f"""s{i} AS (
+        SELECT e.vec_id,
+               CAST(ROUND(SUM(CAST(ROUND(CAST(e.embedding[x.dim + 1] AS DOUBLE)
+                    * x.v, 6) AS DECIMAL(25,6))), 6) AS DOUBLE) AS score
+        FROM embeddings e CROSS JOIN {prev} x
+        GROUP BY e.vec_id
+    )"""
+        )
+        parts.append(
+            f"""u{i} AS (
+        SELECT dim,
+               CAST(SUM(CAST(ROUND(x * score, 6) AS DECIMAL(25,6)))
+                    AS DOUBLE) AS u
+        FROM (
+            SELECT s.score,
+                   CAST(generate_subscripts(e.embedding, 1) - 1 AS INT) AS dim,
+                   CAST(unnest(e.embedding) AS DOUBLE) AS x
+            FROM embeddings e JOIN s{i} s USING (vec_id)
+        ) GROUP BY dim
+    )"""
+        )
+        parts.append(
+            f"""n{i} AS (
+        SELECT ROUND(SQRT(SUM(u * u)), 6) AS nrm FROM u{i}
+    )"""
+        )
+        parts.append(
+            f"""v{i} AS (
+        SELECT u.dim, ROUND(u.u / n.nrm, 6) AS v
+        FROM u{i} u CROSS JOIN n{i} n
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
+@register(
+    "q_pca_power_iteration",
+    oracle=f"""
+    WITH {_sql_power_chain(PCA_ITERS)}
+    SELECT v.dim, v.v AS component,
+           CAST(n.nrm AS DOUBLE) AS eigenvalue_scale
+    FROM v{PCA_ITERS} v CROSS JOIN n{PCA_ITERS} n
+    ORDER BY v.dim
+    """,
+)
+def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction after {PCA_ITERS} exact power
+    iterations (64 components + the Rayleigh-scale norm)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = [(d, 1.0 if d == 0 else 0.0) for d in range(PQ_DIMS)]
+    spark_v = spark.createDataFrame(v, "dim int, v double")
+    nrm_last = None
+    for _ in range(PCA_ITERS):
+        comps = emb.select(
+            "vec_id", F.posexplode("embedding").alias("dim", "x")
+        ).select("vec_id", "dim", F.col("x").cast("double").alias("x"))
+        scores = (
+            comps.join(F.broadcast(spark_v), "dim")
+            .groupBy("vec_id")
+            .agg(
+                F.round(
+                    F.sum(
+                        F.round(F.col("x") * F.col("v"), 6).cast("decimal(25,6)")
+                    ),
+                    6,
+                )
+                .cast("double")
+                .alias("score")
+            )
+        )
+        u = (
+            comps.join(scores, "vec_id")
+            .groupBy("dim")
+            .agg(
+                F.sum(
+                    F.round(F.col("x") * F.col("score"), 6).cast("decimal(25,6)")
+                )
+                .cast("double")
+                .alias("u")
+            )
+        )
+        nrm = u.agg(F.round(F.sqrt(F.sum(F.col("u") * F.col("u"))), 6).alias("nrm"))
+        spark_v = (
+            u.crossJoin(F.broadcast(nrm))
+            .select("dim", F.round(F.col("u") / F.col("nrm"), 6).alias("v"))
+        )
+        nrm_last = nrm
+    return (
+        spark_v.crossJoin(F.broadcast(nrm_last))
+        .select(
+            "dim",
+            F.col("v").alias("component"),
+            F.col("nrm").cast("double").alias("eigenvalue_scale"),
+        )
+        .orderBy("dim")
+    )
