@@ -541,3 +541,98 @@ def q_customer_quartile_migration(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count("*").alias("n_customers"))
         .orderBy("from_quartile", "to_quartile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence: order priority x market segment — does the
+# order mix differ by segment? Expected cell counts from the exact
+# margins, per-cell contributions rounded then decimal-summed, plus
+# Cramer's V so the effect size is scale-free.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_chi2_priority_segment",
+    oracle="""
+    WITH joined AS (
+        SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    cells AS (SELECT seg, pri, COUNT(*) AS c FROM joined GROUP BY seg, pri),
+    ms AS (SELECT seg, SUM(c) AS cs FROM cells GROUP BY seg),
+    mp AS (SELECT pri, SUM(c) AS cp FROM cells GROUP BY pri),
+    t AS (SELECT SUM(c) AS n FROM cells),
+    terms AS (
+        SELECT ROUND(POWER(cl.c - (ms.cs * 1.0 * mp.cp / t.n), 2)
+               / (ms.cs * 1.0 * mp.cp / t.n), 6) AS term
+        FROM cells cl
+        JOIN ms ON ms.seg = cl.seg
+        JOIN mp ON mp.pri = cl.pri
+        CROSS JOIN t
+    ),
+    dims AS (
+        SELECT (SELECT COUNT(*) FROM ms) AS r, (SELECT COUNT(*) FROM mp) AS k
+    )
+    SELECT COUNT(*) AS n_cells,
+           CAST(ROUND(CAST(SUM(CAST(term AS DECIMAL(25,6))) AS DOUBLE), 4)
+                AS DOUBLE) AS chi2,
+           CAST((SELECT (r - 1) * (k - 1) FROM dims) AS BIGINT) AS dof,
+           CAST(ROUND(SQRT(CAST(SUM(CAST(term AS DECIMAL(25,6))) AS DOUBLE)
+                / ((SELECT n FROM t)
+                   * ((SELECT LEAST(r, k) FROM dims) - 1))), 6) AS DOUBLE)
+               AS cramers_v
+    FROM terms
+    """,
+)
+def q_chi2_priority_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square statistic + Cramer's V for order-priority vs
+    market-segment independence, from exact contingency counts."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = orders.join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("o_orderpriority").alias("pri"),
+    )
+    cells = joined.groupBy("seg", "pri").agg(F.count("*").alias("c"))
+    ms = cells.groupBy("seg").agg(F.sum("c").alias("cs"))
+    mp = cells.groupBy("pri").agg(F.sum("c").alias("cp"))
+    t = cells.agg(F.sum("c").alias("n"))
+    dims = ms.agg(F.count(F.lit(1)).alias("r")).crossJoin(
+        mp.agg(F.count(F.lit(1)).alias("k"))
+    )
+    expected = F.col("cs") * 1.0 * F.col("cp") / F.col("n")
+    term = F.round(F.pow(F.col("c") - expected, 2) / expected, 6)
+    agg = (
+        cells.join(F.broadcast(ms), "seg")
+        .join(F.broadcast(mp), "pri")
+        .crossJoin(F.broadcast(t))
+        .select(term.alias("term"), "n")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum(F.col("term").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("chi2_raw"),
+            F.first("n").alias("n"),
+        )
+    )
+    return (
+        agg.crossJoin(F.broadcast(dims))
+        .select(
+            "n_cells",
+            F.round(F.col("chi2_raw"), 4).cast("double").alias("chi2"),
+            ((F.col("r") - 1) * (F.col("k") - 1)).cast("long").alias("dof"),
+            F.round(
+                F.sqrt(
+                    F.col("chi2_raw")
+                    / (F.col("n") * (F.least(F.col("r"), F.col("k")) - 1))
+                ),
+                6,
+            )
+            .cast("double")
+            .alias("cramers_v"),
+        )
+    )
