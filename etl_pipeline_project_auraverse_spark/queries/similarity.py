@@ -926,3 +926,94 @@ def q_embedding_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Intrinsic dimension (Two-NN, Facco et al.): the MLE from the ratio
+# of each point's second to first nearest-neighbor distance —
+# d = 1 / mean(ln(r2/r1)). High-dimensional uniform noise pushes the
+# estimate toward the ambient dimension; structured data sits far
+# lower. Exact arm over a bounded sample (broadcast NLJ, the
+# measurement pattern); distances derive from rounded cosines on the
+# unit sphere (r = sqrt(2 - 2 cos)), log ratios rounded then
+# decimal-summed.
+# ---------------------------------------------------------------------------
+TWO_NN_SAMPLES = 50
+
+
+@register(
+    "q_embedding_intrinsic_dim",
+    oracle=f"""
+    WITH qset AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id < {TWO_NN_SAMPLES}
+    ),
+    ranked AS (
+        SELECT q.vec_id,
+               ROUND(SQRT(2.0 - 2.0 * {sql_cosine("q.embedding", "c.embedding")}), 6)
+                   AS r,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                   {sql_cosine("q.embedding", "c.embedding")} DESC, c.vec_id)
+                   AS rn
+        FROM qset q JOIN embeddings c ON q.vec_id <> c.vec_id
+    ),
+    pairs AS (
+        SELECT a.vec_id, ROUND(ln(b.r / a.r), 6) AS mu
+        FROM ranked a JOIN ranked b
+          ON b.vec_id = a.vec_id AND a.rn = 1 AND b.rn = 2
+        WHERE a.r > 0
+    )
+    SELECT COUNT(*) AS n_samples,
+           CAST(ROUND(CAST(SUM(CAST(mu AS DECIMAL(25,6))) AS DOUBLE)
+                / COUNT(*), 6) AS DOUBLE) AS mean_log_ratio,
+           CAST(ROUND(COUNT(*) * 1.0
+                / CAST(SUM(CAST(mu AS DECIMAL(25,6))) AS DOUBLE), 4)
+                AS DOUBLE) AS intrinsic_dim
+    FROM pairs
+    """,
+)
+def q_embedding_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-NN intrinsic-dimension estimate over a bounded query sample
+    — the embedding-geometry audit (near the ambient dimension means
+    unstructured/noisy vectors)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qset = F.broadcast(emb.filter(F.col("vec_id") < TWO_NN_SAMPLES))
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), "c_id")
+    ranked = (
+        qset.alias("q")
+        .join(emb.alias("c"), F.col("q.vec_id") != F.col("c.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("q_id"),
+            F.col("c.vec_id").alias("c_id"),
+            cosine(F.col("q.embedding"), F.col("c.embedding")).alias("cos"),
+        )
+        .withColumn("r", F.round(F.sqrt(2.0 - 2.0 * F.col("cos")), 6))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+    )
+    r1 = ranked.filter("rn = 1").select(
+        "q_id", F.col("r").alias("r1")
+    )
+    r2 = ranked.filter("rn = 2").select("q_id", F.col("r").alias("r2"))
+    mu = (
+        r1.join(r2, "q_id")
+        .filter(F.col("r1") > 0)
+        .select(F.round(F.log(F.col("r2") / F.col("r1")), 6).alias("mu"))
+    )
+    return mu.agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.round(
+            F.sum(F.col("mu").cast("decimal(25,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        )
+        .cast("double")
+        .alias("mean_log_ratio"),
+        F.round(
+            F.count(F.lit(1))
+            * 1.0
+            / F.sum(F.col("mu").cast("decimal(25,6)")).cast("double"),
+            4,
+        )
+        .cast("double")
+        .alias("intrinsic_dim"),
+    )
