@@ -1060,3 +1060,69 @@ def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility per language: tokens-per-word under the frozen
+# merge table — the standard tokenizer-equity metric (a language with
+# high fertility pays more sequence length for the same text). Same
+# codegen'd chained-replace encoding as the per-doc apply, aggregated
+# to the language level over the whole corpus.
+# ---------------------------------------------------------------------------
+
+
+def _fertility_oracle() -> str:
+    enc = r"regexp_replace(w, '(.)', e'\x01\\1\x01', 'g') || e'\x01</w>\x01'"
+    for l, r in BPE_FIXED_MERGES:
+        enc = f"replace({enc}, e'\\x01{l}\\x01\\x01{r}\\x01', e'\\x01{l}{r}\\x01')"
+    return rf"""
+    WITH words AS (
+        SELECT lang,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        FROM documents
+    ), enc AS (
+        SELECT lang, {enc} AS s FROM words WHERE w <> ''
+    )
+    SELECT lang,
+           COUNT(*) AS n_words,
+           CAST(SUM((length(s) - length(replace(s, e'\x01', ''))) / 2)
+                AS BIGINT) AS n_tokens,
+           CAST(ROUND(SUM((length(s) - length(replace(s, e'\x01', ''))) / 2)
+                * 1.0 / COUNT(*), 6) AS DOUBLE) AS fertility
+    FROM enc GROUP BY lang ORDER BY lang
+    """
+
+
+@register("q_tokenizer_fertility_by_lang", oracle=_fertility_oracle())
+def q_tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens-per-word under the frozen BPE merges per language — the
+    tokenizer-equity readout, entirely inside codegen'd string
+    expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "lang",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    enc = F.concat(
+        F.regexp_replace(F.col("w"), "(.)", f"{_S}$1{_S}"),
+        F.lit(f"{_S}</w>{_S}"),
+    )
+    for l, r in BPE_FIXED_MERGES:
+        enc = F.replace(
+            enc, F.lit(f"{_S}{l}{_S}{_S}{r}{_S}"), F.lit(f"{_S}{l}{r}{_S}")
+        )
+    n_tok = (F.length(enc) - F.length(F.replace(enc, F.lit(_S), F.lit("")))) / 2
+    return (
+        words.select("lang", n_tok.alias("t"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("t").cast("long").alias("n_tokens"),
+        )
+        .withColumn(
+            "fertility",
+            F.round(F.col("n_tokens") * 1.0 / F.col("n_words"), 6)
+            .cast("double"),
+        )
+        .orderBy("lang")
+    )
