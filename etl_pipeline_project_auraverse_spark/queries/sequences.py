@@ -1040,3 +1040,59 @@ def q_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("mape"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Overdispersion (Fano factor): variance-to-mean ratio of daily counts
+# per event type — 1 for a Poisson process, >> 1 for bursty traffic.
+# Exact integer sufficient statistics over the daily aggregate.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_event_fano_factor",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        FROM events GROUP BY event_type, day
+    ),
+    s AS (
+        SELECT event_type, COUNT(*) AS d,
+               CAST(SUM(n) AS BIGINT) AS s1,
+               CAST(SUM(n * n) AS BIGINT) AS s2
+        FROM daily GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(d AS BIGINT) AS n_days,
+           CAST(ROUND(s1 * 1.0 / d, 6) AS DOUBLE) AS mean_daily,
+           CAST(ROUND(((s2 - s1 * 1.0 * s1 / d) / (d - 1))
+                / (s1 * 1.0 / d), 6) AS DOUBLE) AS fano_factor
+    FROM s
+    ORDER BY event_type
+    """,
+)
+def q_event_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance/mean of daily event counts per type — the Poisson
+    burstiness diagnostic from exact integer moments."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    s = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("d"),
+        F.sum("n").cast("long").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("s2"),
+    )
+    mean = F.col("s1") * 1.0 / F.col("d")
+    var = (F.col("s2") - F.col("s1") * 1.0 * F.col("s1") / F.col("d")) / (
+        F.col("d") - 1
+    )
+    return (
+        s.select(
+            "event_type",
+            F.col("d").cast("long").alias("n_days"),
+            F.round(mean, 6).cast("double").alias("mean_daily"),
+            F.round(var / mean, 6).cast("double").alias("fano_factor"),
+        )
+        .orderBy("event_type")
+    )
