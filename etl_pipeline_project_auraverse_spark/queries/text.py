@@ -879,3 +879,52 @@ def q_lang_source_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mutual_info_bits"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Source diversity per language (Gini–Simpson index): 1 - sum(p^2)
+# over source shares within each language — the data-card stat that
+# flags languages fed by a single scrape. Exact counts, squared
+# shares rounded then decimal-summed.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_source_diversity_by_lang",
+    oracle="""
+    WITH cells AS (
+        SELECT lang, source, COUNT(*) AS c FROM documents GROUP BY lang, source
+    ),
+    tot AS (SELECT lang, SUM(c) AS n FROM cells GROUP BY lang)
+    SELECT c.lang,
+           COUNT(*) AS n_sources,
+           CAST(ROUND(1.0 - SUM(CAST(ROUND((c.c * 1.0 / t.n)
+                * (c.c * 1.0 / t.n), 6) AS DECIMAL(25,6))), 6) AS DOUBLE)
+               AS simpson_diversity
+    FROM cells c JOIN tot t USING (lang)
+    GROUP BY c.lang
+    ORDER BY c.lang
+    """,
+)
+def q_source_diversity_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini–Simpson diversity of sources within each language — 0
+    means a single-scrape language, (k-1)/k means perfectly mixed."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(F.count("*").alias("c"))
+    tot = cells.groupBy("lang").agg(F.sum("c").alias("n"))
+    share_sq = F.round(
+        (F.col("c") * 1.0 / F.col("n")) * (F.col("c") * 1.0 / F.col("n")), 6
+    )
+    return (
+        cells.join(F.broadcast(tot), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sources"),
+            F.round(
+                1.0 - F.sum(share_sq.cast("decimal(25,6)")).cast("double"), 6
+            )
+            .cast("double")
+            .alias("simpson_diversity"),
+        )
+        .orderBy("lang")
+    )
