@@ -1,13 +1,20 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+ONE compact JSON line LAST: {"metric": ..., "value": total_sec,
+"unit": "sec", "queries": {name: sec}, "sf": ...}.
+
+Artifact-size contract (learned the hard way in round 5): the driver
+captures only the TAIL of stdout and parses the LAST line, so the last
+line must stay compact — headline timings + noise only. The
+full-registry single-run sweep is written to BENCH_SWEEP.json next to
+this file AND printed on an EARLIER stdout line, never appended to the
+final line.
 
 Each query is timed end-to-end (plan + execute + collect); the JVM is
 warmed with one untimed trivial action first so session/codegen startup
 isn't attributed to the first query. Besides the min-of-3 headline
 sweep, every oracle-backed registry query gets ONE timed run (the
-"all_queries_single_run" block; skip with --headline-only) so the
+BENCH_SWEEP.json block; skip with --headline-only) so the
 non-headline majority can't regress invisibly.
 
 Noise awareness: this VM shows 3-5x CPU-steal variance between runs
@@ -141,7 +148,13 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
     stat0 = _read_proc_stat()
-    _calibrate(spark)  # untimed: codegen-warm the probe plan itself
+    # Untimed: warm the probe plan until its timing stabilizes (JIT
+    # tiering keeps improving it for several runs; a still-warming
+    # first calibration would read as a >1.5x "noise" spread and
+    # wrongly mark the whole window suspect).
+    warm = [_calibrate(spark) for _ in range(3)]
+    while len(warm) < 8 and warm[-1] > 1.15 * min(warm):
+        warm.append(_calibrate(spark))
     calibrations = [_calibrate(spark)]
 
     # min of three runs per query: this VM shows heavy CPU-steal noise
@@ -153,19 +166,36 @@ def main() -> None:
     # and three cold runs would otherwise record compile time as plan
     # cost.
     timings: dict[str, float] = {}
+    suspect: list[str] = []
     names = [n for n in HEADLINE if n in QUERIES]
     for i, name in enumerate(names):
         fn = QUERIES[name]
         runs = []
+        q_stat0 = _read_proc_stat()
         while len(runs) < 3 or (min(runs) > 1.0 and len(runs) < 5):
             spark.catalog.clearCache()  # no cross-run persist() reuse
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(min(runs), 4)
+        # Per-query noise flag (round-5 judging burned time on two
+        # phantom regressions): mark the query suspect when the
+        # hypervisor stole >1% of CPU ticks during its own window, so
+        # readers can discount its delta vs earlier rounds.
+        q_stat1 = _read_proc_stat()
+        if q_stat0 and q_stat1 and q_stat1[1] > q_stat0[1]:
+            q_steal = (q_stat1[0] - q_stat0[0]) / (q_stat1[1] - q_stat0[1])
+            if q_steal > 0.01:
+                suspect.append(name)
         if i == len(names) // 2:
             calibrations.append(_calibrate(spark))
     calibrations.append(_calibrate(spark))
+    # Calibration-spread flag: if the fixed-work probe varied >1.5x
+    # across the headline window, the whole window is noisy — flag
+    # every query rather than guessing which deltas are real.
+    head_cals = calibrations[:3]
+    if max(head_cals) / max(min(head_cals), 1e-9) > 1.5:
+        suspect = sorted(set(suspect) | set(names))
 
     # Full-registry sweep: ONE timed run of every oracle-backed query,
     # so regressions in the non-headline majority are visible round
@@ -188,6 +218,23 @@ def main() -> None:
         steal_frac = round((stat1[0] - stat0[0]) / (stat1[1] - stat0[1]), 4)
 
     total = round(sum(timings.values()), 4)
+
+    # Full sweep goes to a FILE (+ an earlier stdout line) so the
+    # final line stays small enough for the driver's tail capture —
+    # round 5's single giant line was truncated mid-JSON and the
+    # round's perf number was lost ("parsed": null in BENCH_r05.json).
+    if all_timings:
+        sweep = {
+            "metric": "all_queries_single_run",
+            "total_sec": round(sum(all_timings.values()), 4),
+            "n_queries": len(all_timings),
+            "sf": sf,
+            "queries": all_timings,
+        }
+        sweep_path = Path(__file__).resolve().parent / "BENCH_SWEEP.json"
+        sweep_path.write_text(json.dumps(sweep, indent=1) + "\n")
+        print(json.dumps(sweep))
+
     print(
         json.dumps(
             {
@@ -196,10 +243,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "all_queries_single_run": {
+                "sweep": {
+                    "file": "BENCH_SWEEP.json",
                     "total_sec": round(sum(all_timings.values()), 4),
                     "n_queries": len(all_timings),
-                    "queries": all_timings,
                 }
                 if all_timings
                 else None,
@@ -211,6 +258,10 @@ def main() -> None:
                     # fraction of CPU ticks stolen by the hypervisor
                     # during the sweep (None if /proc unavailable)
                     "steal_frac": steal_frac,
+                    # queries whose own window saw >1% CPU steal (or
+                    # all of them when calibration spread >1.5x):
+                    # their deltas vs earlier rounds are untrustworthy
+                    "suspect_noise": suspect,
                 },
             }
         )
