@@ -157,13 +157,22 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q22 analogue: wealthy customers with no orders, grouped by the
-# nation prefix of their name-derived "country code" stand-in — the
-# reduced schema has no phone, so the nation key plays that role.
+# Q22 analogue: wealthy DORMANT customers — above-average positive
+# balance and no orders since DORMANT_CUTOFF — grouped by the nation
+# prefix of their name-derived "country code" stand-in (the reduced
+# schema has no phone, so the nation key plays that role). The
+# original "no orders ever" predicate was vacuous on the generated
+# data (every customer has at least one order), so the anti-join runs
+# against the recent-order subset instead; the cutoff leaves ~0.1% of
+# customers dormant (5 rows at sf0.001, 55 at sf0.01) — selective but
+# non-empty at every test scale.
 # ---------------------------------------------------------------------------
+DORMANT_CUTOFF = "2000-01-01"
+
+
 @register(
     "q22_dormant_wealthy_customers",
-    oracle="""
+    oracle=f"""
     WITH bal AS (
         SELECT SUM(CAST(c_acctbal AS DECIMAL(20,6))) AS bal_total,
                COUNT(c_acctbal) AS bal_cnt
@@ -174,7 +183,8 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(25,6))), 2) AS DOUBLE) AS total_bal
     FROM customer c CROSS JOIN bal
     WHERE CAST(c.c_acctbal AS DECIMAL(20,6)) * bal.bal_cnt > bal.bal_total
-      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= DATE '{DORMANT_CUTOFF}')
     GROUP BY c.c_nationkey
     ORDER BY c.c_nationkey
     """,
@@ -189,6 +199,11 @@ def q22_dormant_wealthy_customers(spark: SparkSession, sf_dir: str) -> DataFrame
     """
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
+    # "dormant" = no orders on/after the cutoff; the date filter is
+    # pushed into the orders scan before the anti-join's shuffle
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit(DORMANT_CUTOFF).cast("date")
+    )
     bal = (
         cust.filter(F.col("c_acctbal") > 0)
         .agg(
@@ -202,7 +217,11 @@ def q22_dormant_wealthy_customers(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("c_acctbal").cast("decimal(20,6)") * F.col("bal_cnt")
             > F.col("bal_total")
         )
-        .join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+        .join(
+            recent,
+            cust["c_custkey"] == recent["o_custkey"],
+            "left_anti",
+        )
         .groupBy("c_nationkey")
         .agg(
             F.count("*").alias("n_customers"),

@@ -138,7 +138,11 @@ def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q8 analogue: market share of one supplier nation within one region's
 # customer market, per order year.
 # ---------------------------------------------------------------------------
-MKT_REGION = "REGION_1"
+# Constants chosen against the generated data: region names are the
+# five real TPC-H regions (AFRICA/AMERICA/ASIA/EUROPE/MIDDLE EAST),
+# nation names are NATION_0..24. The original "REGION_1" matched no
+# region, so the query was green-but-vacuous (0 rows == 0 rows).
+MKT_REGION = "ASIA"
 SHARE_NATION = "NATION_5"
 
 
