@@ -106,10 +106,15 @@ HEADLINE = [
     "q_cdc_latest_order_state",
     "q_mad_outlier_prices",
     "q_dq_orders_report",
-    "q_dedup_word_spans",
     "q_ann_pq_recall",
-    "q_hll_rolling_7d_users",
     "q_dedup_incremental_minhash",
+    # round-6 representatives, swapped in for two retired round-5
+    # entries (q_dedup_word_spans, q_hll_rolling_7d_users — both still
+    # timed by the all-registry sweep) so the headline stays at 50:
+    # the de-vacuated six-join market-share tree and the two-iteration
+    # k-means training loop.
+    "q08_market_share",
+    "q_kmeans_train_two_iter",
 ]
 
 

@@ -858,3 +858,67 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# The k-means TRAINING LOOP as a driver-checkable query: two chained
+# exact Lloyd iterations (operators/kmeans.py) and then, per centroid,
+# the post-training size, inertia (sum of 1 - cos over its members,
+# decimal-accumulated), and every dimension of the trained centroid.
+# q_kmeans_lloyd_step attests a single iteration; this attests that
+# the LOOP is deterministic end-to-end — iteration 2 consumes
+# iteration 1's exact centroids, so any drift anywhere in the chain
+# (assignment ties, mean arithmetic, lineage truncation) breaks the
+# hash match. The oracle chains the identical assign/update SQL twice
+# via _sql_lloyd_chain, then recomputes the final assignment's cosine
+# against the iteration-1 centroids for the inertia column.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_kmeans_train_two_iter",
+    oracle=f"""
+    WITH {_sql_lloyd_chain(2)},
+    stats AS (
+        SELECT a.centroid_id, COUNT(*) AS n_assigned,
+               CAST(ROUND(SUM(CAST(
+                   1 - {sql_cosine("a.embedding", "c.centroid")}
+                   AS DECIMAL(25,6))), 6) AS DOUBLE) AS inertia
+        FROM a2 a JOIN c1 c USING (centroid_id)
+        GROUP BY a.centroid_id
+    ),
+    final AS (
+        SELECT centroid_id,
+               CAST(generate_subscripts(centroid, 1) - 1 AS INT) AS dim,
+               CAST(unnest(centroid) AS DOUBLE) AS new_val
+        FROM c2
+    )
+    SELECT f.centroid_id, s.n_assigned, s.inertia, f.dim, f.new_val
+    FROM final f JOIN stats s USING (centroid_id)
+    ORDER BY f.centroid_id, f.dim
+    """,
+)
+def q_kmeans_train_two_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two deterministic Lloyd iterations via the production training
+    loop, returning per-centroid size, inertia and trained components."""
+    from etl_pipeline_project_auraverse_spark.operators.kmeans import kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    fit = kmeans_fit(emb, k=KM_K, max_iters=2)
+    # fit.assignments is the iteration-2 assignment (vec_id, centroid_id,
+    # cos against the iteration-1 centroids) — exactly what inertia is
+    # defined over in kmeans_fit's own convergence probe.
+    stats = fit.assignments.groupBy("centroid_id").agg(
+        F.count("*").alias("n_assigned"),
+        F.round(F.sum((1.0 - F.col("cos")).cast("decimal(25,6)")), 6)
+        .cast("double")
+        .alias("inertia"),
+    )
+    return (
+        fit.centroids.select(
+            "centroid_id", F.posexplode("centroid").alias("dim", "new_val")
+        )
+        .join(F.broadcast(stats), "centroid_id")
+        .select("centroid_id", "n_assigned", "inertia", "dim", "new_val")
+        .orderBy("centroid_id", "dim")
+    )
