@@ -4,10 +4,12 @@ columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 Part of the extended training-data-pipeline surface (SURVEY §7 M5).
 Formats decodable with the standard library decode FOR REAL:
 uncompressed 24-bit BMP images (manual header parse), PNG in 8-bit
-grey/RGB/palette variants (from-scratch codec, ``png_codec.py``), and
-PCM WAV audio (``wave`` module) — full pixel/sample access, no
-external codec. For codec-requiring formats (JPEG/MP4...) the decode
-seam raises ``NotImplementedError`` (PIL/cv2/ffmpeg are not in this
+grey/RGB/palette variants (from-scratch codec, ``png_codec.py``), GIF
+(``gif_codec.py``), baseline JPEG (Huffman + IDCT from scratch,
+``jpeg_codec.py``), and PCM WAV audio (``wave`` module) — full
+pixel/sample access, no external codec. For the remaining
+codec-requiring formats (progressive JPEG, MP4...) the decode seam
+raises ``NotImplementedError`` (PIL/cv2/ffmpeg are not in this
 container);
 a deterministic FAKEIMG format stands in for tests. Everything
 Spark-side — schema, batch iteration, partition behavior, UDF
@@ -113,10 +115,17 @@ def _decode_image_bytes(buf: bytes) -> tuple[int, int, int, np.ndarray]:
         from etl_pipeline_project_auraverse_spark.operators.gif_codec import decode_gif
 
         return decode_gif(buf)
+    if buf is not None and buf.startswith(b"\xff\xd8"):
+        from etl_pipeline_project_auraverse_spark.operators.jpeg_codec import (
+            decode_jpeg,
+        )
+
+        return decode_jpeg(buf)
     if buf is None or not buf.startswith(FAKE_MAGIC):
         raise NotImplementedError(
             "this payload needs a codec library (PIL/cv2/ffmpeg — not "
-            "installed); BMP, PNG, GIF and FAKEIMG decode natively"
+            "installed); BMP, PNG, GIF, baseline JPEG and FAKEIMG "
+            "decode natively"
         )
     w, h, c = struct.unpack_from("<HHB", buf, len(FAKE_MAGIC))
     pixels = np.frombuffer(buf, dtype=np.uint8, offset=len(FAKE_MAGIC) + 5)
