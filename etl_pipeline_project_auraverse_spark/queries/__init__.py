@@ -70,6 +70,7 @@ _MODULES = [
     "etl_pipeline_project_auraverse_spark.queries.sequences",
     "etl_pipeline_project_auraverse_spark.queries.pq",
     "etl_pipeline_project_auraverse_spark.queries.search",
+    "etl_pipeline_project_auraverse_spark.queries.pii",
 ]
 
 

@@ -462,3 +462,113 @@ def q_part_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "part_a", "part_b")
         .limit(CF_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Bounded-hop BFS over the co-purchase graph: minimum hop distance
+# from a deterministic seed set to every reachable part, oracle-checked
+# EXACTLY against a DuckDB recursive CTE. Like PageRank above, the
+# state is integer-only (node ids + hop counts), so iterative
+# traversal — normally the classic "can't diff two engines" case — is
+# bit-identical across engines with no rounding contract.
+#
+# Scale shape: the edge table is built once (same capped basket
+# pattern as PageRank) and persisted across iterations; each hop is
+# one equi-join frontier expansion + distinct + anti-join against the
+# visited set, i.e. frontier-sized work, not graph-sized. Lineage
+# depth equals BFS_HOPS (unrolled); a deep variant would
+# localCheckpoint per round like operators/components.py. The oracle's
+# recursive CTE carries (node, hops<=H) pairs, so its working set is
+# bounded by nodes x H — no path explosion.
+# ---------------------------------------------------------------------------
+BFS_SEED_MAX = 5  # seed set: parts with partkey < 5 present in the graph
+BFS_HOPS = 3
+
+
+def _bfs_oracle() -> str:
+    return f"""
+    WITH RECURSIVE basket AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    ok_orders AS (
+        SELECT l_orderkey FROM basket
+        GROUP BY l_orderkey HAVING COUNT(*) <= {BASKET_CAP}
+    ),
+    b AS (SELECT basket.* FROM basket JOIN ok_orders USING (l_orderkey)),
+    pairs AS (
+        SELECT x.l_partkey AS part_a, y.l_partkey AS part_b
+        FROM b x JOIN b y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        GROUP BY part_a, part_b
+        HAVING COUNT(*) >= {MIN_PAIR_SUPPORT}
+    ),
+    edges AS (
+        SELECT part_a AS u, part_b AS v FROM pairs
+        UNION ALL
+        SELECT part_b AS u, part_a AS v FROM pairs
+    ),
+    seeds AS (SELECT DISTINCT u FROM edges WHERE u < {BFS_SEED_MAX}),
+    reach(node, hops) AS (
+        SELECT u AS node, 0 AS hops FROM seeds
+        UNION
+        SELECT e.v, r.hops + 1
+        FROM reach r JOIN edges e ON e.u = r.node
+        WHERE r.hops < {BFS_HOPS}
+    )
+    SELECT CAST(node AS BIGINT) AS part, CAST(MIN(hops) AS INT) AS min_hops
+    FROM reach
+    GROUP BY node
+    ORDER BY part
+    """
+
+
+@register("q_bfs_copurchase_hops", oracle=_bfs_oracle())
+def q_bfs_copurchase_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum hop count from the seed parts to every part reachable
+    within BFS_HOPS over the co-purchase graph. Frontier BFS: each
+    round expands only the newly discovered nodes and anti-joins the
+    visited set, so discovery hop == minimum hop by construction —
+    matching the oracle's MIN(hops) over its (node, hops) closure."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") <= BASKET_CAP)
+    )
+    lhs = baskets.select("parts", F.posexplode("parts").alias("i", "part_a"))
+    pairs = (
+        lhs.select(
+            "part_a",
+            F.explode(
+                F.expr("slice(parts, i + 2, size(parts) - i - 1)")
+            ).alias("part_b"),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= MIN_PAIR_SUPPORT)
+    )
+    edges = persist_tracked(
+        pairs.select(F.col("part_a").alias("u"), F.col("part_b").alias("v")).unionAll(
+            pairs.select(F.col("part_b").alias("u"), F.col("part_a").alias("v"))
+        )
+    )
+    frontier = (
+        edges.filter(F.col("u") < BFS_SEED_MAX)
+        .select(F.col("u").alias("part"))
+        .distinct()
+        .withColumn("min_hops", F.lit(0))
+    )
+    visited = frontier
+    for hop in range(1, BFS_HOPS + 1):
+        discovered = (
+            frontier.join(edges, frontier["part"] == edges["u"])
+            .select(F.col("v").alias("part"))
+            .distinct()
+            .join(visited.select("part"), "part", "left_anti")
+            .withColumn("min_hops", F.lit(hop))
+        )
+        visited = visited.unionAll(discovered)
+        frontier = discovered
+    return visited.select(
+        F.col("part").cast("long"), F.col("min_hops").cast("int")
+    ).orderBy("part")
