@@ -1,94 +1,84 @@
-"""PII detection/redaction unit tests on realistic crafted strings —
-the detection evidence the driver query can't give (its corpus is
-synthetic-by-construction)."""
+"""PII detection/redaction battery over constructed fixtures (the
+star schema carries no PII-bearing columns, same policy as the
+multimodal decoders)."""
 
 from __future__ import annotations
 
-import pytest
-from pyspark.sql import functions as F
+import pyspark.sql.functions as F
 
-from etl_pipeline_project_auraverse_spark.operators.pii import (
-    PII_PATTERNS,
-    scrub_pii,
+from etl_pipeline_project_auraverse_spark.functions.pii import (
+    pii_counts,
+    redact,
 )
 
-
-def _one(spark, text: str) -> dict:
-    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
-    return scrub_pii(df).collect()[0].asDict()
-
-
-CASES = [
-    # (text, expected per-class counts, expected scrubbed text)
-    (
-        "Reach me at jane.doe+spam@mail.example.co.uk today",
-        {"email": 1},
-        "Reach me at [EMAIL] today",
-    ),
-    (
-        "Call +1 555-867-5309 or (212) 555-0187 now",
-        {"phone": 2},
-        "Call +[PHONE] or [PHONE] now",
-    ),
-    (
-        "server at 192.168.0.12, gateway 10.0.0.1.",
-        {"ip": 2},
-        "server at [IP], gateway [IP].",
-    ),
-    (
-        "SSN 078-05-1120 on file",
-        {"ssn": 1},
-        "SSN [SSN] on file",
-    ),
-    (
-        "card 4111-1111-1111-1111 exp 11/29",
-        {"card": 1},
-        "card [CARD] exp 11/29",
-    ),
-    (
-        "no pii here, just 1234 and version 2.5",
-        {},
-        "no pii here, just 1234 and version 2.5",
-    ),
-    (
-        # overlapping classes: the email's host is not an IP, the
-        # card must win over phone/ssn-shaped digit groups inside it
-        "a@b.io 4012-8888-8888-1881 and 301-70-4455",
-        {"email": 1, "card": 1, "ssn": 1},
-        "[EMAIL] [CARD] and [SSN]",
-    ),
+# 4242424242424242 passes Luhn (classic test number); the altered last
+# digit in ROW 5 breaks the checksum.
+ROWS = [
+    (0, "contact alice@example.com or bob.smith+tag@mail.co.uk today"),
+    (1, "server at 10.0.0.1 and backup at 192.168.100.200 are up"),
+    (2, "call (555) 123-4567 or 555-987-6543 or +1 555 222 3333"),
+    (3, "ssn on file: 123-45-6789"),
+    (4, "card 4242424242424242 and spaced 4242 4242 4242 4242"),
+    (5, "not a card: 4242424242424243, just a big number"),
+    (6, "nothing sensitive here at all"),
+    (7, None),
 ]
 
 
-@pytest.mark.parametrize("text,counts,scrubbed", CASES)
-def test_scrub_cases(spark, text, counts, scrubbed):
-    row = _one(spark, text)
-    for name, _, _ in PII_PATTERNS:
-        assert row[f"{name}_count"] == counts.get(name, 0), (name, row)
-    assert row["text_scrubbed"] == scrubbed
+def _df(spark):
+    return spark.createDataFrame(ROWS, "id long, text string")
 
 
-def test_counts_see_raw_text_but_scrub_applies_precedence(spark):
-    # phone-shaped digits inside a card number: the card redacts
-    # first, so no stray [PHONE] appears in the output
-    row = _one(spark, "pay 5555-4444-3333-2222 fast")
-    assert row["card_count"] == 1
-    assert row["text_scrubbed"] == "pay [CARD] fast"
-    assert "[PHONE]" not in row["text_scrubbed"]
+def test_pii_counts(spark):
+    got = {
+        r["id"]: r["c"].asDict()
+        for r in _df(spark).select("id", pii_counts(F.col("text")).alias("c")).collect()
+    }
+    assert got[0] == {"email": 2, "ipv4": 0, "phone": 0, "ssn": 0, "card": 0}
+    assert got[1]["ipv4"] == 2 and got[1]["email"] == 0
+    assert got[2]["phone"] == 3
+    assert got[3]["ssn"] == 1
+    # Luhn separates real cards from 16-digit noise
+    assert got[4]["card"] == 2
+    assert got[5]["card"] == 0
+    assert got[6] == {"email": 0, "ipv4": 0, "phone": 0, "ssn": 0, "card": 0}
+    assert got[7] == {"email": 0, "ipv4": 0, "phone": 0, "ssn": 0, "card": 0}
 
 
-def test_passthrough_columns_preserved(spark):
-    df = spark.createDataFrame(
-        [(7, "x", "en")], "doc_id long, text string, lang string"
+def test_redaction_replaces_every_occurrence(spark):
+    got = {
+        r["id"]: r["red"]
+        for r in _df(spark).select("id", redact(F.col("text")).alias("red")).collect()
+    }
+    assert got[0] == "contact [EMAIL] or [EMAIL] today"
+    assert got[1] == "server at [IPV4] and backup at [IPV4] are up"
+    assert got[2] == "call [PHONE] or [PHONE] or [PHONE]"
+    assert got[3] == "ssn on file: [SSN]"
+    # redaction is conservative: card-shaped strings go even when the
+    # checksum fails (counting is the precise side)
+    assert "[CARD]" in got[4] and "4242" not in got[4]
+    assert "[CARD]" in got[5]
+    assert got[6] == "nothing sensitive here at all"
+    assert got[7] is None
+
+
+def test_counts_and_redaction_stay_in_codegen(spark):
+    """No UDFs: the whole battery must be pure Column expressions
+    (BatchEvalPython in the plan would mean a Python hot path)."""
+    df = _df(spark).select(
+        pii_counts(F.col("text")).alias("c"), redact(F.col("text")).alias("r")
     )
-    out = scrub_pii(df)
-    assert {"doc_id", "text", "lang", "text_scrubbed"} <= set(out.columns)
-    assert out.collect()[0]["lang"] == "en"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
-def test_plan_is_codegen_only(spark):
-    # the scrubber must stay JVM-side: no BatchEvalPython / Arrow
-    # UDF stages in the plan
-    df = spark.createDataFrame([(1, "a@b.io")], "doc_id long, text string")
-    plan = scrub_pii(df)._jdf.queryExecution().executedPlan().toString()
-    assert "Python" not in plan
+def test_corpus_rollup_shape(spark):
+    """The corpus-level scrub report: one aggregate over the struct."""
+    df = _df(spark).select(pii_counts(F.col("text")).alias("c"))
+    row = df.agg(
+        F.sum("c.email").alias("emails"),
+        F.sum("c.card").alias("cards"),
+        F.count(F.when(F.col("c.email") + F.col("c.ipv4") + F.col("c.phone")
+                       + F.col("c.ssn") + F.col("c.card") > 0, 1)).alias("docs_with_pii"),
+    ).collect()[0]
+    assert (row["emails"], row["cards"], row["docs_with_pii"]) == (2, 2, 5)
