@@ -464,42 +464,24 @@ def _cms_oracle() -> str:
 def q_cms_part_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CMS frequency estimate vs exact count for every part key, with
     the per-key overcount (always >= 0). Build: one explode({CMS_D})
-    + one bounded groupBy; probe: equi-join on (row, bucket)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    + one bounded groupBy; probe: equi-join on (row, bucket).
 
-    def pos(key, d):
-        return (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(key.cast("string"), F.lit("#"), d.cast("string"))),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % CMS_W
-        )
-
-    d_col = F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("d")
-    cnt = (
-        li.select(F.col("l_partkey").alias("key"))
-        .select("key", d_col)
-        .select("d", pos(F.col("key"), F.col("d")).alias("bucket"))
-        .groupBy("d", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
+    Uses the md5 hash engine — the price of a bit-exact DuckDB twin
+    (the sketch itself is oracle-checked, not just its shape). The
+    production engine is ``operators/cms.py``'s default xxhash64 —
+    about half the cost — whose guarantees are unit-checked instead
+    (DuckDB has no xxhash64, so it cannot be oracle-twinned)."""
+    from etl_pipeline_project_auraverse_spark.operators.cms import (
+        cms_build,
+        cms_probe,
     )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sketch = cms_build(li, "l_partkey", CMS_D, CMS_W, engine="md5")
     keys = li.groupBy(F.col("l_partkey").alias("key")).agg(
         F.count(F.lit(1)).alias("n_exact")
     )
-    kd = keys.select("key", "n_exact", d_col).select(
-        "key", "n_exact", "d", pos(F.col("key"), F.col("d")).alias("bucket")
-    )
-    est = (
-        kd.join(F.broadcast(cnt), ["d", "bucket"])
-        .groupBy("key", "n_exact")
-        .agg(F.min("c").alias("cms_estimate"))
-    )
+    est = cms_probe(sketch, keys, "key", CMS_D, CMS_W, engine="md5")
     return est.select(
         F.col("key").alias("l_partkey"),
         "n_exact",
