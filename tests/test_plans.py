@@ -402,3 +402,36 @@ def test_column_stats_scan_prunes_to_stat_columns(q):
     columns, never the full lineitem schema."""
     cols = PI.scan_columns(q("q_column_stats_lineitem"))
     assert cols <= {"l_partkey", "l_suppkey", "l_returnflag"}, cols
+
+
+def test_bfs_frontier_expansion_no_cartesian(q):
+    """Every BFS hop is an equi-join on the node key plus an anti-join
+    against the visited set — never a cartesian, and the persisted
+    edge table is reused across hops rather than rebuilt from the
+    lineitem scan each round."""
+    df = q("q_bfs_copurchase_hops")
+    assert not PI.has_cartesian(df)
+    plan = PI.physical_plan(df)
+    # edges are persisted once: hops read the InMemoryRelation, so the
+    # basket build (lineitem scan -> collect_set) appears once, not
+    # once per hop
+    assert plan.count("InMemoryTableScan") >= 3
+
+
+def test_pii_scrub_is_single_scan_map_side(q):
+    """The PII pass is one documents scan of exactly the columns it
+    needs, no joins, no Python stages — pure codegen until the final
+    per-language aggregate."""
+    df = q("q_pii_scrub_stats")
+    plan = PI.physical_plan(df)
+    assert "Join" not in plan
+    assert "Python" not in plan
+    assert PI.scan_columns(df) <= {"doc_id", "text", "lang", "source"}
+
+
+def test_kmeans_training_broadcasts_model_state(q):
+    """Both Lloyd iterations broadcast the K-row centroid table into
+    the assignment scan; the corpus is never shuffled by centroid."""
+    df = q("q_kmeans_train_two_iter")
+    assert not PI.has_cartesian(df)
+    assert "BroadcastExchange" in PI.physical_plan(df)
