@@ -65,6 +65,26 @@ def non_empty() -> Check:
     return Check("row_count>0", F.count(F.lit(1)).cast("double"), lambda c: c > 0)
 
 
+def uniqueness_multi(cols: list[str], threshold: float = 1.0) -> Check:
+    """Compound-key uniqueness: distinct (col1, col2, ...) tuples /
+    total rows; 1.0 means the column set is a key."""
+    m = F.round(
+        F.countDistinct(F.struct(*cols)) / F.count(F.lit(1)), 6
+    )
+    name = f"uniqueness({','.join(cols)})"
+    return Check(name, m, lambda c: c >= threshold)
+
+
+def predicate_holds(name: str, cond: Column) -> Check:
+    """Row-level business rule: counts rows where ``cond`` is false or
+    null (a null predicate is a violation — unknown is not compliant);
+    passes at zero violations. This is the cross-field rule shape
+    (``colA <= colB``, ``x + y < limit``) the single-column checks
+    can't express."""
+    bad = F.count(F.when(~F.coalesce(cond, F.lit(False)), F.lit(1)))
+    return Check(f"predicate({name})", bad.cast("double"), lambda c: c == 0.0)
+
+
 def dq_report(df: DataFrame, checks: list[Check]) -> DataFrame:
     """Run every check in a single aggregate pass; one row per check:
     ``constraint (string), metric (double), passed (boolean)``."""

@@ -91,3 +91,110 @@ def q_dq_orders_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     report = dq_report(orders, checks)
     ri = referential_integrity(orders, "o_custkey", customer, "c_custkey")
     return report.unionByName(ri).orderBy("constraint_name")
+
+
+# ---------------------------------------------------------------------------
+# Lineitem expectation suite: exercises the rule types the orders
+# report doesn't — compound-key uniqueness, cross-field business
+# rules (predicate checks), and TWO referential-integrity edges. The
+# 0.15 discount+tax ceiling intentionally FAILS on the generated data
+# (~3% of rows exceed it) so the report attests failing rows and
+# nonzero metrics, not just a wall of greens.
+# ---------------------------------------------------------------------------
+_DT_LIMIT = 0.15
+_SHIP_LO, _SHIP_HI = "1995-01-01", "2002-12-31"
+
+
+@register(
+    "q_dq_lineitem_report",
+    oracle=f"""
+    WITH base AS (
+        SELECT COUNT(*) AS n,
+               COUNT(l_partkey) AS np,
+               (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber
+                                      FROM lineitem)) AS nd,
+               MIN(l_quantity) AS qmin,
+               MAX(l_discount) AS dmax,
+               COUNT(CASE WHEN NOT COALESCE(l_discount + l_tax <= {_DT_LIMIT},
+                                            FALSE) THEN 1 END) AS dt_bad,
+               COUNT(CASE WHEN NOT COALESCE(
+                   l_shipdate >= DATE '{_SHIP_LO}'
+                   AND l_shipdate < DATE '{_SHIP_HI}', FALSE) THEN 1 END)
+                   AS ship_bad
+        FROM lineitem
+    ),
+    orph_o AS (
+        SELECT COUNT(*) AS k
+        FROM lineitem l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    orph_p AS (
+        SELECT COUNT(*) AS k
+        FROM lineitem l ANTI JOIN part p ON l.l_partkey = p.p_partkey
+    )
+    SELECT * FROM (
+        SELECT 'row_count>0' AS constraint_name,
+               CAST(n AS DOUBLE) AS metric, n > 0 AS passed FROM base
+        UNION ALL
+        SELECT 'completeness(l_partkey)',
+               CAST(ROUND(np / n, 6) AS DOUBLE), ROUND(np / n, 6) >= 1.0
+        FROM base
+        UNION ALL
+        SELECT 'uniqueness(l_orderkey,l_linenumber)',
+               CAST(ROUND(nd / n, 6) AS DOUBLE), ROUND(nd / n, 6) >= 1.0
+        FROM base
+        UNION ALL
+        SELECT 'min(l_quantity)>=1.0',
+               CAST(ROUND(qmin, 6) AS DOUBLE), ROUND(qmin, 6) >= 1.0 FROM base
+        UNION ALL
+        SELECT 'max(l_discount)<=0.5',
+               CAST(ROUND(dmax, 6) AS DOUBLE), ROUND(dmax, 6) <= 0.5 FROM base
+        UNION ALL
+        SELECT 'predicate(discount_tax_sum<={_DT_LIMIT})',
+               CAST(dt_bad AS DOUBLE), dt_bad = 0 FROM base
+        UNION ALL
+        SELECT 'predicate(shipdate_in_range)',
+               CAST(ship_bad AS DOUBLE), ship_bad = 0 FROM base
+        UNION ALL
+        SELECT 'referential(l_orderkey)',
+               CAST(k AS DOUBLE), k = 0 FROM orph_o
+        UNION ALL
+        SELECT 'referential(l_partkey)',
+               CAST(k AS DOUBLE), k = 0 FROM orph_p
+    )
+    ORDER BY constraint_name
+    """,
+)
+def q_dq_lineitem_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation suite for the lineitem load: seven single-scan
+    checks (incl. compound-key uniqueness and two cross-field
+    predicates) plus orders and part referential integrity."""
+    from etl_pipeline_project_auraverse_spark.operators.dq import (
+        predicate_holds,
+        uniqueness_multi,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    checks = [
+        non_empty(),
+        completeness("l_partkey"),
+        uniqueness_multi(["l_orderkey", "l_linenumber"]),
+        min_bound("l_quantity", 1.0),
+        max_bound("l_discount", 0.5),
+        predicate_holds(
+            f"discount_tax_sum<={_DT_LIMIT}",
+            F.col("l_discount") + F.col("l_tax") <= _DT_LIMIT,
+        ),
+        predicate_holds(
+            "shipdate_in_range",
+            (F.col("l_shipdate") >= F.lit(_SHIP_LO).cast("date"))
+            & (F.col("l_shipdate") < F.lit(_SHIP_HI).cast("date")),
+        ),
+    ]
+    report = dq_report(li, checks)
+    ri_o = referential_integrity(li, "l_orderkey", orders, "o_orderkey")
+    ri_p = referential_integrity(li, "l_partkey", part, "p_partkey")
+    return (
+        report.unionByName(ri_o).unionByName(ri_p).orderBy("constraint_name")
+    )

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from etl_pipeline_project_auraverse_spark.operators.dq import (
     accepted_values,
     completeness,
@@ -67,3 +69,42 @@ def test_referential_integrity_counts_orphans(spark):
     row = referential_integrity(child, "fk", parent, "pk").first()
     assert row["constraint_name"] == "referential(fk)"
     assert (row["metric"], row["passed"]) == (2.0, False)
+
+
+def test_compound_uniqueness_and_predicates(spark):
+    from etl_pipeline_project_auraverse_spark.operators.dq import (
+        dq_report,
+        predicate_holds,
+        uniqueness_multi,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1, 5.0, 2.0), (1, 2, 3.0, 4.0), (1, 2, 1.0, None)],
+        "a long, b long, lo double, hi double",
+    )
+    rows = {
+        r["constraint_name"]: r
+        for r in dq_report(
+            df,
+            [
+                uniqueness_multi(["a", "b"]),
+                predicate_holds("lo<=hi", F.col("lo") <= F.col("hi")),
+            ],
+        ).collect()
+    }
+    u = rows["uniqueness(a,b)"]
+    assert not u["passed"] and abs(u["metric"] - round(2 / 3, 6)) < 1e-9
+    p = rows["predicate(lo<=hi)"]
+    # row 1 violates (5 > 2), row 3's null comparison is a violation
+    assert not p["passed"] and p["metric"] == 2.0
+
+
+def test_predicate_all_pass(spark):
+    from etl_pipeline_project_auraverse_spark.operators.dq import (
+        dq_report,
+        predicate_holds,
+    )
+
+    df = spark.createDataFrame([(1.0, 2.0), (0.0, 0.0)], "x double, y double")
+    row = dq_report(df, [predicate_holds("x<=y", F.col("x") <= F.col("y"))]).collect()[0]
+    assert row["passed"] and row["metric"] == 0.0
