@@ -145,7 +145,7 @@ _FRONT = [
     "q_ann_lsh_multiprobe",
     "q_embedding_norms",
     "q_embedding_centroid_blocks",
-    # sequences
+    # sequences (7 of 16 — the rest rotate in r7)
     "q_dedup_word_spans",
     "q_event_type_transitions",
     "q_rolling_median_daily_revenue",
@@ -153,12 +153,13 @@ _FRONT = [
     "q_daily_users_new_returning",
     "q_text_char_entropy",
     "q_event_sliding_windows",
-    "q_crossmodal_dedup_conflict",
-    "q_event_gap_percentiles",
-    "q_sample_stratified_neyman",
     # graph representatives (rest of the family rotates in r7)
     "q_pagerank_copurchase",
     "q_triangle_copurchase",
+    # round-6 additions, attested the round they were built
+    "q_dq_lineitem_report",
+    "q_pii_scrub_stats",
+    "q_bfs_copurchase_hops",
 ]
 
 
