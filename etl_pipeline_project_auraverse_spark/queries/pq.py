@@ -53,13 +53,15 @@ PQ_TOP_K = 10
 PQ_SHARDS = 16  # two-level top-k shard count
 
 
-def _subspaces(df: DataFrame, id_col: str, out: str) -> DataFrame:
-    """Explode (id, embedding) into (id, m, <out>=subvector m)."""
+def _subspaces(
+    df: DataFrame, id_col: str, out: str, src_col: str = "embedding"
+) -> DataFrame:
+    """Explode (id, <src_col>) into (id, m, <out>=subvector m)."""
     parts = F.array(
         *[
             F.struct(
                 F.lit(m).alias("m"),
-                F.slice("embedding", m * PQ_SUB + 1, PQ_SUB).alias(out),
+                F.slice(src_col, m * PQ_SUB + 1, PQ_SUB).alias(out),
             )
             for m in range(PQ_M)
         ]
@@ -96,11 +98,13 @@ def pq_codes(emb: DataFrame) -> DataFrame:
     )
 
 
-def _sql_subspaces(src: str, id_col: str, out: str) -> str:
+def _sql_subspaces(
+    src: str, id_col: str, out: str, src_col: str = "embedding"
+) -> str:
     """DuckDB twin of :func:`_subspaces` (FROM-clause fragment body)."""
     return (
         f"SELECT {id_col}, CAST(m AS INT) AS m, "
-        f"list_slice(embedding, m * {PQ_SUB} + 1, m * {PQ_SUB} + {PQ_SUB}) AS {out} "
+        f"list_slice({src_col}, m * {PQ_SUB} + 1, m * {PQ_SUB} + {PQ_SUB}) AS {out} "
         f"FROM {src}, (SELECT unnest(range(0, {PQ_M})) AS m) ms"
     )
 
@@ -921,4 +925,406 @@ def q_kmeans_train_two_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(stats), "centroid_id")
         .select("centroid_id", "n_assigned", "inertia", "dim", "new_val")
         .orderBy("centroid_id", "dim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# RESIDUAL-encoded IVFADC — the full Jégou et al. construction. The
+# plain IVFADC above PQ-encodes raw vectors; the production index
+# encodes each vector's RESIDUAL against its coarse centroid (the
+# residual distribution is far tighter, so the same M*K codebook
+# budget quantizes much finer), and the query builds a SEPARATE
+# lookup table per probed block from its own residual against that
+# block's centroid.
+#
+# Everything stays engine-exact: residuals round to 6dp before
+# encoding, codeword argmin uses rounded squared-L2 with code-id
+# tiebreak, LUT entries round to 6dp, ADC sums accumulate through
+# DECIMAL(25,6). The residual codebook comes from the first PQ_K
+# vectors AT OR ABOVE the (data-dependent) centroid count k — the
+# first k vectors ARE the centroids, so their residuals are
+# identically zero and would degenerate the codebook.
+#
+# Scale shape: identical to plain IVFADC — candidates bounded to
+# nprobe x block, codebook/LUT broadcast (the LUT grows nprobe-fold:
+# |Q| * nprobe * M * K rows, still tiny) — plus one zip_with scan for
+# the residuals.
+# ---------------------------------------------------------------------------
+
+
+def _k_row(emb: DataFrame):
+    from etl_pipeline_project_auraverse_spark.queries.similarity import (
+        CENTROID_TARGET_BLOCK,
+        N_CENTROIDS_MIN,
+    )
+
+    return emb.agg(
+        F.greatest(
+            F.lit(N_CENTROIDS_MIN),
+            F.ceil(F.count("*") / F.lit(float(CENTROID_TARGET_BLOCK))),
+        ).alias("__k")
+    )
+
+
+def _seed_table(emb: DataFrame) -> DataFrame:
+    """(centroid_id, seed_emb) — same dynamic-K seed rule as
+    queries/similarity.py's coarse quantizer."""
+    return (
+        emb.crossJoin(F.broadcast(_k_row(emb)))
+        .filter(F.col("vec_id") < F.col("__k"))
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("seed_emb"),
+        )
+    )
+
+
+def _residuals(emb: DataFrame) -> DataFrame:
+    """(vec_id, centroid_id, residual): each vector minus its home
+    centroid, rounded to 6dp per component."""
+    from etl_pipeline_project_auraverse_spark.queries.similarity import (
+        centroid_assignments,
+    )
+
+    return (
+        centroid_assignments(emb)
+        .join(emb, "vec_id")
+        .join(F.broadcast(_seed_table(emb)), "centroid_id")
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.zip_with(
+                "embedding",
+                "seed_emb",
+                lambda x, s: F.round(x.cast("double") - s.cast("double"), 6),
+            ).alias("residual"),
+        )
+    )
+
+
+def _residual_codebook(emb: DataFrame) -> DataFrame:
+    """(m, code_id, c_sub): subvectors of the first PQ_K residuals at
+    vec_id >= k (code_id = vec_id - k, so codes stay 0..K-1)."""
+    res = (
+        _residuals(emb)
+        .crossJoin(F.broadcast(_k_row(emb)))
+        .filter(
+            (F.col("vec_id") >= F.col("__k"))
+            & (F.col("vec_id") < F.col("__k") + PQ_K)
+        )
+        .select((F.col("vec_id") - F.col("__k")).alias("code_id"), "residual")
+    )
+    return _subspaces(res, "code_id", "c_sub", "residual").select(
+        "m", "code_id", "c_sub"
+    )
+
+
+def _residual_codes(emb: DataFrame) -> DataFrame:
+    """(vec_id, m, code): nearest residual-codeword per subspace."""
+    xs = _subspaces(_residuals(emb), "vec_id", "x_sub", "residual")
+    d2 = F.round(
+        dot(F.col("x_sub"), F.col("x_sub"))
+        - 2.0 * dot(F.col("x_sub"), F.col("c_sub"))
+        + dot(F.col("c_sub"), F.col("c_sub")),
+        6,
+    )
+    w = W.partitionBy("vec_id", "m").orderBy(F.col("__d2").asc(), F.col("code_id").asc())
+    return (
+        xs.join(F.broadcast(_residual_codebook(emb)), "m")
+        .withColumn("__d2", d2)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", "m", F.col("code_id").alias("code"))
+    )
+
+
+def _residual_lut(emb: DataFrame) -> DataFrame:
+    """(query_id, m, code, lut): the RAW query subvectors dotted with
+    every residual codeword. Block-independent: for inner-product
+    search the decomposition is <q, x> ~ <q, c_block> + <q, r_hat(x)>,
+    so the block enters only through the first-order <q, centroid>
+    term (:func:`_query_block_dot`) — a per-block LUT of the query
+    RESIDUAL would rank by <q - c, x - c>, whose <c, x> cross-term
+    varies per candidate and wrecks the ranking (measured: recall@10
+    collapsed to 0.03 before this decomposition)."""
+    qsubs = _subspaces(
+        emb.filter(F.col("vec_id") < PQ_QUERY_MAX), "vec_id", "q_sub"
+    ).select(F.col("vec_id").alias("query_id"), "m", "q_sub")
+    return qsubs.join(F.broadcast(_residual_codebook(emb)), "m").select(
+        "query_id",
+        "m",
+        F.col("code_id").alias("code"),
+        F.round(dot(F.col("q_sub"), F.col("c_sub")), 6).alias("lut"),
+    )
+
+
+def _query_block_dot(emb: DataFrame) -> DataFrame:
+    """(query_id, centroid_id, qc): <query, centroid> for every probed
+    block — the first-order term of the residual decomposition.
+    |Q| * nprobe rows, always broadcast."""
+    from etl_pipeline_project_auraverse_spark.queries.similarity import (
+        centroid_probes,
+    )
+
+    return (
+        centroid_probes(emb, IVFADC_NPROBE)
+        .filter(F.col("vec_id") < PQ_QUERY_MAX)
+        .join(emb, "vec_id")
+        .join(F.broadcast(_seed_table(emb)), "centroid_id")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "centroid_id",
+            F.round(dot(F.col("embedding"), F.col("seed_emb")), 6).alias("qc"),
+        )
+    )
+
+
+def _ivfadc_residual_scores(emb: DataFrame) -> DataFrame:
+    """(query_id, cand_id, adc): residual-ADC scores over the
+    IVF-bounded candidate set — the first-order <q, centroid> term
+    plus the M residual-LUT lookups, both rounded to 6dp so the float
+    sum is bit-identical across engines."""
+    from etl_pipeline_project_auraverse_spark.queries.similarity import (
+        centroid_assignments,
+        centroid_probes,
+    )
+
+    probes = centroid_probes(emb, IVFADC_NPROBE).filter(
+        F.col("vec_id") < PQ_QUERY_MAX
+    )
+    cand = (
+        probes.alias("p")
+        .join(
+            centroid_assignments(emb).alias("a"),
+            (F.col("p.centroid_id") == F.col("a.centroid_id"))
+            & (F.col("p.vec_id") != F.col("a.vec_id")),
+        )
+        .select(
+            F.col("p.vec_id").alias("query_id"),
+            F.col("a.centroid_id").alias("centroid_id"),
+            F.col("a.vec_id").alias("cand_id"),
+        )
+    )
+    adc = (
+        cand.join(_residual_codes(emb), cand["cand_id"] == F.col("vec_id"))
+        .join(F.broadcast(_residual_lut(emb)), ["query_id", "m", "code"])
+        .groupBy("query_id", "centroid_id", "cand_id")
+        .agg(_adc_sum())
+    )
+    return adc.join(
+        F.broadcast(_query_block_dot(emb)), ["query_id", "centroid_id"]
+    ).select(
+        "query_id",
+        "cand_id",
+        F.round(F.col("qc") + F.col("adc"), 6).alias("adc"),
+    )
+
+
+def _sql_kval() -> str:
+    from etl_pipeline_project_auraverse_spark.queries.similarity import (
+        CENTROID_TARGET_BLOCK,
+        N_CENTROIDS_MIN,
+    )
+
+    return (
+        f"(SELECT GREATEST({N_CENTROIDS_MIN}, "
+        f"CEIL(COUNT(*) / {float(CENTROID_TARGET_BLOCK)})) FROM embeddings)"
+    )
+
+
+def _sql_residual(vec: str, seed: str) -> str:
+    return (
+        f"list_transform(range(1, {PQ_DIMS + 1}), i -> "
+        f"ROUND(CAST({vec}[i] AS DOUBLE) - CAST({seed}[i] AS DOUBLE), 6))"
+    )
+
+
+def sql_residual_ctes(nprobe: int) -> str:
+    """DuckDB twins of the residual pipeline. Must follow
+    sql_centroid_cte() + sql_probes_cte() in the WITH list (reuses
+    ``cent``, ``assign``, ``probes``). Emits ``res``, ``rcb``,
+    ``rcodes``, ``rqlut``."""
+    d2 = (
+        f"ROUND({sql_dot('x_sub', 'x_sub', PQ_SUB)} - "
+        f"2.0 * {sql_dot('x_sub', 'c_sub', PQ_SUB)} + "
+        f"{sql_dot('c_sub', 'c_sub', PQ_SUB)}, 6)"
+    )
+    return f"""
+    res AS (
+        SELECT a.vec_id, a.centroid_id,
+               {_sql_residual('e.embedding', 'c.seed_emb')} AS residual
+        FROM assign a
+        JOIN embeddings e ON e.vec_id = a.vec_id
+        JOIN cent c ON c.centroid_id = a.centroid_id
+    ),
+    rcb AS (
+        SELECT m, code_id, c_sub FROM (
+            {_sql_subspaces(
+                f'(SELECT vec_id - {_sql_kval()} AS code_id, residual FROM res '
+                f'WHERE vec_id >= {_sql_kval()} '
+                f'AND vec_id < {_sql_kval()} + {PQ_K})',
+                'code_id', 'c_sub', 'residual')}
+        )
+    ),
+    rcodes AS (
+        SELECT vec_id, m, code FROM (
+            SELECT x.vec_id, x.m, rcb.code_id AS code,
+                   ROW_NUMBER() OVER (PARTITION BY x.vec_id, x.m
+                       ORDER BY {d2} ASC, rcb.code_id ASC) AS rn
+            FROM ({_sql_subspaces('res', 'vec_id', 'x_sub', 'residual')}) x
+            JOIN rcb USING (m)
+        ) WHERE rn = 1
+    ),
+    rqlut AS (
+        SELECT q.vec_id AS query_id, q.m, rcb.code_id AS code,
+               ROUND({sql_dot('q.q_sub', 'rcb.c_sub', PQ_SUB)}, 6) AS lut
+        FROM ({_sql_subspaces(
+            f'(SELECT * FROM embeddings WHERE vec_id < {PQ_QUERY_MAX})',
+            'vec_id', 'q_sub')}) q
+        JOIN rcb USING (m)
+    ),
+    rqc AS (
+        SELECT p.vec_id AS query_id, p.centroid_id,
+               ROUND({sql_dot('e.embedding', 'c.seed_emb')}, 6) AS qc
+        FROM probes p
+        JOIN embeddings e ON e.vec_id = p.vec_id
+        JOIN cent c ON c.centroid_id = p.centroid_id
+        WHERE p.vec_id < {PQ_QUERY_MAX}
+    )"""
+
+
+_SQL_RESIDUAL_ADC = f"""
+    radc AS (
+        SELECT g.query_id, g.cand_id,
+               CAST(ROUND(rqc.qc + g.adcsum, 6) AS DOUBLE) AS adc
+        FROM (
+            SELECT cd.query_id, cd.centroid_id, cd.cand_id,
+                   CAST(ROUND(SUM(CAST(l.lut AS DECIMAL(25,6))), 6) AS DOUBLE)
+                       AS adcsum
+            FROM (
+                SELECT p.vec_id AS query_id, a.centroid_id,
+                       a.vec_id AS cand_id
+                FROM probes p
+                JOIN assign a ON a.centroid_id = p.centroid_id
+                             AND a.vec_id <> p.vec_id
+                WHERE p.vec_id < {PQ_QUERY_MAX}
+            ) cd
+            JOIN rcodes c ON c.vec_id = cd.cand_id
+            JOIN rqlut l ON l.query_id = cd.query_id
+                        AND l.m = c.m AND l.code = c.code
+            GROUP BY cd.query_id, cd.centroid_id, cd.cand_id
+        ) g
+        JOIN rqc ON rqc.query_id = g.query_id
+                AND rqc.centroid_id = g.centroid_id
+    )"""
+
+
+@register(
+    "q_ann_ivfadc_residual_topk",
+    oracle=f"""
+    WITH {sql_centroid_cte()},
+    {sql_probes_cte(IVFADC_NPROBE)},
+    {sql_residual_ctes(IVFADC_NPROBE).lstrip()},
+    {_SQL_RESIDUAL_ADC.lstrip()}
+    SELECT query_id, cand_id, CAST(rank AS BIGINT) AS rank, adc FROM (
+        SELECT query_id, cand_id, adc,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY adc DESC, cand_id) AS rank
+        FROM radc
+    ) WHERE rank <= {PQ_TOP_K}
+    ORDER BY query_id, rank
+    """,
+)
+def q_ann_ivfadc_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-IVFADC search: candidates bounded to the query's
+    probed blocks, scored by per-block residual LUTs — the exact
+    composed index from the IVFADC paper, hash-checked end-to-end."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    scores = _ivfadc_residual_scores(emb)
+    w = W.partitionBy("query_id").orderBy(F.col("adc").desc(), "cand_id")
+    return (
+        scores.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= PQ_TOP_K)
+        .select("query_id", "cand_id", "rank", "adc")
+        .orderBy("query_id", "rank")
+    )
+
+
+@register(
+    "q_ann_ivfadc_residual_recall",
+    oracle=f"""
+    WITH {sql_centroid_cte()},
+    {sql_probes_cte(IVFADC_NPROBE)},
+    {sql_residual_ctes(IVFADC_NPROBE).lstrip()},
+    {_SQL_RESIDUAL_ADC.lstrip()},
+    approx AS (
+        SELECT query_id, cand_id FROM (
+            SELECT query_id, cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY adc DESC, cand_id) AS rank
+            FROM radc
+        ) WHERE rank <= {PQ_TOP_K}
+    ),
+    exact AS (
+        SELECT query_id, cand_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY ROUND({sql_dot('q.embedding', 'c.embedding')}, 6) DESC,
+                                c.vec_id) AS rank
+            FROM (SELECT * FROM embeddings WHERE vec_id < {PQ_QUERY_MAX}) q
+            JOIN embeddings c ON q.vec_id <> c.vec_id
+        ) WHERE rank <= {PQ_TOP_K}
+    )
+    SELECT a.query_id,
+           COUNT(e.cand_id) AS n_hits,
+           CAST(COUNT(e.cand_id) AS DOUBLE) / {PQ_TOP_K} AS recall_at_k
+    FROM approx a LEFT JOIN exact e
+      ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+    GROUP BY a.query_id
+    ORDER BY a.query_id
+    """,
+)
+def q_ann_ivfadc_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the residual-encoded IVFADC index against the
+    exact inner-product top-k — measures what residual encoding buys
+    over the plain-PQ variant (q_ann_ivfadc_recall) at the same
+    codebook budget."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    w_rank = W.partitionBy("query_id").orderBy(F.col("adc").desc(), "cand_id")
+    approx = (
+        _ivfadc_residual_scores(emb)
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= PQ_TOP_K)
+        .select("query_id", "cand_id")
+    )
+    qset = F.broadcast(emb.filter(F.col("vec_id") < PQ_QUERY_MAX))
+    w_exact = W.partitionBy("query_id").orderBy(F.col("ip").desc(), "cand_id")
+    exact = (
+        qset.alias("q")
+        .join(emb.alias("c"), F.col("q.vec_id") != F.col("c.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("cand_id"),
+            F.round(dot(F.col("q.embedding"), F.col("c.embedding")), 6).alias("ip"),
+        )
+        .withColumn("rank", F.row_number().over(w_exact))
+        .filter(F.col("rank") <= PQ_TOP_K)
+        .select("query_id", "cand_id")
+    )
+    return (
+        approx.alias("a")
+        .join(
+            exact.alias("e"),
+            (F.col("a.query_id") == F.col("e.query_id"))
+            & (F.col("a.cand_id") == F.col("e.cand_id")),
+            "left",
+        )
+        .groupBy(F.col("a.query_id").alias("query_id"))
+        .agg(
+            F.count(F.col("e.cand_id")).alias("n_hits"),
+            (F.count(F.col("e.cand_id")).cast("double") / PQ_TOP_K).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy("query_id")
     )
