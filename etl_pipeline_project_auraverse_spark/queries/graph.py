@@ -572,3 +572,126 @@ def q_bfs_copurchase_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return visited.select(
         F.col("part").cast("long"), F.col("min_hops").cast("int")
     ).orderBy("part")
+
+
+# ---------------------------------------------------------------------------
+# Bellman-Ford weighted shortest paths, integer-exact. Completes the
+# iterative-graph trio (PageRank = fixed-point numeric, BFS = frontier
+# traversal, this = relax-until-stable optimization): edge cost =
+# 1000 - 100 * min(w, 9) (strong co-purchase ties are cheap to cross,
+# bounded so costs stay positive), and K relaxation rounds compute
+# min-cost from the seed set. All state is BIGINT mins, so the K-round
+# unroll is bit-identical across engines — the oracle chains K CTEs,
+# each 'previous bests UNION one-edge extensions, keep the min'.
+#
+# Scale shape: the cost-edge table builds once from the capped basket
+# pattern; each round is one equi-join + one groupBy MIN keyed by
+# node. Distances only decrease, rounds are idempotent at the fixed
+# point, and a deep variant would checkpoint per round like
+# operators/graph_traversal.py.
+# ---------------------------------------------------------------------------
+BF_ROUNDS = 3
+BF_SEED_MAX = 5  # same seed rule as BFS
+
+
+def _bf_oracle() -> str:
+    iters = ""
+    prev = "d0"
+    for i in range(1, BF_ROUNDS + 1):
+        iters += f""",
+    d{i} AS (
+        SELECT node, MIN(cost) AS cost FROM (
+            SELECT node, cost FROM {prev}
+            UNION ALL
+            SELECT e.v AS node, p.cost + e.cost AS cost
+            FROM {prev} p JOIN cedges e ON e.u = p.node
+        ) GROUP BY node
+    )"""
+        prev = f"d{i}"
+    return f"""
+    WITH basket AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    ok_orders AS (
+        SELECT l_orderkey FROM basket
+        GROUP BY l_orderkey HAVING COUNT(*) <= {BASKET_CAP}
+    ),
+    b AS (SELECT basket.* FROM basket JOIN ok_orders USING (l_orderkey)),
+    pairs AS (
+        SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
+               COUNT(*) AS w
+        FROM b x JOIN b y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        GROUP BY part_a, part_b
+        HAVING COUNT(*) >= {MIN_PAIR_SUPPORT}
+    ),
+    cedges AS (
+        SELECT u, v, CAST(1000 - 100 * LEAST(w, 9) AS BIGINT) AS cost FROM (
+            SELECT part_a AS u, part_b AS v, w FROM pairs
+            UNION ALL
+            SELECT part_b AS u, part_a AS v, w FROM pairs
+        )
+    ),
+    d0 AS (
+        SELECT DISTINCT u AS node, CAST(0 AS BIGINT) AS cost
+        FROM cedges WHERE u < {BF_SEED_MAX}
+    ){iters}
+    SELECT CAST(node AS BIGINT) AS part, CAST(cost AS BIGINT) AS min_cost
+    FROM {prev}
+    ORDER BY part
+    """
+
+
+@register("q_shortest_path_costs", oracle=_bf_oracle())
+def q_shortest_path_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum path cost from the seed parts after BF_ROUNDS Bellman-
+    Ford relaxations over the weighted co-purchase graph."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") <= BASKET_CAP)
+    )
+    lhs = baskets.select("parts", F.posexplode("parts").alias("i", "part_a"))
+    pairs = (
+        lhs.select(
+            "part_a",
+            F.explode(
+                F.expr("slice(parts, i + 2, size(parts) - i - 1)")
+            ).alias("part_b"),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= MIN_PAIR_SUPPORT)
+    )
+    cost = (F.lit(1000) - 100 * F.least(F.col("w"), F.lit(9))).cast("long")
+    cedges = persist_tracked(
+        pairs.select(F.col("part_a").alias("u"), F.col("part_b").alias("v"), cost.alias("cost"))
+        .unionAll(
+            pairs.select(F.col("part_b").alias("u"), F.col("part_a").alias("v"), cost.alias("cost"))
+        )
+    )
+    dist = (
+        cedges.filter(F.col("u") < BF_SEED_MAX)
+        .select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("cost", F.lit(0).cast("long"))
+    )
+    for _ in range(BF_ROUNDS):
+        relaxed = (
+            dist.alias("d")
+            .join(cedges.alias("e"), F.col("d.node") == F.col("e.u"))
+            .select(
+                F.col("e.v").alias("node"),
+                (F.col("d.cost") + F.col("e.cost")).alias("cost"),
+            )
+        )
+        dist = (
+            dist.unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+        )
+    return dist.select(
+        F.col("node").cast("long").alias("part"),
+        F.col("cost").cast("long").alias("min_cost"),
+    ).orderBy("part")
