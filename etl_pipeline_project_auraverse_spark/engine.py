@@ -240,3 +240,58 @@ class Engine:
         )
 
         return VersionedTable(root)
+
+    # -- privacy ------------------------------------------------------------
+    def scrub_pii(self, df: DataFrame, text_col: str = "text") -> DataFrame:
+        """Per-class PII counts + a ``text_scrubbed`` redaction column
+        (``functions/pii``: regexp batteries + expression-level Luhn
+        card validation; pure codegen, no UDFs)."""
+        from pyspark.sql import functions as F
+
+        from etl_pipeline_project_auraverse_spark.functions.pii import (
+            PATTERNS,
+            luhn_valid_count,
+            pii_count,
+            redact,
+        )
+
+        col = F.col(text_col)
+        counts = [
+            pii_count(col, k).alias(f"{k}_count")
+            for k in PATTERNS
+            if k != "card_candidate"
+        ]
+        return df.select(
+            "*",
+            *counts,
+            luhn_valid_count(col).alias("card_count"),
+            redact(col).alias("text_scrubbed"),
+        )
+
+    # -- graph --------------------------------------------------------------
+    def bfs(
+        self,
+        edges: DataFrame,
+        seeds: DataFrame,
+        max_hops: int,
+        checkpoint_every: int = 4,
+    ) -> DataFrame:
+        """Minimum hop distances from ``seeds`` (column ``node``) over
+        ``edges`` (columns ``u``, ``v``), lineage-truncated for
+        arbitrary depth (``operators/graph_traversal``)."""
+        from etl_pipeline_project_auraverse_spark.operators.graph_traversal import (
+            bfs_min_hops,
+        )
+
+        return bfs_min_hops(edges, seeds, max_hops, checkpoint_every)
+
+    # -- multimodal ---------------------------------------------------------
+    def decode_images(self, df: DataFrame) -> DataFrame:
+        """Dimensions + mean pixel for every decodable image payload
+        (BMP/PNG incl. Adam7/GIF/baseline JPEG via the from-scratch
+        codecs); undecodable rows are dropped (quarantine policy)."""
+        from etl_pipeline_project_auraverse_spark.operators.multimodal import (
+            decode_images,
+        )
+
+        return decode_images(df)

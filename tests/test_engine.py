@@ -217,3 +217,36 @@ def test_engine_explain_reports_plan_quality(engine):
     assert rep2["scan_columns"] <= ["r_name", "r_regionkey"] or set(
         rep2["scan_columns"]
     ) <= {"r_name", "r_regionkey"}
+
+
+def test_engine_scrub_bfs_decode_facades(engine, spark):
+    from pyspark.sql import functions as F
+
+    # PII scrub facade
+    df = spark.createDataFrame(
+        [(1, "mail a@b.io card 4242424242424242")], "doc_id long, text string"
+    )
+    row = engine.scrub_pii(df).collect()[0]
+    assert row["email_count"] == 1 and row["card_count"] == 1
+    assert "[EMAIL]" in row["text_scrubbed"]
+    assert "4242" not in row["text_scrubbed"]
+
+    # BFS facade
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 1)], "u long, v long"
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r["node"]: r["min_hops"] for r in engine.bfs(edges, seeds, 4).collect()}
+    assert got == {0: 0, 1: 1, 2: 2}
+
+    # image decode facade (FAKEIMG path keeps it light)
+    import struct as _s
+
+    from etl_pipeline_project_auraverse_spark.operators.multimodal import FAKE_MAGIC
+
+    payload = FAKE_MAGIC + _s.pack("<HHB", 2, 2, 1) + bytes([10, 20, 30, 40])
+    imgs = spark.createDataFrame(
+        [(7, bytearray(payload))], "doc_id long, content binary"
+    )
+    out = engine.decode_images(imgs).collect()[0]
+    assert (out["width"], out["height"], out["mean_pixel"]) == (2, 2, 25.0)
