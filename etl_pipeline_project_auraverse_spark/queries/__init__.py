@@ -43,11 +43,15 @@ ORACLE: dict[str, str] = {}
 # plus the de-vacuated q08/q22 (their r5 greens matched the oracle at
 # 0 rows) and the new two-iteration k-means training query.
 # NEXT ROUND (r7): rotate again — promote whatever _FRONT cut off this
-# round (remaining sequences + the rest of graph: q_event_fano_factor,
-# q_bot_like_users, q_retention_day_n, q_item_item_cosine,
+# round: remaining sequences (q_event_fano_factor, q_bot_like_users,
+# q_retention_day_n, q_event_heatmap_dow_hour, q_daily_autocorr_lag1,
+# q_seasonal_naive_error, and the three swapped out mid-round:
+# q_crossmodal_dedup_conflict, q_event_gap_percentiles,
+# q_sample_stratified_neyman), the rest of graph (q_item_item_cosine,
 # q_part_affinity_lift, q_cohort_retention, q_rfm_segmentation,
-# q_fuzzy_name_matches ...), then curation/dedup/text (last attested
-# r4), with relational/tpch (r3/r5/r6) staying at the back.
+# q_fuzzy_name_matches, q_shortest_path_costs), the residual-IVFADC
+# pair (q_ann_ivfadc_residual_topk/_recall), then curation/dedup/text
+# (last attested r4), with relational/tpch (r3/r5/r6) at the back.
 _MODULES = [
     "etl_pipeline_project_auraverse_spark.queries.relational",
     "etl_pipeline_project_auraverse_spark.queries.tpch_extra",
