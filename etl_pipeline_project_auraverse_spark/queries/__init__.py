@@ -164,6 +164,7 @@ _FRONT = [
     "q_dq_lineitem_report",
     "q_pii_scrub_stats",
     "q_bfs_copurchase_hops",
+    "q_dsir_importance_weights",
 ]
 
 

@@ -1126,3 +1126,142 @@ def q_tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("lang")
     )
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): score every raw document
+# by how much more likely its hashed-n-gram bag is under a TARGET
+# domain's feature distribution than under the raw corpus's. The
+# classic recipe: hash word uni+bigrams into B buckets, fit two
+# Laplace-smoothed multinomials (target vs raw), and weight each doc by
+# sum_g count_g * (ln p_target(bucket_g) - ln p_raw(bucket_g)).
+#
+# Scale posture (100 TB): the feature space is CLOSED at B buckets, so
+# the "model" is a B-row table no matter the corpus size — the explode
+# partial-aggregates to at most docs x B rows map-side, the bucket
+# stats partial-aggregate to B rows, and scoring is a broadcast join of
+# a B-row table followed by a doc-keyed agg. No global sort, no skew
+# (bucket counts combine map-side), no driver state beyond B rows.
+# The keep decision is a threshold (weight > 0 == "more target-like
+# than corpus-average"), not a global rank, so no single-task funnel.
+# ---------------------------------------------------------------------------
+DSIR_BUCKETS = 128
+DSIR_TARGET_LANG = "en"
+
+
+def _dsir_oracle() -> str:
+    return rf"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                           x -> x <> '') AS w
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, lang,
+               unnest(list_concat(
+                   w,
+                   list_transform(range(1, len(w)),
+                                  i -> w[i] || ' ' || w[i + 1]))) AS g
+        FROM toks
+    ),
+    hashed AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(g), 1, 7))::BIGINT % {DSIR_BUCKETS}
+                   AS bucket
+        FROM grams
+    ),
+    doc_buckets AS (
+        SELECT doc_id, bucket, COUNT(*) AS n
+        FROM hashed GROUP BY doc_id, bucket
+    ),
+    bucket_stats AS (
+        SELECT bucket,
+               COUNT(*) AS raw_n,
+               COUNT(*) FILTER (lang = '{DSIR_TARGET_LANG}') AS tgt_n
+        FROM hashed GROUP BY bucket
+    ),
+    totals AS (
+        SELECT SUM(raw_n) AS raw_t, SUM(tgt_n) AS tgt_t FROM bucket_stats
+    ),
+    ratios AS (
+        SELECT bucket,
+               ROUND(ln((tgt_n + 1.0) / (tgt_t + {DSIR_BUCKETS}.0))
+                     - ln((raw_n + 1.0) / (raw_t + {DSIR_BUCKETS}.0)),
+                     6) AS lr
+        FROM bucket_stats CROSS JOIN totals
+    )
+    SELECT d.doc_id,
+           CAST(SUM(d.n) AS BIGINT) AS n_grams,
+           CAST(ROUND(SUM(CAST(d.n * r.lr AS DECIMAL(25,6))), 4) AS DOUBLE)
+               AS logw,
+           (SUM(CAST(d.n * r.lr AS DECIMAL(25,6))) > 0) AS target_like
+    FROM doc_buckets d JOIN ratios r USING (bucket)
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id
+    """
+
+
+@register("q_dsir_importance_weights", oracle=_dsir_oracle())
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-n-gram importance weight of every document against the
+    '{en}' target domain — the DSIR data-selection score. Train =
+    one B-row aggregate; score = broadcast join + doc-keyed agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+    bigrams = F.when(
+        F.size("w") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("w") - 2),
+            lambda i: F.concat_ws(
+                " ", F.get(F.col("w"), i), F.get(F.col("w"), i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hashed = persist_tracked(  # feeds doc-level counts AND bucket stats
+        parallelize(docs)
+        .select("doc_id", "lang", w.alias("w"))
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.concat(F.col("w"), bigrams)).alias("g"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            (h28(F.col("g")) % DSIR_BUCKETS).alias("bucket"),
+        )
+    )
+    doc_buckets = hashed.groupBy("doc_id", "bucket").agg(
+        F.count("*").alias("n")
+    )
+    bucket_stats = hashed.groupBy("bucket").agg(
+        F.count("*").alias("raw_n"),
+        F.count(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, F.lit(1))
+        ).alias("tgt_n"),
+    )
+    totals = bucket_stats.agg(
+        F.sum("raw_n").alias("raw_t"), F.sum("tgt_n").alias("tgt_t")
+    )
+    lr = F.round(
+        F.log((F.col("tgt_n") + 1.0) / (F.col("tgt_t") + float(DSIR_BUCKETS)))
+        - F.log((F.col("raw_n") + 1.0) / (F.col("raw_t") + float(DSIR_BUCKETS))),
+        6,
+    )
+    ratios = (
+        bucket_stats.crossJoin(F.broadcast(totals)).select("bucket", lr.alias("lr"))
+    )
+    term = (F.col("n") * F.col("lr")).cast(DEC)
+    return (
+        doc_buckets.join(F.broadcast(ratios), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_grams"),
+            F.round(F.sum(term), 4).cast("double").alias("logw"),
+            (F.sum(term) > 0).alias("target_like"),
+        )
+        .orderBy("doc_id")
+    )
