@@ -1328,3 +1328,206 @@ def q_ann_ivfadc_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Logistic-regression TRAINING as a driver-checkable query: two chained
+# full-batch gradient-descent iterations on lineitem features
+# predicting l_returnflag = 'R', then the trained model's log-loss and
+# 0.5-threshold accuracy. This is the quality-classifier training loop
+# of an LLM data pipeline (fastText/logreg quality filters) reduced to
+# its determinism contract: iteration 2 consumes iteration 1's exact
+# weights, so any drift in the gradient arithmetic breaks the hash.
+#
+# Engine-exactness: with w0 = 0 the first sigmoid is exactly 0.5
+# (exp(0) is exact); z is a fixed-shape double expression rounded to
+# 6dp; every per-row gradient/loss term is rounded to 6dp then
+# DECIMAL(25,6)-accumulated, so float summation order can't leak in;
+# weights round to 6dp between iterations.
+#
+# Scale posture (100 TB): each iteration is ONE scan with a map-side
+# partial aggregate down to a 1-row gradient (4 decimal sums), and the
+# weight "model" rides as a 1-row broadcast — the classic
+# data-parallel GD shape. No shuffle wider than the 4-value agg, no
+# driver state beyond the weight row, constant memory at any scale.
+# ---------------------------------------------------------------------------
+LOGREG_LR = 0.5
+_LOGREG_FEATS = [
+    # (name, spark/sql expression over lineitem) — identical text in
+    # both engines so the double arithmetic is bit-identical
+    ("bias", "1.0"),
+    ("x_qty", "l_quantity / 50.0"),
+    ("x_disc", "l_discount * 10.0"),
+    ("x_tax", "l_tax * 10.0"),
+]
+_LOGREG_Y = "CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS DOUBLE)"
+
+
+def _logreg_sql_step(i: int) -> str:
+    """CTEs g{i} (gradient under w{i-1}) and w{i} (updated weights)."""
+    z = " + ".join(f"w.w_{n} * f.{n}" for n, _ in _LOGREG_FEATS)
+    grads = ",\n               ".join(
+        f"ROUND(CAST(SUM(CAST(ROUND((1.0 / (1.0 + exp(-ROUND({z}, 6))) - f.y)"
+        f" * f.{n}, 6) AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 6) AS g_{n}"
+        for n, _ in _LOGREG_FEATS
+    )
+    ws = ", ".join(
+        f"ROUND(w.w_{n} - {LOGREG_LR} * g.g_{n}, 6) AS w_{n}"
+        for n, _ in _LOGREG_FEATS
+    )
+    return f"""g{i} AS (
+        SELECT {grads}
+        FROM feat f CROSS JOIN w{i - 1} w
+    ),
+    w{i} AS (SELECT {ws} FROM w{i - 1} w CROSS JOIN g{i} g)"""
+
+
+def _logreg_oracle() -> str:
+    feats = ", ".join(f"{expr} AS {n}" for n, expr in _LOGREG_FEATS)
+    z2 = " + ".join(f"w.w_{n} * f.{n}" for n, _ in _LOGREG_FEATS)
+    rows = " UNION ALL ".join(
+        f"SELECT '{n}' AS feature, (SELECT w_{n} FROM w1) AS w_iter1,"
+        f" (SELECT w_{n} FROM w2) AS w_iter2"
+        for n, _ in _LOGREG_FEATS
+    )
+    return f"""
+    WITH feat AS (
+        SELECT {_LOGREG_Y} AS y, {feats} FROM lineitem
+    ),
+    w0 AS (SELECT {", ".join(f"0.0 AS w_{n}" for n, _ in _LOGREG_FEATS)}),
+    {_logreg_sql_step(1)},
+    {_logreg_sql_step(2)},
+    metrics AS (
+        SELECT COUNT(*) AS n_rows,
+               ROUND(CAST(SUM(CAST(ROUND(
+                   -(f.y * ln(1.0 / (1.0 + exp(-ROUND({z2}, 6))))
+                     + (1.0 - f.y)
+                       * ln(1.0 - 1.0 / (1.0 + exp(-ROUND({z2}, 6))))), 6)
+                   AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 6) AS log_loss,
+               ROUND(COUNT(CASE WHEN (ROUND({z2}, 6) >= 0) = (f.y = 1.0)
+                                THEN 1 END) * 1.0 / COUNT(*), 6) AS accuracy
+        FROM feat f CROSS JOIN w2 w
+    )
+    SELECT r.feature, CAST(r.w_iter1 AS DOUBLE) AS w_iter1,
+           CAST(r.w_iter2 AS DOUBLE) AS w_iter2,
+           m.n_rows, CAST(m.log_loss AS DOUBLE) AS log_loss,
+           CAST(m.accuracy AS DOUBLE) AS accuracy
+    FROM ({rows}) r CROSS JOIN metrics m
+    ORDER BY r.feature
+    """
+
+
+@register("q_logreg_train_two_iter", oracle=_logreg_oracle())
+def q_logreg_train_two_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two full-batch GD iterations of a logistic return-flag
+    classifier; returns per-feature weights after each iteration plus
+    the trained model's log-loss and accuracy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    feat = li.selectExpr(f"{_LOGREG_Y} AS y", *[
+        f"{expr} AS {n}" for n, expr in _LOGREG_FEATS
+    ])
+
+    # z is written as the same left-to-right chain the SQL oracle
+    # uses, so the double adds associate identically in both engines.
+    def step(w_row: DataFrame) -> DataFrame:
+        z = F.round(
+            F.lit(0.0)
+            + F.col("w_bias") * F.col("bias")
+            + F.col("w_x_qty") * F.col("x_qty")
+            + F.col("w_x_disc") * F.col("x_disc")
+            + F.col("w_x_tax") * F.col("x_tax"),
+            6,
+        )
+        p = 1.0 / (1.0 + F.exp(-z))
+        g = feat.crossJoin(F.broadcast(w_row)).agg(
+            *[
+                F.round(
+                    F.sum(
+                        F.round((p - F.col("y")) * F.col(n), 6).cast(
+                            "decimal(25,6)"
+                        )
+                    ).cast("double")
+                    / F.count("*"),
+                    6,
+                ).alias(f"g_{n}")
+                for n, _ in _LOGREG_FEATS
+            ]
+        )
+        return w_row.crossJoin(F.broadcast(g)).select(
+            *[
+                F.round(
+                    F.col(f"w_{n}") - LOGREG_LR * F.col(f"g_{n}"), 6
+                ).alias(f"w_{n}")
+                for n, _ in _LOGREG_FEATS
+            ]
+        )
+
+    w0 = spark.range(1).select(
+        *[F.lit(0.0).alias(f"w_{n}") for n, _ in _LOGREG_FEATS]
+    )
+    w1 = step(w0)
+    w2 = step(w1)
+
+    z2 = F.round(
+        F.lit(0.0)
+        + F.col("w_bias") * F.col("bias")
+        + F.col("w_x_qty") * F.col("x_qty")
+        + F.col("w_x_disc") * F.col("x_disc")
+        + F.col("w_x_tax") * F.col("x_tax"),
+        6,
+    )
+    p2 = 1.0 / (1.0 + F.exp(-z2))
+    loss_term = F.round(
+        -(
+            F.col("y") * F.log(p2)
+            + (1.0 - F.col("y")) * F.log(1.0 - p2)
+        ),
+        6,
+    )
+    metrics = feat.crossJoin(F.broadcast(w2)).agg(
+        F.count("*").alias("n_rows"),
+        F.round(
+            F.sum(loss_term.cast("decimal(25,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("log_loss"),
+        F.round(
+            F.count(F.when((z2 >= 0) == (F.col("y") == 1.0), F.lit(1)))
+            * 1.0
+            / F.count("*"),
+            6,
+        ).alias("accuracy"),
+    )
+
+    names = spark.createDataFrame(
+        [(n,) for n, _ in _LOGREG_FEATS], "feature string"
+    )
+    w1_cols = w1.select(
+        *[F.col(f"w_{n}").alias(f"i1_{n}") for n, _ in _LOGREG_FEATS]
+    )
+    w2_cols = w2.select(
+        *[F.col(f"w_{n}").alias(f"i2_{n}") for n, _ in _LOGREG_FEATS]
+    )
+    w_iter1 = F.lit(None).cast("double")
+    w_iter2 = F.lit(None).cast("double")
+    for n, _ in _LOGREG_FEATS:
+        w_iter1 = F.when(F.col("feature") == n, F.col(f"i1_{n}")).otherwise(
+            w_iter1
+        )
+        w_iter2 = F.when(F.col("feature") == n, F.col(f"i2_{n}")).otherwise(
+            w_iter2
+        )
+    return (
+        names.crossJoin(F.broadcast(w1_cols))
+        .crossJoin(F.broadcast(w2_cols))
+        .crossJoin(F.broadcast(metrics))
+        .select(
+            "feature",
+            w_iter1.alias("w_iter1"),
+            w_iter2.alias("w_iter2"),
+            "n_rows",
+            F.col("log_loss").cast("double").alias("log_loss"),
+            F.col("accuracy").cast("double").alias("accuracy"),
+        )
+        .orderBy("feature")
+    )
