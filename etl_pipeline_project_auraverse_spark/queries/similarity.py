@@ -1017,3 +1017,208 @@ def q_embedding_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("intrinsic_dim"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998):
+# diversify each query's top results by greedily picking, at every
+# step, the candidate maximizing
+#     lambda * rel(q, d) - (1 - lambda) * max_{s in selected} sim(d, s)
+# — the standard RAG/search answer to "the top-k are 10 near-copies".
+#
+# Scale posture (100 TB): MMR only ever touches the candidate POOL
+# (here the brute-force top-15; in production the ANN output), so the
+# greedy loop's working set is queries x pool rows and the pairwise
+# sim table is queries x pool^2 — both independent of corpus size.
+# Selection is a per-query window over <= pool rows; the selected set
+# rides as a broadcast. The corpus is scanned exactly once to build
+# the pool.
+# ---------------------------------------------------------------------------
+MMR_LAMBDA = 0.7
+MMR_POOL = 15
+MMR_K = 4
+
+
+def _mmr_sql_step(i: int) -> str:
+    """CTEs sel{i} (already chosen before step i) / s{i} (step i pick)."""
+    sel = " UNION ALL ".join(
+        f"SELECT query_id, cand_id FROM s{j}" for j in range(1, i)
+    )
+    return f"""sel{i} AS ({sel}),
+    cand{i} AS (
+        SELECT p.query_id, p.cand_id, p.rel,
+               ROUND({MMR_LAMBDA} * p.rel
+                     - {round(1 - MMR_LAMBDA, 6)} * MAX(ps.sim), 6) AS score
+        FROM pool p
+        JOIN sel{i} s ON s.query_id = p.query_id
+        JOIN psim ps ON ps.query_id = p.query_id
+                    AND ps.a = p.cand_id AND ps.b = s.cand_id
+        WHERE NOT EXISTS (
+            SELECT 1 FROM sel{i} x
+            WHERE x.query_id = p.query_id AND x.cand_id = p.cand_id
+        )
+        GROUP BY p.query_id, p.cand_id, p.rel
+    ),
+    s{i} AS (
+        SELECT query_id, cand_id, rel, score, {i} AS mmr_rank
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY score DESC, cand_id) AS rn
+            FROM cand{i}
+        ) WHERE rn = 1
+    )"""
+
+
+def _mmr_oracle() -> str:
+    steps = ",\n    ".join(_mmr_sql_step(i) for i in range(2, MMR_K + 1))
+    allsel = " UNION ALL ".join(f"SELECT * FROM s{i}" for i in range(1, MMR_K + 1))
+    return f"""
+    WITH pool AS (
+        SELECT query_id, cand_id, rel FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   {sql_cosine("q.embedding", "c.embedding")} AS rel,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {sql_cosine("q.embedding", "c.embedding")} DESC,
+                                c.vec_id) AS rnk
+            FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id < {N_QUERY}
+        ) WHERE rnk <= {MMR_POOL}
+    ),
+    psim AS (
+        SELECT a.query_id, a.cand_id AS a, b.cand_id AS b,
+               {sql_cosine("ea.embedding", "eb.embedding")} AS sim
+        FROM pool a
+        JOIN pool b ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
+        JOIN embeddings ea ON ea.vec_id = a.cand_id
+        JOIN embeddings eb ON eb.vec_id = b.cand_id
+    ),
+    s1 AS (
+        SELECT query_id, cand_id, rel,
+               ROUND({MMR_LAMBDA} * rel, 6) AS score, 1 AS mmr_rank
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY rel DESC, cand_id) AS rn
+            FROM pool
+        ) WHERE rn = 1
+    ),
+    {steps}
+    SELECT query_id, cand_id, CAST(mmr_rank AS BIGINT) AS mmr_rank,
+           CAST(rel AS DOUBLE) AS relevance, CAST(score AS DOUBLE) AS mmr_score
+    FROM ({allsel})
+    ORDER BY query_id, mmr_rank
+    """
+
+
+def _union_all(dfs: list[DataFrame]) -> DataFrame:
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=False)
+    return out
+
+
+@register("q_mmr_rerank", oracle=_mmr_oracle())
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy MMR diversification of each query's top-{MMR_POOL}
+    cosine pool down to {MMR_K} results."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(emb.filter(F.col("vec_id") < N_QUERY).alias("q"))
+    c = emb.alias("c")
+    w_pool = W.partitionBy("query_id").orderBy(F.col("rel").desc(), "cand_id")
+    pool = persist_tracked(
+        q.join(c, F.col("q.vec_id") != F.col("c.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("cand_id"),
+            cosine(F.col("q.embedding"), F.col("c.embedding")).alias("rel"),
+        )
+        .withColumn("rnk", F.row_number().over(w_pool))
+        .filter(F.col("rnk") <= MMR_POOL)
+        .drop("rnk")
+    )
+    ea = emb.select(
+        F.col("vec_id").alias("a"), F.col("embedding").alias("ea")
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("b"), F.col("embedding").alias("eb")
+    )
+    psim = persist_tracked(
+        pool.select("query_id", F.col("cand_id").alias("a"))
+        .join(
+            pool.select(
+                F.col("query_id").alias("qb"), F.col("cand_id").alias("b")
+            ),
+            (F.col("query_id") == F.col("qb")) & (F.col("a") != F.col("b")),
+        )
+        .join(ea, "a")
+        .join(eb, "b")
+        .select(
+            "query_id",
+            "a",
+            "b",
+            cosine(F.col("ea"), F.col("eb")).alias("sim"),
+        )
+    )
+    w_sel = W.partitionBy("query_id").orderBy(F.col("score").desc(), "cand_id")
+    s1 = (
+        pool.withColumn("rn", F.row_number().over(
+            W.partitionBy("query_id").orderBy(F.col("rel").desc(), "cand_id")
+        ))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "cand_id",
+            "rel",
+            F.round(MMR_LAMBDA * F.col("rel"), 6).alias("score"),
+            F.lit(1).alias("mmr_rank"),
+        )
+    )
+    picked = [s1]
+    for i in range(2, MMR_K + 1):
+        sel = _union_all(picked).select("query_id", "cand_id")
+        sel_b = sel.select(
+            F.col("query_id").alias("sq"), F.col("cand_id").alias("sb")
+        )
+        cand = (
+            pool.join(F.broadcast(sel), ["query_id", "cand_id"], "left_anti")
+            .join(F.broadcast(sel_b), F.col("query_id") == F.col("sq"))
+            .join(
+                psim.select(
+                    F.col("query_id").alias("pq"),
+                    F.col("a").alias("pa"),
+                    F.col("b").alias("pb"),
+                    "sim",
+                ),
+                (F.col("query_id") == F.col("pq"))
+                & (F.col("cand_id") == F.col("pa"))
+                & (F.col("sb") == F.col("pb")),
+            )
+            .groupBy("query_id", "cand_id", "rel")
+            .agg(
+                F.round(
+                    MMR_LAMBDA * F.col("rel")
+                    - round(1 - MMR_LAMBDA, 6) * F.max("sim"),
+                    6,
+                ).alias("score")
+            )
+        )
+        picked.append(
+            cand.withColumn("rn", F.row_number().over(w_sel))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id",
+                "cand_id",
+                "rel",
+                "score",
+                F.lit(i).alias("mmr_rank"),
+            )
+        )
+    out = _union_all(picked)
+    return out.select(
+        "query_id",
+        "cand_id",
+        F.col("mmr_rank").cast("long").alias("mmr_rank"),
+        F.col("rel").cast("double").alias("relevance"),
+        F.col("score").cast("double").alias("mmr_score"),
+    ).orderBy("query_id", "mmr_rank")
+

@@ -435,3 +435,41 @@ def test_kmeans_training_broadcasts_model_state(q):
     df = q("q_kmeans_train_two_iter")
     assert not PI.has_cartesian(df)
     assert "BroadcastExchange" in PI.physical_plan(df)
+
+
+def test_dsir_model_is_broadcast_bucket_table(q):
+    """The DSIR 'model' (B-row log-ratio table) must broadcast into
+    the doc-bucket scoring join; the corpus-side tables shuffle only
+    on the compact bucket/doc keys, never a cartesian wider than the
+    1-row totals cross."""
+    df = q("q_dsir_importance_weights")
+    plan = PI.physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # only the 1-row totals table rides a broadcast nested loop
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_logreg_gradient_is_map_side_agg(q):
+    """Each GD iteration reduces the feature scan to a 1-row gradient
+    through a partial (map-side) aggregate, and weights ride as 1-row
+    broadcasts — no shuffle keyed wider than the global agg, no
+    cartesian beyond the 1-row weight crosses."""
+    df = q("q_logreg_train_two_iter")
+    plan = PI.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+    # scan reads only the model's inputs
+    cols = PI.scan_columns(df)
+    assert cols <= {"l_returnflag", "l_quantity", "l_discount", "l_tax"}, cols
+
+
+def test_mmr_loop_stays_on_pool_sized_tables(q):
+    """MMR's greedy loop must join the pool against the broadcast
+    selected set and the pool-pair sim table with hash equi-joins; the
+    only nested-loop products allowed are the intentional broadcast
+    query-vs-corpus pool build (one per pool/psim arm)."""
+    df = q("q_mmr_rerank")
+    plan = PI.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
