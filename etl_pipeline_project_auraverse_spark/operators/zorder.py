@@ -76,3 +76,86 @@ def zorder_layout(
     return df.repartitionByRange(n_files, key.alias("__z")).sortWithinPartitions(
         key.alias("__z")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve keys — the Morton curve's better-locality sibling.
+# Morton interleaving has long "jumps" where the curve crosses quadrant
+# boundaries; the Hilbert curve visits every cell of the grid with
+# every step adjacent (Manhattan distance 1), so file envelopes built
+# from contiguous key runs are tighter on average — measurably fewer
+# files read per range filter at the same file count. The standard
+# xy2d construction (level-by-level quadrant encode + rotate) unrolls
+# into ``bits`` rounds of integer CASE arithmetic — pure codegen, no
+# UDFs, engine-exact.
+# ---------------------------------------------------------------------------
+
+
+def hilbert_key(df: DataFrame, x: Column, y: Column, bits: int = 8) -> DataFrame:
+    """Append column ``hkey``: Hilbert distance of (x, y) on the
+    2**bits grid. ``x``/``y`` must already be quantized to
+    [0, 2**bits). Each unroll level is one narrow ``select`` so the
+    expression tree stays linear in ``bits`` (a single nested
+    expression would grow 3**bits)."""
+    out = df.withColumn("__hx", x.cast("long")).withColumn(
+        "__hy", y.cast("long")
+    ).withColumn("__hd", F.lit(0).cast("long"))
+    n = 1 << bits
+    for b in range(bits - 1, -1, -1):
+        s = 1 << b
+        rx = (F.col("__hx").bitwiseAND(F.lit(s)) > 0).cast("long")
+        ry = (F.col("__hy").bitwiseAND(F.lit(s)) > 0).cast("long")
+        quad = F.when(rx == 1, 3 - ry).otherwise(ry)
+        hd = F.col("__hd") + F.lit(s * s).cast("long") * quad
+        hx = F.when(ry == 1, F.col("__hx")).otherwise(
+            F.when(rx == 1, F.lit(n - 1) - F.col("__hy")).otherwise(
+                F.col("__hy")
+            )
+        )
+        hy = F.when(ry == 1, F.col("__hy")).otherwise(
+            F.when(rx == 1, F.lit(n - 1) - F.col("__hx")).otherwise(
+                F.col("__hx")
+            )
+        )
+        keep = [c for c in out.columns if c not in ("__hx", "__hy", "__hd")]
+        out = out.select(
+            *keep, hx.alias("__hx"), hy.alias("__hy"), hd.alias("__hd")
+        )
+    keep = [c for c in out.columns if c not in ("__hx", "__hy", "__hd")]
+    return out.select(*keep, F.col("__hd").alias("hkey"))
+
+
+def sql_hilbert_levels(src: str, cols: Sequence[str], bits: int = 8) -> str:
+    """DuckDB twin of :func:`hilbert_key`: a nested-subquery chain over
+    ``src`` (which must expose quantized ``hx0``/``hy0`` plus ``cols``),
+    producing ``hkey``. Level columns are NUMBERED (hx1, hy1, ...)
+    because DuckDB's lateral column aliases would otherwise make later
+    expressions read the level's OWN freshly-assigned alias."""
+    n = 1 << bits
+    passthru = ", ".join(cols)
+    q = f"({src})"
+    lvl = 0
+    d_expr_prev = "0"
+    for b in range(bits - 1, -1, -1):
+        s = 1 << b
+        i, j = lvl, lvl + 1
+        rx = f"CASE WHEN (hx{i} & {s}) > 0 THEN 1 ELSE 0 END"
+        ry = f"CASE WHEN (hy{i} & {s}) > 0 THEN 1 ELSE 0 END"
+        quad = f"CASE WHEN {rx} = 1 THEN 3 - {ry} ELSE {ry} END"
+        hd = f"{d_expr_prev} + {s * s} * ({quad})"
+        hx = (
+            f"CASE WHEN {ry} = 1 THEN hx{i} "
+            f"WHEN {rx} = 1 THEN {n - 1} - hy{i} ELSE hy{i} END"
+        )
+        hy = (
+            f"CASE WHEN {ry} = 1 THEN hy{i} "
+            f"WHEN {rx} = 1 THEN {n - 1} - hx{i} ELSE hx{i} END"
+        )
+        d_col = f"hd{j}" if b > 0 else "hkey"
+        q = (
+            f"(SELECT {passthru}, {hd} AS {d_col}, "
+            f"{hx} AS hx{j}, {hy} AS hy{j} FROM {q})"
+        )
+        d_expr_prev = d_col
+        lvl += 1
+    return q
