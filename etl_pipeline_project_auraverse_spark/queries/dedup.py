@@ -1274,3 +1274,93 @@ def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023): semantic deduplication by clustering
+# the embedding space and pruning, within each cluster, every vector
+# that sits inside an epsilon-ball around an earlier-kept one. The
+# LAION/DataComp-style corpus shrinker: unlike the pairwise near-dup
+# query above (which REPORTS pairs), this one makes the KEEP/PRUNE
+# decision per vector — prune vec b iff some lower-id vector in the
+# same centroid block has cosine >= eps to it (lowest-id-first greedy,
+# deterministic with no iteration because "kept" status of the lower
+# vector doesn't matter: if the lower one was itself pruned, its own
+# lower neighbor is transitively within ~eps, matching SemDeDup's
+# keep-one-per-ball intent).
+#
+# Scale posture: identical to the centroid-blocked near-dup — pairs
+# exist only WITHIN a block (O(n^2/K) with K scaling to corpus), the
+# per-vector reduction is a groupBy max, and the block side is the
+# only shuffle. No all-pairs, no global state.
+# ---------------------------------------------------------------------------
+SEMDEDUP_EPS = 0.25
+
+
+def _semdedup_oracle() -> str:
+    from etl_pipeline_project_auraverse_spark.queries.similarity import (
+        sql_centroid_cte,
+    )
+
+    return f"""
+    WITH {sql_centroid_cte()},
+    blocked AS (
+        SELECT e.vec_id, e.embedding, a.centroid_id
+        FROM embeddings e JOIN assign a USING (vec_id)
+    ),
+    nn AS (
+        SELECT b.vec_id,
+               MAX({sql_cosine("a.embedding", "b.embedding")}) AS nn_sim
+        FROM blocked a JOIN blocked b
+          ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+        GROUP BY b.vec_id
+    )
+    SELECT bl.vec_id, bl.centroid_id,
+           CAST(nn.nn_sim AS DOUBLE) AS lower_nn_sim,
+           COALESCE(nn.nn_sim >= {SEMDEDUP_EPS}, FALSE) AS pruned
+    FROM blocked bl LEFT JOIN nn USING (vec_id)
+    ORDER BY bl.vec_id
+    """
+
+
+@register("q_dedup_semantic_prune", oracle=_semdedup_oracle())
+def q_dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep/prune decision per vector: pruned iff a lower-id
+    vector in the same centroid block is within cosine >= eps."""
+    from etl_pipeline_project_auraverse_spark.queries.similarity import (
+        centroid_assignments,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    blocked = persist_tracked(  # both sides of the within-block self-join
+        emb.join(
+            centroid_assignments(emb).select("vec_id", "centroid_id"), "vec_id"
+        )
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    nn = (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(F.col("b.vec_id").alias("vec_id"))
+        .agg(
+            F.max(
+                cosine(F.col("a.embedding"), F.col("b.embedding"))
+            ).alias("nn_sim")
+        )
+    )
+    return (
+        blocked.select("vec_id", "centroid_id")
+        .join(nn, "vec_id", "left")
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.col("nn_sim").cast("double").alias("lower_nn_sim"),
+            F.coalesce(
+                F.col("nn_sim") >= SEMDEDUP_EPS, F.lit(False)
+            ).alias("pruned"),
+        )
+        .orderBy("vec_id")
+    )
