@@ -50,8 +50,11 @@ ORACLE: dict[str, str] = {}
 # q_sample_stratified_neyman), the rest of graph (q_item_item_cosine,
 # q_part_affinity_lift, q_cohort_retention, q_rfm_segmentation,
 # q_fuzzy_name_matches, q_shortest_path_costs), the residual-IVFADC
-# pair (q_ann_ivfadc_residual_topk/_recall), then curation/dedup/text
-# (last attested r4), with relational/tpch (r3/r5/r6) at the back.
+# pair (q_ann_ivfadc_residual_topk/_recall), the round-6-second-half
+# additions not already front-pinned (q_logreg_train_two_iter,
+# q_mmr_rerank, q_hilbert_order_cells, q_dedup_semantic_prune), then
+# curation/dedup/text (last attested r4), with relational/tpch
+# (r3/r5/r6) at the back.
 _MODULES = [
     "etl_pipeline_project_auraverse_spark.queries.relational",
     "etl_pipeline_project_auraverse_spark.queries.tpch_extra",
