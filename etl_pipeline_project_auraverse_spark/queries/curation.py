@@ -1265,3 +1265,72 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rendezvous (highest-random-weight) sharding: each document goes to
+# the shard with the maximal portable hash h(doc_id, shard). The point
+# of HRW over mod-N: when the fleet grows N -> N+1, ONLY the docs
+# whose new shard's hash beats their old winner move (~1/(N+1) of the
+# corpus), instead of mod-N reshuffling nearly everything — the
+# partition-stability property a 100 TB ingest layer needs to re-shard
+# without a full rewrite. This query materializes the old->new
+# movement matrix; correctness shows as a dominant diagonal.
+#
+# Scale posture: stateless per-row expression (N+1 md5s + an
+# array argmax), zero joins, one groupBy on the bounded
+# (N x N+1)-cell key space — embarrassingly parallel at any corpus
+# size. First-position argmax gives both engines the same
+# lowest-shard tiebreak on hash collisions.
+# ---------------------------------------------------------------------------
+HRW_SHARDS_OLD = 8
+HRW_SHARDS_NEW = 9
+
+
+def _hrw_shard_spark(n_shards: int):
+    arr = F.array(
+        *[
+            h28(F.concat_ws("#", F.col("doc_id").cast("string"), F.lit(str(s))))
+            for s in range(n_shards)
+        ]
+    )
+    return (F.array_position(arr, F.array_max(arr)) - 1).cast("long")
+
+
+def _hrw_shard_sql(n_shards: int) -> str:
+    items = ", ".join(
+        f"('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#{s}'), 1, 7))::BIGINT"
+        for s in range(n_shards)
+    )
+    return f"(list_position([{items}], list_max([{items}])) - 1)"
+
+
+def _hrw_oracle() -> str:
+    return f"""
+    SELECT CAST({_hrw_shard_sql(HRW_SHARDS_OLD)} AS BIGINT) AS shard_old,
+           CAST({_hrw_shard_sql(HRW_SHARDS_NEW)} AS BIGINT) AS shard_new,
+           COUNT(*) AS n_docs,
+           ({_hrw_shard_sql(HRW_SHARDS_OLD)} <> {_hrw_shard_sql(HRW_SHARDS_NEW)})
+               AS moved
+    FROM documents
+    GROUP BY 1, 2, 4
+    ORDER BY shard_old, shard_new
+    """
+
+
+@register("q_hrw_shard_rebalance", oracle=_hrw_oracle())
+def q_hrw_shard_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous-hash shard movement matrix for an
+    {HRW_SHARDS_OLD} -> {HRW_SHARDS_NEW} fleet grow: per
+    (old shard, new shard) doc counts with the moved flag."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = _hrw_shard_spark(HRW_SHARDS_OLD)
+    new = _hrw_shard_spark(HRW_SHARDS_NEW)
+    return (
+        parallelize(docs)
+        .select(old.alias("shard_old"), new.alias("shard_new"))
+        .groupBy("shard_old", "shard_new")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("moved", F.col("shard_old") != F.col("shard_new"))
+        .orderBy("shard_old", "shard_new")
+    )

@@ -1096,3 +1096,118 @@ def q_event_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered conversion funnel: view -> click -> purchase, with the whole
+# journey bounded to FUNNEL_WINDOW_DAYS of the first view. Each step's
+# timestamp must be STRICTLY after the previous step's (the classic
+# product-analytics "did the click come after the view" ordering rule,
+# not mere co-occurrence). Earliest-qualifying-event semantics make
+# the result deterministic without any event_id tiebreak: per user the
+# step-k time is MIN(ts) over events after step k-1.
+#
+# Scale posture: three per-user conditional MIN aggregates chained by
+# user-keyed equi-joins — every stage shuffles once on the
+# high-cardinality user key with map-side partial mins, no windows, no
+# self-join fan-out. The report is a 3-row rollup of broadcast-sized
+# step counts.
+# ---------------------------------------------------------------------------
+FUNNEL_WINDOW_DAYS = 7
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def _funnel_oracle() -> str:
+    return f"""
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(s1.t1) AS t1, MIN(e.ts) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > s1.t1
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > s2.t2
+          AND e.ts <= s2.t1 + INTERVAL {FUNNEL_WINDOW_DAYS} DAY
+        GROUP BY e.user_id
+    ),
+    counts AS (
+        SELECT (SELECT COUNT(*) FROM s1) AS n1,
+               (SELECT COUNT(*) FROM s2) AS n2,
+               (SELECT COUNT(*) FROM s3) AS n3
+    )
+    SELECT step, step_name, n_users,
+           CAST(ROUND(n_users * 1.0 / NULLIF(prev_users, 0), 6) AS DOUBLE)
+               AS conv_from_prev,
+           CAST(ROUND(n_users * 1.0 / NULLIF(first_users, 0), 6) AS DOUBLE)
+               AS conv_from_first
+    FROM (
+        SELECT 1 AS step, '{FUNNEL_STEPS[0]}' AS step_name,
+               n1 AS n_users, n1 AS prev_users, n1 AS first_users FROM counts
+        UNION ALL
+        SELECT 2, '{FUNNEL_STEPS[1]}', n2, n1, n1 FROM counts
+        UNION ALL
+        SELECT 3, '{FUNNEL_STEPS[2]}', n3, n2, n1 FROM counts
+    )
+    ORDER BY step
+    """
+
+
+@register("q_funnel_view_click_purchase", oracle=_funnel_oracle())
+def q_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered 3-step funnel within a {FUNNEL_WINDOW_DAYS}-day
+    window of the first view: per-step user counts and conversion
+    rates."""
+    ev = load_table(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[1])
+        .join(s1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("t1").alias("t1"), F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[2])
+        .join(s2, "user_id")
+        .where(
+            (F.col("ts") > F.col("t2"))
+            & (
+                F.col("ts")
+                <= F.col("t1") + F.expr(f"INTERVAL {FUNNEL_WINDOW_DAYS} DAY")
+            )
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = (
+        s1.agg(F.count("*").alias("n1"))
+        .crossJoin(F.broadcast(s2.agg(F.count("*").alias("n2"))))
+        .crossJoin(F.broadcast(s3.agg(F.count("*").alias("n3"))))
+    )
+    rows = None
+    for step, (name, n, prev) in enumerate(
+        [("n1", "n1", "n1"), ("n2", "n2", "n1"), ("n3", "n3", "n2")], start=1
+    ):
+        part = counts.select(
+            F.lit(step).alias("step"),
+            F.lit(FUNNEL_STEPS[step - 1]).alias("step_name"),
+            F.col(n).alias("n_users"),
+            F.round(
+                F.col(n) * 1.0 / F.nullif(F.col(prev), F.lit(0)), 6
+            ).cast("double").alias("conv_from_prev"),
+            F.round(
+                F.col(n) * 1.0 / F.nullif(F.col("n1"), F.lit(0)), 6
+            ).cast("double").alias("conv_from_first"),
+        )
+        rows = part if rows is None else rows.unionByName(part)
+    return rows.orderBy("step")
