@@ -198,3 +198,67 @@ def q_dq_lineitem_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         report.unionByName(ri_o).unionByName(ri_p).orderBy("constraint_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit: group the customer dim by its quasi-identifiers
+# (nation, market segment, coarse balance bucket) and report the
+# equivalence-class-size distribution plus, per size, whether those
+# rows would be re-identifiable under the common k=5 policy. The
+# privacy-risk readout that decides which quasi-identifier needs
+# further generalization before a dataset ships — the audit face of
+# the PII-scrub family (functions/pii.py redacts direct identifiers;
+# this measures indirect ones).
+#
+# Scale posture: one groupBy on the quasi-identifier tuple (map-side
+# partial counts), then a groupBy on the bounded class-size key —
+# two shuffles, both combiner-friendly, no joins.
+# ---------------------------------------------------------------------------
+KANON_K = 5
+_KANON_BUCKET = 1000.0
+
+
+@register(
+    "q_kanonymity_customer",
+    oracle=f"""
+    WITH classes AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(FLOOR(c_acctbal / {_KANON_BUCKET}) AS BIGINT) AS bal_bucket,
+               COUNT(*) AS class_size
+        FROM customer
+        GROUP BY 1, 2, 3
+    )
+    SELECT class_size,
+           COUNT(*) AS n_classes,
+           CAST(class_size * COUNT(*) AS BIGINT) AS n_rows,
+           (class_size < {KANON_K}) AS below_k
+    FROM classes
+    GROUP BY class_size
+    ORDER BY class_size
+    """,
+)
+def q_kanonymity_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equivalence-class-size histogram over the customer
+    quasi-identifiers (nation, segment, balance bucket) with the
+    k={KANON_K} re-identification flag."""
+    cust = load_table(spark, sf_dir, "customer")
+    classes = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / _KANON_BUCKET).cast("long").alias(
+            "bal_bucket"
+        ),
+    ).agg(F.count(F.lit(1)).alias("class_size"))
+    return (
+        classes.groupBy("class_size")
+        .agg(F.count(F.lit(1)).alias("n_classes"))
+        .select(
+            "class_size",
+            "n_classes",
+            (F.col("class_size") * F.col("n_classes"))
+            .cast("long")
+            .alias("n_rows"),
+            (F.col("class_size") < KANON_K).alias("below_k"),
+        )
+        .orderBy("class_size")
+    )

@@ -656,3 +656,132 @@ def q_price_round_number_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("round_cent_fraction"),
         F.lit(round(2.0 / 100.0, 6)).cast("double").alias("expected_uniform"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil–Sen robust trend: the median of all pairwise slopes of 1995's
+# daily order revenue, plus the matching median intercept. Immune to
+# the outlier days that wreck an OLS fit (breakdown point ~29%) — the
+# robust-statistics answer to "what is revenue actually doing".
+#
+# Scale posture: the pair space is CALENDAR-bounded (<= 365 days ->
+# <= 66k pairs regardless of corpus size; the corpus only feeds the
+# daily aggregate), so the self-join is a fixed-size broadcast
+# product, never data-sized. Both medians run through the
+# order-statistics operator — bounded per-task state — and the slope
+# median broadcasts back for the intercept pass.
+# ---------------------------------------------------------------------------
+TS_YEAR = 1995
+
+
+def _theilsen_oracle() -> str:
+    return f"""
+    WITH daily AS (
+        SELECT CAST(date_diff('day', DATE '{TS_YEAR}-01-01',
+                              CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+               {sql_dec_sum('o_totalprice', 2)} AS rev
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '{TS_YEAR}-01-01'
+          AND o_orderdate < TIMESTAMP '{TS_YEAR + 1}-01-01'
+        GROUP BY 1
+    ),
+    slopes AS (
+        SELECT ROUND((b.rev - a.rev) / (b.d - a.d), 6) AS slope
+        FROM daily a JOIN daily b ON a.d < b.d
+    ),
+    m AS (
+        SELECT COUNT(*) AS n_pairs,
+               ROUND(quantile_cont(slope, 0.5), 6) AS slope_med
+        FROM slopes
+    ),
+    icepts AS (
+        SELECT ROUND(daily.rev - m.slope_med * daily.d, 6) AS icept
+        FROM daily CROSS JOIN m
+    )
+    SELECT (SELECT COUNT(*) FROM daily) AS n_days,
+           m.n_pairs,
+           CAST(m.slope_med AS DOUBLE) AS slope_per_day,
+           CAST(ROUND(quantile_cont(icepts.icept, 0.5), 4) AS DOUBLE)
+               AS intercept
+    FROM icepts CROSS JOIN m
+    GROUP BY m.n_pairs, m.slope_med
+    """
+
+
+@register("q_theilsen_revenue_trend", oracle=_theilsen_oracle())
+def q_theilsen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen slope/intercept of {TS_YEAR} daily revenue: median
+    pairwise slope, then median intercept under that slope."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = persist_tracked(  # feeds the pair join twice + the intercepts
+        orders.where(
+            (F.col("o_orderdate") >= F.lit(f"{TS_YEAR}-01-01").cast("timestamp"))
+            & (
+                F.col("o_orderdate")
+                < F.lit(f"{TS_YEAR + 1}-01-01").cast("timestamp")
+            )
+        )
+        .groupBy(
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit(f"{TS_YEAR}-01-01").cast("date"),
+            )
+            .cast("long")
+            .alias("d")
+        )
+        .agg(dec_sum("o_totalprice", 2).alias("rev"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = (
+        F.broadcast(a)
+        .join(b, F.col("a.d") < F.col("b.d"))
+        .select(
+            F.lit("all").alias("g"),
+            # try_divide, not /: the downstream IS NOT NULL filter gets
+            # pushed into the join condition, where ANSI division would
+            # evaluate on the a.d = b.d pairs BEFORE the < conjunct
+            # excludes them; no surviving row ever has a zero divisor
+            F.round(
+                F.try_divide(
+                    F.col("b.rev") - F.col("a.rev"),
+                    (F.col("b.d") - F.col("a.d")).cast("double"),
+                ),
+                6,
+            ).alias("slope"),
+        )
+    )
+    m = exact_group_percentiles(
+        slopes, "g", "slope", [0.5], names=["slope_med"], n_groups_hint=1
+    ).select(
+        F.col("n_rows").alias("n_pairs"),
+        F.round("slope_med", 6).alias("slope_med"),
+    )
+    icepts = (
+        daily.crossJoin(F.broadcast(m))
+        .select(
+            F.lit("all").alias("g"),
+            "n_pairs",
+            "slope_med",
+            F.round(F.col("rev") - F.col("slope_med") * F.col("d"), 6).alias(
+                "icept"
+            ),
+        )
+    )
+    n_days = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    med_icept = exact_group_percentiles(
+        icepts, "g", "icept", [0.5], names=["intercept"], n_groups_hint=1
+    )
+    return (
+        n_days.crossJoin(F.broadcast(m))
+        .crossJoin(
+            F.broadcast(
+                med_icept.select(F.round("intercept", 4).alias("intercept"))
+            )
+        )
+        .select(
+            "n_days",
+            "n_pairs",
+            F.col("slope_med").cast("double").alias("slope_per_day"),
+            F.col("intercept").cast("double").alias("intercept"),
+        )
+    )
