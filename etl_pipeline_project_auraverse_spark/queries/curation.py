@@ -1334,3 +1334,82 @@ def q_hrw_shard_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("moved", F.col("shard_old") != F.col("shard_new"))
         .orderBy("shard_old", "shard_new")
     )
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty curve per source: process sources in a fixed
+# (lexicographic) acquisition order and ask, for each one, how many of
+# its distinct word-3-gram shingles were NOT contributed by any
+# earlier source. The diminishing-returns readout of corpus
+# acquisition — a source whose novelty_rate has collapsed buys nothing
+# but dedup work. "First seen" = MIN(source) over the fixed order,
+# which needs no sequential scan: one shingle-keyed aggregate computes
+# every source's marginal contribution at once.
+#
+# Scale posture: distinct (source, shingle-hash) pairs partial-
+# aggregate map-side; the first-seen table is one groupBy on the
+# shingle hash; the readout joins back on the same hash — two
+# combiner-friendly shuffles on a compact bigint key, no ordering
+# dependence, no driver state.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_source_ngram_novelty",
+    oracle=r"""
+    WITH toks AS (
+        SELECT source, string_split_regex(trim(text), '\s+') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT source, ('0x' || substr(md5(s), 1, 7))::BIGINT AS h
+        FROM (
+            SELECT source,
+                   unnest(list_transform(range(1, len(w) - 1),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+            FROM toks WHERE len(w) >= 3
+        )
+    ),
+    first_seen AS (SELECT h, MIN(source) AS first_source FROM sh GROUP BY h)
+    SELECT s.source,
+           COUNT(*) AS n_distinct_ngrams,
+           COUNT(CASE WHEN f.first_source = s.source THEN 1 END) AS n_novel,
+           CAST(ROUND(COUNT(CASE WHEN f.first_source = s.source THEN 1 END)
+                      * 1.0 / COUNT(*), 6) AS DOUBLE) AS novelty_rate
+    FROM sh s JOIN first_seen f USING (h)
+    GROUP BY s.source
+    ORDER BY s.source
+    """,
+)
+def q_source_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal distinct-3-gram contribution of every source under the
+    fixed lexicographic acquisition order."""
+    from etl_pipeline_project_auraverse_spark.functions.text import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = persist_tracked(  # feeds first-seen AND the per-source readout
+        parallelize(docs)
+        .select(
+            "source",
+            F.explode(shingles(F.trim(F.col("text")))).alias("s"),
+        )
+        .select("source", h28(F.col("s")).alias("h"))
+        .distinct()
+    )
+    first_seen = sh.groupBy("h").agg(F.min("source").alias("first_source"))
+    return (
+        sh.join(first_seen, "h")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_ngrams"),
+            F.count(
+                F.when(F.col("first_source") == F.col("source"), F.lit(1))
+            ).alias("n_novel"),
+        )
+        .withColumn(
+            "novelty_rate",
+            F.round(F.col("n_novel") * 1.0 / F.col("n_distinct_ngrams"), 6)
+            .cast("double"),
+        )
+        .orderBy("source")
+    )

@@ -24,6 +24,7 @@ from etl_pipeline_project_auraverse_spark.queries import register
 from etl_pipeline_project_auraverse_spark.queries._util import (
     dec_sum,
     parallelize,
+    persist_tracked,
     sql_dec_sum,
 )
 from etl_pipeline_project_auraverse_spark.session import load_table
@@ -1211,3 +1212,112 @@ def q_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = part if rows is None else rows.unionByName(part)
     return rows.orderBy("step")
+
+
+# ---------------------------------------------------------------------------
+# Markov stationary distribution of the event-type chain: the
+# long-run fraction of time a user's session spends in each event
+# type, computed as three exact power iterations pi' = pi P from the
+# uniform start over the same per-user transition matrix as
+# q_event_type_transitions. Iteration k+1 consumes iteration k's
+# rounded vector, so the whole chain's determinism is driver-checked
+# (same contract as the k-means/PCA/logreg training queries).
+#
+# Scale posture: the transition matrix is |types|^2 (~25 rows)
+# regardless of corpus size — one high-cardinality window pass builds
+# it, then every iteration is a tiny broadcast join + groupBy. The
+# corpus is scanned exactly once.
+# ---------------------------------------------------------------------------
+MARKOV_ITERS = 3
+
+
+def _markov_oracle() -> str:
+    parts = [
+        """pairs AS (
+        SELECT event_type, next_type FROM (
+            SELECT event_type,
+                   LEAD(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+            FROM events
+        ) WHERE next_type IS NOT NULL
+    )""",
+        """p AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               ROUND(COUNT(*) * 1.0 /
+                     SUM(COUNT(*)) OVER (PARTITION BY event_type), 6) AS prob
+        FROM pairs GROUP BY event_type, next_type
+    )""",
+        """states AS (SELECT DISTINCT from_type AS t FROM p)""",
+        """pi0 AS (
+        SELECT t, ROUND(1.0 / (SELECT COUNT(*) FROM states), 6) AS pi
+        FROM states
+    )""",
+    ]
+    for i in range(1, MARKOV_ITERS + 1):
+        parts.append(
+            f"""pi{i} AS (
+        SELECT p.to_type AS t,
+               ROUND(CAST(SUM(CAST(ROUND(v.pi * p.prob, 6)
+                   AS DECIMAL(25,6))) AS DOUBLE), 6) AS pi
+        FROM pi{i - 1} v JOIN p ON p.from_type = v.t
+        GROUP BY p.to_type
+    )"""
+        )
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT t AS event_type, CAST(pi AS DOUBLE) AS stationary_prob
+    FROM pi{MARKOV_ITERS}
+    ORDER BY event_type
+    """
+
+
+@register("q_markov_stationary_events", oracle=_markov_oracle())
+def q_markov_stationary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary event-type distribution after {MARKOV_ITERS} exact
+    power iterations over the per-user transition matrix."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "event_type", F.lead("event_type").over(w).alias("next_type")
+        )
+        .filter(F.col("next_type").isNotNull())
+    )
+    w_from = W.partitionBy("event_type")
+    p = persist_tracked(  # ~|types|^2 rows; reused by every iteration
+        pairs.groupBy("event_type", "next_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+            F.round(
+                F.col("n") * 1.0 / F.sum("n").over(w_from.orderBy()), 6
+            ).alias("prob"),
+        )
+    )
+    states = p.select(F.col("from_type").alias("t")).distinct()
+    n_states = states.agg(F.count(F.lit(1)).alias("ns"))
+    pi = states.crossJoin(F.broadcast(n_states)).select(
+        "t", F.round(1.0 / F.col("ns"), 6).alias("pi")
+    )
+    for _ in range(MARKOV_ITERS):
+        pi = (
+            pi.join(F.broadcast(p), pi["t"] == p["from_type"])
+            .groupBy(F.col("to_type").alias("t2"))
+            .agg(
+                F.round(
+                    F.sum(
+                        F.round(F.col("pi") * F.col("prob"), 6).cast(
+                            "decimal(25,6)"
+                        )
+                    ).cast("double"),
+                    6,
+                ).alias("pi")
+            )
+            .select(F.col("t2").alias("t"), "pi")
+        )
+    return pi.select(
+        F.col("t").alias("event_type"),
+        F.col("pi").cast("double").alias("stationary_prob"),
+    ).orderBy("event_type")
