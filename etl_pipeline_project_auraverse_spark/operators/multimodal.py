@@ -6,9 +6,11 @@ Formats decodable with the standard library decode FOR REAL:
 uncompressed 24-bit BMP images (manual header parse), PNG in 8-bit
 grey/RGB/palette variants (from-scratch codec, ``png_codec.py``), GIF
 (``gif_codec.py``), baseline JPEG (Huffman + IDCT from scratch,
-``jpeg_codec.py``), and PCM WAV audio (``wave`` module) — full
-pixel/sample access, no external codec. For the remaining
-codec-requiring formats (progressive JPEG, MP4...) the decode seam
+``jpeg_codec.py``), baseline TIFF in grey/RGB/palette with
+none/PackBits compression (``tiff_codec.py``), and PCM WAV audio
+(``wave`` module) — full pixel/sample access, no external codec. For
+the remaining codec-requiring formats (progressive JPEG, MP4...) the
+decode seam
 raises ``NotImplementedError`` (PIL/cv2/ffmpeg are not in this
 container);
 a deterministic FAKEIMG format stands in for tests. Everything
@@ -121,11 +123,17 @@ def _decode_image_bytes(buf: bytes) -> tuple[int, int, int, np.ndarray]:
         )
 
         return decode_jpeg(buf)
+    if buf is not None and (buf.startswith(b"II*\x00") or buf.startswith(b"MM\x00*")):
+        from etl_pipeline_project_auraverse_spark.operators.tiff_codec import (
+            decode_tiff,
+        )
+
+        return decode_tiff(buf)
     if buf is None or not buf.startswith(FAKE_MAGIC):
         raise NotImplementedError(
             "this payload needs a codec library (PIL/cv2/ffmpeg — not "
-            "installed); BMP, PNG, GIF, baseline JPEG and FAKEIMG "
-            "decode natively"
+            "installed); BMP, PNG, GIF, baseline JPEG, baseline TIFF "
+            "and FAKEIMG decode natively"
         )
     w, h, c = struct.unpack_from("<HHB", buf, len(FAKE_MAGIC))
     pixels = np.frombuffer(buf, dtype=np.uint8, offset=len(FAKE_MAGIC) + 5)
