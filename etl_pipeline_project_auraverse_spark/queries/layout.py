@@ -169,3 +169,155 @@ def q_hilbert_order_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+# ---------------------------------------------------------------------------
+# Layout pruning audit: the same orders table laid out three ways —
+# custkey-major linear key, Morton (Z-order), Hilbert — cut into the
+# same number of key-contiguous cells (files), then MEASURED: how many
+# cells' min/max envelopes intersect (a) a 10%-wide price band and
+# (b) a 10%-wide custkey band. This turns the "Z-order/Hilbert prune
+# on EVERY clustered dimension, a linear sort only on its leading one"
+# claim from the module docstrings into numbers the driver gate
+# checks: the linear layout touches almost every cell for the price
+# filter; the curves touch a bounded fraction for both.
+#
+# Scale shape: one scan + 1-row bounds broadcast, three pure-codegen
+# key expressions over the same quantized pair, one groupBy on the
+# bounded (layout, cell) key, then a 3-row rollup. The filter bands
+# derive from the same broadcast bounds, so no second scan.
+# ---------------------------------------------------------------------------
+_BAND_LO, _BAND_HI = 0.45, 0.55  # central 10% band of each dimension
+
+
+def _layout_compare_oracle() -> str:
+    hilbert_src = f"""SELECT xq, yq, o_custkey, o_totalprice,
+               xq AS hx0, yq AS hy0 FROM q"""
+    return f"""
+    WITH s AS (
+        SELECT MIN(o_custkey) AS mnc, MAX(o_custkey) AS mxc,
+               MIN(o_totalprice) AS mnp, MAX(o_totalprice) AS mxp
+        FROM orders
+    ),
+    q AS (
+        SELECT o_custkey, o_totalprice,
+               CAST(FLOOR((o_custkey - mnc) * 256.0 / (mxc - mnc + 1.0))
+                    AS BIGINT) AS xq,
+               CAST(FLOOR((o_totalprice - mnp) * 256.0 / (mxp - mnp + 1.0))
+                    AS BIGINT) AS yq
+        FROM orders, s
+    ),
+    hk AS (
+        SELECT o_custkey, o_totalprice, xq, yq, hkey
+        FROM {sql_hilbert_levels(hilbert_src, ["xq", "yq", "o_custkey", "o_totalprice"], ZBITS)}
+    ),
+    keyed AS (
+        SELECT 'linear' AS layout, (xq * 256 + yq) >> {CELL_SHIFT} AS cell,
+               o_custkey, o_totalprice FROM hk
+        UNION ALL
+        SELECT 'zorder', ({sql_zorder_key(["xq", "yq"], ZBITS)}) >> {CELL_SHIFT},
+               o_custkey, o_totalprice FROM hk
+        UNION ALL
+        SELECT 'hilbert', hkey >> {CELL_SHIFT}, o_custkey, o_totalprice FROM hk
+    ),
+    cells AS (
+        SELECT layout, cell,
+               MIN(o_custkey) AS mn_c, MAX(o_custkey) AS mx_c,
+               MIN(o_totalprice) AS mn_p, MAX(o_totalprice) AS mx_p
+        FROM keyed GROUP BY layout, cell
+    ),
+    bands AS (
+        SELECT mnc + {_BAND_LO} * (mxc - mnc) AS c_lo,
+               mnc + {_BAND_HI} * (mxc - mnc) AS c_hi,
+               mnp + {_BAND_LO} * (mxp - mnp) AS p_lo,
+               mnp + {_BAND_HI} * (mxp - mnp) AS p_hi
+        FROM s
+    )
+    SELECT layout,
+           COUNT(*) AS n_cells,
+           COUNT(CASE WHEN mx_p >= p_lo AND mn_p <= p_hi THEN 1 END)
+               AS cells_hit_price,
+           COUNT(CASE WHEN mx_c >= c_lo AND mn_c <= c_hi THEN 1 END)
+               AS cells_hit_cust,
+           CAST(ROUND(COUNT(CASE WHEN mx_p >= p_lo AND mn_p <= p_hi THEN 1 END)
+                * 1.0 / COUNT(*), 6) AS DOUBLE) AS frac_price,
+           CAST(ROUND(COUNT(CASE WHEN mx_c >= c_lo AND mn_c <= c_hi THEN 1 END)
+                * 1.0 / COUNT(*), 6) AS DOUBLE) AS frac_cust
+    FROM cells CROSS JOIN bands
+    GROUP BY layout
+    ORDER BY layout
+    """
+
+
+@register("q_layout_pruning_compare", oracle=_layout_compare_oracle())
+def q_layout_pruning_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured scan-pruning power of linear vs Z-order vs Hilbert
+    cells for a 10% price band and a 10% custkey band."""
+    orders = load_table(spark, sf_dir, "orders")
+    stats = orders.agg(
+        F.min("o_custkey").alias("mnc"),
+        F.max("o_custkey").alias("mxc"),
+        F.min("o_totalprice").alias("mnp"),
+        F.max("o_totalprice").alias("mxp"),
+    )
+    xq = quantize(F.col("o_custkey"), F.col("mnc"), F.col("mxc"), ZBITS)
+    yq = quantize(F.col("o_totalprice"), F.col("mnp"), F.col("mxp"), ZBITS)
+    base = hilbert_key(
+        orders.crossJoin(F.broadcast(stats)).select(
+            "o_custkey", "o_totalprice", xq.alias("xq"), yq.alias("yq")
+        ),
+        F.col("xq"),
+        F.col("yq"),
+        ZBITS,
+    )
+    zkey = zorder_key([F.col("xq"), F.col("yq")], ZBITS)
+    linkey = F.col("xq") * 256 + F.col("yq")
+    keyed = None
+    for layout, key in [
+        ("linear", linkey),
+        ("zorder", zkey),
+        ("hilbert", F.col("hkey")),
+    ]:
+        part = base.select(
+            F.lit(layout).alias("layout"),
+            F.shiftright(key.cast("long"), CELL_SHIFT).alias("cell"),
+            "o_custkey",
+            "o_totalprice",
+        )
+        keyed = part if keyed is None else keyed.unionByName(part)
+    cells = keyed.groupBy("layout", "cell").agg(
+        F.min("o_custkey").alias("mn_c"),
+        F.max("o_custkey").alias("mx_c"),
+        F.min("o_totalprice").alias("mn_p"),
+        F.max("o_totalprice").alias("mx_p"),
+    )
+    bands = stats.select(
+        (F.col("mnc") + _BAND_LO * (F.col("mxc") - F.col("mnc"))).alias("c_lo"),
+        (F.col("mnc") + _BAND_HI * (F.col("mxc") - F.col("mnc"))).alias("c_hi"),
+        (F.col("mnp") + _BAND_LO * (F.col("mxp") - F.col("mnp"))).alias("p_lo"),
+        (F.col("mnp") + _BAND_HI * (F.col("mxp") - F.col("mnp"))).alias("p_hi"),
+    )
+    hit_p = (F.col("mx_p") >= F.col("p_lo")) & (F.col("mn_p") <= F.col("p_hi"))
+    hit_c = (F.col("mx_c") >= F.col("c_lo")) & (F.col("mn_c") <= F.col("c_hi"))
+    return (
+        cells.crossJoin(F.broadcast(bands))
+        .groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.count(F.when(hit_p, F.lit(1))).alias("cells_hit_price"),
+            F.count(F.when(hit_c, F.lit(1))).alias("cells_hit_cust"),
+        )
+        .select(
+            "layout",
+            "n_cells",
+            "cells_hit_price",
+            "cells_hit_cust",
+            F.round(F.col("cells_hit_price") * 1.0 / F.col("n_cells"), 6)
+            .cast("double")
+            .alias("frac_price"),
+            F.round(F.col("cells_hit_cust") * 1.0 / F.col("n_cells"), 6)
+            .cast("double")
+            .alias("frac_cust"),
+        )
+        .orderBy("layout")
+    )
