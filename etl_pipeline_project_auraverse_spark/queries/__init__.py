@@ -52,7 +52,11 @@ ORACLE: dict[str, str] = {}
 # q_fuzzy_name_matches, q_shortest_path_costs), the residual-IVFADC
 # pair (q_ann_ivfadc_residual_topk/_recall), the round-6-second-half
 # additions not already front-pinned (q_logreg_train_two_iter,
-# q_mmr_rerank, q_hilbert_order_cells, q_dedup_semantic_prune), then
+# q_mmr_rerank, q_hilbert_order_cells, q_dedup_semantic_prune,
+# q_funnel_view_click_purchase, q_hrw_shard_rebalance,
+# q_kanonymity_customer, q_theilsen_revenue_trend,
+# q_markov_stationary_events, q_source_ngram_novelty,
+# q_layout_pruning_compare, q_jackknife_mean_price), then
 # curation/dedup/text (last attested r4), with relational/tpch
 # (r3/r5/r6) at the back.
 _MODULES = [

@@ -21,6 +21,7 @@ from etl_pipeline_project_auraverse_spark.operators.order_stats import (
 )
 from etl_pipeline_project_auraverse_spark.queries import register
 from etl_pipeline_project_auraverse_spark.queries._util import (
+    DEC,
     dec_avg,
     persist_tracked,
     dec_sum,
@@ -783,5 +784,132 @@ def q_theilsen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_pairs",
             F.col("slope_med").cast("double").alias("slope_per_day"),
             F.col("intercept").cast("double").alias("intercept"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hash-bucketed (delete-d) jackknife: the distributed answer to "what
+# is the standard error of this mean" without resampling randomness.
+# Rows are dealt into B deterministic hash buckets; each leave-one-
+# bucket-out replicate mean is exact arithmetic over the bucket sums,
+# and the jackknife SE follows from the replicate spread. One scan,
+# one B-row aggregate — the uncertainty readout rides for free next
+# to any big aggregate at 100 TB.
+# ---------------------------------------------------------------------------
+JK_BUCKETS = 10
+
+
+def _jackknife_oracle() -> str:
+    return f"""
+    WITH b AS (
+        SELECT ('0x' || substr(md5(CAST(l_orderkey * 10 + l_linenumber
+                    AS VARCHAR)), 1, 7))::BIGINT % {JK_BUCKETS} AS bucket,
+               l_extendedprice AS v
+        FROM lineitem
+    ),
+    per AS (
+        SELECT bucket, COUNT(*) AS n_b,
+               {sql_dec_sum('v', 2)} AS s_b
+        FROM b GROUP BY bucket
+    ),
+    tot AS (
+        SELECT SUM(n_b) AS n, CAST(SUM(CAST(s_b AS DECIMAL(25,6)))
+                   AS DOUBLE) AS s,
+               COUNT(*) AS nb
+        FROM per
+    ),
+    reps AS (
+        SELECT per.bucket,
+               ROUND((tot.s - per.s_b) / (tot.n - per.n_b), 6) AS rep_mean
+        FROM per CROSS JOIN tot
+    ),
+    agg AS (
+        SELECT COUNT(*) AS nb,
+               ROUND(CAST(SUM(CAST(rep_mean AS DECIMAL(25,6))) AS DOUBLE)
+                     / COUNT(*), 6) AS rep_bar
+        FROM reps
+    )
+    SELECT tot.n AS n_rows,
+           CAST(ROUND(tot.s / tot.n, 6) AS DOUBLE) AS mean_price,
+           CAST(ROUND(SQRT((agg.nb - 1.0) / agg.nb
+                * (SELECT CAST(SUM(CAST(ROUND((rep_mean - agg.rep_bar)
+                       * (rep_mean - agg.rep_bar), 6) AS DECIMAL(25,6)))
+                       AS DOUBLE)
+                   FROM reps)), 6) AS DOUBLE) AS jackknife_se
+    FROM tot CROSS JOIN agg
+    """
+
+
+@register("q_jackknife_mean_price", oracle=_jackknife_oracle())
+def q_jackknife_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean extended price with its delete-d jackknife standard error
+    over {JK_BUCKETS} deterministic hash buckets."""
+    from etl_pipeline_project_auraverse_spark.functions.text import h28
+
+    li = load_table(spark, sf_dir, "lineitem")
+    per = (
+        li.select(
+            (
+                h28(
+                    (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast(
+                        "string"
+                    )
+                )
+                % JK_BUCKETS
+            ).alias("bucket"),
+            F.col("l_extendedprice").alias("v"),
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_b"), dec_sum("v", 2).alias("s_b"))
+    )
+    tot = persist_tracked(
+        per.agg(
+            F.sum("n_b").alias("n"),
+            F.sum(F.col("s_b").cast(DEC)).cast("double").alias("s"),
+        )
+    )
+    reps = persist_tracked(
+        per.crossJoin(F.broadcast(tot)).select(
+            "bucket",
+            F.round(
+                (F.col("s") - F.col("s_b")) / (F.col("n") - F.col("n_b")), 6
+            ).alias("rep_mean"),
+        )
+    )
+    agg = reps.agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.round(
+            F.sum(F.col("rep_mean").cast(DEC)).cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("rep_bar"),
+    )
+    ss = (
+        reps.crossJoin(F.broadcast(agg))
+        .agg(
+            F.sum(
+                F.round(
+                    (F.col("rep_mean") - F.col("rep_bar"))
+                    * (F.col("rep_mean") - F.col("rep_bar")),
+                    6,
+                ).cast(DEC)
+            )
+            .cast("double")
+            .alias("ss")
+        )
+    )
+    return (
+        tot.crossJoin(F.broadcast(agg))
+        .crossJoin(F.broadcast(ss))
+        .select(
+            F.col("n").alias("n_rows"),
+            F.round(F.col("s") / F.col("n"), 6).cast("double").alias(
+                "mean_price"
+            ),
+            F.round(
+                F.sqrt((F.col("nb") - 1.0) / F.col("nb") * F.col("ss")), 6
+            )
+            .cast("double")
+            .alias("jackknife_se"),
         )
     )
