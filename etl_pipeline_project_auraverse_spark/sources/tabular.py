@@ -27,6 +27,8 @@ _EXT_FORMAT = {
     ".txt": "text",
     ".md": "text",
     ".xml": "xml",
+    ".xlsx": "xlsx",
+    ".avro": "avro",
 }
 
 
@@ -145,6 +147,18 @@ def read_table(spark: SparkSession, path: str, **kwargs) -> DataFrame:
         )
 
         return read_arrow_ipc(spark, path, **kwargs)
+    if fmt == "xlsx":
+        from etl_pipeline_project_auraverse_spark.sources.xlsx_table import (
+            read_xlsx_table,
+        )
+
+        return read_xlsx_table(spark, path, **kwargs)
+    if fmt == "avro":
+        from etl_pipeline_project_auraverse_spark.sources.avro_table import (
+            read_avro_table,
+        )
+
+        return read_avro_table(spark, path, **kwargs)
     return spark.read.text(path, wholetext=True)
 
 
