@@ -1413,3 +1413,116 @@ def q_source_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic negative sampling for contrastive training pairs: for
+# every active customer, K part-ids they have NEVER purchased, drawn
+# from a portable hash sequence (candidate i = h(cust#i) mod |parts|)
+# with rejection of accidental positives. The (user, positive,
+# negative) triple generator behind every two-tower/contrastive
+# recommender — made reproducible: the same customer always gets the
+# same negatives, on any engine, at any parallelism.
+#
+# Scale posture: candidates generate map-side (explode of a K+M-long
+# sequence — no corpus scan), rejection is one anti-join against the
+# purchased-pairs table on the compact (cust, part) key, and the
+# final pick is a per-customer window over <= K+M rows. The purchase
+# history is scanned once.
+# ---------------------------------------------------------------------------
+NEG_K = 3
+NEG_CANDIDATES = 10  # oversample factor so rejection can't exhaust
+
+
+def _negsample_oracle() -> str:
+    return f"""
+    WITH nparts AS (SELECT COUNT(*) AS np, MIN(p_partkey) AS base FROM part),
+    pos AS (
+        SELECT DISTINCT o.o_custkey AS custkey, l.l_partkey AS partkey
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_custkey < 300
+    ),
+    cand AS (
+        SELECT p.custkey, i.i,
+               np.base + (('0x' || substr(md5(CAST(p.custkey AS VARCHAR)
+                   || '#' || CAST(i.i AS VARCHAR)), 1, 7))::BIGINT % np.np)
+                   AS partkey
+        FROM (SELECT DISTINCT custkey FROM pos) p
+        CROSS JOIN (SELECT unnest(range(0, {NEG_CANDIDATES})) AS i) i
+        CROSS JOIN nparts np
+    ),
+    neg AS (
+        SELECT c.custkey, c.i, c.partkey,
+               ROW_NUMBER() OVER (PARTITION BY c.custkey ORDER BY c.i) AS rn
+        FROM cand c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM pos WHERE pos.custkey = c.custkey
+                                AND pos.partkey = c.partkey
+        )
+    )
+    SELECT custkey, CAST(rn AS BIGINT) AS neg_rank, partkey AS neg_partkey
+    FROM neg WHERE rn <= {NEG_K}
+    ORDER BY custkey, neg_rank
+    """
+
+
+@register("q_negative_sampling_parts", oracle=_negsample_oracle())
+def q_negative_sampling_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{NEG_K} reproducible never-purchased negative parts per customer
+    (custkey < 300) from a portable hash sequence with rejection."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    nparts = load_table(spark, sf_dir, "part").agg(
+        F.count(F.lit(1)).alias("np"), F.min("p_partkey").alias("base")
+    )
+    pos = persist_tracked(  # rejection side + the customer universe
+        orders.filter(F.col("o_custkey") < 300)
+        .select("o_custkey", "o_orderkey")
+        .join(li.select("l_orderkey", "l_partkey"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("l_partkey").alias("partkey"),
+        )
+        .distinct()
+    )
+    cand = (
+        pos.select("custkey")
+        .distinct()
+        .crossJoin(F.broadcast(nparts))
+        .select(
+            "custkey",
+            F.explode(F.sequence(F.lit(0), F.lit(NEG_CANDIDATES - 1))).alias(
+                "i"
+            ),
+            "np",
+            "base",
+        )
+        .select(
+            "custkey",
+            "i",
+            (
+                F.col("base")
+                + h28(
+                    F.concat_ws(
+                        "#",
+                        F.col("custkey").cast("string"),
+                        F.col("i").cast("string"),
+                    )
+                )
+                % F.col("np")
+            ).alias("partkey"),
+        )
+    )
+    neg = cand.join(pos, ["custkey", "partkey"], "left_anti")
+    w = W.partitionBy("custkey").orderBy("i")
+    return (
+        neg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= NEG_K)
+        .select(
+            "custkey",
+            F.col("rn").cast("long").alias("neg_rank"),
+            F.col("partkey").alias("neg_partkey"),
+        )
+        .orderBy("custkey", "neg_rank")
+    )
