@@ -56,7 +56,8 @@ ORACLE: dict[str, str] = {}
 # q_funnel_view_click_purchase, q_hrw_shard_rebalance,
 # q_kanonymity_customer, q_theilsen_revenue_trend,
 # q_markov_stationary_events, q_source_ngram_novelty,
-# q_layout_pruning_compare, q_jackknife_mean_price), then
+# q_layout_pruning_compare, q_jackknife_mean_price,
+# q_negative_sampling_parts), then
 # curation/dedup/text (last attested r4), with relational/tpch
 # (r3/r5/r6) at the back.
 _MODULES = [

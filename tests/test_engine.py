@@ -250,3 +250,34 @@ def test_engine_scrub_bfs_decode_facades(engine, spark):
     )
     out = engine.decode_images(imgs).collect()[0]
     assert (out["width"], out["height"], out["mean_pixel"]) == (2, 2, 25.0)
+
+
+def test_engine_hilbert_and_approx_quantiles(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_project_auraverse_spark.engine import Engine
+
+    eng = Engine(sf_dir, spark=spark)
+    orders = eng.table("orders")
+    clustered = eng.hilbert_by(orders, ["o_custkey", "o_totalprice"], n_files=8)
+    assert clustered.columns == orders.columns
+    assert clustered.count() == orders.count()
+    spans = (
+        clustered.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg((F.max("o_totalprice") - F.min("o_totalprice")).alias("span"))
+        .agg(F.avg("span"))
+        .first()[0]
+    )
+    full_span = orders.agg(
+        F.max("o_totalprice") - F.min("o_totalprice")
+    ).first()[0]
+    assert spans < full_span * 0.8
+
+    aq = eng.approx_quantiles(orders, "o_totalprice", [0.5, 0.9]).collect()[0]
+    exact = orders.agg(
+        F.percentile("o_totalprice", 0.5).alias("e50"),
+        F.percentile("o_totalprice", 0.9).alias("e90"),
+    ).first()
+    assert abs(aq["p50"] - exact["e50"]) / exact["e50"] < 0.05
+    assert abs(aq["p90"] - exact["e90"]) / exact["e90"] < 0.05
