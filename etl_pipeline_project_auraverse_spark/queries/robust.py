@@ -911,3 +911,193 @@ def q_jackknife_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("jackknife_se"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation: Pearson on tie-averaged global ranks.
+# Ranks come from operators/ranks.average_rank2 — a distinct-value
+# aggregate + two-level range-partitioned prefix sum, never a global
+# single-task RANK() window — and are DOUBLED so they stay exact
+# BIGINTs (rho is affine-invariant, so 2×rank changes nothing). The
+# sufficient statistics accumulate in DECIMAL(19,0) products (exact to
+# 1e38 ≈ 4n³ headroom past 10^12 rows), then the same double-precision
+# Pearson assembly as q_corr_matrix_lineitem on both engines.
+# ---------------------------------------------------------------------------
+def _spearman_oracle() -> str:
+    ranks = ", ".join(
+        f"2*RANK() OVER (ORDER BY {c}) + COUNT(*) OVER (PARTITION BY {c}) - 1"
+        f" AS r_{c}"
+        for c in _CORR_COLS
+    )
+    sums = ["COUNT(*) AS n"]
+    for c in _CORR_COLS:
+        sums.append(f"SUM(CAST(r_{c} AS HUGEINT)) AS s_{c}")
+        sums.append(f"SUM(CAST(r_{c} AS HUGEINT) * r_{c}) AS q_{c}")
+    for x, y in _corr_pairs():
+        sums.append(f"SUM(CAST(r_{x} AS HUGEINT) * r_{y}) AS p_{x}_{y}")
+    rows = []
+    for x, y in _corr_pairs():
+        num = (
+            f"(n * CAST(p_{x}_{y} AS DOUBLE) - "
+            f"CAST(s_{x} AS DOUBLE) * CAST(s_{y} AS DOUBLE))"
+        )
+        dx = (
+            f"(n * CAST(q_{x} AS DOUBLE) - "
+            f"CAST(s_{x} AS DOUBLE) * CAST(s_{x} AS DOUBLE))"
+        )
+        dy = (
+            f"(n * CAST(q_{y} AS DOUBLE) - "
+            f"CAST(s_{y} AS DOUBLE) * CAST(s_{y} AS DOUBLE))"
+        )
+        rows.append(
+            f"SELECT '{x}' AS col_x, '{y}' AS col_y, "
+            f"CAST(ROUND({num} / SQRT({dx} * {dy}), 6) AS DOUBLE) AS rho "
+            f"FROM s"
+        )
+    return (
+        f"WITH r AS (SELECT {ranks} FROM lineitem),\n"
+        "s AS (SELECT " + ", ".join(sums) + " FROM r)\n"
+        + "\nUNION ALL ".join(rows)
+        + "\nORDER BY col_x, col_y"
+    )
+
+
+@register("q_spearman_corr_lineitem", oracle=_spearman_oracle())
+def q_spearman_corr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Spearman rank correlations of the lineitem measures —
+    the outlier-robust twin of ``q_corr_matrix_lineitem`` (monotone
+    dependence, immune to the heavy price tail). Rank maps are joined
+    back per column (low-cardinality maps broadcast under AQE; the
+    near-unique price map stays a hash equi-join)."""
+    from etl_pipeline_project_auraverse_spark.operators.ranks import (
+        average_rank2,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(*_CORR_COLS)
+    f = li
+    for c in _CORR_COLS:
+        f = f.join(average_rank2(li, c, f"r_{c}"), c)
+    d = lambda c: F.col(f"r_{c}").cast("decimal(19,0)")  # noqa: E731
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(F.sum(d(c)).alias(f"s_{c}"))
+        aggs.append(F.sum(d(c) * d(c)).alias(f"q_{c}"))
+    for x, y in _corr_pairs():
+        aggs.append(F.sum(d(x) * d(y)).alias(f"p_{x}_{y}"))
+    s = persist_tracked(f.agg(*aggs))
+    out = None
+    for x, y in _corr_pairs():
+        n = F.col("n")
+        num = n * F.col(f"p_{x}_{y}").cast("double") - (
+            F.col(f"s_{x}").cast("double") * F.col(f"s_{y}").cast("double")
+        )
+        dx = n * F.col(f"q_{x}").cast("double") - (
+            F.col(f"s_{x}").cast("double") * F.col(f"s_{x}").cast("double")
+        )
+        dy = n * F.col(f"q_{y}").cast("double") - (
+            F.col(f"s_{y}").cast("double") * F.col(f"s_{y}").cast("double")
+        )
+        row = s.select(
+            F.lit(x).alias("col_x"),
+            F.lit(y).alias("col_y"),
+            F.round(num / F.sqrt(dx * dy), 6).cast("double").alias("rho"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("col_x", "col_y")
+
+
+# ---------------------------------------------------------------------------
+# Kolmogorov-Smirnov two-sample test (distribution drift detector):
+# D = sup_x |F_air(x) - F_truck(x)| over the pooled sample points.
+# The ECDF difference is exact — cumulative counts from the two-level
+# prefix sum, cross-multiplied as integers (|c1·n2 - c2·n1|) so the
+# max and its argmax location are deterministic, division to a double
+# only at the very end. The shape every train/eval-split or
+# day-over-day drift gate needs at 100 TB: one groupBy on the value,
+# one bounded prefix pass, one 1-row aggregate.
+# ---------------------------------------------------------------------------
+_KS_COL, _KS_A, _KS_B = "l_extendedprice", "A", "R"
+
+_KS_ORACLE = f"""
+WITH f AS (
+    SELECT {_KS_COL} AS p,
+           CASE WHEN l_returnflag = '{_KS_A}' THEN 1 ELSE 0 END AS a
+    FROM lineitem WHERE l_returnflag IN ('{_KS_A}', '{_KS_B}')
+),
+d AS (SELECT p, SUM(a) AS c1, COUNT(*) - SUM(a) AS c2 FROM f GROUP BY p),
+c AS (SELECT p,
+             SUM(c1) OVER (ORDER BY p ROWS UNBOUNDED PRECEDING) AS cum1,
+             SUM(c2) OVER (ORDER BY p ROWS UNBOUNDED PRECEDING) AS cum2
+      FROM d),
+t AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM d),
+j AS (SELECT c.p,
+             ABS(CAST(cum1 AS HUGEINT) * t.n2
+                 - CAST(cum2 AS HUGEINT) * t.n1) AS diff
+      FROM c, t),
+m AS (SELECT MAX(diff) AS dmax FROM j),
+am AS (SELECT p FROM j ORDER BY diff DESC, p ASC LIMIT 1)
+SELECT CAST(t.n1 AS BIGINT) AS n_a, CAST(t.n2 AS BIGINT) AS n_b,
+       CAST(ROUND(CAST(m.dmax AS DOUBLE)
+                  / (CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE)), 6)
+            AS DOUBLE) AS ks_stat,
+       CAST(am.p AS DOUBLE) AS ks_at_value
+FROM t, m, am
+"""
+
+
+@register("q_ks_price_by_returnflag", oracle=_KS_ORACLE)
+def q_ks_price_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS statistic between returned (A) and
+    refused (R) line price distributions, plus the price where the
+    ECDF gap peaks."""
+    from etl_pipeline_project_auraverse_spark.operators.ranks import (
+        ordered_prefix_sums,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.where(F.col("l_returnflag").isin(_KS_A, _KS_B)).select(
+        F.col(_KS_COL).alias("p"),
+        F.when(F.col("l_returnflag") == _KS_A, 1).otherwise(0).alias("a"),
+    )
+    dtab = f.groupBy("p").agg(
+        F.sum("a").alias("c1"),
+        (F.count(F.lit(1)) - F.sum("a")).alias("c2"),
+    )
+    tot = persist_tracked(
+        dtab.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    )
+    c = ordered_prefix_sums(dtab, "p", ["c1", "c2"])
+    dec = lambda col: col.cast("decimal(19,0)")  # noqa: E731
+    j = persist_tracked(
+        c.crossJoin(F.broadcast(tot)).select(
+            "p",
+            "n1",
+            "n2",
+            F.abs(
+                dec(F.col("cum_c1")) * dec(F.col("n2"))
+                - dec(F.col("cum_c2")) * dec(F.col("n1"))
+            ).alias("diff"),
+        )
+    )
+    m = j.agg(F.max("diff").alias("dmax"))
+    am = (
+        j.orderBy(F.col("diff").desc(), F.col("p").asc())
+        .limit(1)
+        .select(F.col("p").cast("double").alias("ks_at_value"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(am))
+        .select(
+            F.col("n1").cast("long").alias("n_a"),
+            F.col("n2").cast("long").alias("n_b"),
+            F.round(
+                F.col("dmax").cast("double")
+                / (F.col("n1").cast("double") * F.col("n2").cast("double")),
+                6,
+            )
+            .cast("double")
+            .alias("ks_stat"),
+            "ks_at_value",
+        )
+    )
