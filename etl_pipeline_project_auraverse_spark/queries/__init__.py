@@ -57,7 +57,9 @@ ORACLE: dict[str, str] = {}
 # q_kanonymity_customer, q_theilsen_revenue_trend,
 # q_markov_stationary_events, q_source_ngram_novelty,
 # q_layout_pruning_compare, q_jackknife_mean_price,
-# q_negative_sampling_parts), then
+# q_negative_sampling_parts, and the two r4-attested ANN entries
+# displaced late in r6 to make room for the new Spearman/KS pair:
+# q_ann_lsh_multiprobe, q_embedding_norms), then
 # curation/dedup/text (last attested r4), with relational/tpch
 # (r3/r5/r6) at the back.
 _MODULES = [
@@ -142,6 +144,8 @@ _FRONT = [
     "q_revenue_concentration_deciles",
     "q_revenue_trend_by_segment",
     "q_price_round_number_bias",
+    "q_spearman_corr_lineitem",
+    "q_ks_price_by_returnflag",
     # pq / ANN / iterative-ML
     "q_ann_pq_topk",
     "q_ann_pq_recall",
@@ -154,8 +158,6 @@ _FRONT = [
     "q_embedding_sq8_recall",
     "q_embedding_intrinsic_dim",
     "q_ann_lsh_recall",
-    "q_ann_lsh_multiprobe",
-    "q_embedding_norms",
     "q_embedding_centroid_blocks",
     # sequences (7 of 16 — the rest rotate in r7)
     "q_dedup_word_spans",
