@@ -1101,3 +1101,175 @@ def q_ks_price_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ks_at_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U (rank-sum) test — the rank-based companion to the KS
+# query: does one group's distribution stochastically dominate the
+# other's? Needs no per-row rank join at all: with tie-averaged
+# DOUBLED ranks, the group rank-sum is Σ over distinct values of
+# c_group · rank2, so the whole statistic is one value-grouped
+# aggregate + one bounded prefix pass + a 1-row reduce. The tie
+# correction Σ(t³−t) falls out of the same aggregate. Integer-exact
+# sufficient statistics; doubles only in the final z assembly.
+# ---------------------------------------------------------------------------
+_MWU_COL, _MWU_A, _MWU_B = "l_quantity", "A", "R"
+
+_MWU_ORACLE = f"""
+WITH f AS (
+    SELECT {_MWU_COL} AS p,
+           CASE WHEN l_returnflag = '{_MWU_A}' THEN 1 ELSE 0 END AS a
+    FROM lineitem WHERE l_returnflag IN ('{_MWU_A}', '{_MWU_B}')
+),
+d AS (SELECT p, SUM(a) AS c1, COUNT(*) AS cnt FROM f GROUP BY p),
+c AS (SELECT p, c1, cnt,
+             SUM(cnt) OVER (ORDER BY p ROWS UNBOUNDED PRECEDING) AS cum
+      FROM d),
+s AS (SELECT SUM(c1) AS n1, SUM(cnt) - SUM(c1) AS n2,
+             SUM(CAST(c1 AS HUGEINT) * (2*cum - cnt + 1)) AS r2sum,
+             SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS t3
+      FROM c)
+SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+       CAST((CAST(r2sum AS DOUBLE) - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1)) / 2
+            AS DOUBLE) AS u_stat,
+       CAST(ROUND(
+         ((CAST(r2sum AS DOUBLE) - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1)) / 2
+          - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2)
+         / SQRT(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12
+                * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1)
+                   - CAST(t3 AS DOUBLE)
+                     / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                        * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1)))),
+         6) AS DOUBLE) AS z_score
+FROM s
+"""
+
+
+@register("q_mwu_quantity_by_returnflag", oracle=_MWU_ORACLE)
+def q_mwu_quantity_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Mann-Whitney U between returned (A) and refused
+    (R) line quantities: U statistic + normal-approximation z."""
+    from etl_pipeline_project_auraverse_spark.operators.ranks import (
+        ordered_prefix_sums,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.where(F.col("l_returnflag").isin(_MWU_A, _MWU_B)).select(
+        F.col(_MWU_COL).alias("p"),
+        F.when(F.col("l_returnflag") == _MWU_A, 1).otherwise(0).alias("a"),
+    )
+    dtab = f.groupBy("p").agg(
+        F.sum("a").alias("c1"), F.count(F.lit(1)).alias("cnt")
+    )
+    c = ordered_prefix_sums(dtab, "p", ["cnt"])
+    dec = lambda col: col.cast("decimal(19,0)")  # noqa: E731
+    s = c.agg(
+        F.sum("c1").alias("n1"),
+        (F.sum("cnt") - F.sum("c1")).alias("n2"),
+        F.sum(
+            dec(F.col("c1"))
+            * dec(2 * F.col("cum_cnt") - F.col("cnt") + 1)
+        ).alias("r2sum"),
+        F.sum(
+            dec(F.col("cnt")) * dec(F.col("cnt")) * dec(F.col("cnt"))
+            - dec(F.col("cnt"))
+        ).alias("t3"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    r2d = F.col("r2sum").cast("double")
+    t3d = F.col("t3").cast("double")
+    u1 = (r2d - n1d * (n1d + 1)) / 2
+    var = (
+        n1d * n2d / 12
+        * ((n1d + n2d + 1) - t3d / ((n1d + n2d) * (n1d + n2d - 1)))
+    )
+    return s.select(
+        F.col("n1").cast("long").alias("n_a"),
+        F.col("n2").cast("long").alias("n_b"),
+        u1.cast("double").alias("u_stat"),
+        F.round((u1 - n1d * n2d / 2) / F.sqrt(var), 6)
+        .cast("double")
+        .alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-squared independence test over the returnflag × linestatus
+# contingency table: exact integer cell/margin counts from one
+# two-key groupBy (cells bounded by the category-pair cardinality),
+# expected counts and the statistic assembled in doubles at the end.
+# ---------------------------------------------------------------------------
+_CHI_X, _CHI_Y = "l_returnflag", "l_linestatus"
+
+_CHI_ORACLE = f"""
+WITH cells AS (
+    SELECT {_CHI_X} AS x, {_CHI_Y} AS y, COUNT(*) AS n_xy
+    FROM lineitem GROUP BY {_CHI_X}, {_CHI_Y}
+),
+rx AS (SELECT x, SUM(n_xy) AS n_x FROM cells GROUP BY x),
+ry AS (SELECT y, SUM(n_xy) AS n_y FROM cells GROUP BY y),
+t AS (SELECT SUM(n_xy) AS n FROM cells),
+e AS (
+    SELECT c.x, c.y, c.n_xy,
+           CAST(rx.n_x AS DOUBLE) * CAST(ry.n_y AS DOUBLE)
+             / CAST(t.n AS DOUBLE) AS expected
+    FROM cells c JOIN rx USING (x) JOIN ry USING (y) CROSS JOIN t
+)
+SELECT CAST(SUM(CAST(ROUND((CAST(n_xy AS DOUBLE) - expected)
+                           * (CAST(n_xy AS DOUBLE) - expected) / expected, 6)
+                     AS DECIMAL(25,6))) AS DOUBLE) AS chi2,
+       CAST((COUNT(DISTINCT x) - 1) * (COUNT(DISTINCT y) - 1) AS BIGINT)
+           AS dof,
+       CAST(MIN(t2.n) AS BIGINT) AS n_rows
+FROM e CROSS JOIN t AS t2
+"""
+
+
+@register("q_chi2_returnflag_linestatus", oracle=_CHI_ORACLE)
+def q_chi2_returnflag_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence statistic for the returnflag ×
+    linestatus contingency table, with its degrees of freedom."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = persist_tracked(
+        li.groupBy(F.col(_CHI_X).alias("x"), F.col(_CHI_Y).alias("y")).agg(
+            F.count(F.lit(1)).alias("n_xy")
+        )
+    )
+    rx = cells.groupBy("x").agg(F.sum("n_xy").alias("n_x"))
+    ry = cells.groupBy("y").agg(F.sum("n_xy").alias("n_y"))
+    t = cells.agg(F.sum("n_xy").alias("n"))
+    e = (
+        cells.join(F.broadcast(rx), "x")
+        .join(F.broadcast(ry), "y")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "x",
+            "y",
+            "n_xy",
+            "n",
+            (
+                F.col("n_x").cast("double")
+                * F.col("n_y").cast("double")
+                / F.col("n").cast("double")
+            ).alias("expected"),
+        )
+    )
+    obs = F.col("n_xy").cast("double")
+    # per-cell terms rounded to 6dp then DECIMAL-accumulated: decimal
+    # addition is associative, so the sum is partition-order-free and
+    # bit-identical to DuckDB's (the engine's standard float-sum idiom)
+    term = F.round(
+        (obs - F.col("expected")) * (obs - F.col("expected")) / F.col("expected"),
+        6,
+    ).cast("decimal(25,6)")
+    return e.agg(
+        F.sum(term).cast("double").alias("chi2"),
+        (
+            (F.count_distinct(F.col("x")) - 1)
+            * (F.count_distinct(F.col("y")) - 1)
+        )
+        .cast("long")
+        .alias("dof"),
+        F.min("n").cast("long").alias("n_rows"),
+    )
