@@ -57,9 +57,11 @@ ORACLE: dict[str, str] = {}
 # q_kanonymity_customer, q_theilsen_revenue_trend,
 # q_markov_stationary_events, q_source_ngram_novelty,
 # q_layout_pruning_compare, q_jackknife_mean_price,
-# q_negative_sampling_parts, and the two r4-attested ANN entries
-# displaced late in r6 to make room for the new Spearman/KS pair:
-# q_ann_lsh_multiprobe, q_embedding_norms), then
+# q_negative_sampling_parts, and the four r4-attested ANN/embedding
+# entries displaced late in r6 to make room for the new statistical
+# test battery (Spearman/KS/MWU/chi2): q_ann_lsh_multiprobe,
+# q_ann_lsh_recall, q_embedding_norms, q_embedding_centroid_blocks),
+# then
 # curation/dedup/text (last attested r4), with relational/tpch
 # (r3/r5/r6) at the back.
 _MODULES = [
@@ -146,6 +148,8 @@ _FRONT = [
     "q_price_round_number_bias",
     "q_spearman_corr_lineitem",
     "q_ks_price_by_returnflag",
+    "q_mwu_quantity_by_returnflag",
+    "q_chi2_returnflag_linestatus",
     # pq / ANN / iterative-ML
     "q_ann_pq_topk",
     "q_ann_pq_recall",
@@ -157,8 +161,6 @@ _FRONT = [
     "q_pca_power_iteration",
     "q_embedding_sq8_recall",
     "q_embedding_intrinsic_dim",
-    "q_ann_lsh_recall",
-    "q_embedding_centroid_blocks",
     # sequences (7 of 16 — the rest rotate in r7)
     "q_dedup_word_spans",
     "q_event_type_transitions",
