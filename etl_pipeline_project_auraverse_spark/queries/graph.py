@@ -552,7 +552,7 @@ def q_bfs_copurchase_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             pairs.select(F.col("part_b").alias("u"), F.col("part_a").alias("v"))
         )
     )
-    frontier = (
+    frontier = persist_tracked(
         edges.filter(F.col("u") < BFS_SEED_MAX)
         .select(F.col("u").alias("part"))
         .distinct()
@@ -560,14 +560,20 @@ def q_bfs_copurchase_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     visited = frontier
     for hop in range(1, BFS_HOPS + 1):
-        discovered = (
+        # materialize each hop: 'discovered' is referenced three times
+        # (visited union, anti-join input, next hop's probe side) —
+        # without an eager persist every later hop re-executes the
+        # whole earlier frontier subtree, compounding per hop (the
+        # same rule as operators/graph_traversal.py's deep loop)
+        discovered = persist_tracked(
             frontier.join(edges, frontier["part"] == edges["u"])
             .select(F.col("v").alias("part"))
             .distinct()
             .join(visited.select("part"), "part", "left_anti")
             .withColumn("min_hops", F.lit(hop))
         )
-        visited = visited.unionAll(discovered)
+        discovered.count()
+        visited = persist_tracked(visited.unionAll(discovered))
         frontier = discovered
     return visited.select(
         F.col("part").cast("long"), F.col("min_hops").cast("int")
