@@ -828,7 +828,7 @@ def _jackknife_oracle() -> str:
                      / COUNT(*), 6) AS rep_bar
         FROM reps
     )
-    SELECT tot.n AS n_rows,
+    SELECT CAST(tot.n AS BIGINT) AS n_rows,
            CAST(ROUND(tot.s / tot.n, 6) AS DOUBLE) AS mean_price,
            CAST(ROUND(SQRT((agg.nb - 1.0) / agg.nb
                 * (SELECT CAST(SUM(CAST(ROUND((rep_mean - agg.rep_bar)
