@@ -1416,21 +1416,19 @@ def _logreg_oracle() -> str:
     ORDER BY r.feature
     """
 
-@register("q_logreg_train_two_iter", oracle=_logreg_oracle())
-def q_logreg_train_two_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two full-batch GD iterations of a logistic return-flag
-    classifier; returns per-feature weights after each iteration plus
-    the trained model's log-loss and accuracy.
+def _logreg_z_of(w: dict[str, float]):
+    # literal weights -> same left-to-right add chain as the oracle
+    z = F.lit(0.0)
+    for n, _ in _LOGREG_FEATS:
+        z = z + F.lit(w[n]) * F.col(n)
+    return F.round(z, 6)
 
-    The weight vector is DRIVER state (4 doubles collected per
-    iteration — the bounded-collect pattern the iterative-ML family
-    documents): injecting the previous weights as literals lets
-    Catalyst constant-fold the sigmoid into ONE tight whole-stage
-    aggregate per iteration (measured 0.04 s vs 2-3 s when the same
-    weights ride a persisted 1-row DataFrame through broadcast
-    joins). All rounding happens in Spark expressions — the driver
-    only ferries exact float64 values between jobs, so the arithmetic
-    chain is identical to the oracle's."""
+
+def _logreg_fit(spark: SparkSession, sf_dir: str):
+    """Shared two-iteration GD fit: returns (feat frame, w1, w2) with
+    the weight dicts as exact driver-side float64 (see
+    q_logreg_train_two_iter's docstring for the determinism and
+    scale-posture contract)."""
     from etl_pipeline_project_auraverse_spark.queries._util import parallelize
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -1444,15 +1442,8 @@ def q_logreg_train_two_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def z_of(w: dict[str, float]):
-        # literal weights -> same left-to-right add chain as the oracle
-        z = F.lit(0.0)
-        for n, _ in _LOGREG_FEATS:
-            z = z + F.lit(w[n]) * F.col(n)
-        return F.round(z, 6)
-
     def step(w: dict[str, float]) -> dict[str, float]:
-        p = 1.0 / (1.0 + F.exp(-z_of(w)))
+        p = 1.0 / (1.0 + F.exp(-_logreg_z_of(w)))
         row = feat.agg(
             *[
                 F.round(
@@ -1477,6 +1468,26 @@ def q_logreg_train_two_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     w0 = {n: 0.0 for n, _ in _LOGREG_FEATS}
     w1 = step(w0)
     w2 = step(w1)
+    return feat, w1, w2
+
+
+@register("q_logreg_train_two_iter", oracle=_logreg_oracle())
+def q_logreg_train_two_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two full-batch GD iterations of a logistic return-flag
+    classifier; returns per-feature weights after each iteration plus
+    the trained model's log-loss and accuracy.
+
+    The weight vector is DRIVER state (4 doubles collected per
+    iteration — the bounded-collect pattern the iterative-ML family
+    documents): injecting the previous weights as literals lets
+    Catalyst constant-fold the sigmoid into ONE tight whole-stage
+    aggregate per iteration (measured 0.04 s vs 2-3 s when the same
+    weights ride a persisted 1-row DataFrame through broadcast
+    joins). All rounding happens in Spark expressions — the driver
+    only ferries exact float64 values between jobs, so the arithmetic
+    chain is identical to the oracle's."""
+    feat, w1, w2 = _logreg_fit(spark, sf_dir)
+    z_of = _logreg_z_of
 
     z2 = z_of(w2)
     p2 = 1.0 / (1.0 + F.exp(-z2))
@@ -1513,3 +1524,141 @@ def q_logreg_train_two_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("feature")
     )
+
+
+# ---------------------------------------------------------------------------
+# Model evaluation for the trained quality classifier: exact ROC-AUC
+# via the rank-sum identity (AUC = (R₁ − n₁(n₁+1)/2) / n₁n₂ with
+# tie-averaged ranks — the probabilistic interpretation of
+# Mann-Whitney U), plus a 10-bin calibration (reliability) table.
+# The score domain is tiny by construction (≤ |qty|×|disc|×|tax|
+# distinct z values), so the rank pass runs on the distinct-score
+# aggregate with doubled ranks — integer-exact, no per-row rank join.
+# Scale: two scans (train reuses _logreg_fit's 1-row aggregates), one
+# value-grouped aggregate + bounded prefix pass, one 10-row groupBy.
+# ---------------------------------------------------------------------------
+def _logreg_auc_oracle() -> str:
+    feats = ", ".join(f"{expr} AS {n}" for n, expr in _LOGREG_FEATS)
+    z2 = " + ".join(f"w.w_{n} * f.{n}" for n, _ in _LOGREG_FEATS)
+    return f"""
+    WITH feat AS (
+        SELECT {_LOGREG_Y} AS y, {feats} FROM lineitem
+    ),
+    w0 AS (SELECT {", ".join(f"0.0 AS w_{n}" for n, _ in _LOGREG_FEATS)}),
+    {_logreg_sql_step(1)},
+    {_logreg_sql_step(2)},
+    scored AS (
+        SELECT f.y, ROUND({z2}, 6) AS z,
+               ROUND(1.0 / (1.0 + exp(-ROUND({z2}, 6))), 6) AS p
+        FROM feat f CROSS JOIN w2 w
+    ),
+    d AS (SELECT z, SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS c1,
+                 COUNT(*) AS cnt
+          FROM scored GROUP BY z),
+    c AS (SELECT z, c1, cnt,
+                 SUM(cnt) OVER (ORDER BY z ROWS UNBOUNDED PRECEDING) AS cum
+          FROM d),
+    s AS (SELECT SUM(c1) AS n1, SUM(cnt) - SUM(c1) AS n2,
+                 SUM(CAST(c1 AS HUGEINT) * (2*cum - cnt + 1)) AS r2sum
+          FROM c),
+    a AS (SELECT CAST(ROUND(
+              (CAST(r2sum AS DOUBLE)
+               - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1))
+              / (2 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6)
+          AS DOUBLE) AS auc FROM s),
+    zbin AS (
+        -- score-DECILE bins by starting rank (tie groups stay whole):
+        -- equal-count reliability bins, informative even when the
+        -- absolute p range is narrow
+        SELECT c.z,
+               CAST(LEAST(((c.cum - c.cnt) * 10) // (s.n1 + s.n2), 9)
+                    AS BIGINT) AS bin
+        FROM c, s
+    ),
+    bins AS (
+        SELECT zb.bin,
+               COUNT(*) AS n_rows,
+               COUNT(CASE WHEN sc.y = 1.0 THEN 1 END) AS n_pos,
+               CAST(ROUND(CAST(SUM(CAST(sc.p AS DECIMAL(25,6))) AS DOUBLE)
+                          / COUNT(*), 6) AS DOUBLE) AS mean_pred,
+               CAST(ROUND(COUNT(CASE WHEN sc.y = 1.0 THEN 1 END) * 1.0
+                          / COUNT(*), 6) AS DOUBLE) AS frac_pos
+        FROM scored sc JOIN zbin zb USING (z) GROUP BY zb.bin
+    )
+    SELECT b.bin, b.n_rows, b.n_pos, b.mean_pred, b.frac_pos, a.auc
+    FROM bins b CROSS JOIN a
+    ORDER BY b.bin
+    """
+
+
+@register("q_logreg_auc_calibration", oracle=_logreg_auc_oracle())
+def q_logreg_auc_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC (rank-sum identity over tie-averaged doubled
+    ranks) and the 10-bin reliability table for the two-iteration
+    logistic quality classifier."""
+    from etl_pipeline_project_auraverse_spark.operators.ranks import (
+        ordered_prefix_sums,
+    )
+    from etl_pipeline_project_auraverse_spark.queries._util import (
+        persist_tracked,
+    )
+
+    feat, _w1, w2 = _logreg_fit(spark, sf_dir)
+    z2 = _logreg_z_of(w2)
+    scored = persist_tracked(
+        feat.select(
+            "y",
+            z2.alias("z"),
+            F.round(1.0 / (1.0 + F.exp(-z2)), 6).alias("p"),
+        )
+    )
+    d = scored.groupBy("z").agg(
+        F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0)).alias("c1"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    c = ordered_prefix_sums(d, "z", ["cnt"])
+    dec = lambda col: col.cast("decimal(19,0)")  # noqa: E731
+    s = c.agg(
+        F.sum("c1").alias("n1"),
+        (F.sum("cnt") - F.sum("c1")).alias("n2"),
+        F.sum(
+            dec(F.col("c1")) * dec(2 * F.col("cum_cnt") - F.col("cnt") + 1)
+        ).alias("r2sum"),
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    a = s.select(
+        F.round(
+            (F.col("r2sum").cast("double") - n1d * (n1d + 1))
+            / (2 * n1d * n2d),
+            6,
+        )
+        .cast("double")
+        .alias("auc")
+    )
+    zbin = c.crossJoin(F.broadcast(s.select("n1", "n2"))).select(
+        "z",
+        F.least(
+            F.expr("((cum_cnt - cnt) * 10) div (n1 + n2)"), F.lit(9)
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+    bins = scored.join(zbin, "z").groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("y") == 1.0, F.lit(1))).alias("n_pos"),
+        F.round(
+            F.sum(F.col("p").cast("decimal(25,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        )
+        .cast("double")
+        .alias("mean_pred"),
+        F.round(
+            F.count(F.when(F.col("y") == 1.0, F.lit(1))) * 1.0
+            / F.count(F.lit(1)),
+            6,
+        )
+        .cast("double")
+        .alias("frac_pos"),
+    )
+    return bins.crossJoin(F.broadcast(a)).orderBy("bin")
