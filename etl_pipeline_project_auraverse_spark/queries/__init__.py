@@ -57,7 +57,8 @@ ORACLE: dict[str, str] = {}
 # q_kanonymity_customer, q_theilsen_revenue_trend,
 # q_markov_stationary_events, q_source_ngram_novelty,
 # q_layout_pruning_compare, q_jackknife_mean_price,
-# q_negative_sampling_parts, and the four r4-attested ANN/embedding
+# q_negative_sampling_parts, q_logreg_auc_calibration,
+# and the four r4-attested ANN/embedding
 # entries displaced late in r6 to make room for the new statistical
 # test battery (Spearman/KS/MWU/chi2): q_ann_lsh_multiprobe,
 # q_ann_lsh_recall, q_embedding_norms, q_embedding_centroid_blocks),
