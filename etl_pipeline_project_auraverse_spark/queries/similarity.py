@@ -1047,8 +1047,11 @@ def _mmr_sql_step(i: int) -> str:
     return f"""sel{i} AS ({sel}),
     cand{i} AS (
         SELECT p.query_id, p.cand_id, p.rel,
-               ROUND({MMR_LAMBDA} * p.rel
-                     - {round(1 - MMR_LAMBDA, 6)} * MAX(ps.sim), 6) AS score
+               CAST(ROUND(CAST({MMR_LAMBDA} AS DECIMAL(2,1))
+                              * CAST(p.rel AS DECIMAL(25,6))
+                     - CAST({round(1 - MMR_LAMBDA, 6)} AS DECIMAL(2,1))
+                              * CAST(MAX(ps.sim) AS DECIMAL(25,6)), 6)
+                    AS DOUBLE) AS score
         FROM pool p
         JOIN sel{i} s ON s.query_id = p.query_id
         JOIN psim ps ON ps.query_id = p.query_id
@@ -1095,7 +1098,9 @@ def _mmr_oracle() -> str:
     ),
     s1 AS (
         SELECT query_id, cand_id, rel,
-               ROUND({MMR_LAMBDA} * rel, 6) AS score, 1 AS mmr_rank
+               CAST(ROUND(CAST({MMR_LAMBDA} AS DECIMAL(2,1))
+                          * CAST(rel AS DECIMAL(25,6)), 6)
+                    AS DOUBLE) AS score, 1 AS mmr_rank
         FROM (
             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                          ORDER BY rel DESC, cand_id) AS rn
@@ -1169,7 +1174,13 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "cand_id",
             "rel",
-            F.round(MMR_LAMBDA * F.col("rel"), 6).alias("score"),
+            F.round(
+                F.expr(f"CAST({MMR_LAMBDA} AS DECIMAL(2,1))")
+                * F.col("rel").cast("decimal(25,6)"),
+                6,
+            )
+            .cast("double")
+            .alias("score"),
             F.lit(1).alias("mmr_rank"),
         )
     )
@@ -1195,11 +1206,22 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .groupBy("query_id", "cand_id", "rel")
             .agg(
+                # DECIMAL score arithmetic: 0.7·rel lands on a 7dp
+                # value ending in 5 whenever rel's 6th digit is odd —
+                # an exact decimal half-tie where Spark (BigDecimal
+                # HALF_UP) and DuckDB (scaled double round) disagree.
+                # Decimal math is exact and rounds identically in both.
                 F.round(
-                    MMR_LAMBDA * F.col("rel")
-                    - round(1 - MMR_LAMBDA, 6) * F.max("sim"),
+                    F.expr(f"CAST({MMR_LAMBDA} AS DECIMAL(2,1))")
+                    * F.col("rel").cast("decimal(25,6)")
+                    - F.expr(
+                        f"CAST({round(1 - MMR_LAMBDA, 6)} AS DECIMAL(2,1))"
+                    )
+                    * F.max("sim").cast("decimal(25,6)"),
                     6,
-                ).alias("score")
+                )
+                .cast("double")
+                .alias("score")
             )
         )
         picked.append(
