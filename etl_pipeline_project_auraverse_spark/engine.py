@@ -331,6 +331,58 @@ class Engine:
 
         return bfs_min_hops(edges, seeds, max_hops, checkpoint_every)
 
+    # -- statistical tests --------------------------------------------------
+    def spearman(self, df: DataFrame, cols: list[str]) -> DataFrame:
+        """Pairwise Spearman rank correlations (one row per pair:
+        ``col_x, col_y, rho``) via scale-safe tie-averaged ranks
+        (``operators/stats_tests``)."""
+        from etl_pipeline_project_auraverse_spark.operators.stats_tests import (
+            spearman,
+        )
+
+        return spearman(df, cols)
+
+    def ks_test(
+        self, df: DataFrame, value_col: str, flag_col: str
+    ) -> DataFrame:
+        """Exact two-sample Kolmogorov-Smirnov statistic between rows
+        with ``flag_col`` = 1 and = 0 — the distribution-drift gate.
+        One row: ``n_a, n_b, ks_stat, ks_at_value``."""
+        from etl_pipeline_project_auraverse_spark.operators.stats_tests import (
+            ks_2sample,
+        )
+
+        return ks_2sample(df, value_col, flag_col)
+
+    def mwu_test(
+        self, df: DataFrame, value_col: str, flag_col: str
+    ) -> DataFrame:
+        """Tie-corrected Mann-Whitney U (rank-sum) test. One row:
+        ``n_a, n_b, u_stat, z_score``."""
+        from etl_pipeline_project_auraverse_spark.operators.stats_tests import (
+            mann_whitney,
+        )
+
+        return mann_whitney(df, value_col, flag_col)
+
+    def chi2_test(self, df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+        """Chi-squared independence over the ``x_col`` × ``y_col``
+        contingency table. One row: ``chi2, dof, n_rows``."""
+        from etl_pipeline_project_auraverse_spark.operators.stats_tests import (
+            chi2_independence,
+        )
+
+        return chi2_independence(df, x_col, y_col)
+
+    def auc(self, df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+        """Exact ROC-AUC of a score column against binary labels via
+        the rank-sum identity. One row: ``n_pos, n_neg, auc``."""
+        from etl_pipeline_project_auraverse_spark.operators.stats_tests import (
+            roc_auc,
+        )
+
+        return roc_auc(df, score_col, label_col)
+
     # -- multimodal ---------------------------------------------------------
     def decode_images(self, df: DataFrame) -> DataFrame:
         """Dimensions + mean pixel for every decodable image payload

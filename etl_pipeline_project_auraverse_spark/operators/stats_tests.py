@@ -1,0 +1,253 @@
+"""Generic distributed statistical tests — the canonical
+implementations behind the ``robust``-family queries and the
+``Engine`` facade.
+
+Every test follows the engine's exactness contract (sufficient
+statistics accumulate as integers/DECIMAL, doubles only in the final
+1-row assembly, 6dp rounding) and its scale contract (value-grouped
+aggregates + the two-level prefix sums of ``operators/ranks.py`` —
+never a global single-task window, never per-row rank joins where the
+Σc·rank2 identity avoids them).
+
+Reference parity: /root/reference/backend/etl_pipeline.py (322-line
+pandas ETL) has no statistical testing at all; this module is part of
+the beyond-reference analytics surface (SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_pipeline_project_auraverse_spark.cache import persist_tracked
+from etl_pipeline_project_auraverse_spark.operators.ranks import (
+    average_rank2,
+    ordered_prefix_sums,
+)
+
+
+def _dec(col: Column) -> Column:
+    return col.cast("decimal(19,0)")
+
+
+def spearman(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Spearman rank correlations of ``cols``.
+
+    Returns one row per unordered pair: ``col_x, col_y, rho``.
+    Tie-averaged doubled ranks (exact BIGINTs) joined back per column;
+    low-cardinality rank maps broadcast under AQE, near-unique ones
+    stay hash equi-joins. Sufficient statistics in DECIMAL(19,0)
+    products (exact past 10^12 rows), Pearson assembly in doubles.
+    """
+    pairs = [
+        (cols[i], cols[j])
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+    base = df.select(*cols)
+    f = base
+    for c in cols:
+        f = f.join(average_rank2(base, c, f"r_{c}"), c)
+    d = lambda c: _dec(F.col(f"r_{c}"))  # noqa: E731
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        aggs.append(F.sum(d(c)).alias(f"s_{c}"))
+        aggs.append(F.sum(d(c) * d(c)).alias(f"q_{c}"))
+    for x, y in pairs:
+        aggs.append(F.sum(d(x) * d(y)).alias(f"p_{x}_{y}"))
+    s = persist_tracked(f.agg(*aggs))
+    out = None
+    for x, y in pairs:
+        n = F.col("n")
+        num = n * F.col(f"p_{x}_{y}").cast("double") - (
+            F.col(f"s_{x}").cast("double") * F.col(f"s_{y}").cast("double")
+        )
+        dx = n * F.col(f"q_{x}").cast("double") - (
+            F.col(f"s_{x}").cast("double") * F.col(f"s_{x}").cast("double")
+        )
+        dy = n * F.col(f"q_{y}").cast("double") - (
+            F.col(f"s_{y}").cast("double") * F.col(f"s_{y}").cast("double")
+        )
+        row = s.select(
+            F.lit(x).alias("col_x"),
+            F.lit(y).alias("col_y"),
+            F.round(num / F.sqrt(dx * dy), 6).cast("double").alias("rho"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("col_x", "col_y")
+
+
+def ks_2sample(df: DataFrame, value_col: str, flag_col: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the rows
+    where ``flag_col`` = 1 and those where it is 0.
+
+    Returns one row: ``n_a, n_b, ks_stat, ks_at_value`` (the value
+    where the ECDF gap peaks; smallest such value on ties). The sup is
+    taken over integer cross-multiplied cumulative counts, so max and
+    argmax are deterministic; division to double happens once.
+    """
+    dtab = df.groupBy(F.col(value_col).alias("p")).agg(
+        F.sum(flag_col).alias("c1"),
+        (F.count(F.lit(1)) - F.sum(flag_col)).alias("c2"),
+    )
+    tot = persist_tracked(
+        dtab.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    )
+    c = ordered_prefix_sums(dtab, "p", ["c1", "c2"])
+    j = persist_tracked(
+        c.crossJoin(F.broadcast(tot)).select(
+            "p",
+            "n1",
+            "n2",
+            F.abs(
+                _dec(F.col("cum_c1")) * _dec(F.col("n2"))
+                - _dec(F.col("cum_c2")) * _dec(F.col("n1"))
+            ).alias("diff"),
+        )
+    )
+    m = j.agg(F.max("diff").alias("dmax"))
+    am = (
+        j.orderBy(F.col("diff").desc(), F.col("p").asc())
+        .limit(1)
+        .select(F.col("p").cast("double").alias("ks_at_value"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(am))
+        .select(
+            F.col("n1").cast("long").alias("n_a"),
+            F.col("n2").cast("long").alias("n_b"),
+            F.round(
+                F.col("dmax").cast("double")
+                / (F.col("n1").cast("double") * F.col("n2").cast("double")),
+                6,
+            )
+            .cast("double")
+            .alias("ks_stat"),
+            "ks_at_value",
+        )
+    )
+
+
+def mann_whitney(df: DataFrame, value_col: str, flag_col: str) -> DataFrame:
+    """Tie-corrected Mann-Whitney U between ``flag_col`` = 1 and = 0.
+
+    Returns one row: ``n_a, n_b, u_stat, z_score``. Uses the
+    Σc·rank2 identity over the distinct-value aggregate — no per-row
+    rank join; the tie term Σ(t³−t) falls out of the same pass.
+    """
+    dtab = df.groupBy(F.col(value_col).alias("p")).agg(
+        F.sum(flag_col).alias("c1"), F.count(F.lit(1)).alias("cnt")
+    )
+    c = ordered_prefix_sums(dtab, "p", ["cnt"])
+    s = c.agg(
+        F.sum("c1").alias("n1"),
+        (F.sum("cnt") - F.sum("c1")).alias("n2"),
+        F.sum(
+            _dec(F.col("c1")) * _dec(2 * F.col("cum_cnt") - F.col("cnt") + 1)
+        ).alias("r2sum"),
+        F.sum(
+            _dec(F.col("cnt")) * _dec(F.col("cnt")) * _dec(F.col("cnt"))
+            - _dec(F.col("cnt"))
+        ).alias("t3"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    r2d = F.col("r2sum").cast("double")
+    t3d = F.col("t3").cast("double")
+    u1 = (r2d - n1d * (n1d + 1)) / 2
+    var = (
+        n1d * n2d / 12
+        * ((n1d + n2d + 1) - t3d / ((n1d + n2d) * (n1d + n2d - 1)))
+    )
+    return s.select(
+        F.col("n1").cast("long").alias("n_a"),
+        F.col("n2").cast("long").alias("n_b"),
+        u1.cast("double").alias("u_stat"),
+        F.round((u1 - n1d * n2d / 2) / F.sqrt(var), 6)
+        .cast("double")
+        .alias("z_score"),
+    )
+
+
+def chi2_independence(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Chi-squared independence statistic for the ``x_col`` × ``y_col``
+    contingency table. Returns one row: ``chi2, dof, n_rows``.
+
+    Cells and margins are exact integers; per-cell terms are rounded
+    to 6dp then DECIMAL-accumulated so the float sum is
+    partition-order-free (the engine's standard float-sum idiom).
+    """
+    cells = persist_tracked(
+        df.groupBy(F.col(x_col).alias("x"), F.col(y_col).alias("y")).agg(
+            F.count(F.lit(1)).alias("n_xy")
+        )
+    )
+    rx = cells.groupBy("x").agg(F.sum("n_xy").alias("n_x"))
+    ry = cells.groupBy("y").agg(F.sum("n_xy").alias("n_y"))
+    t = cells.agg(F.sum("n_xy").alias("n"))
+    e = (
+        cells.join(F.broadcast(rx), "x")
+        .join(F.broadcast(ry), "y")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "x",
+            "y",
+            "n_xy",
+            "n",
+            (
+                F.col("n_x").cast("double")
+                * F.col("n_y").cast("double")
+                / F.col("n").cast("double")
+            ).alias("expected"),
+        )
+    )
+    obs = F.col("n_xy").cast("double")
+    term = F.round(
+        (obs - F.col("expected")) * (obs - F.col("expected")) / F.col("expected"),
+        6,
+    ).cast("decimal(25,6)")
+    return e.agg(
+        F.sum(term).cast("double").alias("chi2"),
+        (
+            (F.count_distinct(F.col("x")) - 1)
+            * (F.count_distinct(F.col("y")) - 1)
+        )
+        .cast("long")
+        .alias("dof"),
+        F.min("n").cast("long").alias("n_rows"),
+    )
+
+
+def roc_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """Exact ROC-AUC of ``score_col`` against binary ``label_col``
+    (1.0 = positive) via the rank-sum identity
+    AUC = (R₁ − n₁(n₁+1)/2) / n₁n₂ with tie-averaged ranks.
+
+    Returns one row: ``n_pos, n_neg, auc``. Runs on the distinct-score
+    aggregate (no per-row rank join).
+    """
+    d = df.groupBy(F.col(score_col).alias("z")).agg(
+        F.sum(F.when(F.col(label_col) == 1.0, 1).otherwise(0)).alias("c1"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    c = ordered_prefix_sums(d, "z", ["cnt"])
+    s = c.agg(
+        F.sum("c1").alias("n1"),
+        (F.sum("cnt") - F.sum("c1")).alias("n2"),
+        F.sum(
+            _dec(F.col("c1")) * _dec(2 * F.col("cum_cnt") - F.col("cnt") + 1)
+        ).alias("r2sum"),
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    return s.select(
+        F.col("n1").cast("long").alias("n_pos"),
+        F.col("n2").cast("long").alias("n_neg"),
+        F.round(
+            (F.col("r2sum").cast("double") - n1d * (n1d + 1))
+            / (2 * n1d * n2d),
+            6,
+        )
+        .cast("double")
+        .alias("auc"),
+    )

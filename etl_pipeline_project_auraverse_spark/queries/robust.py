@@ -966,44 +966,13 @@ def _spearman_oracle() -> str:
 def q_spearman_corr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Spearman rank correlations of the lineitem measures —
     the outlier-robust twin of ``q_corr_matrix_lineitem`` (monotone
-    dependence, immune to the heavy price tail). Rank maps are joined
-    back per column (low-cardinality maps broadcast under AQE; the
-    near-unique price map stays a hash equi-join)."""
-    from etl_pipeline_project_auraverse_spark.operators.ranks import (
-        average_rank2,
+    dependence, immune to the heavy price tail). Delegates to the
+    canonical ``operators/stats_tests.spearman``."""
+    from etl_pipeline_project_auraverse_spark.operators.stats_tests import (
+        spearman,
     )
 
-    li = load_table(spark, sf_dir, "lineitem").select(*_CORR_COLS)
-    f = li
-    for c in _CORR_COLS:
-        f = f.join(average_rank2(li, c, f"r_{c}"), c)
-    d = lambda c: F.col(f"r_{c}").cast("decimal(19,0)")  # noqa: E731
-    aggs = [F.count(F.lit(1)).alias("n")]
-    for c in _CORR_COLS:
-        aggs.append(F.sum(d(c)).alias(f"s_{c}"))
-        aggs.append(F.sum(d(c) * d(c)).alias(f"q_{c}"))
-    for x, y in _corr_pairs():
-        aggs.append(F.sum(d(x) * d(y)).alias(f"p_{x}_{y}"))
-    s = persist_tracked(f.agg(*aggs))
-    out = None
-    for x, y in _corr_pairs():
-        n = F.col("n")
-        num = n * F.col(f"p_{x}_{y}").cast("double") - (
-            F.col(f"s_{x}").cast("double") * F.col(f"s_{y}").cast("double")
-        )
-        dx = n * F.col(f"q_{x}").cast("double") - (
-            F.col(f"s_{x}").cast("double") * F.col(f"s_{x}").cast("double")
-        )
-        dy = n * F.col(f"q_{y}").cast("double") - (
-            F.col(f"s_{y}").cast("double") * F.col(f"s_{y}").cast("double")
-        )
-        row = s.select(
-            F.lit(x).alias("col_x"),
-            F.lit(y).alias("col_y"),
-            F.round(num / F.sqrt(dx * dy), 6).cast("double").alias("rho"),
-        )
-        out = row if out is None else out.unionByName(row)
-    return out.orderBy("col_x", "col_y")
+    return spearman(load_table(spark, sf_dir, "lineitem"), _CORR_COLS)
 
 
 # ---------------------------------------------------------------------------
@@ -1049,58 +1018,17 @@ FROM t, m, am
 def q_ks_price_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample KS statistic between returned (A) and
     refused (R) line price distributions, plus the price where the
-    ECDF gap peaks."""
-    from etl_pipeline_project_auraverse_spark.operators.ranks import (
-        ordered_prefix_sums,
+    ECDF gap peaks. Delegates to ``operators/stats_tests.ks_2sample``."""
+    from etl_pipeline_project_auraverse_spark.operators.stats_tests import (
+        ks_2sample,
     )
 
     li = load_table(spark, sf_dir, "lineitem")
     f = li.where(F.col("l_returnflag").isin(_KS_A, _KS_B)).select(
-        F.col(_KS_COL).alias("p"),
+        F.col(_KS_COL).alias("v"),
         F.when(F.col("l_returnflag") == _KS_A, 1).otherwise(0).alias("a"),
     )
-    dtab = f.groupBy("p").agg(
-        F.sum("a").alias("c1"),
-        (F.count(F.lit(1)) - F.sum("a")).alias("c2"),
-    )
-    tot = persist_tracked(
-        dtab.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
-    )
-    c = ordered_prefix_sums(dtab, "p", ["c1", "c2"])
-    dec = lambda col: col.cast("decimal(19,0)")  # noqa: E731
-    j = persist_tracked(
-        c.crossJoin(F.broadcast(tot)).select(
-            "p",
-            "n1",
-            "n2",
-            F.abs(
-                dec(F.col("cum_c1")) * dec(F.col("n2"))
-                - dec(F.col("cum_c2")) * dec(F.col("n1"))
-            ).alias("diff"),
-        )
-    )
-    m = j.agg(F.max("diff").alias("dmax"))
-    am = (
-        j.orderBy(F.col("diff").desc(), F.col("p").asc())
-        .limit(1)
-        .select(F.col("p").cast("double").alias("ks_at_value"))
-    )
-    return (
-        tot.crossJoin(F.broadcast(m))
-        .crossJoin(F.broadcast(am))
-        .select(
-            F.col("n1").cast("long").alias("n_a"),
-            F.col("n2").cast("long").alias("n_b"),
-            F.round(
-                F.col("dmax").cast("double")
-                / (F.col("n1").cast("double") * F.col("n2").cast("double")),
-                6,
-            )
-            .cast("double")
-            .alias("ks_stat"),
-            "ks_at_value",
-        )
-    )
+    return ks_2sample(f, "v", "a")
 
 
 # ---------------------------------------------------------------------------
@@ -1148,50 +1076,18 @@ FROM s
 @register("q_mwu_quantity_by_returnflag", oracle=_MWU_ORACLE)
 def q_mwu_quantity_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tie-corrected Mann-Whitney U between returned (A) and refused
-    (R) line quantities: U statistic + normal-approximation z."""
-    from etl_pipeline_project_auraverse_spark.operators.ranks import (
-        ordered_prefix_sums,
+    (R) line quantities: U statistic + normal-approximation z.
+    Delegates to ``operators/stats_tests.mann_whitney``."""
+    from etl_pipeline_project_auraverse_spark.operators.stats_tests import (
+        mann_whitney,
     )
 
     li = load_table(spark, sf_dir, "lineitem")
     f = li.where(F.col("l_returnflag").isin(_MWU_A, _MWU_B)).select(
-        F.col(_MWU_COL).alias("p"),
+        F.col(_MWU_COL).alias("v"),
         F.when(F.col("l_returnflag") == _MWU_A, 1).otherwise(0).alias("a"),
     )
-    dtab = f.groupBy("p").agg(
-        F.sum("a").alias("c1"), F.count(F.lit(1)).alias("cnt")
-    )
-    c = ordered_prefix_sums(dtab, "p", ["cnt"])
-    dec = lambda col: col.cast("decimal(19,0)")  # noqa: E731
-    s = c.agg(
-        F.sum("c1").alias("n1"),
-        (F.sum("cnt") - F.sum("c1")).alias("n2"),
-        F.sum(
-            dec(F.col("c1"))
-            * dec(2 * F.col("cum_cnt") - F.col("cnt") + 1)
-        ).alias("r2sum"),
-        F.sum(
-            dec(F.col("cnt")) * dec(F.col("cnt")) * dec(F.col("cnt"))
-            - dec(F.col("cnt"))
-        ).alias("t3"),
-    )
-    n1d = F.col("n1").cast("double")
-    n2d = F.col("n2").cast("double")
-    r2d = F.col("r2sum").cast("double")
-    t3d = F.col("t3").cast("double")
-    u1 = (r2d - n1d * (n1d + 1)) / 2
-    var = (
-        n1d * n2d / 12
-        * ((n1d + n2d + 1) - t3d / ((n1d + n2d) * (n1d + n2d - 1)))
-    )
-    return s.select(
-        F.col("n1").cast("long").alias("n_a"),
-        F.col("n2").cast("long").alias("n_b"),
-        u1.cast("double").alias("u_stat"),
-        F.round((u1 - n1d * n2d / 2) / F.sqrt(var), 6)
-        .cast("double")
-        .alias("z_score"),
-    )
+    return mann_whitney(f, "v", "a")
 
 
 # ---------------------------------------------------------------------------
@@ -1229,47 +1125,12 @@ FROM e CROSS JOIN t AS t2
 @register("q_chi2_returnflag_linestatus", oracle=_CHI_ORACLE)
 def q_chi2_returnflag_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-squared independence statistic for the returnflag ×
-    linestatus contingency table, with its degrees of freedom."""
-    li = load_table(spark, sf_dir, "lineitem")
-    cells = persist_tracked(
-        li.groupBy(F.col(_CHI_X).alias("x"), F.col(_CHI_Y).alias("y")).agg(
-            F.count(F.lit(1)).alias("n_xy")
-        )
+    linestatus contingency table, with its degrees of freedom.
+    Delegates to ``operators/stats_tests.chi2_independence``."""
+    from etl_pipeline_project_auraverse_spark.operators.stats_tests import (
+        chi2_independence,
     )
-    rx = cells.groupBy("x").agg(F.sum("n_xy").alias("n_x"))
-    ry = cells.groupBy("y").agg(F.sum("n_xy").alias("n_y"))
-    t = cells.agg(F.sum("n_xy").alias("n"))
-    e = (
-        cells.join(F.broadcast(rx), "x")
-        .join(F.broadcast(ry), "y")
-        .crossJoin(F.broadcast(t))
-        .select(
-            "x",
-            "y",
-            "n_xy",
-            "n",
-            (
-                F.col("n_x").cast("double")
-                * F.col("n_y").cast("double")
-                / F.col("n").cast("double")
-            ).alias("expected"),
-        )
-    )
-    obs = F.col("n_xy").cast("double")
-    # per-cell terms rounded to 6dp then DECIMAL-accumulated: decimal
-    # addition is associative, so the sum is partition-order-free and
-    # bit-identical to DuckDB's (the engine's standard float-sum idiom)
-    term = F.round(
-        (obs - F.col("expected")) * (obs - F.col("expected")) / F.col("expected"),
-        6,
-    ).cast("decimal(25,6)")
-    return e.agg(
-        F.sum(term).cast("double").alias("chi2"),
-        (
-            (F.count_distinct(F.col("x")) - 1)
-            * (F.count_distinct(F.col("y")) - 1)
-        )
-        .cast("long")
-        .alias("dof"),
-        F.min("n").cast("long").alias("n_rows"),
+
+    return chi2_independence(
+        load_table(spark, sf_dir, "lineitem"), _CHI_X, _CHI_Y
     )

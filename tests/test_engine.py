@@ -281,3 +281,43 @@ def test_engine_hilbert_and_approx_quantiles(spark, sf_dir):
     ).first()
     assert abs(aq["p50"] - exact["e50"]) / exact["e50"] < 0.05
     assert abs(aq["p90"] - exact["e90"]) / exact["e90"] < 0.05
+
+
+def test_engine_statistical_tests(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_project_auraverse_spark.engine import Engine
+
+    eng = Engine(sf_dir, spark=spark)
+    li = eng.table("lineitem")
+
+    rho = eng.spearman(li, ["l_quantity", "l_extendedprice"]).collect()
+    assert len(rho) == 1 and -1.0 <= rho[0]["rho"] <= 1.0
+    # rank correlation of a column with itself is exactly 1
+    self_rho = eng.spearman(
+        li.select("l_quantity", F.col("l_quantity").alias("q2")),
+        ["l_quantity", "q2"],
+    ).first()
+    assert self_rho["rho"] == 1.0
+
+    flagged = li.where(F.col("l_returnflag").isin("A", "R")).select(
+        "l_extendedprice",
+        F.when(F.col("l_returnflag") == "A", 1).otherwise(0).alias("flag"),
+    )
+    ks = eng.ks_test(flagged, "l_extendedprice", "flag").first()
+    assert 0.0 <= ks["ks_stat"] <= 1.0
+    assert ks["n_a"] > 0 and ks["n_b"] > 0
+
+    mwu = eng.mwu_test(flagged, "l_extendedprice", "flag").first()
+    # U is bounded by n_a*n_b and centred near n_a*n_b/2 for same-dist
+    assert 0 <= mwu["u_stat"] <= mwu["n_a"] * mwu["n_b"]
+
+    chi = eng.chi2_test(li, "l_returnflag", "l_linestatus").first()
+    assert chi["chi2"] >= 0.0 and chi["dof"] == 2
+
+    scored = li.select(
+        F.col("l_quantity").cast("double").alias("s"),
+        F.when(F.col("l_quantity") > 25, 1.0).otherwise(0.0).alias("y"),
+    )
+    auc = eng.auc(scored, "s", "y").first()
+    assert auc["auc"] > 0.99  # score separates its own threshold label
