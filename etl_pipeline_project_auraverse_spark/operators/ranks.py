@@ -108,6 +108,13 @@ def ordered_prefix_sums(
     return out.drop("__pid", *[f"__o_{c}" for c in sum_cols])
 
 
+# below this many distinct values the whole rank map is computed on
+# the driver from one collect of the distinct-count aggregate — a
+# bounded O(distinct) transfer that skips the range shuffle + window
+# and makes the map broadcastable on the way back
+_DRIVER_RANK_LIMIT = 65_536
+
+
 def average_rank2(
     df: DataFrame, value_col: str, rank_name: str = "rank2"
 ) -> DataFrame:
@@ -117,14 +124,36 @@ def average_rank2(
     Equals SQL ``2*RANK() OVER (ORDER BY v) + COUNT(*) OVER
     (PARTITION BY v) - 1`` — computed via the distinct-value aggregate
     + two-level prefix sum instead of a global window, so no task ever
-    sees more than its range slice. Returns ``[value_col, rank_name]``.
+    sees more than its range slice; low-cardinality domains (≤ 64k
+    distinct) short-circuit to one driver-side pass over the collected
+    counts. Returns ``[value_col, rank_name]``.
     """
-    d = (
+    spark = df.sparkSession
+    d = persist_tracked(
         df.select(value_col)
         .where(F.col(value_col).isNotNull())
         .groupBy(value_col)
         .agg(F.count(F.lit(1)).alias("__cnt"))
     )
+    # plain count (not limit+count): it fully materializes the cached
+    # aggregate in one pass — a LocalLimit probe is slower AND leaves
+    # the cache partial, forcing the next action to re-aggregate
+    if d.count() <= _DRIVER_RANK_LIMIT:
+        rows = sorted(d.collect(), key=lambda r: r[value_col])
+        out, cum = [], 0
+        for r in rows:
+            cnt = r["__cnt"]
+            out.append((r[value_col], 2 * cum + cnt + 1))
+            cum += cnt
+        vf = next(f for f in d.schema.fields if f.name == value_col)
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        return F.broadcast(
+            spark.createDataFrame(
+                out,
+                StructType([vf, StructField(rank_name, LongType())]),
+            )
+        )
     c = ordered_prefix_sums(d, value_col, ["__cnt"])
     # cum_le inclusive prefix; r_less = cum - cnt; rank2 = 2·r_less+cnt+1
     return c.select(

@@ -44,7 +44,9 @@ def spearman(df: DataFrame, cols: list[str]) -> DataFrame:
         for i in range(len(cols))
         for j in range(i + 1, len(cols))
     ]
-    base = df.select(*cols)
+    # one materialization feeds the per-column rank builds AND the
+    # final join chain (otherwise the source is rescanned |cols|+1×)
+    base = persist_tracked(df.select(*cols))
     f = base
     for c in cols:
         f = f.join(average_rank2(base, c, f"r_{c}"), c)
