@@ -374,6 +374,30 @@ class Engine:
 
         return chi2_independence(df, x_col, y_col)
 
+    def welch_test(
+        self, df: DataFrame, value_col: str, flag_col: str, scale: int = 100
+    ) -> DataFrame:
+        """Welch's unequal-variance t-test between rows with
+        ``flag_col`` = 1 and = 0 (``value_col`` × ``scale`` must be
+        integral for exact sufficient statistics). One row:
+        ``n_a, n_b, mean_a, mean_b, t_stat, dof``."""
+        from etl_pipeline_project_auraverse_spark.operators.stats_tests import (
+            welch_ttest,
+        )
+
+        return welch_ttest(df, value_col, flag_col, scale)
+
+    def anova_test(
+        self, df: DataFrame, value_col: str, group_col: str, scale: int = 100
+    ) -> DataFrame:
+        """One-way ANOVA F of ``value_col`` across ``group_col``
+        groups. One row: ``k, n_total, f_stat``."""
+        from etl_pipeline_project_auraverse_spark.operators.stats_tests import (
+            anova_f,
+        )
+
+        return anova_f(df, value_col, group_col, scale)
+
     def auc(self, df: DataFrame, score_col: str, label_col: str) -> DataFrame:
         """Exact ROC-AUC of a score column against binary labels via
         the rank-sum identity. One row: ``n_pos, n_neg, auc``."""

@@ -221,6 +221,110 @@ def chi2_independence(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     )
 
 
+def welch_ttest(
+    df: DataFrame, value_col: str, flag_col: str, scale: int = 100
+) -> DataFrame:
+    """Welch's unequal-variance t-test between the rows where
+    ``flag_col`` = 1 and those where it is 0.
+
+    ``value_col`` × ``scale`` must be integral (e.g. scale=100 for
+    cent-precision money) so the sufficient statistics
+    (n, Σv, Σv²) accumulate as exact DECIMALs — partition-order-free
+    and bit-identical to the oracle's HUGEINT sums. Doubles appear
+    only in the final 1-row assembly of means, t, and the
+    Welch–Satterthwaite dof. One groupBy + one 1-row reduce: the
+    cheapest possible shape at any corpus size.
+
+    Returns one row: ``n_a, n_b, mean_a, mean_b, t_stat, dof``.
+    """
+    v = F.round(F.col(value_col) * scale, 0).cast("decimal(19,0)")
+    vq = v.cast("decimal(38,0)") * v.cast("decimal(38,0)")
+    hit = F.col(flag_col) == 1
+
+    def _side(tag: str, cond: Column) -> list[Column]:
+        return [
+            F.sum(F.when(cond, 1).otherwise(0)).alias(f"n{tag}"),
+            F.sum(F.when(cond, v)).alias(f"s{tag}"),
+            F.sum(F.when(cond, vq)).alias(f"q{tag}"),
+        ]
+
+    one = df.agg(*_side("1", hit), *_side("2", ~hit))
+    sc = float(scale)
+    n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
+    s1, s2 = F.col("s1").cast("double"), F.col("s2").cast("double")
+    q1, q2 = F.col("q1").cast("double"), F.col("q2").cast("double")
+    m1, m2 = s1 / n1 / sc, s2 / n2 / sc
+    var1 = (q1 - s1 * s1 / n1) / (n1 - 1) / (sc * sc)
+    var2 = (q2 - s2 * s2 / n2) / (n2 - 1) / (sc * sc)
+    se1, se2 = var1 / n1, var2 / n2
+    t = (m1 - m2) / F.sqrt(se1 + se2)
+    dof = (
+        (se1 + se2) * (se1 + se2)
+        / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1))
+    )
+    return one.select(
+        F.col("n1").cast("long").alias("n_a"),
+        F.col("n2").cast("long").alias("n_b"),
+        F.round(m1, 6).cast("double").alias("mean_a"),
+        F.round(m2, 6).cast("double").alias("mean_b"),
+        F.round(t, 6).cast("double").alias("t_stat"),
+        F.round(dof, 6).cast("double").alias("dof"),
+    )
+
+
+def anova_f(
+    df: DataFrame, value_col: str, group_col: str, scale: int = 100
+) -> DataFrame:
+    """One-way ANOVA F statistic of ``value_col`` across the groups of
+    ``group_col`` (k groups, unequal sizes allowed).
+
+    Same exactness contract as :func:`welch_ttest`: per-group
+    (n, Σv, Σv²) as exact DECIMALs from one groupBy; the per-group
+    between-groups term S_g²/n_g is rounded to 6dp and re-accumulated
+    as DECIMAL(38,6) (the engine's standard float-sum idiom) so the
+    cross-group sum is partition-order-free. The F ratio is scale-free
+    (the scale² factor cancels), so results are comparable across
+    value units.
+
+    Returns one row: ``k, n_total, f_stat``.
+    """
+    v = F.round(F.col(value_col) * scale, 0).cast("decimal(19,0)")
+    g = persist_tracked(
+        df.groupBy(F.col(group_col).alias("g")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(v).alias("s"),
+            F.sum(v.cast("decimal(38,0)") * v.cast("decimal(38,0)")).alias(
+                "q"
+            ),
+        )
+    )
+    bterm = F.round(
+        F.col("s").cast("double") * F.col("s").cast("double")
+        / F.col("n").cast("double"),
+        6,
+    ).cast("decimal(38,6)")
+    s = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("n_tot"),
+        F.sum("s").alias("s_tot"),
+        F.sum("q").alias("q_tot"),
+        F.sum(bterm).alias("b_sum"),
+    )
+    kd = F.col("k").cast("double")
+    nd = F.col("n_tot").cast("double")
+    grand = (
+        F.col("s_tot").cast("double") * F.col("s_tot").cast("double") / nd
+    )
+    ssb = F.col("b_sum").cast("double") - grand
+    ssw = F.col("q_tot").cast("double") - F.col("b_sum").cast("double")
+    f_stat = (ssb / (kd - 1)) / (ssw / (nd - kd))
+    return s.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("n_tot").cast("long").alias("n_total"),
+        F.round(f_stat, 6).cast("double").alias("f_stat"),
+    )
+
+
 def roc_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     """Exact ROC-AUC of ``score_col`` against binary ``label_col``
     (1.0 = positive) via the rank-sum identity

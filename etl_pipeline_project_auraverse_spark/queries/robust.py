@@ -1122,6 +1122,136 @@ FROM e CROSS JOIN t AS t2
 """
 
 
+# ---------------------------------------------------------------------------
+# Welch's unequal-variance t-test — the parametric companion to the
+# MWU/KS pair: is the mean returned-line price different from the mean
+# refused-line price when the two groups' variances differ? One
+# conditional aggregate over cent-scaled exact integers (n, Σv, Σv²
+# per side in one pass — no groupBy shuffle at all), doubles only in
+# the final 1-row t / Welch–Satterthwaite-dof assembly.
+# ---------------------------------------------------------------------------
+_TT_COL, _TT_A, _TT_B = "l_extendedprice", "A", "R"
+
+
+def _welch_oracle() -> str:
+    m1 = "(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 100.0)"
+    m2 = "(CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) / 100.0)"
+    var1 = (
+        "((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+        " / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1) / 10000.0)"
+    )
+    var2 = (
+        "((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)"
+        " / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1) / 10000.0)"
+    )
+    se1 = f"({var1} / CAST(n1 AS DOUBLE))"
+    se2 = f"({var2} / CAST(n2 AS DOUBLE))"
+    t = f"(({m1} - {m2}) / SQRT({se1} + {se2}))"
+    dof = (
+        f"(({se1} + {se2}) * ({se1} + {se2})"
+        f" / ({se1} * {se1} / (CAST(n1 AS DOUBLE) - 1)"
+        f"    + {se2} * {se2} / (CAST(n2 AS DOUBLE) - 1)))"
+    )
+    return f"""
+WITH f AS (
+    SELECT CAST(ROUND({_TT_COL} * 100, 0) AS HUGEINT) AS v,
+           CASE WHEN l_returnflag = '{_TT_A}' THEN 1 ELSE 0 END AS a
+    FROM lineitem WHERE l_returnflag IN ('{_TT_A}', '{_TT_B}')
+),
+s AS (SELECT
+    SUM(CASE WHEN a = 1 THEN 1 ELSE 0 END) AS n1,
+    SUM(CASE WHEN a = 1 THEN v END) AS s1,
+    SUM(CASE WHEN a = 1 THEN v * v END) AS q1,
+    SUM(CASE WHEN a = 0 THEN 1 ELSE 0 END) AS n2,
+    SUM(CASE WHEN a = 0 THEN v END) AS s2,
+    SUM(CASE WHEN a = 0 THEN v * v END) AS q2
+FROM f)
+SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+       CAST(ROUND({m1}, 6) AS DOUBLE) AS mean_a,
+       CAST(ROUND({m2}, 6) AS DOUBLE) AS mean_b,
+       CAST(ROUND({t}, 6) AS DOUBLE) AS t_stat,
+       CAST(ROUND({dof}, 6) AS DOUBLE) AS dof
+FROM s
+"""
+
+
+@register("q_welch_ttest_price_returnflag", oracle=_welch_oracle())
+def q_welch_ttest_price_returnflag(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Welch's t between returned (A) and refused (R) line prices:
+    group means, t statistic, Welch–Satterthwaite dof. Delegates to
+    ``operators/stats_tests.welch_ttest``."""
+    from etl_pipeline_project_auraverse_spark.operators.stats_tests import (
+        welch_ttest,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.where(F.col("l_returnflag").isin(_TT_A, _TT_B)).select(
+        F.col(_TT_COL).alias("v"),
+        F.when(F.col("l_returnflag") == _TT_A, 1).otherwise(0).alias("a"),
+    )
+    return welch_ttest(f, "v", "a", scale=100)
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA F across the five market segments: does mean order
+# value differ by segment? Per-segment (n, Σv, Σv²) from one
+# hash-partitioned groupBy over cent-scaled integers (the join to
+# customer broadcasts nothing — both sides shuffle on custkey, and at
+# 100 TB bucketing on custkey makes it shuffle-free); the
+# between-groups term S_g²/n_g is 6dp-rounded and DECIMAL(38,6)-
+# re-accumulated so the k-row float sum is partition-order-free.
+# ---------------------------------------------------------------------------
+def _anova_oracle() -> str:
+    ssb = (
+        "((CAST(b_sum AS DOUBLE)"
+        " - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE)"
+        "   / CAST(n_tot AS DOUBLE))"
+        " / (CAST(k AS DOUBLE) - 1))"
+    )
+    ssw = (
+        "((CAST(q_tot AS DOUBLE) - CAST(b_sum AS DOUBLE))"
+        " / (CAST(n_tot AS DOUBLE) - CAST(k AS DOUBLE)))"
+    )
+    return f"""
+WITH f AS (
+    SELECT CAST(ROUND(o_totalprice * 100, 0) AS HUGEINT) AS v,
+           c_mktsegment AS g
+    FROM orders JOIN customer ON o_custkey = c_custkey
+),
+gr AS (SELECT g, COUNT(*) AS n, SUM(v) AS s, SUM(v * v) AS q
+       FROM f GROUP BY g),
+s AS (SELECT COUNT(*) AS k, SUM(n) AS n_tot, SUM(s) AS s_tot,
+             SUM(q) AS q_tot,
+             SUM(CAST(ROUND(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                            / CAST(n AS DOUBLE), 6)
+                      AS DECIMAL(38,6))) AS b_sum
+      FROM gr)
+SELECT CAST(k AS BIGINT) AS k, CAST(n_tot AS BIGINT) AS n_total,
+       CAST(ROUND({ssb} / {ssw}, 6) AS DOUBLE) AS f_stat
+FROM s
+"""
+
+
+@register("q_anova_totalprice_by_segment", oracle=_anova_oracle())
+def q_anova_totalprice_by_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One-way ANOVA F of order totalprice across the five customer
+    market segments. Delegates to ``operators/stats_tests.anova_f``."""
+    from etl_pipeline_project_auraverse_spark.operators.stats_tests import (
+        anova_f,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    f = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("o_totalprice").alias("v"), F.col("c_mktsegment").alias("g")
+    )
+    return anova_f(f, "v", "g", scale=100)
+
+
 @register("q_chi2_returnflag_linestatus", oracle=_CHI_ORACLE)
 def q_chi2_returnflag_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-squared independence statistic for the returnflag ×

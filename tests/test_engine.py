@@ -321,3 +321,53 @@ def test_engine_statistical_tests(spark, sf_dir):
     )
     auc = eng.auc(scored, "s", "y").first()
     assert auc["auc"] > 0.99  # score separates its own threshold label
+
+
+def test_engine_welch_and_anova_against_closed_form(spark, sf_dir):
+    """Welch t and ANOVA F checked against an algebraically different
+    pure-Python formulation (statistics.mean/variance; SSB via
+    Σ n_g (m_g − m)²) so an expression-order bug shared with the SQL
+    oracle twin cannot slip through."""
+    import statistics
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from etl_pipeline_project_auraverse_spark.engine import Engine
+
+    eng = Engine(sf_dir, spark=spark)
+    a = [10.00, 12.50, 11.25, 14.75, 9.50]
+    b = [20.00, 18.25, 25.50, 22.00]
+    df = spark.createDataFrame(
+        [(x, 1) for x in a] + [(x, 0) for x in b], "v double, flag int"
+    )
+    w = eng.welch_test(df, "v", "flag", scale=100).first()
+    ma, mb = statistics.mean(a), statistics.mean(b)
+    va, vb = statistics.variance(a), statistics.variance(b)
+    se_a, se_b = va / len(a), vb / len(b)
+    t_exp = (ma - mb) / (se_a + se_b) ** 0.5
+    dof_exp = (se_a + se_b) ** 2 / (
+        se_a**2 / (len(a) - 1) + se_b**2 / (len(b) - 1)
+    )
+    assert w["n_a"] == len(a) and w["n_b"] == len(b)
+    assert w["mean_a"] == pytest.approx(ma, abs=1e-6)
+    assert w["mean_b"] == pytest.approx(mb, abs=1e-6)
+    assert w["t_stat"] == pytest.approx(t_exp, abs=2e-6)
+    assert w["dof"] == pytest.approx(dof_exp, abs=2e-6)
+
+    groups = {"x": a, "y": b, "z": [15.00, 16.50, 14.25]}
+    rows = [(v, g) for g, vs in groups.items() for v in vs]
+    gdf = spark.createDataFrame(rows, "v double, g string")
+    f = eng.anova_test(gdf, "v", "g", scale=100).first()
+    allv = [v for vs in groups.values() for v in vs]
+    grand = statistics.mean(allv)
+    ssb = sum(
+        len(vs) * (statistics.mean(vs) - grand) ** 2
+        for vs in groups.values()
+    )
+    ssw = sum(
+        (len(vs) - 1) * statistics.variance(vs) for vs in groups.values()
+    )
+    k, n = len(groups), len(allv)
+    f_exp = (ssb / (k - 1)) / (ssw / (n - k))
+    assert f["k"] == k and f["n_total"] == n
+    assert f["f_stat"] == pytest.approx(f_exp, rel=1e-6)
