@@ -331,6 +331,19 @@ class Engine:
 
         return bfs_min_hops(edges, seeds, max_hops, checkpoint_every)
 
+    def lpa(
+        self, edges: DataFrame, rounds: int, checkpoint_every: int = 4
+    ) -> DataFrame:
+        """Deterministic weighted label-propagation communities over
+        an (u, v, w) edge table (both directions for undirected
+        graphs): (u, lab) after ``rounds`` synchronous updates —
+        highest incident weight wins, smallest label on ties."""
+        from etl_pipeline_project_auraverse_spark.operators.label_propagation import (
+            lpa_labels,
+        )
+
+        return lpa_labels(edges, rounds, checkpoint_every)
+
     # -- statistical tests --------------------------------------------------
     def spearman(self, df: DataFrame, cols: list[str]) -> DataFrame:
         """Pairwise Spearman rank correlations (one row per pair:

@@ -325,6 +325,64 @@ def anova_f(
     )
 
 
+def kendall_tau_b(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Exact tie-corrected Kendall rank correlation (tau-b) between
+    two LOW-CARDINALITY columns.
+
+    The O(n²) pair count collapses onto the distinct-value contingency
+    table: concordant/discordant pair totals are Σ n₁·n₂ over ordered
+    CELL pairs, so the quadratic term is |X|·|Y| choose 2 — bounded by
+    the value-domain product, not the row count (550 cells for
+    quantity × discount at any corpus size). The cell self-join is an
+    intentional bounded BNL (both sides are the tiny cell table); all
+    pair sums accumulate as DECIMAL(38,0) (n² at 10¹⁰ rows overflows
+    BIGINT), doubles only in the final tau assembly.
+
+    Returns one row: ``n_rows, concordant, discordant, tau_b``.
+    """
+    cells = persist_tracked(
+        df.groupBy(F.col(x_col).alias("x"), F.col(y_col).alias("y")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    tx = cells.groupBy("x").agg(F.sum("n").alias("t"))
+    ty = cells.groupBy("y").agg(F.sum("n").alias("t"))
+    tie = lambda m: m.agg(  # noqa: E731
+        F.sum(d38("t") * (d38("t") - 1)).alias("tt")
+    )
+    tot = cells.agg(F.sum("n").alias("n_rows"))
+    c1 = cells.select(
+        F.col("x").alias("x1"), F.col("y").alias("y1"), F.col("n").alias("n1")
+    )
+    c2 = cells.select(
+        F.col("x").alias("x2"), F.col("y").alias("y2"), F.col("n").alias("n2")
+    )
+    prod = d38("n1") * d38("n2")
+    cd = c1.join(c2, F.col("x2") > F.col("x1")).agg(
+        F.sum(F.when(F.col("y2") > F.col("y1"), prod)).alias("conc"),
+        F.sum(F.when(F.col("y2") < F.col("y1"), prod)).alias("disc"),
+    )
+    s = (
+        tot.crossJoin(F.broadcast(cd))
+        .crossJoin(F.broadcast(tie(tx).withColumnRenamed("tt", "tt_x")))
+        .crossJoin(F.broadcast(tie(ty).withColumnRenamed("tt", "tt_y")))
+    )
+    nd = F.col("n_rows").cast("double")
+    n0 = nd * (nd - 1)
+    cdif = F.col("conc").cast("double") - F.col("disc").cast("double")
+    denom = F.sqrt(
+        ((n0 - F.col("tt_x").cast("double")) / 2)
+        * ((n0 - F.col("tt_y").cast("double")) / 2)
+    )
+    return s.select(
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("conc").cast("double").alias("concordant"),
+        F.col("disc").cast("double").alias("discordant"),
+        F.round(cdif / denom, 6).cast("double").alias("tau_b"),
+    )
+
+
 def roc_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     """Exact ROC-AUC of ``score_col`` against binary ``label_col``
     (1.0 = positive) via the rank-sum identity

@@ -701,3 +701,106 @@ def q_shortest_path_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("long").alias("part"),
         F.col("cost").cast("long").alias("min_cost"),
     ).orderBy("part")
+
+
+# ---------------------------------------------------------------------------
+# Label propagation community detection (Raghavan et al. 2007) — the
+# community-structure lens the component/PageRank/triangle trio lacks:
+# which groups of parts form densely co-purchased neighborhoods?
+# Synchronous LPA is made deterministic (and therefore oracle-
+# checkable) by a total update rule: each round a node takes the label
+# with the highest incident edge-weight sum, ties broken by SMALLEST
+# label. Each round is one equi-join + two groupBys + one filter-join
+# on (part, label) keys — the weighted-majority argmax is expressed as
+# max-score + min-label-at-max, never a window over all labels. Label
+# cardinality only ever shrinks, the edge table is iteration-
+# invariant, and lineage depth is 3 unrolled rounds (a deeper run
+# would localCheckpoint like operators/components.py).
+# ---------------------------------------------------------------------------
+LPA_ITERS = 3
+LPA_TOP = 25
+
+
+def _lpa_oracle() -> str:
+    iters = ""
+    prev = "l0"
+    for i in range(1, LPA_ITERS + 1):
+        iters += f""",
+    s{i} AS (
+        SELECT en.v, l.lab, SUM(en.w) AS s
+        FROM en JOIN {prev} l ON en.u = l.u
+        GROUP BY en.v, l.lab
+    ),
+    m{i} AS (SELECT v, MAX(s) AS smax FROM s{i} GROUP BY v),
+    l{i} AS (
+        SELECT s{i}.v AS u, MIN(s{i}.lab) AS lab
+        FROM s{i} JOIN m{i} ON s{i}.v = m{i}.v AND s{i}.s = m{i}.smax
+        GROUP BY s{i}.v
+    )"""
+        prev = f"l{i}"
+    return f"""
+    WITH basket AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    ok_orders AS (
+        SELECT l_orderkey FROM basket
+        GROUP BY l_orderkey HAVING COUNT(*) <= {BASKET_CAP}
+    ),
+    b AS (SELECT basket.* FROM basket JOIN ok_orders USING (l_orderkey)),
+    pairs AS (
+        SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
+               COUNT(*) AS w
+        FROM b x JOIN b y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        GROUP BY part_a, part_b
+        HAVING COUNT(*) >= {MIN_PAIR_SUPPORT}
+    ),
+    en AS (
+        SELECT part_a AS u, part_b AS v, w FROM pairs
+        UNION ALL
+        SELECT part_b AS u, part_a AS v, w FROM pairs
+    ),
+    l0 AS (SELECT DISTINCT u, u AS lab FROM en){iters}
+    SELECT CAST(lab AS BIGINT) AS community,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM {prev}
+    GROUP BY lab
+    ORDER BY n_members DESC, community
+    LIMIT {LPA_TOP}
+    """
+
+
+@register("q_lpa_communities", oracle=_lpa_oracle())
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest co-purchase communities after LPA_ITERS deterministic
+    weighted label-propagation rounds (highest incident weight wins,
+    smallest label on ties)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") <= BASKET_CAP)
+    )
+    lhs = baskets.select("parts", F.posexplode("parts").alias("i", "part_a"))
+    pairs = (
+        lhs.select(
+            "part_a",
+            F.explode(
+                F.expr("slice(parts, i + 2, size(parts) - i - 1)")
+            ).alias("part_b"),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= MIN_PAIR_SUPPORT)
+    )
+    from etl_pipeline_project_auraverse_spark.operators.label_propagation import (
+        community_sizes,
+        lpa_labels,
+    )
+
+    en = pairs.select(
+        F.col("part_a").alias("u"), F.col("part_b").alias("v"), "w"
+    ).unionAll(
+        pairs.select(F.col("part_b").alias("u"), F.col("part_a").alias("v"), "w")
+    )
+    return community_sizes(lpa_labels(en, LPA_ITERS), LPA_TOP)

@@ -1123,6 +1123,58 @@ FROM e CROSS JOIN t AS t2
 
 
 # ---------------------------------------------------------------------------
+# Kendall tau-b — the third rank-correlation lens beside Pearson
+# (q_corr_matrix_lineitem) and Spearman: do bigger line quantities get
+# deeper discounts? The O(n²) pair count collapses onto the 50×11
+# distinct-value contingency table, so the quadratic term is bounded
+# by the value-domain product at ANY corpus size; concordant/
+# discordant totals accumulate as DECIMAL(38,0) (n² overflows BIGINT
+# past ~3·10⁹ rows).
+# ---------------------------------------------------------------------------
+_TAU_X, _TAU_Y = "l_quantity", "l_discount"
+
+_ND = "CAST(n_rows AS DOUBLE)"
+_TAU_ORACLE = f"""
+WITH cells AS (
+    SELECT {_TAU_X} AS x, {_TAU_Y} AS y, COUNT(*) AS n
+    FROM lineitem GROUP BY x, y
+),
+mx AS (SELECT SUM(CAST(t AS HUGEINT) * (t - 1)) AS tt_x
+       FROM (SELECT SUM(n) AS t FROM cells GROUP BY x)),
+my AS (SELECT SUM(CAST(t AS HUGEINT) * (t - 1)) AS tt_y
+       FROM (SELECT SUM(n) AS t FROM cells GROUP BY y)),
+tot AS (SELECT SUM(n) AS n_rows FROM cells),
+cd AS (SELECT
+    SUM(CASE WHEN c2.y > c1.y THEN CAST(c1.n AS HUGEINT) * c2.n END) AS conc,
+    SUM(CASE WHEN c2.y < c1.y THEN CAST(c1.n AS HUGEINT) * c2.n END) AS disc
+  FROM cells c1 JOIN cells c2 ON c2.x > c1.x)
+SELECT CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(conc AS DOUBLE) AS concordant,
+       CAST(disc AS DOUBLE) AS discordant,
+       CAST(ROUND(
+         (CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE))
+         / SQRT((({_ND} * ({_ND} - 1) - CAST(tt_x AS DOUBLE)) / 2)
+                * (({_ND} * ({_ND} - 1) - CAST(tt_y AS DOUBLE)) / 2)),
+         6) AS DOUBLE) AS tau_b
+FROM tot, cd, mx, my
+"""
+
+
+@register("q_kendall_tau_quantity_discount", oracle=_TAU_ORACLE)
+def q_kendall_tau_quantity_discount(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact tie-corrected Kendall tau-b between line quantity and
+    discount over the bounded contingency table. Delegates to
+    ``operators/stats_tests.kendall_tau_b``."""
+    from etl_pipeline_project_auraverse_spark.operators.stats_tests import (
+        kendall_tau_b,
+    )
+
+    return kendall_tau_b(load_table(spark, sf_dir, "lineitem"), _TAU_X, _TAU_Y)
+
+
+# ---------------------------------------------------------------------------
 # Welch's unequal-variance t-test — the parametric companion to the
 # MWU/KS pair: is the mean returned-line price different from the mean
 # refused-line price when the two groups' variances differ? One
