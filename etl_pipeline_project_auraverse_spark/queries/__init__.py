@@ -58,6 +58,9 @@ ORACLE: dict[str, str] = {}
 # q_markov_stationary_events, q_source_ngram_novelty,
 # q_layout_pruning_compare, q_jackknife_mean_price,
 # q_negative_sampling_parts, q_logreg_auc_calibration,
+# the final-stretch statistical additions (q_welch_ttest_price_returnflag,
+# q_anova_totalprice_by_segment, q_kendall_tau_quantity_discount) and
+# q_lpa_communities,
 # and the four r4-attested ANN/embedding
 # entries displaced late in r6 to make room for the new statistical
 # test battery (Spearman/KS/MWU/chi2): q_ann_lsh_multiprobe,
