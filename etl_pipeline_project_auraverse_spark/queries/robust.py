@@ -1123,6 +1123,69 @@ FROM e CROSS JOIN t AS t2
 
 
 # ---------------------------------------------------------------------------
+# Gini coefficient of per-customer revenue — the inequality audit every
+# dataset card wants (how concentrated is spend across customers?),
+# computed exactly from the rank identity
+#   G = (Σ rank2·x − (n+1)·Σx) / (n·Σx)
+# with tie-averaged DOUBLED ranks (so Σ i·x = Σ rank2·x / 2 folds into
+# the formula with no halving). Ranks come from the two-level prefix
+# sums in operators/ranks.py — no single-task global window — and all
+# sufficient statistics are exact DECIMAL sums of cent-scaled
+# integers; one double division at the end.
+# ---------------------------------------------------------------------------
+_GINI_ORACLE = """
+WITH rev AS (
+    SELECT o_custkey,
+           SUM(CAST(ROUND(o_totalprice * 100, 0) AS HUGEINT)) AS x
+    FROM orders GROUP BY o_custkey
+),
+r AS (SELECT x,
+             2 * RANK() OVER (ORDER BY x)
+               + COUNT(*) OVER (PARTITION BY x) - 1 AS r2
+      FROM rev),
+s AS (SELECT COUNT(*) AS n, SUM(x) AS sx,
+             SUM(CAST(r2 AS HUGEINT) * x) AS srx
+      FROM r)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       CAST(ROUND(CAST(sx AS DOUBLE) / 100.0, 2) AS DOUBLE) AS total_revenue,
+       CAST(ROUND(
+         (CAST(srx AS DOUBLE) - (CAST(n AS DOUBLE) + 1) * CAST(sx AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS DOUBLE) AS gini
+FROM s
+"""
+
+
+@register("q_gini_customer_revenue", oracle=_GINI_ORACLE)
+def q_gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini coefficient of total order value per customer, via
+    the tie-averaged rank identity over scale-safe prefix-sum ranks."""
+    from etl_pipeline_project_auraverse_spark.operators.ranks import (
+        average_rank2,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("decimal(19,0)")
+    rev = persist_tracked(
+        o.groupBy("o_custkey").agg(F.sum(cents).alias("x"))
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = rev.join(average_rank2(rev, "x", "r2"), "x").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d38("x")).alias("sx"),
+        F.sum(d38("r2") * d38("x")).alias("srx"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, srxd = F.col("sx").cast("double"), F.col("srx").cast("double")
+    return s.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.round(sxd / 100.0, 2).cast("double").alias("total_revenue"),
+        F.round((srxd - (nd + 1) * sxd) / (nd * sxd), 6)
+        .cast("double")
+        .alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Kendall tau-b — the third rank-correlation lens beside Pearson
 # (q_corr_matrix_lineitem) and Spearman: do bigger line quantities get
 # deeper discounts? The O(n²) pair count collapses onto the 50×11

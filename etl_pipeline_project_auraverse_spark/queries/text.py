@@ -928,3 +928,91 @@ def q_source_diversity_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence of each source's language mix vs the
+# corpus-wide mix — the bounded, symmetric drift number a dataset card
+# reports beside PSI (q_split_drift_psi). The support is the bounded
+# source × lang grid (built as an intentional dimension cross of two
+# tiny distincts), every count is exact, and each JSD term is
+# 6dp-rounded then DECIMAL-accumulated so the cross-language float sum
+# is partition-order-free — the engine's standard idiom for log-based
+# statistics (same as q_text_char_entropy).
+# ---------------------------------------------------------------------------
+_P = "(CAST(c_sl AS DOUBLE) / CAST(n_s AS DOUBLE))"
+_Q = "(CAST(c_l AS DOUBLE) / CAST(n AS DOUBLE))"
+
+_JSD_ORACLE = f"""
+WITH csl AS (SELECT source, lang, COUNT(*) AS c_sl
+             FROM documents GROUP BY source, lang),
+ns AS (SELECT source, SUM(c_sl) AS n_s FROM csl GROUP BY source),
+cl AS (SELECT lang, SUM(c_sl) AS c_l FROM csl GROUP BY lang),
+t AS (SELECT SUM(c_sl) AS n FROM csl),
+grid AS (
+    SELECT ns.source, cl.lang, ns.n_s, cl.c_l, t.n,
+           COALESCE(csl.c_sl, 0) AS c_sl
+    FROM ns CROSS JOIN cl CROSS JOIN t
+    LEFT JOIN csl ON csl.source = ns.source AND csl.lang = cl.lang
+),
+terms AS (
+    SELECT source, n_s,
+           CAST(ROUND(0.5 * (
+             CASE WHEN c_sl > 0
+                  THEN {_P} * LOG2(2 * {_P} / ({_P} + {_Q})) ELSE 0 END
+             + CASE WHEN c_l > 0
+                  THEN {_Q} * LOG2(2 * {_Q} / ({_P} + {_Q})) ELSE 0 END),
+             6) AS DECIMAL(25,6)) AS term
+    FROM grid
+)
+SELECT source, CAST(MIN(n_s) AS BIGINT) AS n_docs,
+       CAST(ROUND(CAST(SUM(term) AS DOUBLE), 6) AS DOUBLE) AS jsd_bits
+FROM terms
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("q_source_lang_jsd", oracle=_JSD_ORACLE)
+def q_source_lang_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Jensen-Shannon divergence (bits) between the
+    source's language distribution and the corpus-wide one."""
+    d = load_table(spark, sf_dir, "documents")
+    csl = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c_sl"))
+    from etl_pipeline_project_auraverse_spark.cache import persist_tracked
+
+    csl = persist_tracked(csl)
+    ns = csl.groupBy("source").agg(F.sum("c_sl").alias("n_s"))
+    cl = csl.groupBy("lang").agg(F.sum("c_sl").alias("c_l"))
+    t = csl.agg(F.sum("c_sl").alias("n"))
+    grid = (
+        ns.crossJoin(F.broadcast(cl))
+        .crossJoin(F.broadcast(t))
+        .join(csl, ["source", "lang"], "left")
+        .withColumn("c_sl", F.coalesce(F.col("c_sl"), F.lit(0)))
+    )
+    p = F.col("c_sl").cast("double") / F.col("n_s").cast("double")
+    q = F.col("c_l").cast("double") / F.col("n").cast("double")
+    term = F.round(
+        0.5
+        * (
+            F.when(F.col("c_sl") > 0, p * F.log2(2 * p / (p + q))).otherwise(
+                0.0
+            )
+            + F.when(F.col("c_l") > 0, q * F.log2(2 * q / (p + q))).otherwise(
+                0.0
+            )
+        ),
+        6,
+    ).cast("decimal(25,6)")
+    return (
+        grid.select("source", "n_s", term.alias("term"))
+        .groupBy("source")
+        .agg(
+            F.min("n_s").cast("long").alias("n_docs"),
+            F.round(F.sum("term").cast("double"), 6)
+            .cast("double")
+            .alias("jsd_bits"),
+        )
+        .orderBy("source")
+    )
