@@ -1016,3 +1016,66 @@ def q_source_lang_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode NFC cleanup accounting — the pre-tokenization normalization
+# pass (functions/unicode_norm.py, one of the engine's documented
+# Arrow-batched Python exceptions since Spark has no normalization
+# expression). The synthetic corpus is ASCII, so decomposed combining
+# sequences are injected IN-PLAN on a deterministic doc subset (the
+# q_pii_scrub_stats pattern), then normalized back; the oracle runs
+# DuckDB's utf8proc nfc_normalize over the identical injection — both
+# implement the same Unicode standard, so per-language change counts
+# and code-point deltas match exactly.
+# ---------------------------------------------------------------------------
+_NFC_COMBINING = "é"  # 'e' + U+0301 COMBINING ACUTE -> NFC U+00E9
+
+_NFC_ORACLE = """
+WITH t AS (
+    SELECT lang,
+           CASE WHEN doc_id % 7 = 0
+                THEN REPLACE(text, 'e', 'e' || CHR(769))
+                ELSE text END AS txt
+    FROM documents
+),
+n AS (SELECT lang, txt, nfc_normalize(txt) AS nrm FROM t)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN nrm <> txt THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_changed,
+       CAST(SUM(LENGTH(txt) - LENGTH(nrm)) AS BIGINT) AS chars_removed
+FROM n GROUP BY lang ORDER BY lang
+"""
+
+
+@register("q_text_nfc_cleanup", oracle=_NFC_ORACLE)
+def q_text_nfc_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language NFC normalization accounting over documents with
+    deterministically injected decomposed sequences: docs changed and
+    code points composed away."""
+    from etl_pipeline_project_auraverse_spark.functions.unicode_norm import (
+        nfc_normalize,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    txt = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.regexp_replace(F.col("text"), "e", _NFC_COMBINING),
+    ).otherwise(F.col("text"))
+    n = d.select(
+        "lang", txt.alias("txt")
+    ).withColumn("nrm", nfc_normalize(F.col("txt")))
+    return (
+        n.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("nrm") != F.col("txt"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_changed"),
+            F.sum(F.length("txt") - F.length("nrm"))
+            .cast("long")
+            .alias("chars_removed"),
+        )
+        .orderBy("lang")
+    )
