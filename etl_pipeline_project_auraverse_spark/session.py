@@ -32,9 +32,21 @@ def get_spark(
     and on a large cluster this should be raised to ~2-3x total cores
     (or left to AQE with a high initial value).
     """
+    # Python workers resolve module-referenced functions (mapInPandas /
+    # pandas_udf callables defined in this package) by importing the
+    # package — which fails if the driver process was launched from a
+    # cwd outside the repo and the package is not on PYTHONPATH. Workers
+    # inherit the JVM's env, captured from this process at JVM launch,
+    # so export the repo root BEFORE getOrCreate; spark.executorEnv
+    # covers real-cluster executors the same way.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    py_path = os.environ.get("PYTHONPATH", "")
+    if repo_root not in py_path.split(os.pathsep):
+        os.environ["PYTHONPATH"] = repo_root + (os.pathsep + py_path if py_path else "")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.appName(app_name)
+        .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
