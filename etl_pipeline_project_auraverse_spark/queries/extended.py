@@ -916,3 +916,82 @@ def q_fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("edit_distance", "name_a", "name_b")
     )
+
+
+@register(
+    "q_skyline_parts_per_brand",
+    oracle="""
+    WITH per_x AS (
+        SELECT p_brand, p_retailprice AS price, MAX(p_size) AS max_size_at_x,
+               COUNT(*) AS n_at_x
+        FROM part GROUP BY p_brand, p_retailprice
+    ), run AS (
+        SELECT p_brand, price, max_size_at_x, n_at_x,
+               MAX(max_size_at_x) OVER (
+                   PARTITION BY p_brand ORDER BY price
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS best_cheaper
+        FROM per_x
+    )
+    SELECT p.p_brand, p.p_partkey, p.p_name,
+           CAST(ROUND(p.p_retailprice, 2) AS DOUBLE) AS price,
+           CAST(p.p_size AS BIGINT) AS size
+    FROM part p
+    JOIN run r ON p.p_brand = r.p_brand AND p.p_retailprice = r.price
+    WHERE (r.best_cheaper IS NULL OR r.best_cheaper < p.p_size)
+      AND p.p_size = r.max_size_at_x
+    ORDER BY p.p_brand, price, p.p_partkey
+    """,
+)
+def q_skyline_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand 2-D skyline (Pareto frontier): parts for which no
+    brand-mate is both cheaper-or-equal AND larger-or-equal (one
+    strict). The classic OLAP skyline operator, absent from both SQL
+    and Spark as a primitive.
+
+    Plan (the O(n log n) sort-filter algorithm, distributed): group to
+    one row per (brand, price) keeping max size at that price; a
+    brand-partitioned running max over strictly-cheaper prices then
+    decides domination in a single window pass — a part survives iff
+    its size beats every cheaper part's best size and it IS its price
+    point's best size. No self-join, no O(n^2) dominance test; the
+    window partitions by brand so there is no single-sort funnel at
+    100 TB (brands bound partition width; for an un-partitioned global
+    skyline the same plan applies with a range-partitioned pre-prune:
+    grid-max filtering drops ~all dominated points map-side first).
+    """
+    part = load_table(spark, sf_dir, "part")
+    per_x = part.groupBy("p_brand", F.col("p_retailprice").alias("price")).agg(
+        F.max("p_size").alias("max_size_at_x")
+    )
+    w = W.partitionBy("p_brand").orderBy("price").rowsBetween(W.unboundedPreceding, -1)
+    surv = (
+        per_x.withColumn("best_cheaper", F.max("max_size_at_x").over(w))
+        .filter(
+            F.col("best_cheaper").isNull()
+            | (F.col("best_cheaper") < F.col("max_size_at_x"))
+        )
+        .select(
+            F.col("p_brand").alias("s_brand"),
+            F.col("price").alias("s_price"),
+            "max_size_at_x",
+        )
+    )
+    return (
+        part.join(
+            F.broadcast(surv),
+            on=[
+                part["p_brand"] == F.col("s_brand"),
+                part["p_retailprice"] == F.col("s_price"),
+            ],
+        )
+        .filter(F.col("p_size") == F.col("max_size_at_x"))
+        .select(
+            "p_brand",
+            "p_partkey",
+            "p_name",
+            F.round("p_retailprice", 2).cast("double").alias("price"),
+            F.col("p_size").cast("long").alias("size"),
+        )
+        .orderBy("p_brand", "price", "p_partkey")
+    )

@@ -1137,3 +1137,183 @@ def q_session_revenue_by_duration(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("duration_bucket_min")
     )
+
+
+# ---------------------------------------------------------------------------
+# Survival analysis: Kaplan-Meier estimator over customer lifetimes.
+# ---------------------------------------------------------------------------
+
+_KM_CHURN_DAYS = 90
+
+
+def _km_oracle() -> str:
+    return f"""
+    WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS m FROM orders),
+    per_c AS (
+        SELECT o_custkey,
+               CAST(MAX(CAST(o_orderdate AS DATE)) - MIN(CAST(o_orderdate AS DATE)) AS BIGINT) AS dur,
+               CASE WHEN CAST((SELECT m FROM mx) - MAX(CAST(o_orderdate AS DATE)) AS BIGINT)
+                         > {_KM_CHURN_DAYS} THEN 1 ELSE 0 END AS is_event
+        FROM orders GROUP BY o_custkey
+    ),
+    by_t AS (
+        SELECT dur, CAST(SUM(is_event) AS BIGINT) AS d,
+               CAST(COUNT(*) - SUM(is_event) AS BIGINT) AS c
+        FROM per_c GROUP BY dur
+    ),
+    ord AS (
+        SELECT dur, d, c,
+               CAST((SELECT COUNT(*) FROM per_c) - COALESCE(SUM(d + c) OVER (
+                   ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS at_risk
+        FROM by_t
+    )
+    SELECT dur AS duration_days, at_risk, d AS events, c AS censored,
+           CAST(ROUND(EXP(CAST(SUM(CAST(ROUND(LN(1.0 - d * 1.0 / at_risk), 6)
+                    AS DECIMAL(25,6))) OVER (
+                ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE)), 6) AS DOUBLE) AS survival
+    FROM ord WHERE d > 0 ORDER BY duration_days
+    """
+
+
+@register("q_kaplan_meier_customer_lifetime", oracle=_km_oracle())
+def q_kaplan_meier_customer_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve over customer lifetimes (days from
+    first to last order), right-censored for customers still active
+    within ``_KM_CHURN_DAYS`` of the corpus' last order date.
+
+    The estimator is two aggregations plus one ordered pass: lifetimes
+    per customer (groupBy custkey — the big shuffle, key-partitioned),
+    death/censor counts per distinct duration (domain-bounded: days,
+    not customers), then at-risk counts and the cumulative product via
+    a window over the tiny distinct-duration table. The cumprod runs
+    as exp(cumsum(ln)) with each ln term rounded to 6dp and accumulated
+    in DECIMAL(25,6) so both engines sum identically (the established
+    determinism idiom for ln/exp-derived terms).
+    """
+    from etl_pipeline_project_auraverse_spark.queries._util import DEC, persist_tracked
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("od")
+    )
+    mx = orders.agg(F.max("od").alias("m"))
+    per_c = (
+        orders.groupBy("o_custkey")
+        .agg(F.min("od").alias("f"), F.max("od").alias("l"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.datediff("l", "f").cast("long").alias("dur"),
+            F.when(F.datediff("m", "l") > _KM_CHURN_DAYS, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("is_event"),
+        )
+    )
+    per_c = persist_tracked(per_c)
+    n_total = per_c.groupBy().agg(F.count("*").alias("n_total"))
+    by_t = per_c.groupBy("dur").agg(
+        F.sum("is_event").cast("long").alias("d"),
+        (F.count("*") - F.sum("is_event")).cast("long").alias("c"),
+    )
+    w_prev = W.orderBy("dur").rowsBetween(W.unboundedPreceding, -1)
+    w_cum = W.orderBy("dur").rowsBetween(W.unboundedPreceding, W.currentRow)
+    ord_t = by_t.crossJoin(F.broadcast(n_total)).withColumn(
+        "at_risk",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0))
+        ).cast("long"),
+    )
+    events = ord_t.filter(F.col("d") > 0).withColumn(
+        "ln_term",
+        F.round(F.log(1.0 - F.col("d") * 1.0 / F.col("at_risk")), 6).cast(DEC),
+    )
+    return (
+        events.withColumn(
+            "survival",
+            F.round(F.exp(F.sum("ln_term").over(w_cum).cast("double")), 6).cast("double"),
+        )
+        .select(
+            F.col("dur").alias("duration_days"),
+            "at_risk",
+            F.col("d").alias("events"),
+            F.col("c").alias("censored"),
+            "survival",
+        )
+        .orderBy("duration_days")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Truncated-lag EWMA over the daily revenue series.
+# ---------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.3
+_EWMA_LAGS = 14
+# Weights as shared literal constants: both engines multiply the same
+# rounded double by the same daily revenue, so every product is
+# bit-identical before the decimal accumulation.
+_EWMA_W = [round(_EWMA_ALPHA * (1.0 - _EWMA_ALPHA) ** k, 9) for k in range(_EWMA_LAGS)]
+
+
+def _ewma_oracle() -> str:
+    num = " + ".join(
+        f"CAST(ROUND(COALESCE(LAG(revenue, {k}) OVER w, 0) * {w!r}, 6) AS DECIMAL(25,6))"
+        for k, w in enumerate(_EWMA_W)
+    )
+    den = " + ".join(
+        f"CAST(CASE WHEN LAG(revenue, {k}) OVER w IS NULL THEN 0 ELSE {w!r} END AS DECIMAL(25,6))"
+        for k, w in enumerate(_EWMA_W)
+    )
+    return f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               {sql_dec_sum('o_totalprice', 2)} AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day, revenue,
+           CAST(ROUND(CAST(({num}) AS DOUBLE) / CAST(({den}) AS DOUBLE), 4)
+                AS DOUBLE) AS ewma
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY day
+    """
+
+
+@register("q_ewma_daily_revenue", oracle=_ewma_oracle())
+def q_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily revenue with an
+    explicit 14-lag truncation — the scale-honest EWMA: the recursive
+    form needs a sequential scan, but truncating at K lags (weight mass
+    1-(1-a)^K ≈ 99.3%) makes it a bounded window expression that runs
+    inside whole-stage codegen. Weights are shared literal constants
+    rounded to 9dp; each weightxrevenue product is rounded to 6dp and
+    accumulated in DECIMAL(25,6), so partial-window renormalization
+    (early days with < K lags) is deterministic in both engines. The
+    window is global but domain-bounded (one row per calendar day).
+    """
+    from etl_pipeline_project_auraverse_spark.queries._util import DEC
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        dec_sum("o_totalprice", 2).alias("revenue")
+    )
+    w = W.orderBy("day")
+    num = None
+    den = None
+    for k, wt in enumerate(_EWMA_W):
+        lagged = F.lag("revenue", k).over(w)
+        term = F.round(F.coalesce(lagged, F.lit(0.0)) * F.lit(wt), 6).cast(DEC)
+        dterm = F.when(lagged.isNull(), F.lit(0.0)).otherwise(F.lit(wt)).cast(DEC)
+        num = term if num is None else num + term
+        den = dterm if den is None else den + dterm
+    return (
+        daily.select(
+            F.col("day").cast("timestamp").alias("day"),
+            "revenue",
+            F.round(num.cast("double") / den.cast("double"), 4)
+            .cast("double")
+            .alias("ewma"),
+        )
+        .orderBy("day")
+    )
