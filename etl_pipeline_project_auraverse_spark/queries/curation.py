@@ -1526,3 +1526,90 @@ def q_negative_sampling_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey", "neg_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source quantile normalization.
+# ---------------------------------------------------------------------------
+
+_QNORM_K = 20
+
+
+def _qnorm_oracle() -> str:
+    return f"""
+    WITH ranked AS (
+        SELECT source, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS r,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM documents
+    ), by_bucket AS (
+        SELECT source,
+               CAST((r * {_QNORM_K} + n - 1) // n AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(ROUND(CAST(SUM(CAST(n_chars AS DECIMAL(25,6))) AS DOUBLE)
+                    / COUNT(*), 4) AS DOUBLE) AS raw_mean
+        FROM ranked GROUP BY 1, 2
+    ), target AS (
+        SELECT bucket,
+               CAST(ROUND(CAST(SUM(CAST(raw_mean AS DECIMAL(25,6))) AS DOUBLE)
+                    / COUNT(*), 4) AS DOUBLE) AS target_mean
+        FROM by_bucket GROUP BY bucket
+    )
+    SELECT b.source, b.bucket, b.n_rows, b.raw_mean, t.target_mean
+    FROM by_bucket b JOIN target t USING (bucket)
+    ORDER BY b.source, b.bucket
+    """
+
+
+@register("q_quantile_normalize_sources", oracle=_qnorm_oracle())
+def q_quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of per-source document-length
+    distributions — the standard distribution-alignment step before
+    mixing heterogeneous corpora (maps each source's k-th quantile
+    bucket onto the pooled bucket mean, removing source-specific scale
+    and shape while preserving within-source order).
+
+    Plan: rank within source (window partitioned by source — no global
+    sort), integer-exact bucket assignment ``ceil(r*K/n)`` computed as
+    ``(r*K + n - 1) div n`` so both engines bucket identically, then
+    two small aggregations; the per-bucket target table is K rows and
+    broadcast back. At 100 TB the only wide exchange is the per-source
+    window, partitioned on the mixing key.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    win = W.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "source",
+        "n_chars",
+        F.row_number().over(win).alias("r"),
+        F.count("*").over(W.partitionBy("source")).alias("n"),
+    )
+    by_bucket = (
+        ranked.withColumn(
+            "bucket",
+            F.expr(f"(r * {_QNORM_K} + n - 1) div n").cast("long"),
+        )
+        .groupBy("source", "bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.round(
+                F.sum(F.col("n_chars").cast(DEC)).cast("double") / F.count("*"), 4
+            )
+            .cast("double")
+            .alias("raw_mean"),
+        )
+    )
+    by_bucket = persist_tracked(by_bucket)
+    target = by_bucket.groupBy("bucket").agg(
+        F.round(
+            F.sum(F.col("raw_mean").cast(DEC)).cast("double") / F.count("*"), 4
+        )
+        .cast("double")
+        .alias("target_mean")
+    )
+    return (
+        by_bucket.join(F.broadcast(target), "bucket")
+        .select("source", "bucket", "n_rows", "raw_mean", "target_mean")
+        .orderBy("source", "bucket")
+    )

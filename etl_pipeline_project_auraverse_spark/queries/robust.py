@@ -1379,3 +1379,87 @@ def q_chi2_returnflag_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chi2_independence(
         load_table(spark, sf_dir, "lineitem"), _CHI_X, _CHI_Y
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic Poisson bootstrap: resampling at 100 TB without resampling.
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 32
+# Poisson(1) CDF thresholds at 9dp — shared literal constants, so the
+# u -> weight step is the same CASE chain in both engines.
+_POIS1_CDF = [
+    0.367879441, 0.735758882, 0.919698603, 0.981011843,
+    0.996340153, 0.999405815, 0.999916759, 0.999989751,
+]
+_H28_DENOM = float(1 << 28)
+
+
+def _bootstrap_oracle() -> str:
+    case = "CASE " + " ".join(
+        f"WHEN u < {t!r} THEN {k}" for k, t in enumerate(_POIS1_CDF)
+    ) + f" ELSE {len(_POIS1_CDF)} END"
+    return f"""
+    WITH reps AS (
+        SELECT o.o_totalprice,
+               b.b,
+               ('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR) || ':' ||
+                                   CAST(b.b AS VARCHAR)), 1, 7))::BIGINT
+                   / {_H28_DENOM!r} AS u
+        FROM orders o CROSS JOIN (SELECT unnest(range({_BOOT_B})) AS b) b
+    ), weighted AS (
+        SELECT b, {case} AS w, o_totalprice FROM reps
+    )
+    SELECT CAST(b AS BIGINT) AS replicate,
+           CAST(SUM(w) AS BIGINT) AS n_eff,
+           CAST(ROUND(CAST(SUM(CAST(ROUND(w * o_totalprice, 6) AS DECIMAL(25,6)))
+                AS DOUBLE) / SUM(w), 4) AS DOUBLE) AS boot_mean
+    FROM weighted GROUP BY b ORDER BY replicate
+    """
+
+
+@register("q_bootstrap_poisson_mean_price", oracle=_bootstrap_oracle())
+def q_bootstrap_poisson_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap of the mean order price: each of B=32
+    replicates reweights every order by an independent Poisson(1)
+    count — the streaming-safe bootstrap (Chamandy et al.'s "Estimating
+    uncertainty for massive data streams"), which needs no sampling
+    pass, no global row index and no shuffle beyond a 32-group
+    aggregate with map-side partials.
+
+    Determinism: the Poisson draw inverts a shared 9dp CDF table at a
+    portable md5-derived uniform (h28 / 2^28), so Spark and DuckDB draw
+    IDENTICAL weights; the weighted sums accumulate in DECIMAL(25,6).
+    At 100 TB the explode is map-side (x32 rows inside the scan stage)
+    and the aggregate is 32 groups — the replicate CI costs one pass.
+    """
+    from etl_pipeline_project_auraverse_spark.functions.text import h28
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    reps = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    ).withColumn(
+        "u",
+        h28(F.concat(F.col("o_orderkey").cast("string"), F.lit(":"), F.col("b").cast("string")))
+        / F.lit(_H28_DENOM),
+    )
+    w = F.lit(len(_POIS1_CDF))
+    for k in range(len(_POIS1_CDF) - 1, -1, -1):
+        w = F.when(F.col("u") < _POIS1_CDF[k], F.lit(k)).otherwise(w)
+    weighted = reps.withColumn("w", w)
+    return (
+        weighted.groupBy(F.col("b").cast("long").alias("replicate"))
+        .agg(
+            F.sum("w").cast("long").alias("n_eff"),
+            F.round(
+                F.sum(F.round(F.col("w") * F.col("o_totalprice"), 6).cast(DEC)).cast("double")
+                / F.sum("w"),
+                4,
+            )
+            .cast("double")
+            .alias("boot_mean"),
+        )
+        .orderBy("replicate")
+    )

@@ -24,7 +24,13 @@ from etl_pipeline_project_auraverse_spark.functions.text import (
     words,
 )
 from etl_pipeline_project_auraverse_spark.queries import register
-from etl_pipeline_project_auraverse_spark.queries._util import dec_avg, parallelize, sql_dec_avg
+from etl_pipeline_project_auraverse_spark.queries._util import (
+    DEC,
+    dec_avg,
+    parallelize,
+    persist_tracked,
+    sql_dec_avg,
+)
 from etl_pipeline_project_auraverse_spark.session import load_table
 
 # DuckDB twins of the functions.text building blocks
@@ -1078,4 +1084,109 @@ def q_text_nfc_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("chars_removed"),
         )
         .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction (Rose et al., "Automatic keyword extraction
+# from individual documents") — corpus-level variant.
+# ---------------------------------------------------------------------------
+
+# Delimiters: stopwords or sentence punctuation, surrounded by optional
+# whitespace. Restricted to the regex subset Java and RE2 agree on.
+_RAKE_DELIM = r"\s*\b(?:the|a|of|to|and|in|is)\b\s*|\s*[.,!?;:]\s*"
+_RAKE_MAX_LEN = 4
+_RAKE_TOP = 30
+
+
+def _rake_oracle() -> str:
+    return f"""
+    WITH phrase_inst AS (
+        SELECT trim(p) AS phrase
+        FROM documents,
+             unnest(regexp_split_to_array(lower(text), '{_RAKE_DELIM}')) AS t(p)
+        WHERE trim(p) <> ''
+          AND len(regexp_split_to_array(trim(p), '\\s+')) BETWEEN 1 AND {_RAKE_MAX_LEN}
+    ), phrases AS (
+        SELECT phrase,
+               CAST(COUNT(*) AS BIGINT) AS n_occ,
+               CAST(len(regexp_split_to_array(phrase, '\\s+')) AS BIGINT) AS plen
+        FROM phrase_inst GROUP BY phrase
+    ), word_occ AS (
+        SELECT w AS word, phrase, n_occ, plen
+        FROM phrases, unnest(regexp_split_to_array(phrase, '\\s+')) AS t(w)
+    ), word_stats AS (
+        SELECT word,
+               CAST(SUM(n_occ) AS BIGINT) AS freq,
+               CAST(SUM(n_occ * plen) AS BIGINT) AS degree
+        FROM word_occ GROUP BY word
+    )
+    SELECT o.phrase,
+           MIN(p.n_occ) AS n_occ,
+           CAST(ROUND(CAST(SUM(CAST(ROUND(s.degree * 1.0 / s.freq, 6)
+                AS DECIMAL(25,6))) AS DOUBLE), 4) AS DOUBLE) AS rake_score
+    FROM word_occ o
+    JOIN word_stats s USING (word)
+    JOIN phrases p ON p.phrase = o.phrase
+    GROUP BY o.phrase
+    ORDER BY rake_score DESC, o.phrase
+    LIMIT {_RAKE_TOP}
+    """
+
+
+@register("q_rake_keywords", oracle=_rake_oracle())
+def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level RAKE keywords: candidate phrases are maximal runs
+    between stopword/punctuation delimiters; each word scores
+    degree/frequency over phrase co-occurrence; a phrase scores the sum
+    of its member words' scores.
+
+    Plan: one explode to phrase instances (map-side), a phrase-keyed
+    aggregate, one explode to (word, phrase) pairs, a word-keyed
+    aggregate whose result is vocabulary-sized and broadcast back, then
+    a phrase-keyed score sum and a global top-k (TakeOrdered — never a
+    full sort). Word scores are shared-literal double divisions rounded
+    to 6dp before DECIMAL accumulation, so both engines rank phrases
+    identically.
+    """
+    docs = parallelize(load_table(spark, sf_dir, "documents").select("text"))
+    inst = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), _RAKE_DELIM)).alias("p")
+        )
+        .select(F.trim(F.col("p")).alias("phrase"))
+        .filter(F.col("phrase") != "")
+        .filter(F.size(F.split(F.col("phrase"), r"\s+")) <= _RAKE_MAX_LEN)
+    )
+    phrases = inst.groupBy("phrase").agg(F.count("*").cast("long").alias("n_occ"))
+    phrases = phrases.withColumn(
+        "plen", F.size(F.split(F.col("phrase"), r"\s+")).cast("long")
+    )
+    phrases = persist_tracked(phrases)
+    word_occ = phrases.select(
+        "phrase",
+        "n_occ",
+        "plen",
+        F.explode(F.split(F.col("phrase"), r"\s+")).alias("word"),
+    )
+    word_stats = word_occ.groupBy("word").agg(
+        F.sum("n_occ").cast("long").alias("freq"),
+        F.sum(F.col("n_occ") * F.col("plen")).cast("long").alias("degree"),
+    )
+    return (
+        word_occ.join(F.broadcast(word_stats), "word")
+        .groupBy("phrase")
+        .agg(
+            F.min("n_occ").alias("n_occ"),
+            F.round(
+                F.sum(
+                    F.round(F.col("degree") * 1.0 / F.col("freq"), 6).cast(DEC)
+                ).cast("double"),
+                4,
+            )
+            .cast("double")
+            .alias("rake_score"),
+        )
+        .orderBy(F.desc("rake_score"), "phrase")
+        .limit(_RAKE_TOP)
     )
