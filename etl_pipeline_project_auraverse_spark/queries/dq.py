@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from etl_pipeline_project_auraverse_spark.operators.dq import (
     accepted_values,
@@ -261,4 +262,75 @@ def q_kanonymity_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("class_size") < KANON_K).alias("below_k"),
         )
         .orderBy("class_size")
+    )
+
+
+L_DIVERSITY = 3
+
+
+@register(
+    "q_ldiversity_order_priority",
+    oracle=f"""
+    WITH joined AS (
+        SELECT c.c_nationkey, c.c_mktsegment, o.o_orderpriority AS sensitive
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), per_sv AS (
+        SELECT c_nationkey, c_mktsegment, sensitive, COUNT(*) AS cnt
+        FROM joined GROUP BY 1, 2, 3
+    ), shares AS (
+        SELECT c_nationkey, c_mktsegment, cnt,
+               cnt * 1.0 / SUM(cnt) OVER (
+                   PARTITION BY c_nationkey, c_mktsegment) AS p
+        FROM per_sv
+    )
+    SELECT c_nationkey, c_mktsegment,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS distinct_l,
+           CAST(ROUND(EXP(CAST(SUM(CAST(ROUND(-p * LN(p), 6)
+                AS DECIMAL(25,6))) AS DOUBLE)), 4) AS DOUBLE) AS entropy_l,
+           (COUNT(*) >= {L_DIVERSITY}) AS meets_l
+    FROM shares
+    GROUP BY c_nationkey, c_mktsegment
+    ORDER BY c_nationkey, c_mktsegment
+    """,
+)
+def q_ldiversity_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit: for each quasi-identifier class (nation,
+    segment), how many DISTINCT sensitive values (order priority)
+    appear, plus entropy l-diversity exp(H) — the privacy check that
+    k-anonymity alone misses (a class can be large yet reveal its
+    sensitive value if every row agrees).
+
+    Plan: one equi-join on custkey, one aggregate to (class, sensitive)
+    counts (the QI-class domain is small; the groupBy's partial
+    aggregation collapses rows map-side), then a class-partitioned
+    window for the within-class shares and a final class aggregate.
+    The -p*ln(p) terms round to 6dp before DECIMAL accumulation (the
+    ln-determinism idiom).
+    """
+    from etl_pipeline_project_auraverse_spark.queries._util import DEC
+
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    per_sv = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_nationkey", "c_mktsegment", F.col("o_orderpriority").alias("sensitive"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    wcls = W.partitionBy("c_nationkey", "c_mktsegment")
+    p = F.col("cnt") * 1.0 / F.sum("cnt").over(wcls)
+    terms = per_sv.withColumn("h_term", F.round(-p * F.log(p), 6).cast(DEC))
+    return (
+        terms.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.count("*").cast("long").alias("distinct_l"),
+            F.round(F.exp(F.sum("h_term").cast("double")), 4)
+            .cast("double")
+            .alias("entropy_l"),
+            (F.count("*") >= L_DIVERSITY).alias("meets_l"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
     )

@@ -1321,3 +1321,61 @@ def q_markov_stationary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t").alias("event_type"),
         F.col("pi").cast("double").alias("stationary_prob"),
     ).orderBy("event_type")
+
+
+@register(
+    "q_event_trigrams",
+    oracle="""
+    WITH nxt AS (
+        SELECT event_type AS t1,
+               LEAD(event_type, 1) OVER w AS t2,
+               LEAD(event_type, 2) OVER w AS t3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    tri AS (SELECT t1, t2, t3 FROM nxt WHERE t3 IS NOT NULL),
+    pre AS (SELECT t1, t2, COUNT(*) AS n_prefix FROM tri GROUP BY t1, t2)
+    SELECT r.t1, r.t2, r.t3, COUNT(*) AS n,
+           CAST(ROUND(COUNT(*) * 1.0 / MAX(p.n_prefix), 6) AS DOUBLE)
+               AS prob_given_prefix
+    FROM tri r JOIN pre p USING (t1, t2)
+    GROUP BY r.t1, r.t2, r.t3
+    ORDER BY t1, t2, t3
+    """,
+)
+def q_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-3 sequential patterns: consecutive event-type triples per
+    user timeline with the conditional probability P(t3 | t1,t2) — the
+    order-2 Markov extension of ``q_event_type_transitions``.
+
+    Plan: ONE user-partitioned window pass emits both leads (no
+    self-joins — the naive sequential-pattern join is quadratic), then
+    two counts over the tiny |types|^3 domain; the prefix table
+    broadcasts. The window shuffle is the only wide exchange and is
+    keyed on user_id, the same partitioning every sequence query
+    reuses.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        ev.select(
+            F.col("event_type").alias("t1"),
+            F.lead("event_type", 1).over(w).alias("t2"),
+            F.lead("event_type", 2).over(w).alias("t3"),
+        )
+        .filter(F.col("t3").isNotNull())
+    )
+    pre = tri.groupBy("t1", "t2").agg(F.count("*").alias("n_prefix"))
+    return (
+        tri.groupBy("t1", "t2", "t3")
+        .agg(F.count("*").alias("n"))
+        .join(F.broadcast(pre), ["t1", "t2"])
+        .select(
+            "t1",
+            "t2",
+            "t3",
+            "n",
+            F.round(F.col("n") / F.col("n_prefix"), 6).alias("prob_given_prefix"),
+        )
+        .orderBy("t1", "t2", "t3")
+    )
