@@ -804,3 +804,108 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("part_b").alias("u"), F.col("part_a").alias("v"), "w")
     )
     return community_sizes(lpa_labels(en, LPA_ITERS), LPA_TOP)
+
+
+# ---------------------------------------------------------------------------
+# ALS half-step: closed-form user-factor solve against frozen item
+# factors (rank 2). The distributed heart of alternating least squares.
+# ---------------------------------------------------------------------------
+
+_ALS_LAMBDA = 0.1
+_ALS_H28 = float(1 << 28)
+
+
+def _als_oracle() -> str:
+    v = lambda suf: (  # noqa: E731
+        f"ROUND(('0x' || substr(md5(CAST(l_partkey AS VARCHAR) || ':{suf}'), 1, 7))"
+        f"::BIGINT / {_ALS_H28!r}, 6)"
+    )
+    return f"""
+    WITH ratings AS (
+        SELECT o.o_custkey AS custkey, l.l_partkey,
+               CAST(COUNT(*) AS BIGINT) AS r
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    ), feat AS (
+        SELECT custkey, r, {v('a')} AS v1, {v('b')} AS v2 FROM ratings
+    ), normal_eq AS (
+        SELECT custkey,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(ROUND(v1 * v1, 6) AS DECIMAL(25,6))) AS DOUBLE) AS a11,
+               CAST(SUM(CAST(ROUND(v1 * v2, 6) AS DECIMAL(25,6))) AS DOUBLE) AS a12,
+               CAST(SUM(CAST(ROUND(v2 * v2, 6) AS DECIMAL(25,6))) AS DOUBLE) AS a22,
+               CAST(SUM(CAST(ROUND(r * v1, 6) AS DECIMAL(25,6))) AS DOUBLE) AS b1,
+               CAST(SUM(CAST(ROUND(r * v2, 6) AS DECIMAL(25,6))) AS DOUBLE) AS b2
+        FROM feat GROUP BY custkey
+    )
+    SELECT custkey, n_items,
+           CAST(ROUND(((a22 + {_ALS_LAMBDA!r}) * b1 - a12 * b2)
+                / ((a11 + {_ALS_LAMBDA!r}) * (a22 + {_ALS_LAMBDA!r}) - a12 * a12),
+                6) AS DOUBLE) AS u1,
+           CAST(ROUND(((a11 + {_ALS_LAMBDA!r}) * b2 - a12 * b1)
+                / ((a11 + {_ALS_LAMBDA!r}) * (a22 + {_ALS_LAMBDA!r}) - a12 * a12),
+                6) AS DOUBLE) AS u2
+    FROM normal_eq
+    ORDER BY custkey
+    """
+
+
+@register("q_als_user_step", oracle=_als_oracle())
+def q_als_user_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact ALS half-step for implicit-feedback matrix
+    factorization (rank 2): against frozen, hash-seeded item factors,
+    solve each user's regularized normal equations (X^T X + lambda*I) u
+    = X^T r in closed form via the 2x2 adjugate.
+
+    This is exactly how distributed ALS iterates at scale (Spark
+    MLlib's own ALS shards the same normal-equation solve): NO gradient
+    loop, NO driver state — one groupBy(custkey, partkey) for ratings,
+    then item factors derived INLINE from the part key (zero join: the
+    factor "table" is a pure hash function of the key), then one
+    groupBy(custkey) accumulating the five normal-equation sums in
+    DECIMAL(25,6). The closed-form divide runs on bit-identical doubles
+    in both engines. The item half-step is the same query transposed.
+    """
+    from etl_pipeline_project_auraverse_spark.functions.text import h28
+    from etl_pipeline_project_auraverse_spark.queries._util import DEC
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    ratings = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(F.col("o_custkey").alias("custkey"), "l_partkey")
+        .agg(F.count("*").cast("long").alias("r"))
+    )
+
+    def v(suf: str):
+        return F.round(
+            h28(F.concat(F.col("l_partkey").cast("string"), F.lit(f":{suf}")))
+            / F.lit(_ALS_H28),
+            6,
+        )
+
+    feat = ratings.select("custkey", "r", v("a").alias("v1"), v("b").alias("v2"))
+
+    def dsum(expr):
+        return F.sum(F.round(expr, 6).cast(DEC)).cast("double")
+
+    eq = feat.groupBy("custkey").agg(
+        F.count("*").cast("long").alias("n_items"),
+        dsum(F.col("v1") * F.col("v1")).alias("a11"),
+        dsum(F.col("v1") * F.col("v2")).alias("a12"),
+        dsum(F.col("v2") * F.col("v2")).alias("a22"),
+        dsum(F.col("r") * F.col("v1")).alias("b1"),
+        dsum(F.col("r") * F.col("v2")).alias("b2"),
+    )
+    lam = F.lit(_ALS_LAMBDA)
+    det = (F.col("a11") + lam) * (F.col("a22") + lam) - F.col("a12") * F.col("a12")
+    return eq.select(
+        "custkey",
+        "n_items",
+        F.round(((F.col("a22") + lam) * F.col("b1") - F.col("a12") * F.col("b2")) / det, 6)
+        .cast("double")
+        .alias("u1"),
+        F.round(((F.col("a11") + lam) * F.col("b2") - F.col("a12") * F.col("b1")) / det, 6)
+        .cast("double")
+        .alias("u2"),
+    ).orderBy("custkey")

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from etl_pipeline_project_auraverse_spark.operators.order_stats import (
     exact_group_percentiles,
@@ -1462,4 +1463,105 @@ def q_bootstrap_poisson_mean_price(spark: SparkSession, sf_dir: str) -> DataFram
             .alias("boot_mean"),
         )
         .orderBy("replicate")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 1-D Wasserstein (earth-mover) distance between price distributions.
+# ---------------------------------------------------------------------------
+
+_W1_LO, _W1_HI, _W1_BINS = 0.0, 110000.0, 256
+_W1_WIDTH = (_W1_HI - _W1_LO) / _W1_BINS  # exactly representable: 429.6875
+
+
+def _wasserstein_oracle() -> str:
+    def term(f1: str, f2: str) -> str:
+        return (
+            f"CAST(ROUND(ROUND(ABS(c_{f1} * 1.0 / t_{f1} - c_{f2} * 1.0 / t_{f2}), 6)"
+            f" * {_W1_WIDTH!r}, 6) AS DECIMAL(25,6))"
+        )
+
+    return f"""
+    WITH binned AS (
+        SELECT l_returnflag,
+               CAST(LEAST(FLOOR(l_extendedprice / {_W1_WIDTH!r}),
+                          {_W1_BINS - 1}) AS BIGINT) AS bin
+        FROM lineitem
+    ), counts AS (
+        SELECT bin,
+               SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS b_r,
+               SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS b_a,
+               SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS b_n
+        FROM binned GROUP BY bin
+    ), cums AS (
+        SELECT bin,
+               SUM(b_r) OVER c AS c_r, SUM(b_a) OVER c AS c_a,
+               SUM(b_n) OVER c AS c_n,
+               SUM(b_r) OVER () AS t_r, SUM(b_a) OVER () AS t_a,
+               SUM(b_n) OVER () AS t_n
+        FROM counts
+        WINDOW c AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    )
+    SELECT CAST(ROUND(CAST(SUM({term('r', 'a')}) AS DOUBLE), 4) AS DOUBLE) AS w1_r_a,
+           CAST(ROUND(CAST(SUM({term('r', 'n')}) AS DOUBLE), 4) AS DOUBLE) AS w1_r_n,
+           CAST(ROUND(CAST(SUM({term('a', 'n')}) AS DOUBLE), 4) AS DOUBLE) AS w1_a_n,
+           CAST(MAX(t_r) AS BIGINT) AS n_r,
+           CAST(MAX(t_a) AS BIGINT) AS n_a,
+           CAST(MAX(t_n) AS BIGINT) AS n_n
+    FROM cums
+    """
+
+
+@register("q_wasserstein_price_by_returnflag", oracle=_wasserstein_oracle())
+def q_wasserstein_price_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise 1-D Wasserstein-1 (earth-mover) distances between the
+    three return-flag price distributions — the integral companion to
+    the KS sup-statistic (``q_ks_price_by_returnflag``): W1 = integral
+    |F1 - F2| dx over a fixed 256-bin grid.
+
+    Scale shape: bin assignment is map-side arithmetic; the aggregate
+    collapses to <= 256 rows BEFORE the ordered CDF window runs, so the
+    single-partition window input is grid-bounded, never data-bounded
+    (the same argument as the equi-depth histogram family). CDF shares
+    are double divisions of exact counts; |diff|*width terms round to
+    6dp and accumulate in DECIMAL(25,6).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    binned = li.select(
+        "l_returnflag",
+        F.least(
+            F.floor(F.col("l_extendedprice") / _W1_WIDTH), F.lit(_W1_BINS - 1)
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+    counts = binned.groupBy("bin").agg(
+        *[
+            F.sum(F.when(F.col("l_returnflag") == f, 1).otherwise(0)).alias(f"b_{f.lower()}")
+            for f in ("R", "A", "N")
+        ]
+    )
+    w_cum = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_all = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    cums = counts.select(
+        "bin",
+        *[F.sum(f"b_{f}").over(w_cum).alias(f"c_{f}") for f in ("r", "a", "n")],
+        *[F.sum(f"b_{f}").over(w_all).alias(f"t_{f}") for f in ("r", "a", "n")],
+    )
+
+    def term(f1: str, f2: str):
+        d = F.abs(
+            F.col(f"c_{f1}") * 1.0 / F.col(f"t_{f1}")
+            - F.col(f"c_{f2}") * 1.0 / F.col(f"t_{f2}")
+        )
+        return F.round(F.round(d, 6) * F.lit(_W1_WIDTH), 6).cast(DEC)
+
+    return cums.agg(
+        F.round(F.sum(term("r", "a")).cast("double"), 4).cast("double").alias("w1_r_a"),
+        F.round(F.sum(term("r", "n")).cast("double"), 4).cast("double").alias("w1_r_n"),
+        F.round(F.sum(term("a", "n")).cast("double"), 4).cast("double").alias("w1_a_n"),
+        F.max("t_r").cast("long").alias("n_r"),
+        F.max("t_a").cast("long").alias("n_a"),
+        F.max("t_n").cast("long").alias("n_n"),
     )
