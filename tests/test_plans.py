@@ -278,24 +278,32 @@ def test_decontam_eval_side_is_broadcast(q):
 # Windows whose input is bounded BY CONSTRUCTION — the only allowed
 # unpartitioned windows in the engine. Anything else funnels the whole
 # input through one task at scale and must fail this test.
+# name -> expected number of bounded global windows in the plan.
 BOUNDED_GLOBAL_WINDOW_OK = {
     # calendar spine: row count = days between min/max event ts
-    "q_gapfill_daily_purchases",
+    "q_gapfill_daily_purchases": 1,
     # hard pre-filter to o_custkey < 10 before the moving average
-    "q_window_moving_avg_price",
+    "q_window_moving_avg_price": 1,
     # global max over the already-aggregated per-supplier table
-    "q15_top_supplier",
+    "q15_top_supplier": 1,
     # rolling median over the per-day aggregate: input bounded by
     # calendar length, same argument as the gapfill spine
-    "q_rolling_median_daily_revenue",
+    "q_rolling_median_daily_revenue": 1,
     # cumulative running sum over the per-day aggregate (calendar-bounded)
-    "q_daily_users_new_returning",
+    "q_daily_users_new_returning": 1,
     # rank over the LIMIT-bounded top-N word-count table
-    "q_zipf_word_fit",
+    "q_zipf_word_fit": 1,
     # running sum over the 10-row decile aggregate
-    "q_revenue_concentration_deciles",
+    "q_revenue_concentration_deciles": 1,
     # global rank over the <= k*SHARDS two-level top-k survivors
-    "q_bm25_search",
+    "q_bm25_search": 1,
+    # at-risk + cumprod windows over the distinct-duration table: input
+    # bounded by calendar length (days), not by customer count
+    "q_kaplan_meier_customer_lifetime": 2,
+    # 14-lag window over the per-day aggregate (calendar-bounded)
+    "q_ewma_daily_revenue": 1,
+    # CDF window over the <= 256-row fixed bin grid
+    "q_wasserstein_price_by_returnflag": 1,
 }
 
 # Iterative builders whose CONSTRUCTION runs full multi-job loops
@@ -328,7 +336,8 @@ def test_whitelisted_global_windows_still_exist(q):
     queries where it applies.)"""
     for name in sorted(BOUNDED_GLOBAL_WINDOW_OK):
         rep = PI.lint_plan(q(name), allow_unpartitioned_window=True)
-        assert rep.unpartitioned_windows == 1, (name, rep.unpartitioned_windows)
+        want = BOUNDED_GLOBAL_WINDOW_OK[name]
+        assert rep.unpartitioned_windows == want, (name, rep.unpartitioned_windows)
 
 
 def test_split_assignment_is_map_side(q):
