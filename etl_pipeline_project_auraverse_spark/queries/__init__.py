@@ -60,7 +60,13 @@ ORACLE: dict[str, str] = {}
 # q_negative_sampling_parts, q_logreg_auc_calibration,
 # the final-stretch statistical additions (q_welch_ttest_price_returnflag,
 # q_anova_totalprice_by_segment, q_kendall_tau_quantity_discount) and
-# q_lpa_communities,
+# q_lpa_communities, the last-stretch analytics batch
+# (q_skyline_parts_per_brand, q_kaplan_meier_customer_lifetime,
+# q_ewma_daily_revenue, q_bootstrap_poisson_mean_price,
+# q_quantile_normalize_sources, q_rake_keywords, q_als_user_step,
+# q_event_trigrams, q_ldiversity_order_priority,
+# q_wasserstein_price_by_returnflag, q_gini_customer_revenue,
+# q_source_lang_jsd, q_text_nfc_cleanup, q_salted_event_type_stats),
 # and the four r4-attested ANN/embedding
 # entries displaced late in r6 to make room for the new statistical
 # test battery (Spearman/KS/MWU/chi2): q_ann_lsh_multiprobe,
