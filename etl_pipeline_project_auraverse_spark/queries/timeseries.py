@@ -1254,16 +1254,26 @@ _EWMA_LAGS = 14
 # rounded double by the same daily revenue, so every product is
 # bit-identical before the decimal accumulation.
 _EWMA_W = [round(_EWMA_ALPHA * (1.0 - _EWMA_ALPHA) ** k, 9) for k in range(_EWMA_LAGS)]
+# Determinism: everything runs in integer MICRO-UNITS through the
+# floor(x*1e6 + 0.5) idiom — pure IEEE double arithmetic that is
+# bit-identical across engines. ROUND(double, n) is NOT (Spark HALF_UPs
+# the shortest decimal repr, DuckDB std::rounds the scaled binary — they
+# split on exact half-ties, hit at sf0.01), and double->DECIMAL casts
+# diverge too (DuckDB truncates, Spark rounds). Weight micro-units are
+# Python-side integer literals shared by both plans; term integers stay
+# exact (14 terms * 3e12 << 2^53) so the final num/den doubles are
+# bit-identical before the 4dp floor-round.
+_EWMA_W_MICRO = [round(w * 1_000_000) for w in _EWMA_W]
 
 
 def _ewma_oracle() -> str:
     num = " + ".join(
-        f"CAST(ROUND(COALESCE(LAG(revenue, {k}) OVER w, 0) * {w!r}, 6) AS DECIMAL(25,6))"
+        f"CAST(FLOOR(COALESCE(LAG(revenue, {k}) OVER w, 0) * {w!r} * 1000000 + 0.5) AS BIGINT)"
         for k, w in enumerate(_EWMA_W)
     )
     den = " + ".join(
-        f"CAST(CASE WHEN LAG(revenue, {k}) OVER w IS NULL THEN 0 ELSE {w!r} END AS DECIMAL(25,6))"
-        for k, w in enumerate(_EWMA_W)
+        f"CAST(CASE WHEN LAG(revenue, {k}) OVER w IS NULL THEN 0 ELSE {m} END AS BIGINT)"
+        for k, m in enumerate(_EWMA_W_MICRO)
     )
     return f"""
     WITH daily AS (
@@ -1272,8 +1282,11 @@ def _ewma_oracle() -> str:
         FROM orders GROUP BY 1
     )
     SELECT CAST(day AS TIMESTAMP) AS day, revenue,
-           CAST(ROUND(CAST(({num}) AS DOUBLE) / CAST(({den}) AS DOUBLE), 4)
-                AS DOUBLE) AS ewma
+           -- num/den are exact BIGINT micro-unit sums; their double
+           -- quotient is bit-identical across engines, and the 4dp
+           -- floor-round is pure IEEE arithmetic (no ROUND half-ties).
+           CAST(FLOOR(CAST(({num}) AS DOUBLE) / CAST(({den}) AS DOUBLE)
+                      * 10000 + 0.5) / 10000 AS DOUBLE) AS ewma
     FROM daily
     WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     ORDER BY day
@@ -1287,13 +1300,12 @@ def q_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     form needs a sequential scan, but truncating at K lags (weight mass
     1-(1-a)^K ≈ 99.3%) makes it a bounded window expression that runs
     inside whole-stage codegen. Weights are shared literal constants
-    rounded to 9dp; each weightxrevenue product is rounded to 6dp and
-    accumulated in DECIMAL(25,6), so partial-window renormalization
-    (early days with < K lags) is deterministic in both engines. The
+    rounded to 9dp; every weightxrevenue term is floored into integer
+    micro-units (bit-identical IEEE arithmetic in both engines — see
+    the determinism note above ``_EWMA_W_MICRO``), so partial-window
+    renormalization (early days with < K lags) is deterministic. The
     window is global but domain-bounded (one row per calendar day).
     """
-    from etl_pipeline_project_auraverse_spark.queries._util import DEC
-
     orders = load_table(spark, sf_dir, "orders")
     daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
         dec_sum("o_totalprice", 2).alias("revenue")
@@ -1301,17 +1313,24 @@ def q_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.orderBy("day")
     num = None
     den = None
-    for k, wt in enumerate(_EWMA_W):
+    for k, (wt, micro) in enumerate(zip(_EWMA_W, _EWMA_W_MICRO)):
         lagged = F.lag("revenue", k).over(w)
-        term = F.round(F.coalesce(lagged, F.lit(0.0)) * F.lit(wt), 6).cast(DEC)
-        dterm = F.when(lagged.isNull(), F.lit(0.0)).otherwise(F.lit(wt)).cast(DEC)
+        term = F.floor(
+            F.coalesce(lagged, F.lit(0.0)) * F.lit(wt) * F.lit(1000000.0) + F.lit(0.5)
+        ).cast("long")
+        dterm = F.when(lagged.isNull(), F.lit(0)).otherwise(F.lit(micro)).cast("long")
         num = term if num is None else num + term
         den = dterm if den is None else den + dterm
     return (
         daily.select(
             F.col("day").cast("timestamp").alias("day"),
             "revenue",
-            F.round(num.cast("double") / den.cast("double"), 4)
+            # floor(x*1e4 + 0.5)/1e4, not round(x, 4): see the oracle
+            # comment — ROUND half-ties diverge across engines.
+            (
+                F.floor(num.cast("double") / den.cast("double") * F.lit(10000.0) + F.lit(0.5))
+                / F.lit(10000.0)
+            )
             .cast("double")
             .alias("ewma"),
         )
