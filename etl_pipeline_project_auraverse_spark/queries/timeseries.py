@@ -1336,3 +1336,81 @@ def q_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming batch twins: these two queries run the ACTUAL functions
+# from ``streaming/events.py`` (the same code a ``readStream`` plan
+# executes) over a bounded scan, so the streaming operators' semantics
+# get DuckDB-oracle gate coverage even though a live stream can't.
+# ``withWatermark`` is a documented no-op on a batch DataFrame, and
+# decimal value accumulation inside the helpers makes the answer
+# independent of micro-batch fold order — which is exactly why the
+# batch and streaming answers coincide bit-for-bit
+# (``tests/test_streaming.py`` asserts the stream side).
+# ---------------------------------------------------------------------------
+@register(
+    "q_stream_twin_tumbling_counts",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL 6 HOUR, ts) AS win_start,
+           time_bucket(INTERVAL 6 HOUR, ts) + INTERVAL 6 HOUR AS win_end,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_dec_sum('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    ORDER BY win_start, event_type
+    """,
+)
+def q_stream_twin_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``streaming.events.windowed_event_counts`` on a bounded scan."""
+    from etl_pipeline_project_auraverse_spark.streaming.events import (
+        windowed_event_counts,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return windowed_event_counts(ev, window="6 hours", watermark="1 hour").orderBy(
+        "win_start", "event_type"
+    )
+
+
+# Spark's session_window merges half-open [ts, ts+gap) intervals, so
+# on a sorted per-user stream a NEW session starts exactly when
+# ts - prev_ts >= gap (>= — not > — unlike the lag-based
+# q_sessionize_events, whose 30-min gap uses strict >). The oracle
+# mirrors the session_window rule.
+@register(
+    "q_stream_twin_sessionization",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= {SESSION_GAP_US}
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+        SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           {sql_dec_sum('value')} AS total_value
+    FROM sessions
+    GROUP BY user_id, session_seq
+    ORDER BY user_id, session_start
+    """,
+)
+def q_stream_twin_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``streaming.events.sessionized_events`` on a bounded scan."""
+    from etl_pipeline_project_auraverse_spark.streaming.events import (
+        sessionized_events,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return sessionized_events(ev, gap="30 minutes", watermark="1 hour").select(
+        "user_id", "session_start", "session_end", "n_events", "total_value"
+    ).orderBy("user_id", "session_start")

@@ -26,6 +26,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from etl_pipeline_project_auraverse_spark.queries._util import dec_sum
+
 # explicit DDL keeps the stream schema stable regardless of input files
 EVENT_DDL = (
     "event_id long, ts timestamp, user_id long, event_type string, "
@@ -48,13 +51,19 @@ def windowed_event_counts(
     events: DataFrame, window: str = "6 hours", watermark: str = "1 hour"
 ) -> DataFrame:
     """Tumbling-window count/sum per event_type (streaming twin of
-    ``q_event_tumbling_windows``). Watermark bounds window state."""
+    ``q_event_tumbling_windows``). Watermark bounds window state.
+
+    The value sum accumulates in DECIMAL(25,6) (``dec_sum``): decimal
+    addition is associative, so the emitted total is bit-identical no
+    matter how micro-batches fold into the window — and identical to
+    the batch/DuckDB answer (``q_stream_twin_tumbling_counts`` runs
+    this very function over a bounded scan under the oracle gate)."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("win"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum("value").alias("total_value"),
+            dec_sum("value").alias("total_value"),
         )
         .select(
             F.col("win.start").alias("win_start"),
@@ -81,7 +90,7 @@ def sliding_event_counts(
         .groupBy(F.window("ts", window, slide).alias("win"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum("value").alias("total_value"),
+            dec_sum("value").alias("total_value"),
         )
         .select(
             F.col("win.start").alias("win_start"),
@@ -98,7 +107,11 @@ def sessionized_events(
 ) -> DataFrame:
     """Gap-based sessions via native ``session_window`` (streaming twin
     of ``q_sessionize_events``): a session closes after ``gap`` of
-    user inactivity; the watermark lets the store emit+evict it."""
+    user inactivity; the watermark lets the store emit+evict it.
+    Decimal value accumulation (see ``windowed_event_counts``) keeps
+    the emitted total independent of session-merge order;
+    ``q_stream_twin_sessionization`` runs this function over a bounded
+    scan under the DuckDB oracle gate."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
@@ -106,7 +119,7 @@ def sessionized_events(
             F.count("*").alias("n_events"),
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
-            F.sum("value").alias("total_value"),
+            dec_sum("value").alias("total_value"),
         )
         .select(
             "user_id",
