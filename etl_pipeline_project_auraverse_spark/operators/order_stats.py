@@ -38,6 +38,12 @@ from etl_pipeline_project_auraverse_spark.cache import persist_tracked
 # being "tiny" and broadcasting them risks driver OOM — shuffle-join instead
 _BROADCAST_GROUP_LIMIT = 100_000
 
+# below this many groups the cells table (partitions × groups rows) is
+# small enough to COLLECT, which lets the whole offsets/specs/interp
+# choreography run driver-side in two Spark jobs total (see
+# _fused_small_group_path) instead of ~6
+_DRIVER_FUSE_GROUP_LIMIT = 1_000
+
 
 def exact_group_percentiles(
     df: DataFrame,
@@ -86,6 +92,11 @@ def exact_group_percentiles(
 
     # tiny: at most (partitions × groups) rows
     cells = ranged.groupBy("__pid", g).agg(F.count("*").alias("__c"))
+
+    if n_groups_hint is not None and n_groups_hint <= _DRIVER_FUSE_GROUP_LIMIT:
+        return _fused_small_group_path(
+            df, ranged, cells, g, v, percentiles, names, count_name
+        )
     # one cheap agg over the (about-to-be-)cached ranged table decides
     # whether the side tables are broadcast-safe (see docstring);
     # callers that KNOW their group cardinality (3 return flags, one
@@ -162,3 +173,91 @@ def exact_group_percentiles(
     return out.join(bc(counts.withColumnRenamed("__n", count_name)), g).select(
         g, count_name, *names
     )
+
+
+def _fused_small_group_path(
+    df: DataFrame,
+    ranged: DataFrame,
+    cells: DataFrame,
+    g: str,
+    v: str,
+    percentiles: Sequence[float],
+    names: Sequence[str],
+    count_name: str,
+) -> DataFrame:
+    """Two-job plan for low-cardinality groups (the common case: 1–5
+    groups). The cells table is at most partitions × groups rows, so it
+    is COLLECTED; offsets, counts, and the per-group target ranks are
+    then plain Python, the two tiny join sides are built from local
+    data (no Spark job to compute a broadcast input), and the final
+    interpolation happens on the ≤ 2·|percentiles|·|groups| fetched
+    boundary values driver-side. Exactly the same rank arithmetic and
+    IEEE-double interpolation as the distributed path (pos = p·(n−1),
+    v = v_lo + frac·(v_hi − v_lo)), so results are bit-identical; only
+    the job choreography differs: one cells aggregate (which also
+    materializes the cached range shuffle) + one rank-filter pass.
+    """
+    import math
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    spark = df.sparkSession
+    cell_rows = cells.collect()  # job 1 — also materializes `ranged`
+
+    counts: dict = {}
+    for r in sorted(cell_rows, key=lambda r: r["__pid"]):
+        counts[r[g]] = counts.get(r[g], 0) + r["__c"]
+    offsets: list[tuple] = []
+    seen: dict = {}
+    for r in sorted(cell_rows, key=lambda r: r["__pid"]):
+        offsets.append((r["__pid"], r[g], seen.get(r[g], 0)))
+        seen[r[g]] = seen.get(r[g], 0) + r["__c"]
+
+    # target ranks per group: pos = p·(n−1), 0-indexed → 1-based lo/hi
+    specs: dict = {}  # gval -> list[(name, lo, hi, frac)]
+    fetch: set = set()  # (gval, rank)
+    for gval, n in counts.items():
+        for p, name in zip(percentiles, names):
+            pos = float(p) * float(n - 1)
+            lo, hi = int(math.floor(pos)) + 1, int(math.ceil(pos)) + 1
+            specs.setdefault(gval, []).append((name, lo, hi, pos - math.floor(pos)))
+            fetch.add((gval, lo))
+            fetch.add((gval, hi))
+
+    g_type = df.schema[g].dataType
+    out_schema = StructType(
+        [StructField(g, g_type), StructField(count_name, LongType(), False)]
+        + [StructField(name, DoubleType()) for name in names]
+    )
+    if not counts:
+        return spark.createDataFrame([], out_schema)
+
+    off_df = spark.createDataFrame(
+        offsets, StructType(
+            [StructField("__pid", LongType(), False), StructField(g, g_type),
+             StructField("__off", LongType(), False)]
+        )
+    )
+    fetch_df = spark.createDataFrame(
+        sorted(fetch), StructType(
+            [StructField(g, g_type), StructField("__rank", LongType(), False)]
+        )
+    )
+    w_rn = Window.partitionBy("__pid", g).orderBy(v)
+    vals = (  # job 2: the single heavy pass — rank + boundary fetch
+        ranged.join(F.broadcast(off_df), ["__pid", g])
+        .withColumn("__rank", F.row_number().over(w_rn) + F.col("__off"))
+        .join(F.broadcast(fetch_df), [g, "__rank"])
+        .select(g, "__rank", F.col(v).alias("__v"))
+        .collect()
+    )
+    vmap = {(r[g], r["__rank"]): float(r["__v"]) for r in vals}
+
+    out_rows = []
+    for gval, n in counts.items():
+        row: list = [gval, n]
+        for name, lo, hi, frac in specs[gval]:
+            vlo, vhi = vmap[(gval, lo)], vmap[(gval, hi)]
+            row.append(vlo + frac * (vhi - vlo))
+        out_rows.append(tuple(row))
+    return spark.createDataFrame(out_rows, out_schema)
