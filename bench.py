@@ -120,7 +120,42 @@ HEADLINE = [
     # entries) so the headline stays at 50.
     "q_spearman_corr_lineitem",
     "q_ks_price_by_returnflag",
+    # round-7 swap: a sketches representative joins the headline (the
+    # CORE below needs one; q_gapfill_daily_purchases retires to the
+    # sweep — cheap, stable since r3, sequences family covered by
+    # q_sequence_packing and q_sessionize_events).
+    "q_hll_distinct_users",
 ]
+HEADLINE.remove("q_gapfill_daily_purchases")
+
+# The pinned comparison CORE (round-6 verdict ask #3): these 18 names
+# NEVER rotate out of the headline, so every future round has a
+# like-for-like min-of-3 comparison set even when the rest of the
+# headline rotates. One representative per major family: TPC-H
+# scan/agg + join trees, windows, dedup, ANN (+ brute-force baseline),
+# text, robust order-stats, graph, sketches, curation, timeseries,
+# CDC, DQ. The final JSON line carries them under "core".
+CORE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier_revenue",
+    "q09_profit_by_nation",
+    "q18_large_volume_orders",
+    "q_window_analytics_battery",
+    "q_dedup_minhash_lsh",
+    "q_ann_ivf_recall",
+    "q_knn_bruteforce_cosine",
+    "q_text_quality_scores",
+    "q_tfidf_top_terms",
+    "q_mad_outlier_prices",
+    "q_pagerank_copurchase",
+    "q_hll_distinct_users",
+    "q_curation_pipeline_decisions",
+    "q_sessionize_events",
+    "q_cdc_latest_order_state",
+    "q_dq_orders_report",
+]
+assert set(CORE) <= set(HEADLINE), "CORE must be a subset of HEADLINE"
 
 
 def _read_proc_stat() -> tuple[int, int] | None:
@@ -264,6 +299,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # the never-rotating comparison core (see CORE above):
+                # compare THESE names round-over-round; other headline
+                # entries may rotate with coverage needs
+                "core": [n for n in CORE if n in timings],
                 "sf": sf,
                 "sweep": {
                     "file": "BENCH_SWEEP.json",

@@ -104,14 +104,26 @@ def read_pruned(
         return df, SkipReport(len(all_files), len(all_files))
     with open(mpath) as f:
         manifest = json.load(f)
+    # a band on a column the manifest never collected stats for cannot
+    # prune anything — fall back to reading every file, same contract
+    # as the missing-manifest path (pruning is an optimization, never
+    # a correctness filter)
+    if any(col not in manifest["stat_cols"] for col in bounds):
+        df = spark.read.parquet(*(os.path.join(path, f) for f in all_files))
+        return df, SkipReport(len(all_files), len(all_files))
     keep = []
     for entry in manifest["files"]:
         ok = True
         for col, (lo, hi) in bounds.items():
             mn, mx = entry["stats"][col]
-            if mn is None:  # all-null file for this column
-                ok = False
-                break
+            if mn is None:
+                # all-null file for this column: a BOUNDED band can't
+                # match NULL, but an unbounded (None, None) band
+                # constrains nothing and must keep the file
+                if lo is not None or hi is not None:
+                    ok = False
+                    break
+                continue
             if lo is not None and mx < lo:
                 ok = False
                 break

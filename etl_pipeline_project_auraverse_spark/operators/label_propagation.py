@@ -31,15 +31,33 @@ from etl_pipeline_project_auraverse_spark.cache import (
 
 
 def lpa_labels(
-    edges: DataFrame, rounds: int, checkpoint_every: int = 4
+    edges: DataFrame,
+    rounds: int,
+    checkpoint_every: int = 4,
+    assume_symmetric: bool = False,
 ) -> DataFrame:
     """Community label per node after ``rounds`` synchronous LPA
     updates. ``edges`` needs (u, v, w) directed-edge columns (pass
     both directions for an undirected graph); every node starts
-    labeled with its own id. Returns (u, lab)."""
+    labeled with its own id. Returns (u, lab).
+
+    Safe on DIRECTED edge tables by default: the node universe is the
+    union of both endpoint columns, and a node with no incoming edge
+    this round keeps its previous label (a coalesce join) instead of
+    vanishing — so its outgoing edges keep contributing in later
+    rounds. On a symmetrized table both safeguards are provably no-ops
+    (every labeled node also receives edges), so callers that BUILT
+    the symmetrized table themselves pass ``assume_symmetric=True``
+    to skip the per-round carry-forward join — same answer, ~rounds
+    fewer joins."""
     spark = edges.sparkSession
     edges = persist_tracked(edges.select("u", "v", "w"))
-    labels = edges.select("u").distinct().withColumn("lab", F.col("u"))
+    labels = (
+        edges.select("u")
+        .unionByName(edges.select(F.col("v").alias("u")))
+        .distinct()
+        .withColumn("lab", F.col("u"))
+    )
     held: frozenset = frozenset()
     for i in range(1, rounds + 1):
         # persisted: feeds both the per-node max and the argmax filter
@@ -49,13 +67,19 @@ def lpa_labels(
             .agg(F.sum("w").alias("s"))
         )
         m = scores.groupBy("v").agg(F.max("s").alias("smax"))
-        labels = (
+        updated = (
             scores.join(m, "v")
             .where(F.col("s") == F.col("smax"))
             .groupBy("v")
-            .agg(F.min("lab").alias("lab"))
-            .select(F.col("v").alias("u"), "lab")
+            .agg(F.min("lab").alias("lab_new"))
+            .select(F.col("v").alias("u"), "lab_new")
         )
+        if assume_symmetric:
+            labels = updated.withColumnRenamed("lab_new", "lab")
+        else:
+            labels = labels.join(updated, "u", "left").select(
+                "u", F.coalesce("lab_new", "lab").alias("lab")
+            )
         if i % checkpoint_every == 0 and i < rounds:
             labels, ids = local_checkpoint_tracked(labels)
             # the previous generation is baked into the new checkpoint

@@ -105,14 +105,24 @@ def tdigest_quantiles(
     cent_schema = f"`{gkey}` string, mean double, weight double"
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        acc: dict[str, list[pd.DataFrame]] = {}
+        # Incremental: fold each Arrow batch into the running centroid
+        # set per group (re-compressing as we go), so peak state is
+        # ~6*delta centroids + one batch — NOT the whole partition's
+        # values. This is the merging-digest streaming discipline the
+        # module docstring promises.
+        acc: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         for pdf in batches:
             for g, sub in pdf.groupby(gkey, sort=False):
-                acc.setdefault(str(g), []).append(sub[["__v"]])
+                v = sub["__v"].to_numpy()
+                m_new, w_new = v, np.ones(len(v))
+                if str(g) in acc:
+                    m_old, w_old = acc[str(g)]
+                    m_new = np.concatenate([m_old, m_new])
+                    w_new = np.concatenate([w_old, w_new])
+                order = np.argsort(m_new, kind="stable")
+                acc[str(g)] = _compress(m_new[order], w_new[order], delta)
         rows = {gkey: [], "mean": [], "weight": []}
-        for g, parts in acc.items():
-            v = np.sort(pd.concat(parts)["__v"].to_numpy())
-            m, w = _compress(v, np.ones(len(v)), delta)
+        for g, (m, w) in acc.items():
             rows[gkey].extend([g] * len(m))
             rows["mean"].extend(m)
             rows["weight"].extend(w)

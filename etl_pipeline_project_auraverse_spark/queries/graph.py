@@ -803,7 +803,11 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionAll(
         pairs.select(F.col("part_b").alias("u"), F.col("part_a").alias("v"), "w")
     )
-    return community_sizes(lpa_labels(en, LPA_ITERS), LPA_TOP)
+    # en is symmetrized two lines up, so the directed-safety
+    # carry-forward join inside lpa_labels would be a per-round no-op
+    return community_sizes(
+        lpa_labels(en, LPA_ITERS, assume_symmetric=True), LPA_TOP
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -75,7 +75,18 @@ def get_spark(
         builder = builder.master(f"local[{cpus}]")
     requested: dict[str, str] = {
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g"),
+        # startup-only like driver memory: if getOrCreate reuses a
+        # session created elsewhere, the worker-import PYTHONPATH fix
+        # documented above did NOT apply — the checks below make that
+        # explicit instead of silent. (The os.environ export above
+        # still helps local[N] workers forked later.)
+        "spark.executorEnv.PYTHONPATH": os.environ["PYTHONPATH"],
     }
+    # A live session means getOrCreate WILL reuse it and every
+    # startup-only config above is a no-op; the mismatch scan after
+    # getOrCreate only catches keys the old session set differently,
+    # not keys it never set — so detect reuse directly.
+    preexisting = SparkSession.getActiveSession()
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
         requested[k] = v
@@ -95,7 +106,7 @@ def get_spark(
             got = sc_conf.get(k, None)
         except Exception:
             got = None
-        if got is not None and got != want:
+        if got != want and (got is not None or preexisting is not None):
             ignored[k] = (want, got)
     if ignored:
         warnings.warn(

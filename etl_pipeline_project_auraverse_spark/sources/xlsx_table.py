@@ -95,13 +95,20 @@ def _sheet_rows(zf: zipfile.ZipFile, shared: list[str]):
     names = [n for n in zf.namelist() if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)]
     if not names:
         raise ValueError("no worksheet part")
-    name = sorted(names)[0]
+    # numeric sort: sheet2 before sheet10 (lexicographic would pick
+    # sheet10.xml as the "first" worksheet of an 10+-sheet workbook)
+    name = min(names, key=lambda n: int(re.search(r"sheet(\d+)", n).group(1)))
     root = ET.parse(io.BytesIO(zf.read(name))).getroot()
     for row in root.iter(f"{_NS}row"):
         cells = []
+        # running position counts every <c> element, INCLUDING cells
+        # skipped as empty — an r=-less cell after an empty one must
+        # not shift left under the wrong header
+        pos = 0
         for c in row.findall(f"{_NS}c"):
             ref = c.get("r")
-            idx = _col_index(ref) if ref else len(cells)
+            idx = _col_index(ref) if ref else pos
+            pos = idx + 1
             val = _cell_value(c, shared)
             if val is not None and val != "":
                 cells.append((idx, val))

@@ -74,3 +74,33 @@ def test_missing_manifest_falls_back_to_full_read(spark, sf_dir, tmp_path):
     df, report = read_pruned(spark, path, {"o_totalprice": (0.0, 1.0)})
     assert report.n_skipped == 0
     assert df.count() == orders.count()
+
+
+def test_unbounded_band_keeps_all_null_files(spark, tmp_path):
+    # an all-null stats column with a (None, None) band constrains
+    # nothing — those rows must NOT be silently dropped
+    # range partitioning sorts NULLs first, so file 0 is all-null
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, 5.0), (4, 6.0)], "k int, v double"
+    ).repartitionByRange(2, F.col("v"))
+    path = str(tmp_path / "nulls")
+    manifest = write_with_stats(df, path, ["v"])
+    assert any(e["stats"]["v"][0] is None for e in manifest["files"])
+    got, report = read_pruned(spark, path, {"v": (None, None)})
+    assert report.n_skipped == 0
+    assert got.count() == 4
+    # a bounded band still prunes the all-null file
+    got2, report2 = read_pruned(spark, path, {"v": (1.0, None)})
+    assert report2.n_skipped >= 1
+    assert got2.filter(F.col("v").isNull()).count() == 0
+
+
+def test_unknown_bounds_column_falls_back_to_full_read(spark, tmp_path):
+    df = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k int, v double")
+    path = str(tmp_path / "unknown_col")
+    write_with_stats(df, path, ["v"])
+    # "k" was never collected into the manifest: read everything
+    # (same contract as a missing manifest), never KeyError
+    got, report = read_pruned(spark, path, {"k": (0.0, 10.0)})
+    assert report.n_skipped == 0
+    assert got.count() == 2

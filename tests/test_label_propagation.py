@@ -56,3 +56,17 @@ def test_checkpoint_cadence_never_changes_answer(spark):
             map(tuple, lpa_labels(edges, 6, checkpoint_every=cadence).collect())
         )
         assert got == base
+
+
+def test_directed_out_only_nodes_survive(spark):
+    # 1→2 chain with node 1 having out-edges ONLY: node 1 must keep its
+    # own label across rounds (not vanish), and its label must keep
+    # propagating to 2 and onward to 3 in round 2
+    edges = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 5)], "u long, v long, w long"
+    )
+    labels = {r["u"]: r["lab"] for r in lpa_labels(edges, 2).collect()}
+    assert set(labels) == {1, 2, 3}, "every endpoint must stay labeled"
+    assert labels[1] == 1
+    assert labels[2] == 1  # adopted 1's label in round 1 and kept it
+    assert labels[3] == 1  # round 2 propagates 1's label via node 2

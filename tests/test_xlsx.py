@@ -100,3 +100,52 @@ def test_engine_read_routes_xlsx_and_avro(tmp_path, spark):
     )
     adf = read_table(spark, str(tmp_path / "t.avro"))
     assert {r["k"]: r["v"] for r in adf.collect()} == {"a": 1, "b": 2}
+
+
+def test_refless_cell_after_empty_keeps_column():
+    """Cells lacking r= refs take the running POSITION among all <c>
+    elements — an earlier empty (skipped) cell must not shift later
+    values left under the wrong header."""
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    sheet = (
+        f'<worksheet xmlns="{ns}"><sheetData>'
+        '<row r="1"><c r="A1" t="inlineStr"><is><t>a</t></is></c>'
+        '<c r="B1" t="inlineStr"><is><t>b</t></is></c>'
+        '<c r="C1" t="inlineStr"><is><t>c</t></is></c></row>'
+        # A2 empty (<c/> with no value), then two r=-less cells: they
+        # occupy positions B and C, NOT A and B
+        '<row r="2"><c r="A2"/><c><v>7</v></c><c><v>8</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("xl/workbook.xml", "<x/>")
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+    import json
+
+    rows = [json.loads(r) for r in _records_from_xlsx(buf.getvalue())]
+    assert rows[0] == {"b": 7, "c": 8}
+
+
+def test_first_worksheet_is_numeric_not_lexicographic():
+    """sheet2.xml is the first worksheet of a 10-sheet workbook even
+    though sheet10.xml sorts before it lexicographically."""
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+
+    def sheet_xml(header, value):
+        return (
+            f'<worksheet xmlns="{ns}"><sheetData>'
+            f'<row r="1"><c r="A1" t="inlineStr"><is><t>{header}</t></is></c></row>'
+            f'<row r="2"><c r="A2"><v>{value}</v></c></row>'
+            "</sheetData></worksheet>"
+        )
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("xl/workbook.xml", "<x/>")
+        zf.writestr("xl/worksheets/sheet10.xml", sheet_xml("wrong", 99))
+        zf.writestr("xl/worksheets/sheet2.xml", sheet_xml("right", 1))
+    import json
+
+    rows = [json.loads(r) for r in _records_from_xlsx(buf.getvalue())]
+    assert rows == [{"right": 1}]
