@@ -269,6 +269,59 @@ def main() -> None:
             all_timings[name] = round(time.perf_counter() - t0, 4)
         calibrations.append(_calibrate(spark))
 
+    # Exact vs t-digest order statistics, measured (not asserted): the
+    # same per-returnflag median through the range-shuffle exact path
+    # and through the one-scan mergeable sketch, plus the sketch's
+    # observed relative error. At 100 TB the exact path's extra range
+    # shuffle is the cost of oracle-exactness; this row quantifies the
+    # trade on this machine at this SF. Goes into BENCH_SWEEP.json.
+    tdigest_vs_exact = None
+    if "--headline-only" not in sys.argv:
+        from etl_pipeline_project_auraverse_spark.operators.order_stats import (
+            exact_group_percentiles,
+        )
+        from etl_pipeline_project_auraverse_spark.operators.tdigest import (
+            tdigest_quantiles,
+        )
+
+        li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+
+        def _exact():
+            return {
+                r["l_returnflag"]: r["p50"]
+                for r in exact_group_percentiles(
+                    li, "l_returnflag", "l_extendedprice", [0.5],
+                    names=["p50"], n_groups_hint=3,
+                ).collect()
+            }
+
+        def _sketch():
+            return {
+                r["l_returnflag"]: r["p50"]
+                for r in tdigest_quantiles(
+                    li, "l_extendedprice", [0.5], group_col="l_returnflag"
+                ).collect()
+            }
+
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        exact_meds = _exact()
+        exact_sec = round(time.perf_counter() - t0, 4)
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        sketch_meds = _sketch()
+        sketch_sec = round(time.perf_counter() - t0, 4)
+        rel_err = max(
+            abs(sketch_meds[k] - exact_meds[k]) / abs(exact_meds[k])
+            for k in exact_meds
+        )
+        tdigest_vs_exact = {
+            "query": "median(l_extendedprice) by l_returnflag",
+            "exact_sec": exact_sec,
+            "tdigest_sec": sketch_sec,
+            "tdigest_max_rel_err": round(rel_err, 6),
+        }
+
     stat1 = _read_proc_stat()
     steal_frac = None
     if stat0 and stat1 and stat1[1] > stat0[1]:
@@ -286,6 +339,7 @@ def main() -> None:
             "total_sec": round(sum(all_timings.values()), 4),
             "n_queries": len(all_timings),
             "sf": sf,
+            "tdigest_vs_exact": tdigest_vs_exact,
             "queries": all_timings,
         }
         sweep_path = Path(__file__).resolve().parent / "BENCH_SWEEP.json"
