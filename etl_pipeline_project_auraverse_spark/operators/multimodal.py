@@ -5,12 +5,14 @@ Part of the extended training-data-pipeline surface (SURVEY §7 M5).
 Formats decodable with the standard library decode FOR REAL:
 uncompressed 24-bit BMP images (manual header parse), PNG in 8-bit
 grey/RGB/palette variants (from-scratch codec, ``png_codec.py``), GIF
-(``gif_codec.py``), baseline JPEG (Huffman + IDCT from scratch,
-``jpeg_codec.py``), baseline TIFF in grey/RGB/palette with
-none/PackBits compression (``tiff_codec.py``), and PCM WAV audio
+(``gif_codec.py``), baseline AND progressive JPEG (Huffman + IDCT +
+the Annex-G spectral-selection/successive-approximation scan
+machinery from scratch, ``jpeg_codec.py``), baseline TIFF in
+grey/RGB/palette with none/PackBits compression (``tiff_codec.py``),
+and PCM WAV audio
 (``wave`` module) — full pixel/sample access, no external codec. For
-the remaining codec-requiring formats (progressive JPEG, MP4...) the
-decode seam
+the remaining codec-requiring formats (arithmetic-coded JPEG, MP4...)
+the decode seam
 raises ``NotImplementedError`` (PIL/cv2/ffmpeg are not in this
 container);
 a deterministic FAKEIMG format stands in for tests. Everything

@@ -140,22 +140,10 @@ def _dht_segment() -> bytes:
     return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + bytes(body)
 
 
-def encode_jpeg(
-    img: np.ndarray,
-    q: int = 4,
-    subsample: bool = False,
-    restart: int = 0,
-) -> bytes:
-    """Tiny baseline encoder: grayscale (h, w) or RGB (h, w, 3) uint8.
-    Flat quantization table of ``q``; 4:2:0 when ``subsample``;
-    RSTn markers every ``restart`` MCUs when nonzero."""
+def _prep_planes(img: np.ndarray, subsample: bool):
+    """Shared encoder prep: component layout + MCU-padded pixel planes."""
     gray = img.ndim == 2
     h, w = img.shape[:2]
-    qt = np.full(64, q, dtype=np.int64)
-    out = bytearray(b"\xff\xd8")
-    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0]) + bytes(
-        int(x) for x in qt
-    )
     if gray:
         comps = [(1, 1, 1, 0)]
         planes = [img.astype(np.float64)]
@@ -180,19 +168,6 @@ def encode_jpeg(
         else:
             comps = [(1, 1, 1, 0), (2, 1, 1, 0), (3, 1, 1, 0)]
             planes = [y, cb, cr]
-    sof = bytearray(struct.pack(">BHHB", 8, h, w, len(comps)))
-    for cid, ch, cv, tq in comps:
-        sof += bytes([cid, (ch << 4) | cv, tq])
-    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + bytes(sof)
-    out += _dht_segment()
-    if restart:
-        out += b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(">H", restart)
-    sos = bytearray([len(comps)])
-    for cid, _, _, _ in comps:
-        sos += bytes([cid, 0x00])  # DC table 0, AC table 0
-    sos += bytes([0, 63, 0])
-    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + bytes(sos)
-
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
@@ -206,6 +181,38 @@ def encode_jpeg(
         pad[plane.shape[0] :, : plane.shape[1]] = plane[-1:, :]
         pad[:, plane.shape[1] :] = pad[:, plane.shape[1] - 1 : plane.shape[1]]
         padded.append(pad)
+    return comps, padded, mcux, mcuy, hmax, vmax
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    q: int = 4,
+    subsample: bool = False,
+    restart: int = 0,
+) -> bytes:
+    """Tiny baseline encoder: grayscale (h, w) or RGB (h, w, 3) uint8.
+    Flat quantization table of ``q``; 4:2:0 when ``subsample``;
+    RSTn markers every ``restart`` MCUs when nonzero."""
+    h, w = img.shape[:2]
+    qt = np.full(64, q, dtype=np.int64)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0]) + bytes(
+        int(x) for x in qt
+    )
+    comps, padded, mcux, mcuy, hmax, vmax = _prep_planes(img, subsample)
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, len(comps)))
+    for cid, ch, cv, tq in comps:
+        sof += bytes([cid, (ch << 4) | cv, tq])
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + bytes(sof)
+    out += _dht_segment()
+    if restart:
+        out += b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(">H", restart)
+    sos = bytearray([len(comps)])
+    for cid, _, _, _ in comps:
+        sos += bytes([cid, 0x00])  # DC table 0, AC table 0
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + bytes(sos)
+
     writer = _BitWriter()
     preds = [0] * len(comps)
     rst = 0
@@ -379,10 +386,231 @@ def test_real_fixture_baseline():
     assert float(np.ptp(means)) < 12
 
 
-def test_progressive_jpeg_quarantines():
-    buf = (FIXTURES / "progressive-stripe.jpg").read_bytes()
-    with pytest.raises(NotImplementedError, match="non-baseline"):
-        decode_jpeg(buf)
+# ---------------------------------------------------------------------------
+# progressive (SOF2): test-side progressive encoder — same quantized
+# coefficients as the baseline encoder, different scan script — plus a
+# real-world fixture and a closed-form DC check
+# ---------------------------------------------------------------------------
+
+# progressive AC tables also need the EOBn symbols (r<<4 | 0, r<=14)
+_PAC_VALS = (
+    [0x00]
+    + [(r << 4) | 0 for r in range(1, 15)]
+    + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_PAC_BITS = [0, 0, 0, 0, 0, 0, 0, 0, len(_PAC_VALS), 0, 0, 0, 0, 0, 0, 0]
+_PAC_CODES = _canonical_codes(_PAC_BITS, _PAC_VALS)
+
+
+def _prog_dht_segment() -> bytes:
+    body = bytearray()
+    for tc, bits, vals in (
+        (0, _DC_BITS, _DC_VALS),
+        (1, _PAC_BITS, _PAC_VALS),
+    ):
+        body.append((tc << 4) | 0)
+        body += bytes(bits)
+        body += bytes(vals)
+    return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + bytes(body)
+
+
+def _quantized_blocks(img: np.ndarray, q: int, subsample: bool):
+    comps, padded, mcux, mcuy, hmax, vmax = _prep_planes(img, subsample)
+    qt = np.full(64, q, dtype=np.int64)
+    coefs = []
+    for plane in padded:
+        bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+        arr = np.zeros((bh, bw, 64), dtype=np.int64)
+        for by in range(bh):
+            for bx in range(bw):
+                arr[by, bx] = _fdct_quant(
+                    plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8], qt
+                )
+        coefs.append(arr)
+    return comps, coefs, mcux, mcuy, hmax, vmax, qt
+
+
+class _ProgWriter:
+    """Bit writer + EOB-run and correction-bit buffering for one scan
+    (mirrors the decoder's traversal order exactly)."""
+
+    def __init__(self) -> None:
+        self.w = _BitWriter()
+        self.eobrun = 0
+        self.eob_bits: list[int] = []
+
+    def sym(self, rs: int) -> None:
+        ln, code = _PAC_CODES[rs]
+        self.w.write(code, ln)
+
+    def flush_eob(self) -> None:
+        if self.eobrun > 0:
+            r = self.eobrun.bit_length() - 1
+            self.sym(r << 4)
+            if r:
+                self.w.write(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        for b in self.eob_bits:
+            self.w.write(b, 1)
+        self.eob_bits = []
+
+
+def _encode_dc_first(w: _BitWriter, dc_shifted: int, pred: int) -> int:
+    diff = dc_shifted - pred
+    t = _category(diff)
+    ln, code = _DC_CODES[t]
+    w.write(code, ln)
+    if t:
+        w.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    return dc_shifted
+
+
+def _encode_ac_first_block(pw: _ProgWriter, zz, ss: int, se: int, al: int) -> None:
+    v1 = [
+        (1 if zz[k] >= 0 else -1) * (abs(int(zz[k])) >> al)
+        for k in range(ss, se + 1)
+    ]
+    if not any(v1):
+        pw.eobrun += 1
+        if pw.eobrun == 0x7FFF:
+            pw.flush_eob()
+        return
+    pw.flush_eob()
+    last = max(i for i, v in enumerate(v1) if v)
+    run = 0
+    for v in v1[: last + 1]:
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            pw.sym(0xF0)
+            run -= 16
+        s = _category(v)
+        pw.sym((run << 4) | s)
+        pw.w.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last < se - ss:
+        pw.eobrun += 1
+
+
+def _encode_ac_refine_block(pw: _ProgWriter, zz, ss: int, se: int, al: int) -> None:
+    absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    signs = [1 if zz[k] >= 0 else 0 for k in range(ss, se + 1)]
+    new_sig = [i for i, a in enumerate(absv) if a == 1]
+    eob = max(new_sig) if new_sig else -1
+    run = 0
+    pending: list[int] = []
+    for i, a in enumerate(absv):
+        if i > eob:
+            break
+        if a == 0:
+            run += 1
+            continue
+        while run > 15:
+            pw.flush_eob()
+            pw.sym(0xF0)
+            run -= 16
+            for b in pending:
+                pw.w.write(b, 1)
+            pending = []
+        if a > 1:  # nonzero history: buffer its correction bit
+            pending.append(a & 1)
+            continue
+        pw.flush_eob()
+        pw.sym((run << 4) | 1)
+        pw.w.write(signs[i], 1)
+        run = 0
+        for b in pending:
+            pw.w.write(b, 1)
+        pending = []
+    # tail: if ANY position remains after the last newly-significant
+    # coefficient the decoder expects another symbol for this block —
+    # fold it (and its history-correction bits) into the EOB run
+    tail_bits = [a & 1 for a in absv[eob + 1 :] if a > 1]
+    if eob < len(absv) - 1:
+        pw.eobrun += 1
+        pw.eob_bits.extend(pending + tail_bits)
+        if pw.eobrun == 0x7FFF:
+            pw.flush_eob()
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray, q: int = 4, subsample: bool = False
+) -> bytes:
+    """Progressive twin of ``encode_jpeg``: same quantized coefficients,
+    emitted as a DC first (Al=1) interleaved scan + DC refinement, then
+    per-component spectral bands 1-5 / 6-63 at Al=1 with AC refinement
+    scans down to Al=0 — so decode(progressive) must equal
+    decode(baseline) EXACTLY."""
+    h, w = img.shape[:2]
+    comps, coefs, mcux, mcuy, hmax, vmax, qt = _quantized_blocks(img, q, subsample)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0]) + bytes(
+        int(x) for x in qt
+    )
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, len(comps)))
+    for cid, ch, cv, tq in comps:
+        sof += bytes([cid, (ch << 4) | cv, tq])
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + bytes(sof)
+    out += _prog_dht_segment()
+
+    def sos_header(comp_ids, ss, se, ah, al):
+        body = bytearray([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, 0x00])
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", len(body) + 2) + bytes(body)
+
+    # non-interleaved grids (component's own visible blocks)
+    nb = []
+    for _, ch, cv, _ in comps:
+        cw = (w * ch + hmax - 1) // hmax
+        chh = (h * cv + vmax - 1) // vmax
+        nb.append(((cw + 7) // 8, (chh + 7) // 8))
+
+    # --- scan 1: DC first, interleaved, Al=1 ---
+    out += sos_header([c[0] for c in comps], 0, 0, 0, 1)
+    bw_ = _BitWriter()
+    preds = [0] * len(comps)
+    for mcu in range(mcux * mcuy):
+        my, mx = divmod(mcu, mcux)
+        for ci, (_, ch, cv, _) in enumerate(comps):
+            for by in range(cv):
+                for bx in range(ch):
+                    dc = int(coefs[ci][my * cv + by, mx * ch + bx, 0])
+                    preds[ci] = _encode_dc_first(bw_, dc >> 1, preds[ci])
+    bw_.flush()
+    out += bytes(bw_.out)
+
+    # --- scan 2: DC refinement to Al=0 (one raw bit per block) ---
+    out += sos_header([c[0] for c in comps], 0, 0, 1, 0)
+    bw_ = _BitWriter()
+    for mcu in range(mcux * mcuy):
+        my, mx = divmod(mcu, mcux)
+        for ci, (_, ch, cv, _) in enumerate(comps):
+            for by in range(cv):
+                for bx in range(ch):
+                    bw_.write(int(coefs[ci][my * cv + by, mx * ch + bx, 0]) & 1, 1)
+    bw_.flush()
+    out += bytes(bw_.out)
+
+    # --- AC scans: first pass at Al=1 then refinement, per band ---
+    bands = [(1, 5), (6, 63)]
+    for ah, al, enc in ((0, 1, _encode_ac_first_block), (1, 0, _encode_ac_refine_block)):
+        for ci, (cid, _, _, _) in enumerate(comps):
+            for ss, se in bands:
+                out += sos_header([cid], ss, se, ah, al)
+                pw = _ProgWriter()
+                bwid, bht = nb[ci]
+                for by in range(bht):
+                    for bx in range(bwid):
+                        enc(pw, coefs[ci][by, bx], ss, se, al)
+                pw.flush_eob()
+                pw.w.flush()
+                out += bytes(pw.w.out)
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def test_truncated_jpeg_quarantines():
@@ -405,3 +633,72 @@ def test_decode_images_picks_up_jpeg(spark):
     out = {r["doc_id"]: r for r in decode_images(df).collect()}
     assert set(out) == {1}
     assert (out[1]["width"], out[1]["height"], out[1]["channels"]) == (8, 8, 1)
+
+
+def test_progressive_roundtrip_equals_baseline_exactly():
+    """Baseline and progressive streams built from the SAME quantized
+    coefficients must decode to IDENTICAL pixels — this pins the whole
+    Annex-G scan machinery (spectral selection, successive
+    approximation, EOB runs, refinement bits) against the
+    already-proven sequential path, with no DCT tolerance involved."""
+    rng = np.random.RandomState(11)
+    images = [
+        rng.randint(0, 256, size=(24, 41, 3)).astype(np.uint8),
+        np.tile(np.linspace(0, 255, 37, dtype=np.uint8), (19, 1)),  # gray
+        (np.indices((32, 32)).sum(axis=0) * 4 % 256).astype(np.uint8),
+    ]
+    for idx, img in enumerate(images):
+        for subsample in (False, True):
+            if img.ndim == 2 and subsample:
+                continue
+            base = decode_jpeg(encode_jpeg(img, q=4, subsample=subsample))
+            prog = decode_jpeg(
+                encode_jpeg_progressive(img, q=4, subsample=subsample)
+            )
+            assert base[:3] == prog[:3], (idx, subsample)
+            np.testing.assert_array_equal(base[3], prog[3], err_msg=f"img{idx} sub={subsample}")
+
+
+def test_progressive_dc_only_closed_form():
+    """Handcrafted SOF2 stream: DC-first (Al=1) + DC-refinement (Al=0)
+    scans for one 8x8 block — flat output pixel = DC*Q0/8 + 128,
+    computed by hand with no DCT code involved."""
+    for dc, q0 in [(25, 16), (-25, 16), (0, 8)]:
+        w1 = _BitWriter()
+        _encode_dc_first(w1, dc >> 1, 0)
+        w1.flush()
+        w2 = _BitWriter()
+        w2.write(dc & 1, 1)
+        w2.flush()
+        out = bytearray(b"\xff\xd8")
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0]) + bytes([q0] * 64)
+        sof = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+        out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof
+        out += _prog_dht_segment()
+        sos1 = bytes([1, 1, 0x00, 0, 0, 0x01])  # DC first, Al=1
+        out += b"\xff\xda" + struct.pack(">H", len(sos1) + 2) + sos1
+        out += bytes(w1.out)
+        sos2 = bytes([1, 1, 0x00, 0, 0, 0x10])  # DC refine, Ah=1, Al=0
+        out += b"\xff\xda" + struct.pack(">H", len(sos2) + 2) + sos2
+        out += bytes(w2.out)
+        out += b"\xff\xd9"
+        ww, hh, c, pix = decode_jpeg(bytes(out))
+        expected = int(np.clip(round(dc * q0 / 8 + 128), 0, 255))
+        assert (ww, hh, c) == (8, 8, 1)
+        assert np.all(pix == expected), (dc, q0, np.unique(pix), expected)
+
+
+def test_progressive_fixture_decodes():
+    """Real third-party progressive JPEG (493x58, 4:4:4, per-component
+    spectral-selection scans produced by an external encoder): decodes
+    with sane structure — a white-dominant banner with real colored
+    content, not the noise a desynced Huffman/refinement path yields."""
+    buf = (FIXTURES / "progressive-stripe.jpg").read_bytes()
+    w, h, c, arr = decode_jpeg(buf)
+    assert (w, h, c) == (493, 58, 3)
+    img = arr.reshape(h, w, 3).astype(np.float64)
+    assert float(img.mean()) > 200  # white-dominant
+    assert float((img.max(axis=2) > 240).mean()) > 0.5
+    # real chromatic content (green artwork), not gray noise
+    green_frac = ((img[..., 1] > img[..., 0] + 30) & (img[..., 1] > img[..., 2] + 30)).mean()
+    assert float(green_frac) > 0.02
