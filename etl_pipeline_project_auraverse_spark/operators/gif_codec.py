@@ -6,9 +6,9 @@ Decoder: full variable-width LZW over the image sub-blocks — clear /
 end-of-information codes, dictionary growth with width bumps at table
 sizes 2^w, the deferred-clear rule (a full 4096-entry table keeps
 emitting 12-bit codes until an explicit clear), and global or local
-color tables. Interlaced images and multi-frame animations raise
-``NotImplementedError`` — they stay on the quarantine path with the
-other codec-library formats.
+color tables. Interlaced images de-interlace via the 4-pass row map;
+multi-frame animations decode through ``decode_gif_frames`` (the
+frame-sampling path) while the single-image seam rejects them.
 
 Encoder (test-fixture twin): the canonical "literal-codes" GIF writer —
 every pixel is emitted as its own root code while tracking the SAME
@@ -33,10 +33,15 @@ def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
 
 
 def encode_gif_frames(
-    frames: list[np.ndarray], palette: np.ndarray, delay_cs: int = 4
+    frames: list[np.ndarray],
+    palette: np.ndarray,
+    delay_cs: int = 4,
+    interlace: bool = False,
 ) -> bytes:
     """Animated GIF from same-shaped (h, w) index frames; each frame
-    gets a graphic-control extension carrying ``delay_cs``."""
+    gets a graphic-control extension carrying ``delay_cs``. With
+    ``interlace`` the rows are stored in the GIF 4-pass order and the
+    descriptor's interlace bit is set."""
     h, w = frames[0].shape
     n = len(palette)
     assert n in (2, 4, 8, 16, 32, 64, 128, 256)
@@ -49,10 +54,23 @@ def encode_gif_frames(
         assert indices.shape == (h, w) and indices.max() < n
         if len(frames) > 1:
             out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
-        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
-        out += _encode_image_data(indices, bits)
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
+        rows = indices[_interlace_order(h)] if interlace else indices
+        out += _encode_image_data(rows, bits)
     out += b"\x3b"
     return bytes(out)
+
+
+def _interlace_order(h: int) -> list[int]:
+    """GIF 4-pass interlace: display rows in STREAM order (pass 1 =
+    every 8th row from 0, pass 2 from 4, pass 3 every 4th from 2,
+    pass 4 every odd row)."""
+    return (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
 
 
 def _encode_image_data(indices: np.ndarray, bits: int) -> bytes:
@@ -171,8 +189,6 @@ def _decode_frames(buf: bytes) -> list[tuple[int, int, int, np.ndarray]]:
             raise NotImplementedError(f"unknown GIF block 0x{marker:02x}")
         left, top, w, h, iflags = struct.unpack_from("<HHHHB", buf, pos)
         pos += 9
-        if iflags & 0x40:
-            raise NotImplementedError("interlaced GIF")
         if (left, top) != (0, 0) or (w, h) != (sw, sh):
             raise NotImplementedError(
                 "sub-rectangle GIF frame (needs disposal compositing)"
@@ -195,7 +211,12 @@ def _decode_frames(buf: bytes) -> list[tuple[int, int, int, np.ndarray]]:
         pos += 1
 
         indices = _lzw_decode(bytes(data), min_code, w * h)
-        rgb = table[np.asarray(indices, dtype=np.uint16)].reshape(h, w * 3)
+        idx = np.asarray(indices, dtype=np.uint16).reshape(h, w)
+        if iflags & 0x40:  # interlaced: stream row i is display row order[i]
+            deinter = np.empty_like(idx)
+            deinter[_interlace_order(h)] = idx
+            idx = deinter
+        rgb = table[idx].reshape(h, w * 3)
         frames.append((delay_cs, w, h, np.ascontiguousarray(rgb)))
         delay_cs = 0
     return frames

@@ -1,7 +1,7 @@
 """From-scratch GIF codec tests: encoder/decoder round-trips (incl.
 table-reset territory), a hand-assembled LZW vector so the decoder is
 checked against the spec rather than our own encoder, extension-block
-skipping, and the quarantine seams for interlace/animation."""
+skipping, interlaced round-trips, and the animation seams."""
 
 from __future__ import annotations
 
@@ -89,12 +89,26 @@ def test_extension_blocks_are_skipped():
     assert np.array_equal(rows, PAL4[idx].reshape(3, 12))
 
 
-def test_interlaced_raises_to_quarantine():
-    raw = bytearray(encode_gif(_rand_idx((3, 4), 4, 6), PAL4))
-    frame_at = raw.index(0x2C, 13)
-    raw[frame_at + 9] |= 0x40  # set interlace flag
-    with pytest.raises(NotImplementedError, match="interlaced"):
-        decode_gif(bytes(raw))
+def test_interlaced_round_trip():
+    """Interlaced GIFs de-interlace via the 4-pass row map: encode with
+    rows permuted to stream order + the interlace bit, decode, and the
+    display-order image must come back exactly."""
+    from etl_pipeline_project_auraverse_spark.operators.gif_codec import (
+        _interlace_order,
+        encode_gif_frames,
+    )
+
+    for hh in (1, 2, 5, 8, 17):
+        idx = _rand_idx((hh, 6), 4, 6 + hh)
+        raw = encode_gif_frames([idx], PAL4, interlace=True)
+        # the descriptor's interlace bit is actually set
+        frame_at = raw.index(0x2C, 13)
+        assert raw[frame_at + 9] & 0x40
+        w, h, c, rows = decode_gif(raw)
+        assert (w, h, c) == (6, hh, 3)
+        assert np.array_equal(rows, PAL4[idx].reshape(hh, 18)), hh
+        # the 4-pass order is a permutation of all rows
+        assert sorted(_interlace_order(hh)) == list(range(hh))
 
 
 def test_decoder_seam_routes_gif():
