@@ -913,3 +913,99 @@ def q_als_user_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("u2"),
     ).orderBy("custkey")
+
+
+# ---------------------------------------------------------------------------
+# HITS (Kleinberg 1999) on the bipartite supplier→part supply graph:
+# hubs are suppliers, authorities are parts. Same exact-integer
+# discipline as PageRank: scores are BIGINT fixed-point, one iteration
+# is two (equi-join + groupBy) passes, and normalization is integer
+# floor division by the pre-scaled score total — every op on BIGINTs,
+# so two unrolled iterations are bit-identical across engines. The
+# divisor pre-scale (total div 10^6, never the raw total) keeps every
+# intermediate below ~10^17 even at 100 TB edge counts.
+# ---------------------------------------------------------------------------
+HITS_H0 = 1_000_000
+HITS_TOP = 20
+
+
+def _hits_oracle() -> str:
+    return f"""
+    WITH e AS (
+        SELECT l_suppkey AS s, l_partkey AS p, COUNT(*) AS w
+        FROM lineitem GROUP BY 1, 2
+    ),
+    a1raw AS (
+        SELECT p, SUM({HITS_H0} * w) AS araw FROM e GROUP BY p
+    ),
+    a1 AS (
+        SELECT p, araw // GREATEST((SELECT SUM(araw) FROM a1raw) // 1000000, 1) AS a
+        FROM a1raw
+    ),
+    h1raw AS (
+        SELECT e.s, SUM(a1.a * e.w) AS hraw FROM e JOIN a1 ON e.p = a1.p GROUP BY e.s
+    ),
+    h1 AS (
+        SELECT s, hraw // GREATEST((SELECT SUM(hraw) FROM h1raw) // 1000000, 1) AS h
+        FROM h1raw
+    ),
+    a2raw AS (
+        SELECT e.p, SUM(h1.h * e.w) AS araw FROM e JOIN h1 ON e.s = h1.s GROUP BY e.p
+    ),
+    a2 AS (
+        SELECT p, araw // GREATEST((SELECT SUM(araw) FROM a2raw) // 1000000, 1) AS a
+        FROM a2raw
+    )
+    SELECT CAST(p AS BIGINT) AS part_key, CAST(a AS BIGINT) AS authority
+    FROM a2
+    ORDER BY authority DESC, part_key
+    LIMIT {HITS_TOP}
+    """
+
+
+@register("q_hits_supply_graph", oracle=_hits_oracle())
+def q_hits_supply_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{20} authority parts after two exact-integer HITS rounds on
+    the supplier→part bipartite graph. Edge build is one groupBy of
+    the fact table; each half-iteration is a join + groupBy on graph
+    keys (broadcast 1-row totals), so the shape survives 100× data."""
+    li = load_table(spark, sf_dir, "lineitem")
+    e = persist_tracked(
+        li.groupBy(
+            F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+        ).agg(F.count("*").alias("w"))
+    )
+
+    def norm(raw: DataFrame, col: str) -> DataFrame:
+        # 1-scalar model state: collect the total and re-inject it as a
+        # literal — Catalyst constant-folds the divisor, where a 1-row
+        # broadcast-join costs a separate exchange job per iteration
+        raw = persist_tracked(raw)
+        tot = int(raw.agg(F.sum(col)).first()[0])
+        return raw.select(
+            *[c for c in raw.columns if c != col],
+            F.expr(
+                f"{col} div {max(tot // 1_000_000, 1)}"
+            ).alias(col.replace("raw", "")),
+        )
+
+    a1 = norm(
+        e.groupBy("p").agg(F.sum(F.lit(HITS_H0) * F.col("w")).alias("araw")),
+        "araw",
+    )
+    h1 = norm(
+        e.join(a1, "p").groupBy("s").agg(F.sum(F.col("a") * F.col("w")).alias("hraw")),
+        "hraw",
+    )
+    a2 = norm(
+        e.join(h1, "s").groupBy("p").agg(F.sum(F.col("h") * F.col("w")).alias("araw")),
+        "araw",
+    )
+    return (
+        a2.select(
+            F.col("p").cast("long").alias("part_key"),
+            F.col("a").cast("long").alias("authority"),
+        )
+        .orderBy(F.col("authority").desc(), "part_key")
+        .limit(HITS_TOP)
+    )

@@ -1565,3 +1565,149 @@ def q_wasserstein_price_by_returnflag(spark: SparkSession, sf_dir: str) -> DataF
         F.max("t_a").cast("long").alias("n_a"),
         F.max("t_n").cast("long").alias("n_n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benjamini-Hochberg FDR correction across a battery of per-brand
+# one-sample z-tests: does brand mean price differ from the global
+# mean? The multiple-testing follow-up the statistical-test family
+# was missing — run m tests, control the false-discovery rate at
+# q = 0.05 instead of Bonferroni-crushing the per-test level.
+#
+# Exactness contract: (n, Σv, Σv²) accumulate as exact DECIMALs from
+# cent-scaled integers; z is floor-micro rounded; the normal tail is
+# the Abramowitz-Stegun 26.2.17 polynomial (exp-based — the engine's
+# established ln/exp idiom: identical IEEE expression order in both
+# engines, floor-micro rounding right after); the BH step-up
+# min-suffix runs over the ~25-row brand table (bounded by brand
+# cardinality — whitelisted global window).
+# ---------------------------------------------------------------------------
+_BH_Q = 0.05
+# A&S 26.2.17 coefficients
+_AS_B = (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+_AS_P = 0.2316419
+_INV_SQRT_2PI = 0.3989422804014327
+
+
+def _bh_oracle() -> str:
+    t = f"1.0 / (1.0 + {_AS_P} * az)"
+    poly = (
+        f"(((({_AS_B[4]} * t + {_AS_B[3]}) * t + {_AS_B[2]}) * t "
+        f"+ {_AS_B[1]}) * t + {_AS_B[0]}) * t"
+    )
+    return f"""
+    WITH scaled AS (
+        SELECT p.p_brand AS brand,
+               CAST(ROUND(l.l_extendedprice * 100, 0) AS HUGEINT) AS v
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), g AS (
+        SELECT COUNT(*) AS n, SUM(v) AS s, SUM(v * v) AS q FROM scaled
+    ), brands AS (
+        SELECT brand, COUNT(*) AS n_b, SUM(v) AS s_b FROM scaled GROUP BY brand
+    ), z AS (
+        SELECT brand, n_b,
+               FLOOR((CAST(s_b AS DOUBLE) / n_b - CAST(s AS DOUBLE) / n)
+                     / (SQRT((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                             / (n - 1))
+                        / SQRT(CAST(n_b AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS zval
+        FROM brands, g
+    ), pv AS (
+        -- DuckDB lateral aliases: az and t feed the later expressions
+        SELECT brand, n_b, zval,
+               ABS(zval) AS az,
+               {t} AS t,
+               {_INV_SQRT_2PI} * EXP(-az * az / 2.0) * ({poly}) AS phi_term,
+               FLOOR(LEAST(2.0 * phi_term, 1.0) * 1e6 + 0.5) / 1e6 AS p_raw
+        FROM z
+    ), ranked AS (
+        SELECT brand, n_b, zval, p_raw,
+               ROW_NUMBER() OVER (ORDER BY p_raw, brand) AS rnk,
+               COUNT(*) OVER () AS m
+        FROM pv
+    )
+    SELECT brand, CAST(n_b AS BIGINT) AS n_rows, zval AS z, p_raw,
+           FLOOR(LEAST(MIN(p_raw * m / rnk)
+                           OVER (ORDER BY rnk ROWS BETWEEN CURRENT ROW
+                                 AND UNBOUNDED FOLLOWING), 1.0) * 1e6 + 0.5) / 1e6
+               AS p_adj,
+           FLOOR(LEAST(MIN(p_raw * m / rnk)
+                           OVER (ORDER BY rnk ROWS BETWEEN CURRENT ROW
+                                 AND UNBOUNDED FOLLOWING), 1.0) * 1e6 + 0.5) / 1e6
+               <= {_BH_Q} AS significant
+    FROM ranked
+    ORDER BY p_raw, brand
+    """
+
+
+@register("q_bh_fdr_brand_price", oracle=_bh_oracle())
+def q_bh_fdr_brand_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand z-tests with Benjamini-Hochberg FDR adjustment.
+    One fact-table groupBy (cent-exact sufficient statistics) + a
+    1-row global reduce; everything after runs on the brand table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    scaled = li.join(part, li["l_partkey"] == part["p_partkey"]).select(
+        F.col("p_brand").alias("brand"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("decimal(19,0)").alias("v"),
+    )
+    v38 = F.col("v").cast("decimal(38,0)")
+    g = scaled.agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(v38 * v38).alias("q"),
+    )
+    brands = scaled.groupBy("brand").agg(
+        F.count("*").alias("n_b"), F.sum("v").alias("s_b")
+    )
+    j = brands.crossJoin(F.broadcast(g))
+    n, s, q = (F.col(c).cast("double") for c in ("n", "s", "q"))
+    n_b, s_b = F.col("n_b").cast("double"), F.col("s_b").cast("double")
+    sigma = F.sqrt((q - s * s / n) / (n - F.lit(1)))
+    zval = F.floor(
+        (s_b / n_b - s / n) / (sigma / F.sqrt(n_b)) * F.lit(1e6) + F.lit(0.5)
+    ) / F.lit(1e6)
+    az = F.abs(F.col("zval"))
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(_AS_P) * az)
+    poly = (
+        (
+            (
+                (F.lit(_AS_B[4]) * t + F.lit(_AS_B[3])) * t + F.lit(_AS_B[2])
+            ) * t
+            + F.lit(_AS_B[1])
+        ) * t
+        + F.lit(_AS_B[0])
+    ) * t
+    phi_term = F.lit(_INV_SQRT_2PI) * F.exp(-az * az / F.lit(2.0)) * poly
+    p_raw = F.floor(
+        F.least(F.lit(2.0) * phi_term, F.lit(1.0)) * F.lit(1e6) + F.lit(0.5)
+    ) / F.lit(1e6)
+    pv = (
+        j.withColumn("zval", zval)
+        .withColumn("p_raw", p_raw)
+        .select("brand", "n_b", "zval", "p_raw")
+    )
+    w_rank = W.orderBy("p_raw", "brand")
+    ranked = pv.withColumn("rnk", F.row_number().over(w_rank)).withColumn(
+        "m", F.count("*").over(W.partitionBy())
+    )
+    w_suffix = W.orderBy("rnk").rowsBetween(W.currentRow, W.unboundedFollowing)
+    adj = F.floor(
+        F.least(
+            F.min(F.col("p_raw") * F.col("m") / F.col("rnk")).over(w_suffix),
+            F.lit(1.0),
+        )
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ) / F.lit(1e6)
+    return (
+        ranked.withColumn("p_adj", adj)
+        .select(
+            "brand",
+            F.col("n_b").cast("long").alias("n_rows"),
+            F.col("zval").alias("z"),
+            "p_raw",
+            "p_adj",
+            (F.col("p_adj") <= _BH_Q).alias("significant"),
+        )
+        .orderBy("p_raw", "brand")
+    )

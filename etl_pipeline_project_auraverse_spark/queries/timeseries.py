@@ -1414,3 +1414,139 @@ def q_stream_twin_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionized_events(ev, gap="30 minutes", watermark="1 hour").select(
         "user_id", "session_start", "session_end", "n_events", "total_value"
     ).orderBy("user_id", "session_start")
+
+
+# A 1h window sliding by 30min covers each event exactly twice: the
+# windows starting at its 30-min bucket and 30min before it — the
+# two-branch UNION the oracle spells out, and exactly the window set
+# Spark's window(ts, "1 hour", "30 minutes") emits.
+@register(
+    "q_stream_twin_sliding_counts",
+    oracle=f"""
+    WITH starts AS (
+        SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS win_start, event_type, value
+        FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE, event_type, value
+        FROM events
+    )
+    SELECT win_start,
+           win_start + INTERVAL 1 HOUR AS win_end,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_dec_sum('value')} AS total_value
+    FROM starts
+    GROUP BY 1, 2, 3
+    ORDER BY win_start, event_type
+    """,
+)
+def q_stream_twin_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``streaming.events.sliding_event_counts`` on a bounded scan —
+    the sliding-window streaming operator under the oracle gate."""
+    from etl_pipeline_project_auraverse_spark.streaming.events import (
+        sliding_event_counts,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return sliding_event_counts(
+        ev, window="1 hour", slide="30 minutes", watermark="1 hour"
+    ).orderBy("win_start", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# SAX symbolization (Lin/Keogh/Lonardi/Chiu 2003): z-normalize the
+# daily revenue series and discretize into 4 equiprobable N(0,1)
+# symbols (breakpoints -0.6745 / 0 / 0.6745), then roll a 3-day SAX
+# word — the standard preprocessing for motif/novelty mining over
+# time series. One day-grain aggregate (tiny) + window ops; at 100 TB
+# only the first aggregate touches the fact table.
+# ---------------------------------------------------------------------------
+_SAX_BREAKS = (-0.6745, 0.0, 0.6745)
+
+
+@register(
+    "q_sax_daily_revenue",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS TIMESTAMP) AS day,
+               {sql_dec_sum('o_totalprice')} AS revenue
+        FROM orders GROUP BY 1
+    ), stats AS (
+        SELECT CAST(ROUND(CAST(SUM(CAST(revenue AS DECIMAL(25,6))) AS DOUBLE)
+                    / COUNT(*), 6) AS DOUBLE) AS mu,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(revenue AS DECIMAL(25,6))
+                        * CAST(revenue AS DECIMAL(25,6))) AS DOUBLE) AS sq
+        FROM daily
+    ), z AS (
+        SELECT day, revenue,
+               FLOOR((revenue - mu) / SQRT((sq - CAST(n AS DOUBLE) * mu * mu)
+                                           / (CAST(n AS DOUBLE) - 1)) * 1e6 + 0.5) / 1e6 AS z
+        FROM daily, stats
+    ), sym AS (
+        SELECT day, revenue, z,
+               CASE WHEN z < {_SAX_BREAKS[0]} THEN 'a'
+                    WHEN z < {_SAX_BREAKS[1]} THEN 'b'
+                    WHEN z < {_SAX_BREAKS[2]} THEN 'c'
+                    ELSE 'd' END AS symbol
+        FROM z
+    )
+    SELECT day, revenue, z, symbol,
+           CASE WHEN LAG(symbol, 2) OVER w IS NULL THEN NULL
+                ELSE LAG(symbol, 2) OVER w || LAG(symbol, 1) OVER w || symbol
+           END AS sax_word3
+    FROM sym
+    WINDOW w AS (ORDER BY day)
+    ORDER BY day
+    """,
+)
+def q_sax_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-revenue SAX symbols + rolling 3-day words. The z-score is
+    floor-micro rounded (the cross-engine ROUND-tie-safe idiom) before
+    the breakpoint CASE so symbol boundaries agree bit-for-bit.
+    Calendar-day global window: bounded by construction (one row per
+    day), the documented whitelist shape."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("timestamp").alias("day")
+    ).agg(dec_sum("o_totalprice").alias("revenue"))
+    stats = daily.agg(
+        F.round(
+            F.sum(F.col("revenue").cast("decimal(25,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).cast("double").alias("mu"),
+        F.count("*").alias("n"),
+        F.sum(
+            F.col("revenue").cast("decimal(25,6)")
+            * F.col("revenue").cast("decimal(25,6)")
+        ).cast("double").alias("sq"),
+    )
+    var = (F.col("sq") - F.col("n").cast("double") * F.col("mu") * F.col("mu")) / (
+        F.col("n").cast("double") - F.lit(1.0)
+    )
+    z = F.floor(
+        (F.col("revenue") - F.col("mu")) / F.sqrt(var) * F.lit(1e6) + F.lit(0.5)
+    ) / F.lit(1e6)
+    sym = (
+        daily.crossJoin(F.broadcast(stats))
+        .withColumn("z", z)
+        .withColumn(
+            "symbol",
+            F.when(F.col("z") < _SAX_BREAKS[0], "a")
+            .when(F.col("z") < _SAX_BREAKS[1], "b")
+            .when(F.col("z") < _SAX_BREAKS[2], "c")
+            .otherwise("d"),
+        )
+    )
+    w = W.orderBy("day")
+    word = F.when(
+        F.lag("symbol", 2).over(w).isNull(), F.lit(None).cast("string")
+    ).otherwise(
+        F.concat(
+            F.lag("symbol", 2).over(w), F.lag("symbol", 1).over(w), F.col("symbol")
+        )
+    )
+    return sym.select("day", "revenue", "z", F.col("symbol"), word.alias("sax_word3")).orderBy(
+        "day"
+    )

@@ -304,6 +304,11 @@ BOUNDED_GLOBAL_WINDOW_OK = {
     "q_ewma_daily_revenue": 1,
     # CDF window over the <= 256-row fixed bin grid
     "q_wasserstein_price_by_returnflag": 1,
+    # 3-symbol SAX word over the per-day aggregate (calendar-bounded)
+    "q_sax_daily_revenue": 1,
+    # BH step-up over the per-brand test table: rank + global count +
+    # suffix-min, all over <= |brands| (~25) rows
+    "q_bh_fdr_brand_price": 3,
 }
 
 # Iterative builders whose CONSTRUCTION runs full multi-job loops
