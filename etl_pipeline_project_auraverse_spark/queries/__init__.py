@@ -72,8 +72,9 @@ ORACLE: dict[str, str] = {}
 #   ANN/ML:     q_negative_sampling_parts, q_hrw_shard_rebalance,
 #               q_logreg_auc_calibration, q_bpe_apply_fixed_merges,
 #               q_mmr_rerank, q_ann_ivfadc_residual_recall
-#   new in r7:  q_stream_twin_sliding_counts, q_sax_daily_revenue,
-#               q_hits_supply_graph, q_bh_fdr_brand_price
+#   new in r7:  q_stream_twin_sliding_counts, q_stream_twin_windowed_psi,
+#               q_sax_daily_revenue, q_hits_supply_graph,
+#               q_bh_fdr_brand_price, q_conformal_price_interval
 # then fill the remaining ~16 slots with the oldest-attested entries
 # (the four ANN/embedding r4 greens q_ann_lsh_multiprobe,
 # q_ann_lsh_recall, q_embedding_norms, q_embedding_centroid_blocks,

@@ -1613,3 +1613,124 @@ def q_quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "bucket", "n_rows", "raw_mean", "target_mean")
         .orderBy("source", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction intervals (Vovk et al.; Lei et al. 2018):
+# hash-split orders into train/calibration/test, fit the simplest
+# group-mean predictor on train, take the ceil((n+1)(1-alpha))-th
+# smallest absolute residual on calibration as the interval half-width
+# q_hat, and report per-priority empirical coverage on test — the
+# distribution-free uncertainty wrapper a model-scoring pipeline needs.
+#
+# Exactness: everything runs in integer CENTS (the ROUND(x*100,0) cent
+# idiom + half-up integer division (2s+n) div (2n) for the train
+# means), and q_hat is an exact order statistic picked by cumulative
+# count over the DISTINCT residual-value table — bounded by the price
+# domain in cents (fixed by the data dictionary), not by row count,
+# the same domain-bound argument as the Kendall/KS contingency plans.
+# ---------------------------------------------------------------------------
+_CONF_ALPHA_NUM, _CONF_ALPHA_DEN = 9, 10  # 1 - alpha = 9/10
+
+
+def _conformal_oracle() -> str:
+    return f"""
+    WITH split AS (
+        SELECT o_orderpriority AS pri,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS yc,
+               CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 7)) AS BIGINT) % 100 AS b
+        FROM orders
+    ), train AS (
+        SELECT pri, (2 * SUM(yc) + COUNT(*)) // (2 * COUNT(*)) AS predc
+        FROM split WHERE b < 60 GROUP BY pri
+    ), cal AS (
+        SELECT ABS(s.yc - t.predc) AS score
+        FROM split s JOIN train t USING (pri) WHERE s.b >= 60 AND s.b < 80
+    ), dist AS (
+        SELECT score, COUNT(*) AS c FROM cal GROUP BY score
+    ), cum AS (
+        SELECT score,
+               SUM(c) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) AS cc
+        FROM dist
+    ), qhat AS (
+        SELECT MIN(score) AS qc FROM cum, (SELECT SUM(c) AS n FROM dist) t
+        WHERE cc >= LEAST(((n + 1) * {_CONF_ALPHA_NUM} + {_CONF_ALPHA_DEN - 1})
+                          // {_CONF_ALPHA_DEN}, n)
+    )
+    SELECT s.pri AS o_orderpriority,
+           COUNT(*) AS n_test,
+           COUNT(CASE WHEN ABS(s.yc - t.predc) <= q.qc THEN 1 END) AS n_covered,
+           FLOOR(COUNT(CASE WHEN ABS(s.yc - t.predc) <= q.qc THEN 1 END)
+                 * 1e6 / COUNT(*) + 0.5) / 1e6 AS coverage,
+           CAST(q.qc AS DOUBLE) / 100.0 AS qhat
+    FROM split s JOIN train t USING (pri) CROSS JOIN qhat q
+    WHERE s.b >= 80
+    GROUP BY s.pri, q.qc
+    ORDER BY o_orderpriority
+    """
+
+
+@register("q_conformal_price_interval", oracle=_conformal_oracle())
+def q_conformal_price_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal intervals around per-priority mean price, with
+    empirical test coverage. Train means broadcast (5 rows); the
+    calibration quantile is an exact order statistic over the
+    domain-bounded distinct-residual table; test scoring is one
+    broadcast join + aggregate."""
+    from etl_pipeline_project_auraverse_spark.functions.text import h28
+
+    orders = load_table(spark, sf_dir, "orders")
+    split = orders.select(
+        F.col("o_orderpriority").alias("pri"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("yc"),
+        (h28(F.col("o_orderkey").cast("string")) % 100).alias("b"),
+    )
+    train = (
+        split.where(F.col("b") < 60)
+        .groupBy("pri")
+        .agg(
+            F.expr("(2 * sum(yc) + count(*)) div (2 * count(*))").alias("predc")
+        )
+    )
+    cal = (
+        split.where((F.col("b") >= 60) & (F.col("b") < 80))
+        .join(F.broadcast(train), "pri")
+        .select(F.abs(F.col("yc") - F.col("predc")).alias("score"))
+    )
+    dist = cal.groupBy("score").agg(F.count("*").alias("c"))
+    w_cum = W.orderBy("score").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = dist.withColumn("cc", F.sum("c").over(w_cum))
+    n_tot = dist.agg(F.sum("c").alias("n"))
+    qhat = (
+        cum.crossJoin(F.broadcast(n_tot))
+        .where(
+            F.col("cc")
+            >= F.least(
+                F.expr(
+                    f"((n + 1) * {_CONF_ALPHA_NUM} + {_CONF_ALPHA_DEN - 1})"
+                    f" div {_CONF_ALPHA_DEN}"
+                ),
+                F.col("n"),
+            )
+        )
+        .agg(F.min("score").alias("qc"))
+    )
+    test = split.where(F.col("b") >= 80).join(F.broadcast(train), "pri")
+    covered = F.count(
+        F.when(F.abs(F.col("yc") - F.col("predc")) <= F.col("qc"), 1)
+    )
+    return (
+        test.crossJoin(F.broadcast(qhat))
+        .groupBy(F.col("pri").alias("o_orderpriority"), "qc")
+        .agg(
+            F.count("*").alias("n_test"),
+            covered.alias("n_covered"),
+            (
+                F.floor(covered * F.lit(1e6) / F.count("*") + F.lit(0.5))
+                / F.lit(1e6)
+            ).alias("coverage"),
+            (F.max("qc").cast("double") / F.lit(100.0)).alias("qhat"),
+        )
+        .drop("qc")
+        .orderBy("o_orderpriority")
+    )

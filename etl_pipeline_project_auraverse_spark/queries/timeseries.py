@@ -1550,3 +1550,73 @@ def q_sax_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sym.select("day", "revenue", "z", F.col("symbol"), word.alias("sax_word3")).orderBy(
         "day"
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming drift-monitor twin: per 6h window, the event value
+# distribution scored against the whole-table baseline with PSI —
+# executing streaming/drift.py's windowed_psi (the exact code a
+# readStream monitor runs, watermark=None for batch) under the oracle
+# gate. Fixed literal bin edges; baseline fractions are B driver-side
+# doubles (the monitor's broadcast-literal contract).
+# ---------------------------------------------------------------------------
+_PSI_EDGES = [15.0, 35.0, 70.0, 150.0]
+
+
+def _windowed_psi_oracle() -> str:
+    n_bins = len(_PSI_EDGES) + 1
+
+    def bin_expr(col: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN {col} > {e} THEN 1 ELSE 0 END)" for e in _PSI_EDGES
+        )
+
+    counts = ", ".join(
+        f"COUNT(CASE WHEN b = {i} THEN 1 END) AS n_{i}" for i in range(n_bins)
+    )
+    # mirror _psi_projection's chain exactly: per-term floor-micro
+    # rounding, fixed left-to-right sum, floor-micro final
+    terms = "0.0"
+    for i in range(n_bins):
+        p = f"((CAST(n_{i} AS DOUBLE) + 0.5) / (CAST(n_rows AS DOUBLE) + {n_bins * 0.5}))"
+        b = f"GREATEST(CAST(bn_{i} AS DOUBLE) / bn, 1e-12)"
+        terms += (
+            f" + FLOOR(({p} - {b}) * LN({p} / {b}) * 1e6 + 0.5) / 1e6"
+        )
+    return f"""
+    WITH binned AS (
+        SELECT ts, {bin_expr('value')} AS b FROM events
+    ), base AS (
+        SELECT COUNT(*) AS bn,
+               {', '.join(f'COUNT(CASE WHEN b = {i} THEN 1 END) AS bn_{i}' for i in range(n_bins))}
+        FROM binned
+    ), hist AS (
+        SELECT time_bucket(INTERVAL 6 HOUR, ts) AS win_start,
+               COUNT(*) AS n_rows, {counts}
+        FROM binned GROUP BY 1
+    )
+    SELECT win_start,
+           win_start + INTERVAL 6 HOUR AS win_end,
+           n_rows,
+           CAST(FLOOR(({terms}) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS psi
+    FROM hist, base
+    ORDER BY win_start
+    """
+
+
+@register("q_stream_twin_windowed_psi", oracle=_windowed_psi_oracle())
+def q_stream_twin_windowed_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``streaming.drift.windowed_psi`` on a bounded scan: whole-table
+    baseline fractions ride as literals (the monitor's broadcast
+    contract), each 6h window's value histogram folds in one
+    aggregation, PSI is a stateless projection."""
+    from etl_pipeline_project_auraverse_spark.streaming.drift import (
+        baseline_fractions,
+        windowed_psi,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    base = baseline_fractions(ev, "value", _PSI_EDGES)
+    return windowed_psi(
+        ev, "value", _PSI_EDGES, base, ts_col="ts", window="6 hours", watermark=None
+    ).orderBy("win_start")

@@ -87,17 +87,26 @@ def _histogram_agg(
 def _psi_projection(
     hist: DataFrame, baseline: list[float], n_bins: int
 ) -> DataFrame:
+    # Every PSI term (p-b)·ln(p/b) is >= 0; floor-micro rounding each
+    # term before the fixed-order chain sum makes the score identical
+    # across engines (ln may differ in the last ulp between libms —
+    # the engine's standard guard for ln/exp-derived values), which is
+    # what lets q_stream_twin_windowed_psi run THIS function under the
+    # DuckDB oracle gate.
     total = F.col("n_rows").cast("double") + n_bins * PSI_EPS
     psi = F.lit(0.0)
     for i in range(n_bins):
         p = (F.col(f"n_{i}").cast("double") + PSI_EPS) / total
         bse = F.lit(max(baseline[i], 1e-12))
-        psi = psi + (p - bse) * F.log(p / bse)
+        term = (p - bse) * F.log(p / bse)
+        psi = psi + F.floor(term * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
     return hist.select(
         F.col("win.start").alias("win_start"),
         F.col("win.end").alias("win_end"),
         "n_rows",
-        F.round(psi, 6).cast("double").alias("psi"),
+        (F.floor(psi * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+        .cast("double")
+        .alias("psi"),
     )
 
 

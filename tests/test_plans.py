@@ -309,6 +309,10 @@ BOUNDED_GLOBAL_WINDOW_OK = {
     # BH step-up over the per-brand test table: rank + global count +
     # suffix-min, all over <= |brands| (~25) rows
     "q_bh_fdr_brand_price": 3,
+    # cumulative count over the DISTINCT residual-value table, bounded
+    # by the price domain in cents (fixed by the data dictionary) —
+    # the Kendall/KS contingency domain-bound argument
+    "q_conformal_price_interval": 1,
 }
 
 # Iterative builders whose CONSTRUCTION runs full multi-job loops
