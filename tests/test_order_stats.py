@@ -82,3 +82,48 @@ def test_plan_has_no_single_group_aggregation(spark):
     )
     assert "percentile" not in plan.lower()
     assert "rangepartitioning" in plan.lower()
+
+
+def test_fused_small_group_path_matches_distributed(spark):
+    """The n_groups_hint fast path (driver-fused two-job plan) must be
+    value-IDENTICAL to the distributed path and to F.percentile —
+    same rank arithmetic, same IEEE interpolation, different job
+    choreography only."""
+    rng = random.Random(7)
+    rows = [(f"g{i % 3}", rng.uniform(0, 500)) for i in range(2500)]
+    rows += [("g0", 250.0)] * 40  # ties
+    df = spark.createDataFrame(rows, "g string, v double").repartition(8)
+    fused = {
+        r["g"]: [r[n] for n in NAMES]
+        for r in exact_group_percentiles(
+            df, "g", "v", PS, NAMES, n_groups_hint=3
+        ).collect()
+    }
+    slow = {
+        r["g"]: [r[n] for n in NAMES]
+        for r in exact_group_percentiles(df, "g", "v", PS, NAMES).collect()
+    }
+    assert fused == slow  # bit-identical, not approximately equal
+    want = _reference(spark, df)
+    for g in want:
+        for a, b in zip(fused[g], want[g]):
+            assert math.isclose(a, b, rel_tol=0, abs_tol=1e-9), (g, a, b)
+
+
+def test_fused_path_empty_and_all_null_groups(spark):
+    df = spark.createDataFrame(
+        [("a", None), ("b", 5.0)], "g string, v double"
+    )
+    out = {
+        r["g"]: (r["n_rows"], r["p50"])
+        for r in exact_group_percentiles(
+            df, "g", "v", [0.5], ["p50"], n_groups_hint=2
+        ).collect()
+    }
+    assert out == {"b": (1, 5.0)}
+    empty = exact_group_percentiles(
+        df.where(F.col("v").isNull() & F.col("v").isNotNull()),
+        "g", "v", [0.5], ["p50"], n_groups_hint=1,
+    )
+    assert empty.collect() == []
+    assert [f.name for f in empty.schema.fields] == ["g", "n_rows", "p50"]
