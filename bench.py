@@ -303,14 +303,18 @@ def main() -> None:
                 ).collect()
             }
 
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        exact_meds = _exact()
-        exact_sec = round(time.perf_counter() - t0, 4)
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        sketch_meds = _sketch()
-        sketch_sec = round(time.perf_counter() - t0, 4)
+        def _min3(fn):
+            runs = []
+            result = None
+            for _ in range(3):  # min-of-3: same noise policy as headline
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                result = fn()
+                runs.append(time.perf_counter() - t0)
+            return result, round(min(runs), 4)
+
+        exact_meds, exact_sec = _min3(_exact)
+        sketch_meds, sketch_sec = _min3(_sketch)
         rel_err = max(
             abs(sketch_meds[k] - exact_meds[k]) / abs(exact_meds[k])
             for k in exact_meds
