@@ -74,7 +74,8 @@ ORACLE: dict[str, str] = {}
 #               q_mmr_rerank, q_ann_ivfadc_residual_recall
 #   new in r7:  q_stream_twin_sliding_counts, q_stream_twin_windowed_psi,
 #               q_sax_daily_revenue, q_hits_supply_graph,
-#               q_bh_fdr_brand_price, q_conformal_price_interval
+#               q_bh_fdr_brand_price, q_conformal_price_interval,
+#               q_cusum_changepoint_daily_revenue, q_attribution_last_touch
 # then fill the remaining ~16 slots with the oldest-attested entries
 # (the four ANN/embedding r4 greens q_ann_lsh_multiprobe,
 # q_ann_lsh_recall, q_embedding_norms, q_embedding_centroid_blocks,

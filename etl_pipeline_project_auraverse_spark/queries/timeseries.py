@@ -1620,3 +1620,196 @@ def q_stream_twin_windowed_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_psi(
         ev, "value", _PSI_EDGES, base, ts_col="ts", window="6 hours", watermark=None
     ).orderBy("win_start")
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection (Page 1954) over daily revenue: the
+# cumulative sum of deviations from the series mean peaks at the most
+# likely mean-shift point. The classic single-change-point estimator —
+# argmax_k |S_k| — plus the normalized shift magnitude on each side.
+# One fact-table aggregate, then calendar-bounded windows; z and the
+# cumulative sums use the floor-micro idiom so both engines agree on
+# the argmax bit-for-bit.
+# ---------------------------------------------------------------------------
+@register(
+    "q_cusum_changepoint_daily_revenue",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS TIMESTAMP) AS day,
+               {sql_dec_sum('o_totalprice')} AS revenue
+        FROM orders GROUP BY 1
+    ), m AS (
+        SELECT CAST(ROUND(CAST(SUM(CAST(revenue AS DECIMAL(25,6))) AS DOUBLE)
+                    / COUNT(*), 6) AS DOUBLE) AS mu,
+               COUNT(*) AS n
+        FROM daily
+    ), dev AS (
+        SELECT day, revenue,
+               FLOOR((revenue - mu) * 1e6 + 0.5) AS dev_micro
+        FROM daily, m
+    ), cusum AS (
+        SELECT day, revenue,
+               SUM(CAST(dev_micro AS BIGINT))
+                   OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS s_micro,
+               ROW_NUMBER() OVER (ORDER BY day) AS k,
+               COUNT(*) OVER () AS n
+        FROM dev
+    )
+    SELECT day AS change_day,
+           CAST(k AS BIGINT) AS k,
+           CAST(s_micro AS DOUBLE) / 1e6 AS cusum_peak,
+           CAST((SELECT FLOOR(CAST(SUM(CAST(dev_micro AS BIGINT)) AS DOUBLE)
+                        / 1e6 / c.k * 1e6 + 0.5) / 1e6
+                 FROM dev WHERE dev.day <= c.day) AS DOUBLE) AS mean_dev_before,
+           CAST((SELECT FLOOR(CAST(SUM(CAST(dev_micro AS BIGINT)) AS DOUBLE)
+                        / 1e6 / (c.n - c.k) * 1e6 + 0.5) / 1e6
+                 FROM dev WHERE dev.day > c.day) AS DOUBLE) AS mean_dev_after
+    FROM cusum c
+    ORDER BY ABS(s_micro) DESC, day
+    LIMIT 1
+    """,
+)
+def q_cusum_changepoint_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most likely mean-shift day in the daily revenue series: argmax
+    of |CUSUM| with the integer-micro deviation idiom, plus the mean
+    deviation on each side of the split."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("timestamp").alias("day")
+    ).agg(dec_sum("o_totalprice").alias("revenue"))
+    m = daily.agg(
+        F.round(
+            F.sum(F.col("revenue").cast("decimal(25,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).cast("double").alias("mu")
+    )
+    dev = daily.crossJoin(F.broadcast(m)).select(
+        "day",
+        "revenue",
+        F.floor((F.col("revenue") - F.col("mu")) * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("dev_micro"),
+    )
+    w_cum = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_all = W.partitionBy()
+    cusum = dev.select(
+        "day",
+        "revenue",
+        F.sum("dev_micro").over(w_cum).alias("s_micro"),
+        F.row_number().over(W.orderBy("day")).alias("k"),
+        F.count("*").over(w_all).alias("n"),
+        F.sum("dev_micro").over(w_all).alias("tot_micro"),
+    )
+    # suffix sum = total - prefix; both exact integers
+    before = F.floor(
+        F.col("s_micro").cast("double") / F.lit(1e6) / F.col("k") * F.lit(1e6)
+        + F.lit(0.5)
+    ) / F.lit(1e6)
+    after = F.when(F.col("n") == F.col("k"), F.lit(None).cast("double")).otherwise(
+        F.floor(
+            (F.col("tot_micro") - F.col("s_micro")).cast("double")
+            / F.lit(1e6)
+            / (F.col("n") - F.col("k"))
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        / F.lit(1e6)
+    )
+    return (
+        cusum.select(
+            F.col("day").alias("change_day"),
+            F.col("k").cast("long").alias("k"),
+            (F.col("s_micro").cast("double") / F.lit(1e6)).alias("cusum_peak"),
+            before.cast("double").alias("mean_dev_before"),
+            after.cast("double").alias("mean_dev_after"),
+        )
+        .orderBy(F.abs(F.col("cusum_peak")).desc(), "change_day")
+        .limit(1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Last-touch marketing attribution: each purchase credits the user's
+# most recent NON-purchase event within a 7-day lookback ('direct'
+# when there is none). The as-of window machinery of
+# q_asof_view_before_purchase, aggregated into per-channel credited
+# revenue + share — one shuffle on user_id, then a tiny channel agg.
+# ---------------------------------------------------------------------------
+_ATTR_LOOKBACK_US = 7 * 24 * 3600 * 1_000_000
+
+
+@register(
+    "q_attribution_last_touch",
+    oracle=f"""
+    WITH touched AS (
+        SELECT event_id, user_id, ts, value,
+               LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+                          IGNORE NULLS) OVER w AS lt_type,
+               LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN ts END
+                          IGNORE NULLS) OVER w AS lt_ts,
+               event_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), attributed AS (
+        SELECT CASE WHEN lt_ts IS NOT NULL
+                     AND epoch_us(ts) - epoch_us(lt_ts) <= {_ATTR_LOOKBACK_US}
+                    THEN lt_type ELSE 'direct' END AS channel,
+               value
+        FROM touched WHERE event_type = 'purchase'
+    ), agg AS (
+        SELECT channel, COUNT(*) AS n_purchases,
+               {sql_dec_sum('value')} AS credited_revenue
+        FROM attributed GROUP BY channel
+    )
+    SELECT channel, n_purchases, credited_revenue,
+           FLOOR(credited_revenue * 1e6
+                 / SUM(credited_revenue) OVER () + 0.5) / 1e6 AS revenue_share
+    FROM agg
+    ORDER BY credited_revenue DESC, channel
+    """,
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel last-touch attribution of purchase revenue with a
+    7-day lookback. The share window runs over the <= |event types|+1
+    channel rows (bounded by the type domain)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    lt_type = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    lt_ts = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("ts")), ignorenulls=True
+    ).over(w)
+    in_window = lt_ts.isNotNull() & (
+        (F.unix_micros(F.col("ts")) - F.unix_micros(lt_ts)) <= _ATTR_LOOKBACK_US
+    )
+    agg = (
+        ev.withColumn(
+            "channel", F.when(in_window, lt_type).otherwise(F.lit("direct"))
+        )
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("channel")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            dec_sum("value").alias("credited_revenue"),
+        )
+    )
+    share = F.floor(
+        F.col("credited_revenue")
+        * F.lit(1e6)
+        / F.sum("credited_revenue").over(W.partitionBy())
+        + F.lit(0.5)
+    ) / F.lit(1e6)
+    return agg.select(
+        "channel",
+        "n_purchases",
+        "credited_revenue",
+        share.cast("double").alias("revenue_share"),
+    ).orderBy(F.col("credited_revenue").desc(), "channel")

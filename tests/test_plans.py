@@ -313,6 +313,11 @@ BOUNDED_GLOBAL_WINDOW_OK = {
     # by the price domain in cents (fixed by the data dictionary) —
     # the Kendall/KS contingency domain-bound argument
     "q_conformal_price_interval": 1,
+    # CUSUM prefix-sum + row_number/total over the per-day aggregate
+    # (calendar-bounded, the gapfill-spine argument)
+    "q_cusum_changepoint_daily_revenue": 2,
+    # revenue-share window over the <= |event types|+1 channel rows
+    "q_attribution_last_touch": 1,
 }
 
 # Iterative builders whose CONSTRUCTION runs full multi-job loops
