@@ -1,13 +1,17 @@
-"""Keyword search: BM25-ranked retrieval over the documents table —
-the classic lexical search primitive (Lucene/Elasticsearch scoring)
-expressed as three exact count aggregates plus rounded float math.
+"""Keyword + hybrid search: BM25-ranked retrieval over the documents
+table — the classic lexical search primitive (Lucene/Elasticsearch
+scoring) — plus reciprocal-rank fusion with an embedding-cosine arm
+(the standard hybrid-retrieval recipe for RAG pipelines) and a
+label-relevance NDCG@k evaluation of the semantic ranking.
 
 Determinism: tf/df/N/dl are exact integers; avgdl is a decimal
 average; idf and each per-term score are rounded before the (decimal)
 sum over query terms, so ranking order is bit-identical across
-engines. The final top-k uses the two-level shard rank (local top-k
-per shard, global rank over <= k * SHARDS survivors) so no task ever
-sorts the full match set.
+engines. RRF contributions and NDCG gain terms go through the
+``FLOOR(x * 1e6 + 0.5)`` integer-micro-unit idiom (pure IEEE double
+arithmetic — no ROUND half-tie split between engines). Every top-k
+uses the two-level shard rank (local top-k per shard, global rank over
+<= k * SHARDS survivors) so no task ever sorts the full match set.
 """
 
 from __future__ import annotations
@@ -17,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from etl_pipeline_project_auraverse_spark.functions.text import n_words
+from etl_pipeline_project_auraverse_spark.functions.vectors import cosine, sql_cosine
 from etl_pipeline_project_auraverse_spark.queries import register
 from etl_pipeline_project_auraverse_spark.queries._util import parallelize
 from etl_pipeline_project_auraverse_spark.session import load_table
@@ -27,13 +32,20 @@ BM25_B = 0.75
 BM25_TOP_K = 15
 BM25_SHARDS = 16
 
+RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+RRF_POOL = 30  # candidates taken from each arm before fusion
+RRF_TOP_K = 15
+HYBRID_QUERY_VEC = 0  # the fixed semantic query: embedding of vec_id 0
+
+NDCG_K = 10
+NDCG_N_QUERY = 5  # evaluation query set: vec_id < 5 (matches kNN suite)
+
 _TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
 
-
-@register(
-    "q_bm25_search",
-    oracle=rf"""
-    WITH dl AS (
+# Shared BM25 scoring CTE chain (docs -> per-doc score), reused by the
+# plain BM25 ranker and the hybrid-RRF lexical arm.
+_BM25_SCORED_CTES = rf"""
+    dl AS (
         SELECT doc_id,
                CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS dl
         FROM documents
@@ -70,19 +82,13 @@ _TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
                CAST(ROUND(SUM(CAST(term_score AS DECIMAL(25,6))), 4) AS DOUBLE)
                    AS score
         FROM terms GROUP BY doc_id
-    )
-    SELECT CAST(rank AS BIGINT) AS rank, doc_id, n_terms_matched, score
-    FROM (
-        SELECT doc_id, n_terms_matched, score,
-               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
-        FROM scored
-    ) WHERE rank <= {BM25_TOP_K}
-    ORDER BY rank
-    """,
-)
-def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-k for a fixed keyword query: exact tf/df/length
-    statistics, Lucene-style positive idf, two-level shard ranking."""
+    )"""
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BM25 score for the fixed term set: exact integer
+    tf/df/N, decimal avgdl, per-term rounding before the decimal sum
+    (bit-identical ranking across engines)."""
     docs = parallelize(load_table(spark, sf_dir, "documents"))
     dl = docs.select("doc_id", n_words(F.col("text")).alias("dl"))
     toks = docs.select(
@@ -118,7 +124,7 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         6,
     )
-    scored = (
+    return (
         tf.join(F.broadcast(dfreq), "w")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
@@ -131,14 +137,285 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("score"),
         )
     )
-    w_local = W.partitionBy("__shard").orderBy(F.col("score").desc(), "doc_id")
-    w_global = W.orderBy(F.col("score").desc(), "doc_id")
+
+
+def _two_level_rank(
+    scored: DataFrame, order_col: str, id_col: str, pool: int, out_rank: str
+) -> DataFrame:
+    """Exact global top-``pool``: local top-pool per hash shard
+    (partitioned window), then a global rank over <= pool * SHARDS
+    survivors — no task ever sorts the full candidate set."""
+    w_local = W.partitionBy("__shard").orderBy(F.col(order_col).desc(), id_col)
+    w_global = W.orderBy(F.col(order_col).desc(), id_col)
     return (
-        scored.withColumn("__shard", F.col("doc_id") % BM25_SHARDS)
+        scored.withColumn("__shard", F.col(id_col) % BM25_SHARDS)
         .withColumn("__lrn", F.row_number().over(w_local))
-        .filter(F.col("__lrn") <= BM25_TOP_K)
-        .withColumn("rank", F.row_number().over(w_global).cast("long"))
-        .filter(F.col("rank") <= BM25_TOP_K)
+        .filter(F.col("__lrn") <= pool)
+        .withColumn(out_rank, F.row_number().over(w_global).cast("long"))
+        .filter(F.col(out_rank) <= pool)
+    )
+
+
+@register(
+    "q_bm25_search",
+    oracle=rf"""
+    WITH {_BM25_SCORED_CTES}
+    SELECT CAST(rank AS BIGINT) AS rank, doc_id, n_terms_matched, score
+    FROM (
+        SELECT doc_id, n_terms_matched, score,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+        FROM scored
+    ) WHERE rank <= {BM25_TOP_K}
+    ORDER BY rank
+    """,
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k for a fixed keyword query: exact tf/df/length
+    statistics, Lucene-style positive idf, two-level shard ranking."""
+    return (
+        _two_level_rank(
+            _bm25_scored(spark, sf_dir), "score", "doc_id", BM25_TOP_K, "rank"
+        )
         .select("rank", "doc_id", "n_terms_matched", "score")
         .orderBy("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 lexical arm + embedding-cosine semantic arm,
+# fused by reciprocal-rank fusion (score = sum over arms of
+# 1 / (RRF_K + rank), the Cormack/Clarke/Buettcher recipe). Each arm
+# produces its top-RRF_POOL via the two-level shard rank; the fuse is a
+# full-outer join of two <= POOL-row tables, so the final sort input is
+# bounded by 2 * POOL regardless of corpus size. The semantic arm scans
+# the embedding table once against a broadcast 1-row query vector.
+# ---------------------------------------------------------------------------
+@register(
+    "q_hybrid_search_rrf",
+    oracle=rf"""
+    WITH {_BM25_SCORED_CTES},
+    lex AS (
+        SELECT doc_id, CAST(rank_lex AS BIGINT) AS rank_lex FROM (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank_lex
+            FROM scored
+        ) WHERE rank_lex <= {RRF_POOL}
+    ),
+    sem_scored AS (
+        SELECT c.vec_id AS doc_id,
+               {sql_cosine("q.embedding", "c.embedding")} AS cos_sim
+        FROM embeddings c
+        CROSS JOIN (SELECT embedding FROM embeddings
+                    WHERE vec_id = {HYBRID_QUERY_VEC}) q
+        WHERE c.vec_id <> {HYBRID_QUERY_VEC}
+    ),
+    sem AS (
+        SELECT doc_id, CAST(rank_sem AS BIGINT) AS rank_sem FROM (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id) AS rank_sem
+            FROM sem_scored
+        ) WHERE rank_sem <= {RRF_POOL}
+    ),
+    fused AS (
+        SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+               l.rank_lex, s.rank_sem,
+               CAST(FLOOR((COALESCE(1e0 / ({RRF_K} + l.rank_lex), 0e0)
+                         + COALESCE(1e0 / ({RRF_K} + s.rank_sem), 0e0))
+                          * 1e6 + 0.5) / 1e6 AS DOUBLE) AS rrf_score
+        FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, doc_id, rank_lex, rank_sem, rrf_score
+    FROM (
+        SELECT doc_id, rank_lex, rank_sem, rrf_score,
+               ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS rank
+        FROM fused
+    ) WHERE rank <= {RRF_TOP_K}
+    ORDER BY rank
+    """,
+)
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: RRF fusion of the BM25 top-30 and the
+    embedding-cosine top-30 (query = vec_id 0, vec_id == doc_id by the
+    data dictionary). The at-scale shape: each arm is already bounded
+    by the two-level shard rank, the semantic scan is one pass against
+    a broadcast query vector, and the fuse sorts <= 2 * POOL rows."""
+    lex = _two_level_rank(
+        _bm25_scored(spark, sf_dir), "score", "doc_id", RRF_POOL, "rank_lex"
+    ).select("doc_id", "rank_lex")
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == HYBRID_QUERY_VEC).select(
+        F.col("embedding").alias("q_emb")
+    )
+    sem_scored = (
+        emb.filter(F.col("vec_id") != HYBRID_QUERY_VEC)
+        .select(F.col("vec_id").alias("doc_id"), "embedding")
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "doc_id", cosine(F.col("q_emb"), F.col("embedding")).alias("cos_sim")
+        )
+    )
+    sem = _two_level_rank(sem_scored, "cos_sim", "doc_id", RRF_POOL, "rank_sem").select(
+        "doc_id", "rank_sem"
+    )
+
+    contrib = F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_lex")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_sem")), F.lit(0.0))
+    fused = lex.join(sem, "doc_id", "full_outer").withColumn(
+        "rrf_score",
+        (F.floor(contrib * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).cast("double"),
+    )
+    w = W.orderBy(F.col("rrf_score").desc(), "doc_id")
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= RRF_TOP_K)
+        .select("rank", "doc_id", "rank_lex", "rank_sem", "rrf_score")
+        .orderBy("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval evaluation: NDCG@10 of the embedding-cosine ranking under
+# label-match relevance (candidate relevant iff it carries the query's
+# label) — the standard offline search-quality metric. Gain terms
+# 1/log2(rank+1) go through integer micro-units (FLOOR idiom), so
+# DCG/IDCG/NDCG are bit-identical across engines. Per-query ranking is
+# a (query_id, shard)-partitioned local top-k then a query-partitioned
+# rank over <= k * SHARDS survivors — both windows partitioned.
+# ---------------------------------------------------------------------------
+@register(
+    "q_search_ndcg_labels",
+    oracle=rf"""
+    WITH pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               {sql_cosine("q.embedding", "c.embedding")} AS cos_sim,
+               CAST(c.label = q.label AS INT) AS rel
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < {NDCG_N_QUERY}
+    ),
+    ranked AS (
+        SELECT query_id, rel,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, cand_id) AS rank
+        FROM pairs
+    ),
+    dcg AS (
+        SELECT query_id,
+               SUM(CAST(FLOOR(rel * 1e0 / log2(rank + 1) * 1e6 + 0.5)
+                        AS BIGINT)) AS dcg_micro
+        FROM ranked WHERE rank <= {NDCG_K} GROUP BY query_id
+    ),
+    nrel AS (
+        SELECT query_id, CAST(SUM(rel) AS BIGINT) AS n_rel_total
+        FROM pairs GROUP BY query_id
+    ),
+    ideal AS (
+        SELECT query_id,
+               unnest(generate_series(1,
+                   CAST(LEAST(GREATEST(n_rel_total, 1), {NDCG_K}) AS BIGINT)))
+                   AS i
+        FROM nrel
+    ),
+    idcg AS (
+        SELECT query_id,
+               SUM(CAST(FLOOR(1e0 / log2(i + 1) * 1e6 + 0.5) AS BIGINT))
+                   AS idcg_micro
+        FROM ideal GROUP BY query_id
+    )
+    SELECT n.query_id, n.n_rel_total,
+           CAST(d.dcg_micro / 1e6 AS DOUBLE) AS dcg10,
+           CAST(i.idcg_micro / 1e6 AS DOUBLE) AS idcg10,
+           CAST(FLOOR(d.dcg_micro * 1e0 / i.idcg_micro * 1e6 + 0.5) / 1e6
+                AS DOUBLE) AS ndcg10
+    FROM nrel n JOIN dcg d USING (query_id) JOIN idcg i USING (query_id)
+    ORDER BY n.query_id
+    """,
+)
+def q_search_ndcg_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of brute-force cosine retrieval, relevance = label match
+    (5 fixed queries, same query set as the kNN suite). IDCG comes from
+    the per-query relevant-count via an exploded integer sequence — no
+    driver-side state, no unpartitioned window."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < NDCG_N_QUERY).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("label").alias("q_label"),
+        )
+    )
+    pairs = (
+        emb.select(
+            F.col("vec_id").alias("cand_id"), "embedding", "label"
+        )
+        .join(q, F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            cosine(F.col("q_emb"), F.col("embedding")).alias("cos_sim"),
+            (F.col("label") == F.col("q_label")).cast("int").alias("rel"),
+        )
+    )
+
+    # two-level per-query rank: bounded local sorts, bounded survivors
+    w_local = W.partitionBy("query_id", "__shard").orderBy(
+        F.col("cos_sim").desc(), "cand_id"
+    )
+    w_query = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "cand_id")
+    ranked = (
+        pairs.withColumn("__shard", F.col("cand_id") % BM25_SHARDS)
+        .withColumn("__lrn", F.row_number().over(w_local))
+        .filter(F.col("__lrn") <= NDCG_K)
+        .withColumn("rank", F.row_number().over(w_query))
+        .filter(F.col("rank") <= NDCG_K)
+    )
+    dcg = ranked.groupBy("query_id").agg(
+        F.sum(
+            F.floor(
+                F.col("rel") * F.lit(1.0) / F.log2(F.col("rank") + 1)
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+        ).alias("dcg_micro")
+    )
+
+    nrel = pairs.groupBy("query_id").agg(
+        F.sum("rel").cast("long").alias("n_rel_total")
+    )
+    idcg = nrel.select(
+        "query_id",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.least(F.greatest(F.col("n_rel_total"), F.lit(1)), F.lit(NDCG_K))
+                .cast("int"),
+            )
+        ).alias("i"),
+    ).groupBy("query_id").agg(
+        F.sum(
+            F.floor(F.lit(1.0) / F.log2(F.col("i") + 1) * F.lit(1e6) + F.lit(0.5))
+        ).alias("idcg_micro")
+    )
+
+    return (
+        nrel.join(dcg, "query_id")
+        .join(idcg, "query_id")
+        .select(
+            "query_id",
+            "n_rel_total",
+            (F.col("dcg_micro") / F.lit(1e6)).cast("double").alias("dcg10"),
+            (F.col("idcg_micro") / F.lit(1e6)).cast("double").alias("idcg10"),
+            (
+                F.floor(
+                    F.col("dcg_micro") * F.lit(1.0) / F.col("idcg_micro")
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            )
+            .cast("double")
+            .alias("ndcg10"),
+        )
+        .orderBy("query_id")
     )

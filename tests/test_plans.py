@@ -318,6 +318,10 @@ BOUNDED_GLOBAL_WINDOW_OK = {
     "q_cusum_changepoint_daily_revenue": 2,
     # revenue-share window over the <= |event types|+1 channel rows
     "q_attribution_last_touch": 1,
+    # three global ranks, each over two-level-rank survivors: lexical
+    # arm (<= POOL*SHARDS), semantic arm (<= POOL*SHARDS), and the RRF
+    # fuse (<= 2*POOL full-outer-joined rows)
+    "q_hybrid_search_rrf": 3,
 }
 
 # Iterative builders whose CONSTRUCTION runs full multi-job loops
