@@ -419,3 +419,77 @@ def q_search_ndcg_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase search: the inverted-index phrase-match primitive.
+# Token positions come from one posexplode pass; the phrase is an
+# EQUI-join of the two terms' posting lists on (doc_id, position+1) —
+# the classic positional-postings intersection, never a text rescan or
+# a nested-loop. Ranking by hit count uses the two-level shard rank.
+# ---------------------------------------------------------------------------
+PHRASE = ("hash", "join")
+PHRASE_TOP_K = 20
+
+
+@register(
+    "q_phrase_search_positional",
+    oracle=rf"""
+    WITH s AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS w
+        FROM s
+    ),
+    p1 AS (SELECT doc_id, i FROM idx WHERE w = '{PHRASE[0]}'),
+    p2 AS (SELECT doc_id, i FROM idx WHERE w = '{PHRASE[1]}'),
+    hits AS (
+        SELECT p1.doc_id, p1.i
+        FROM p1 JOIN p2 ON p1.doc_id = p2.doc_id AND p2.i = p1.i + 1
+    ),
+    agg AS (
+        SELECT doc_id, COUNT(*) AS n_hits, CAST(MIN(i) AS BIGINT) AS first_pos
+        FROM hits GROUP BY doc_id
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, doc_id, n_hits, first_pos
+    FROM (
+        SELECT doc_id, n_hits, first_pos,
+               ROW_NUMBER() OVER (ORDER BY n_hits DESC, doc_id) AS rank
+        FROM agg
+    ) WHERE rank <= {PHRASE_TOP_K}
+    ORDER BY rank
+    """,
+)
+def q_phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase match ("hash join") via positional posting lists:
+    filter each term's postings, equi-join on (doc_id, adjacent
+    position), rank docs by phrase frequency. Positions are 1-based to
+    match the oracle's generate_subscripts."""
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "w"),
+    )
+    # p1 carries the 1-based position i of the FIRST phrase token; the
+    # second token matches when its 0-based pos equals that i.
+    p1 = toks.filter(F.col("w") == PHRASE[0]).select(
+        "doc_id", (F.col("pos") + 1).alias("i")
+    )
+    p2 = toks.filter(F.col("w") == PHRASE[1]).select(
+        "doc_id", F.col("pos").alias("i")
+    )
+    agg = (
+        p1.join(p2, ["doc_id", "i"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.min("i").cast("long").alias("first_pos"),
+        )
+    )
+    return (
+        _two_level_rank(agg, "n_hits", "doc_id", PHRASE_TOP_K, "rank")
+        .select("rank", "doc_id", "n_hits", "first_pos")
+        .orderBy("rank")
+    )

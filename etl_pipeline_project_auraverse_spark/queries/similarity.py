@@ -1244,3 +1244,128 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("score").cast("double").alias("mmr_score"),
     ).orderBy("query_id", "mmr_rank")
 
+
+
+# ---------------------------------------------------------------------------
+# Embedding-clustering quality audit: silhouette-lite per label class.
+# a = squared-Euclidean distance to the OWN label centroid, b = distance
+# to the nearest OTHER centroid, s = (b - a) / max(a, b). Centroids are
+# exact per-dimension decimal means (the k-means recipe); every distance
+# term goes through FLOOR(x * 1e6 + 0.5) integer micro-units, so a/b/s
+# are bit-identical across engines. Scale: the centroid table is
+# |labels| x dims rows -> broadcast; the per-point work is one exploded
+# pass (dims x |labels| fan-out, map-side) -> never an all-pairs join.
+# ---------------------------------------------------------------------------
+@register(
+    "q_embedding_silhouette_lite",
+    oracle="""
+    WITH pts AS (
+        SELECT vec_id, label,
+               CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label AS clabel, dim,
+               CAST(ROUND(CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(25,6)))
+                    AS DOUBLE) / COUNT(*), 6) AS DOUBLE) AS c
+        FROM pts GROUP BY label, dim
+    ),
+    terms AS (
+        SELECT p.vec_id, p.label, ct.clabel,
+               CAST(FLOOR((p.x - ct.c) * (p.x - ct.c) * 1e6 + 0.5)
+                    AS BIGINT) AS tm
+        FROM pts p JOIN cent ct USING (dim)
+    ),
+    dists AS (
+        SELECT vec_id, label, clabel, CAST(SUM(tm) AS BIGINT) AS d_micro
+        FROM terms GROUP BY vec_id, label, clabel
+    ),
+    a AS (SELECT vec_id, label, d_micro AS a_micro FROM dists
+          WHERE clabel = label),
+    b AS (SELECT vec_id, label, MIN(d_micro) AS b_micro FROM dists
+          WHERE clabel <> label GROUP BY vec_id, label),
+    s AS (
+        SELECT a.label, a.a_micro, b.b_micro,
+               CAST(FLOOR((b.b_micro - a.a_micro) * 1e0
+                          / GREATEST(a.a_micro, b.b_micro, 1)
+                          * 1e6 + 0.5) AS BIGINT) AS s_micro
+        FROM a JOIN b USING (vec_id, label)
+    )
+    SELECT label, COUNT(*) AS n_points,
+           CAST(FLOOR(CAST(SUM(a_micro) AS BIGINT) * 1e0 / COUNT(*) + 0.5)
+                / 1e6 AS DOUBLE) AS mean_a,
+           CAST(FLOOR(CAST(SUM(b_micro) AS BIGINT) * 1e0 / COUNT(*) + 0.5)
+                / 1e6 AS DOUBLE) AS mean_b,
+           CAST(FLOOR(CAST(SUM(s_micro) AS BIGINT) * 1e0 / COUNT(*) + 0.5)
+                / 1e6 AS DOUBLE) AS mean_silhouette
+    FROM s GROUP BY label ORDER BY label
+    """,
+)
+def q_embedding_silhouette_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label silhouette against label centroids: how separable the
+    embedding space's label clusters are — the standard one-number
+    audit before trusting labels for IVF partitioning or stratified
+    sampling. Centroid-based (not pairwise), so the cost is linear in
+    points, never quadratic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "raw")
+    ).select("vec_id", "label", "dim", F.col("raw").cast("double").alias("x"))
+
+    cent = (
+        pts.groupBy(F.col("label").alias("clabel"), "dim")
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("x"), 6).cast("decimal(25,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            )
+            .cast("double")
+            .alias("c")
+        )
+    )
+    term_micro = F.floor(
+        (F.col("x") - F.col("c")) * (F.col("x") - F.col("c")) * F.lit(1e6)
+        + F.lit(0.5)
+    )
+    dists = (
+        pts.join(F.broadcast(cent), "dim")
+        .select("vec_id", "label", "clabel", term_micro.alias("tm"))
+        .groupBy("vec_id", "label", "clabel")
+        .agg(F.sum("tm").cast("long").alias("d_micro"))
+    )
+    a = dists.filter(F.col("clabel") == F.col("label")).select(
+        "vec_id", "label", F.col("d_micro").alias("a_micro")
+    )
+    b = (
+        dists.filter(F.col("clabel") != F.col("label"))
+        .groupBy("vec_id", "label")
+        .agg(F.min("d_micro").alias("b_micro"))
+    )
+    s_micro = F.floor(
+        (F.col("b_micro") - F.col("a_micro"))
+        * F.lit(1.0)
+        / F.greatest(F.col("a_micro"), F.col("b_micro"), F.lit(1))
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+
+    def _mean6(col: str) -> F.Column:  # type: ignore[name-defined]
+        return (
+            F.floor(F.sum(col) * F.lit(1.0) / F.count(F.lit(1)) + F.lit(0.5))
+            / F.lit(1e6)
+        ).cast("double")
+
+    return (
+        a.join(b, ["vec_id", "label"])
+        .withColumn("s_micro", s_micro)
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_points"),
+            _mean6("a_micro").alias("mean_a"),
+            _mean6("b_micro").alias("mean_b"),
+            _mean6("s_micro").alias("mean_silhouette"),
+        )
+        .orderBy("label")
+    )

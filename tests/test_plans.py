@@ -322,6 +322,9 @@ BOUNDED_GLOBAL_WINDOW_OK = {
     # arm (<= POOL*SHARDS), semantic arm (<= POOL*SHARDS), and the RRF
     # fuse (<= 2*POOL full-outer-joined rows)
     "q_hybrid_search_rrf": 3,
+    # global rank over the two-level-rank survivors (<= k * SHARDS
+    # phrase-matching docs)
+    "q_phrase_search_positional": 1,
 }
 
 # Iterative builders whose CONSTRUCTION runs full multi-job loops
