@@ -35,6 +35,32 @@ def parallelize(df: DataFrame) -> Column | DataFrame:
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
+def two_level_rank(
+    scored: DataFrame,
+    order_col: str,
+    id_col: str,
+    pool: int,
+    out_rank: str,
+    shards: int = 16,
+) -> DataFrame:
+    """Exact global top-``pool``: local top-pool per hash shard
+    (partitioned window), then a global rank over <= pool * shards
+    survivors — no task ever sorts the full candidate set. The global
+    window is bounded by construction; queries using this must appear
+    in the plan-lint whitelist (tests/test_plans.py)."""
+    from pyspark.sql.window import Window as W
+
+    w_local = W.partitionBy("__shard").orderBy(F.col(order_col).desc(), id_col)
+    w_global = W.orderBy(F.col(order_col).desc(), id_col)
+    return (
+        scored.withColumn("__shard", F.col(id_col) % shards)
+        .withColumn("__lrn", F.row_number().over(w_local))
+        .filter(F.col("__lrn") <= pool)
+        .withColumn(out_rank, F.row_number().over(w_global).cast("long"))
+        .filter(F.col(out_rank) <= pool)
+    )
+
+
 def dec_sum(col: Column | str, scale: int = 2) -> Column:
     """Order-independent SUM over a double expression → rounded double."""
     c = F.col(col) if isinstance(col, str) else col

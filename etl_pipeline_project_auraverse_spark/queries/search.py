@@ -23,7 +23,10 @@ from pyspark.sql.window import Window as W
 from etl_pipeline_project_auraverse_spark.functions.text import n_words
 from etl_pipeline_project_auraverse_spark.functions.vectors import cosine, sql_cosine
 from etl_pipeline_project_auraverse_spark.queries import register
-from etl_pipeline_project_auraverse_spark.queries._util import parallelize
+from etl_pipeline_project_auraverse_spark.queries._util import (
+    parallelize,
+    two_level_rank,
+)
 from etl_pipeline_project_auraverse_spark.session import load_table
 
 BM25_TERMS = ["scan", "window", "hash"]
@@ -142,18 +145,9 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _two_level_rank(
     scored: DataFrame, order_col: str, id_col: str, pool: int, out_rank: str
 ) -> DataFrame:
-    """Exact global top-``pool``: local top-pool per hash shard
-    (partitioned window), then a global rank over <= pool * SHARDS
-    survivors — no task ever sorts the full candidate set."""
-    w_local = W.partitionBy("__shard").orderBy(F.col(order_col).desc(), id_col)
-    w_global = W.orderBy(F.col(order_col).desc(), id_col)
-    return (
-        scored.withColumn("__shard", F.col(id_col) % BM25_SHARDS)
-        .withColumn("__lrn", F.row_number().over(w_local))
-        .filter(F.col("__lrn") <= pool)
-        .withColumn(out_rank, F.row_number().over(w_global).cast("long"))
-        .filter(F.col(out_rank) <= pool)
-    )
+    """Search-family face of :func:`_util.two_level_rank` pinned to
+    BM25_SHARDS."""
+    return two_level_rank(scored, order_col, id_col, pool, out_rank, BM25_SHARDS)
 
 
 @register(

@@ -492,6 +492,101 @@ def q_sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Fixed-size weighted sampling WITHOUT replacement: Efraimidis-Spirakis
+# A-ES keys. Each document gets key = ln(u) / w (rank-equivalent to
+# u^(1/w)) with u an exact portable-hash rational in (0, 1] and w its
+# frozen quality score; the global top-K by key IS a weight-
+# proportional sample without replacement. The distributed-sampling
+# classic: one stateless map-side key per row plus a top-K — no
+# resampling pass, no driver state, merge-safe across partitions.
+# Keys go through floor micro-units so ranking is cross-engine stable.
+# ---------------------------------------------------------------------------
+AES_K = 25
+_H28_DENOM = 268435456  # 2^28, the h28 hash space
+
+
+@register(
+    "q_sample_weighted_aes",
+    oracle=f"""
+    WITH feats AS (
+        SELECT doc_id, lang,
+               LEAST(1.0, {SQL_N_WORDS} / 200.0) AS f_len,
+               ({SQL_STOP_HITS} * 1.0 / {SQL_N_WORDS}) AS f_stop,
+               ({SQL_PUNCT_HITS} * 1.0 / length(text)) AS f_punct
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang,
+               CAST(ROUND(1.0 / (1.0 + exp(-({LOGIT_BIAS}
+                    + {LOGIT_W_LEN} * f_len
+                    + {LOGIT_W_STOP} * f_stop
+                    + {LOGIT_W_PUNCT} * f_punct))), 6) AS DOUBLE) AS score
+        FROM feats
+    ),
+    keyed AS (
+        SELECT doc_id, lang, score,
+               CAST(FLOOR(ln(
+                        (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+                         + 1) * 1e0 / {_H28_DENOM})
+                    / score * 1e6 + 0.5) AS BIGINT) AS key_micro
+        FROM scored
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, doc_id, lang, score,
+           CAST(key_micro / 1e6 AS DOUBLE) AS aes_key
+    FROM (
+        SELECT doc_id, lang, score, key_micro,
+               ROW_NUMBER() OVER (ORDER BY key_micro DESC, doc_id) AS rank
+        FROM keyed
+    ) WHERE rank <= {AES_K}
+    ORDER BY rank
+    """,
+)
+def q_sample_weighted_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ES weighted sample without replacement: top-AES_K documents by
+    ln(u)/score keys (u = portable-hash uniform, score = frozen quality
+    model). The top-K runs through the two-level shard rank."""
+    from etl_pipeline_project_auraverse_spark.functions.text import h28
+    from etl_pipeline_project_auraverse_spark.queries._util import two_level_rank
+
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    t = F.col("text")
+    feats = docs.select(
+        "doc_id",
+        "lang",
+        F.least(F.lit(1.0), n_words(t) / 200.0).alias("f_len"),
+        (match_count(F.lower(t), STOPWORD_RE) * 1.0 / n_words(t)).alias("f_stop"),
+        (match_count(t, PUNCT_RE) * 1.0 / F.length(t)).alias("f_punct"),
+    )
+    z = (
+        F.lit(LOGIT_BIAS)
+        + F.lit(LOGIT_W_LEN) * F.col("f_len")
+        + F.lit(LOGIT_W_STOP) * F.col("f_stop")
+        + F.lit(LOGIT_W_PUNCT) * F.col("f_punct")
+    )
+    score = F.round(1.0 / (1.0 + F.exp(-z)), 6).cast("double")
+    u = (
+        (h28(F.col("doc_id").cast("string")) + 1)
+        * F.lit(1.0)
+        / F.lit(float(_H28_DENOM))
+    )
+    keyed = feats.select("doc_id", "lang", score.alias("score")).withColumn(
+        "key_micro",
+        F.floor(F.log(u) / F.col("score") * F.lit(1e6) + F.lit(0.5)).cast("long"),
+    )
+    return (
+        two_level_rank(keyed, "key_micro", "doc_id", AES_K, "rank")
+        .select(
+            "rank",
+            "doc_id",
+            "lang",
+            "score",
+            (F.col("key_micro") / F.lit(1e6)).cast("double").alias("aes_key"),
+        )
+        .orderBy("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Zipf fit: least-squares slope of ln(freq) vs ln(rank) over the top
 # word frequencies — the corpus-health statistic (natural language
 # sits near slope -1; corrupted/templated corpora drift off). Counts

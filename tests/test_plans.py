@@ -325,6 +325,9 @@ BOUNDED_GLOBAL_WINDOW_OK = {
     # global rank over the two-level-rank survivors (<= k * SHARDS
     # phrase-matching docs)
     "q_phrase_search_positional": 1,
+    # global rank over the two-level-rank survivors (<= K * SHARDS
+    # A-ES-keyed docs)
+    "q_sample_weighted_aes": 1,
 }
 
 # Iterative builders whose CONSTRUCTION runs full multi-job loops
