@@ -192,3 +192,89 @@ register("q_profile_orders_schema", oracle=_profile_sql("orders", ORDERS_COLS))(
 register("q_profile_documents_schema", oracle=_profile_sql("documents", DOCUMENTS_COLS))(
     _profile_spark("documents", DOCUMENTS_COLS)
 )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew audit: the diagnostic you run BEFORE shuffling a big
+# join on a key. Per-key counts in one aggregate, heaviest keys via
+# the two-level shard rank, and the whole-table skew posture
+# (max/mean ratio) broadcast onto each row from a 1-row stats
+# aggregate. At 100 TB this is the query that decides between a plain
+# shuffle join, AQE skew splitting, and explicit salting.
+# ---------------------------------------------------------------------------
+SKEW_TOP_K = 10
+
+
+@register(
+    "q_join_skew_audit_custkey",
+    oracle=f"""
+    WITH counts AS (
+        SELECT o_custkey, COUNT(*) AS n_orders
+        FROM orders GROUP BY o_custkey
+    ),
+    stats AS (
+        SELECT CAST(SUM(n_orders) AS BIGINT) AS total,
+               COUNT(*) AS n_keys,
+               CAST(MAX(n_orders) AS BIGINT) AS max_cnt
+        FROM counts
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, o_custkey, n_orders,
+           CAST(FLOOR(n_orders * 1e0 / total * 1e6 + 0.5) AS BIGINT)
+               AS share_ppm,
+           n_keys,
+           CAST(FLOOR(max_cnt * 1e0 * n_keys / total * 1e6 + 0.5) / 1e6
+                AS DOUBLE) AS skew_ratio
+    FROM (
+        SELECT o_custkey, n_orders,
+               ROW_NUMBER() OVER (ORDER BY n_orders DESC, o_custkey) AS rank
+        FROM counts
+    ) CROSS JOIN stats
+    WHERE rank <= {SKEW_TOP_K}
+    ORDER BY rank
+    """,
+)
+def q_join_skew_audit_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution audit for joins on o_custkey: heaviest keys
+    (count + parts-per-million share) and the table-wide max/mean skew
+    ratio. One groupBy, a 1-row broadcast stats aggregate, and a
+    two-level top-k — no full sort, no second scan."""
+    from etl_pipeline_project_auraverse_spark.queries._util import two_level_rank
+
+    counts = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    stats = counts.agg(
+        F.sum("n_orders").cast("long").alias("total"),
+        F.count("*").alias("n_keys"),
+        F.max("n_orders").cast("long").alias("max_cnt"),
+    )
+    top = two_level_rank(counts, "n_orders", "o_custkey", SKEW_TOP_K, "rank")
+    return (
+        top.crossJoin(F.broadcast(stats))
+        .select(
+            "rank",
+            "o_custkey",
+            "n_orders",
+            F.floor(
+                F.col("n_orders") * F.lit(1.0) / F.col("total") * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("share_ppm"),
+            "n_keys",
+            (
+                F.floor(
+                    F.col("max_cnt") * F.lit(1.0) * F.col("n_keys")
+                    / F.col("total")
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            )
+            .cast("double")
+            .alias("skew_ratio"),
+        )
+        .orderBy("rank")
+    )

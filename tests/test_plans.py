@@ -328,6 +328,9 @@ BOUNDED_GLOBAL_WINDOW_OK = {
     # global rank over the two-level-rank survivors (<= K * SHARDS
     # A-ES-keyed docs)
     "q_sample_weighted_aes": 1,
+    # global rank over the two-level-rank survivors (<= K * SHARDS
+    # heaviest join keys)
+    "q_join_skew_audit_custkey": 1,
 }
 
 # Iterative builders whose CONSTRUCTION runs full multi-job loops
