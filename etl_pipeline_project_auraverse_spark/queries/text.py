@@ -1285,3 +1285,98 @@ def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rake_score"), "phrase")
         .limit(_RAKE_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-language A-ES quota sampling: the same Efraimidis-Spirakis keys,
+# ranked INSIDE each language partition — fixed-size weighted-without-
+# replacement quotas per group (the per-language curation budget). All
+# windows are partitioned by lang, so the operator needs no bounded-
+# window whitelist and scales with the largest group's top-K only.
+# ---------------------------------------------------------------------------
+AES_LANG_K = 5
+
+
+@register(
+    "q_sample_weighted_aes_by_lang",
+    oracle=f"""
+    WITH feats AS (
+        SELECT doc_id, lang,
+               LEAST(1.0, {SQL_N_WORDS} / 200.0) AS f_len,
+               ({SQL_STOP_HITS} * 1.0 / {SQL_N_WORDS}) AS f_stop,
+               ({SQL_PUNCT_HITS} * 1.0 / length(text)) AS f_punct
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang,
+               CAST(ROUND(1.0 / (1.0 + exp(-({LOGIT_BIAS}
+                    + {LOGIT_W_LEN} * f_len
+                    + {LOGIT_W_STOP} * f_stop
+                    + {LOGIT_W_PUNCT} * f_punct))), 6) AS DOUBLE) AS score
+        FROM feats
+    ),
+    keyed AS (
+        SELECT doc_id, lang, score,
+               CAST(FLOOR(ln(
+                        (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+                         + 1) * 1e0 / {_H28_DENOM})
+                    / score * 1e6 + 0.5) AS BIGINT) AS key_micro
+        FROM scored
+    )
+    SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, score,
+           CAST(key_micro / 1e6 AS DOUBLE) AS aes_key
+    FROM (
+        SELECT lang, doc_id, score, key_micro,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY key_micro DESC, doc_id) AS rank
+        FROM keyed
+    ) WHERE rank <= {AES_LANG_K}
+    ORDER BY lang, rank
+    """,
+)
+def q_sample_weighted_aes_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language weighted sample without replacement: top-AES_LANG_K
+    documents per lang by A-ES keys — per-group curation quotas in one
+    partitioned window pass."""
+    from pyspark.sql.window import Window as W
+
+    from etl_pipeline_project_auraverse_spark.functions.text import h28
+
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    t = F.col("text")
+    feats = docs.select(
+        "doc_id",
+        "lang",
+        F.least(F.lit(1.0), n_words(t) / 200.0).alias("f_len"),
+        (match_count(F.lower(t), STOPWORD_RE) * 1.0 / n_words(t)).alias("f_stop"),
+        (match_count(t, PUNCT_RE) * 1.0 / F.length(t)).alias("f_punct"),
+    )
+    z = (
+        F.lit(LOGIT_BIAS)
+        + F.lit(LOGIT_W_LEN) * F.col("f_len")
+        + F.lit(LOGIT_W_STOP) * F.col("f_stop")
+        + F.lit(LOGIT_W_PUNCT) * F.col("f_punct")
+    )
+    score = F.round(1.0 / (1.0 + F.exp(-z)), 6).cast("double")
+    u = (
+        (h28(F.col("doc_id").cast("string")) + 1)
+        * F.lit(1.0)
+        / F.lit(float(_H28_DENOM))
+    )
+    keyed = feats.select("doc_id", "lang", score.alias("score")).withColumn(
+        "key_micro",
+        F.floor(F.log(u) / F.col("score") * F.lit(1e6) + F.lit(0.5)).cast("long"),
+    )
+    w = W.partitionBy("lang").orderBy(F.col("key_micro").desc(), "doc_id")
+    return (
+        keyed.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= AES_LANG_K)
+        .select(
+            "lang",
+            "rank",
+            "doc_id",
+            "score",
+            (F.col("key_micro") / F.lit(1e6)).cast("double").alias("aes_key"),
+        )
+        .orderBy("lang", "rank")
+    )
