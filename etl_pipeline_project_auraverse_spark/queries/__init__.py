@@ -75,11 +75,17 @@ ORACLE: dict[str, str] = {}
 #   new in r7:  q_stream_twin_sliding_counts, q_stream_twin_windowed_psi,
 #               q_sax_daily_revenue, q_hits_supply_graph,
 #               q_bh_fdr_brand_price, q_conformal_price_interval,
-#               q_cusum_changepoint_daily_revenue, q_attribution_last_touch
-# then fill the remaining ~16 slots with the oldest-attested entries
+#               q_cusum_changepoint_daily_revenue, q_attribution_last_touch,
+#               q_hybrid_search_rrf, q_search_ndcg_labels,
+#               q_phrase_search_positional, q_embedding_silhouette_lite,
+#               q_sample_weighted_aes, q_sample_weighted_aes_by_lang,
+#               q_join_skew_audit_custkey
+# then fill any remaining slots with the oldest-attested entries
 # (the four ANN/embedding r4 greens q_ann_lsh_multiprobe,
 # q_ann_lsh_recall, q_embedding_norms, q_embedding_centroid_blocks,
-# then curation/dedup/text r4 greens).
+# then curation/dedup/text r4 greens). The authoritative never-attested
+# count lives in ATTESTATION.json (regenerate with
+# scripts/attestation.py after CORRECTNESS_r07 lands).
 _MODULES = [
     "etl_pipeline_project_auraverse_spark.queries.relational",
     "etl_pipeline_project_auraverse_spark.queries.tpch_extra",
