@@ -61,6 +61,38 @@ def encode_gif_frames(
     return bytes(out)
 
 
+def encode_gif_patches(
+    screen: tuple[int, int],
+    patches: list[tuple[np.ndarray, int, int, int, int | None]],
+    palette: np.ndarray,
+    bg: int = 0,
+    delay_cs: int = 4,
+) -> bytes:
+    """Animated GIF whose frames are sub-rectangle PATCHES — the
+    optimized real-world encoding the compositing decoder handles.
+    ``patches`` is ``[(indices, left, top, disposal, transparent_idx)]``
+    with indices shaped (h, w); ``transparent_idx`` None for opaque."""
+    sw, sh = screen
+    n = len(palette)
+    assert n in (2, 4, 8, 16, 32, 64, 128, 256)
+    bits = max((n - 1).bit_length(), 1)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", sw, sh, 0x80 | (bits - 1), bg, 0)
+    out += bytes(np.asarray(palette, dtype=np.uint8).reshape(-1))
+    for indices, left, top, disposal, transp in patches:
+        h, w = indices.shape
+        assert left + w <= sw and top + h <= sh and indices.max() < n
+        packed = ((disposal & 0x07) << 2) | (0x01 if transp is not None else 0)
+        out += b"\x21\xf9\x04" + bytes([packed])
+        out += struct.pack("<H", delay_cs)
+        out += bytes([transp or 0]) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", left, top, w, h, 0)
+        out += _encode_image_data(indices, bits)
+    out += b"\x3b"
+    return bytes(out)
+
+
 def _interlace_order(h: int) -> list[int]:
     """GIF 4-pass interlace: display rows in STREAM order (pass 1 =
     every 8th row from 0, pass 2 from 4, pass 3 every 4th from 2,
@@ -148,10 +180,12 @@ def decode_gif(buf: bytes) -> tuple[int, int, int, np.ndarray]:
 def decode_gif_frames(buf: bytes) -> list[tuple[int, int, int, np.ndarray]]:
     """All frames of a (possibly animated) GIF:
     ``[(delay_cs, width, height, rows), ...]`` with rows shaped
-    (h, w*3) uint8 RGB. Every frame must be full-logical-screen
-    (left=top=0, frame size == screen size) — sub-rectangle patch
-    frames need disposal compositing and raise to the quarantine
-    path instead of silently producing wrong pixels."""
+    (sh, sw*3) uint8 RGB — always the full logical screen, with
+    sub-rectangle patch frames composited onto the running canvas
+    under the GIF89a disposal model (none/keep, restore-to-background,
+    restore-to-previous) and graphic-control transparency (transparent
+    pixels keep the prior canvas content). Restore-to-background
+    paints the global background COLOR (RGB output has no alpha)."""
     if buf[:6] not in (b"GIF87a", b"GIF89a"):
         raise NotImplementedError("not a GIF signature")
     try:
@@ -161,7 +195,7 @@ def decode_gif_frames(buf: bytes) -> list[tuple[int, int, int, np.ndarray]]:
 
 
 def _decode_frames(buf: bytes) -> list[tuple[int, int, int, np.ndarray]]:
-    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", buf, 6)
+    sw, sh, flags, bg, _ar = struct.unpack_from("<HHBBB", buf, 6)
     pos = 13
     gct = None
     if flags & 0x80:
@@ -169,8 +203,18 @@ def _decode_frames(buf: bytes) -> list[tuple[int, int, int, np.ndarray]]:
         gct = np.frombuffer(buf, np.uint8, n * 3, pos).reshape(n, 3)
         pos += n * 3
 
+    # running canvas: every emitted frame is the full logical screen
+    bg_color = (
+        gct[bg] if gct is not None and bg < len(gct) else np.zeros(3, np.uint8)
+    )
+    canvas = np.empty((sh, sw, 3), np.uint8)
+    canvas[:, :] = bg_color
+
     frames: list[tuple[int, int, int, np.ndarray]] = []
-    delay_cs = 0  # from the graphic-control extension preceding a frame
+    # graphic-control state for the NEXT image block
+    delay_cs = 0
+    disposal = 0
+    transp: int | None = None
     while pos < len(buf):
         marker = buf[pos]
         pos += 1
@@ -179,8 +223,11 @@ def _decode_frames(buf: bytes) -> list[tuple[int, int, int, np.ndarray]]:
         if marker == 0x21:  # extension
             label = buf[pos]
             pos += 1
-            if label == 0xF9 and buf[pos] >= 3:  # graphic control: delay
+            if label == 0xF9 and buf[pos] >= 3:  # graphic control
+                packed = buf[pos + 1]
                 delay_cs = struct.unpack_from("<H", buf, pos + 2)[0]
+                disposal = (packed >> 2) & 0x07
+                transp = buf[pos + 4] if (packed & 0x01) and buf[pos] >= 4 else None
             while buf[pos]:
                 pos += 1 + buf[pos]
             pos += 1
@@ -189,10 +236,8 @@ def _decode_frames(buf: bytes) -> list[tuple[int, int, int, np.ndarray]]:
             raise NotImplementedError(f"unknown GIF block 0x{marker:02x}")
         left, top, w, h, iflags = struct.unpack_from("<HHHHB", buf, pos)
         pos += 9
-        if (left, top) != (0, 0) or (w, h) != (sw, sh):
-            raise NotImplementedError(
-                "sub-rectangle GIF frame (needs disposal compositing)"
-            )
+        if left + w > sw or top + h > sh:
+            raise NotImplementedError("GIF frame exceeds the logical screen")
         table = gct
         if iflags & 0x80:
             n = 2 << (iflags & 0x07)
@@ -216,9 +261,29 @@ def _decode_frames(buf: bytes) -> list[tuple[int, int, int, np.ndarray]]:
             deinter = np.empty_like(idx)
             deinter[_interlace_order(h)] = idx
             idx = deinter
-        rgb = table[idx].reshape(h, w * 3)
-        frames.append((delay_cs, w, h, np.ascontiguousarray(rgb)))
+
+        region = canvas[top : top + h, left : left + w]
+        saved = region.copy() if disposal == 3 else None
+        patch = table[idx]  # (h, w, 3)
+        if transp is not None:
+            opaque = idx != transp
+            region[opaque] = patch[opaque]
+        else:
+            region[:, :] = patch
+        frames.append(
+            (delay_cs, sw, sh, np.ascontiguousarray(canvas.reshape(sh, sw * 3)))
+        )
+        if disposal == 2:  # restore to background color
+            canvas = canvas.copy()
+            canvas[top : top + h, left : left + w] = bg_color
+        elif disposal == 3:  # restore to previous content
+            canvas = canvas.copy()
+            canvas[top : top + h, left : left + w] = saved
+        else:
+            canvas = canvas.copy()  # emitted frame must not alias the next
         delay_cs = 0
+        disposal = 0
+        transp = None
     return frames
 
 

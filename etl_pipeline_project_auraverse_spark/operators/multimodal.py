@@ -486,9 +486,11 @@ def sample_gif_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
     animated GIF payload (from-scratch LZW, ``gif_codec``) and emits
     per-frame stats + timeline position — the actual shape of a video
     frame-sampling stage, exercised on a real container format rather
-    than the FAKE one. Undecodable payloads (sub-rectangle patch
-    frames, interlace, non-GIF bytes) are skipped into the same
-    quarantine policy as ``decode_images``."""
+    than the FAKE one. Sub-rectangle patch frames, transparency, and
+    interlace all decode for real (disposal compositing in
+    ``gif_codec``); genuinely undecodable payloads (non-GIF bytes,
+    truncated streams) are skipped into the same quarantine policy as
+    ``decode_images``."""
     from etl_pipeline_project_auraverse_spark.operators.gif_codec import (
         decode_gif_frames,
     )

@@ -145,19 +145,83 @@ def test_animated_round_trip_with_delays():
         decode_gif(buf)
 
 
-def test_subrectangle_frame_raises():
+def test_patch_frame_compositing_and_transparency():
+    """Sub-rectangle patch frames composite onto the running canvas;
+    transparent patch pixels keep the prior canvas content."""
+    import numpy as np
+
     from etl_pipeline_project_auraverse_spark.operators.gif_codec import (
         decode_gif_frames,
-        encode_gif_frames,
+        encode_gif_patches,
     )
 
-    buf = bytearray(encode_gif_frames([_rand_idx((4, 5), 4, 20)] * 2, PAL4))
-    # shrink the second frame descriptor's width field by one
-    second = buf.index(0x2C, buf.index(0x2C, 13) + 1)
-    w = struct.unpack_from("<H", buf, second + 5)[0]
-    struct.pack_into("<H", buf, second + 5, w - 1)
-    with pytest.raises(NotImplementedError, match="sub-rectangle"):
-        decode_gif_frames(bytes(buf))
+    base = _rand_idx((4, 6), 4, 7)
+    patch = _rand_idx((2, 3), 4, 8)
+    # frame 3: 2x2 patch at (2, 1) where index 0 is transparent
+    tpatch = np.array([[0, 1], [2, 0]], dtype=np.uint8)
+    buf = encode_gif_patches(
+        (6, 4),
+        [
+            (base, 0, 0, 0, None),
+            (patch, 1, 1, 0, None),
+            (tpatch, 2, 1, 0, 0),
+        ],
+        PAL4,
+    )
+    frames = decode_gif_frames(buf)
+    assert [(w, h) for _d, w, h, _r in frames] == [(6, 4)] * 3
+
+    expect = PAL4[base].astype(np.uint8)  # (4, 6, 3)
+    assert np.array_equal(frames[0][3], expect.reshape(4, 18))
+    expect[1:3, 1:4] = PAL4[patch]
+    assert np.array_equal(frames[1][3], expect.reshape(4, 18))
+    opaque = tpatch != 0
+    region = expect[1:3, 2:4]
+    region[opaque] = PAL4[tpatch][opaque]
+    assert np.array_equal(frames[2][3], expect.reshape(4, 18))
+
+
+def test_patch_frame_disposal_background_and_previous():
+    """Disposal 2 restores the patch region to the background color
+    before the next frame; disposal 3 restores the previous content."""
+    import numpy as np
+
+    from etl_pipeline_project_auraverse_spark.operators.gif_codec import (
+        decode_gif_frames,
+        encode_gif_patches,
+    )
+
+    base = _rand_idx((4, 6), 4, 9)
+    p1 = _rand_idx((2, 2), 4, 10)
+    p2 = _rand_idx((2, 2), 4, 11)
+    dot = np.array([[3]], dtype=np.uint8)
+    buf = encode_gif_patches(
+        (6, 4),
+        [
+            (base, 0, 0, 0, None),
+            (p1, 1, 1, 2, None),  # restore-to-background after showing
+            (dot, 5, 3, 0, None),
+            (p2, 3, 1, 3, None),  # restore-to-previous after showing
+            (dot, 0, 3, 0, None),
+        ],
+        PAL4,
+        bg=2,
+    )
+    frames = decode_gif_frames(buf)
+
+    expect = PAL4[base].astype(np.uint8)
+    expect[1:3, 1:3] = PAL4[p1]
+    assert np.array_equal(frames[1][3], expect.reshape(4, 18))
+    # after disposal 2 the p1 region is background color
+    expect[1:3, 1:3] = PAL4[2]
+    expect[3, 5] = PAL4[3]
+    assert np.array_equal(frames[2][3], expect.reshape(4, 18))
+    shown = expect.copy()
+    shown[1:3, 3:5] = PAL4[p2]
+    assert np.array_equal(frames[3][3], shown.reshape(4, 18))
+    # after disposal 3 the p2 region reverts to pre-p2 content
+    expect[3, 0] = PAL4[3]
+    assert np.array_equal(frames[4][3], expect.reshape(4, 18))
 
 
 def test_sample_gif_frames_operator(spark):
