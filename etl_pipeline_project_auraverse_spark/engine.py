@@ -437,3 +437,32 @@ class Engine:
         )
 
         return decode_images(df)
+
+    def video_metadata(self, df: DataFrame) -> DataFrame:
+        """Per-track MP4 metadata (duration, geometry, codec fourcc,
+        sample count, implied fps) from the stdlib ISO-BMFF box parser;
+        non-MP4 payloads are dropped (quarantine policy)."""
+        from etl_pipeline_project_auraverse_spark.operators.mp4_meta import (
+            video_metadata,
+        )
+
+        return video_metadata(df)
+
+    def sample_video_frames(self, df: DataFrame, every_n: int = 2) -> DataFrame:
+        """Decode-free MP4 frame-timeline sampling: every Nth video
+        sample's index, start time, and byte size from stts/stsz —
+        the work plan a real decode stage executes."""
+        from etl_pipeline_project_auraverse_spark.operators.mp4_meta import (
+            sample_mp4_frames,
+        )
+
+        return sample_mp4_frames(df, every_n=every_n)
+
+    def hybrid_search(self, sf_dir: str) -> DataFrame:
+        """BM25 + embedding-cosine reciprocal-rank fusion over the
+        documents/embeddings tables (the registered
+        ``q_hybrid_search_rrf`` plan)."""
+        from etl_pipeline_project_auraverse_spark.queries import QUERIES, load_all
+
+        load_all()
+        return QUERIES["q_hybrid_search_rrf"](self.spark, sf_dir)

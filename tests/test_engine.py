@@ -371,3 +371,20 @@ def test_engine_welch_and_anova_against_closed_form(spark, sf_dir):
     f_exp = (ssb / (k - 1)) / (ssw / (n - k))
     assert f["k"] == k and f["n_total"] == n
     assert f["f_stat"] == pytest.approx(f_exp, rel=1e-6)
+
+
+def test_engine_video_and_hybrid_facades(engine, spark, sf_dir):
+    from tests.test_mp4 import synth_mp4_bytes
+
+    df = spark.createDataFrame(
+        [(0, bytearray(synth_mp4_bytes())), (9, bytearray(b"junk"))],
+        "doc_id long, content binary",
+    )
+    meta = engine.video_metadata(df).collect()
+    assert {r.handler for r in meta} == {"vide", "soun"}
+    frames = engine.sample_video_frames(df, every_n=5).collect()
+    assert [r.sample_idx for r in frames] == [0, 5]
+
+    top = engine.hybrid_search(sf_dir).collect()
+    assert 0 < len(top) <= 15
+    assert top[0].rank == 1
