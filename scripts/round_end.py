@@ -1,0 +1,71 @@
+"""Round-end checklist in one command.
+
+Runs, in order, on an idle JVM (don't run concurrently with pytest —
+CPU steal inflates every timing; see the r7 BENCH_SWEEP re-record):
+
+1. full-registry DuckDB parity at the driver's sf0.01 gate scale,
+   written to PARITY_r{N}.log (carriage-return progress fragments
+   stripped so every per-query line survives grep);
+2. attestation-ledger regeneration (ATTESTATION.json);
+3. optionally the cross-SF scaling sweep (SCALING.md) with --scaling.
+
+bench.py is left to its own invocation (the driver runs it per round;
+run it manually for a committed refresh).
+
+Usage: python scripts/round_end.py 8 [--scaling]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    if len(sys.argv) < 2 or not sys.argv[1].isdigit():
+        print(__doc__)
+        return 2
+    n = int(sys.argv[1])
+    env = dict(os.environ)
+
+    raw = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "scripts", "parity.py"), "--all"],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=ROOT,
+    )
+    noise = re.compile(r"WARN|log4j|setLogLevel|NativeCodeLoader|^\[Stage")
+    lines = []
+    for line in (raw.stdout + raw.stderr).splitlines():
+        last = line.split("\r")[-1]
+        if last and not noise.search(last):
+            lines.append(last)
+    log = os.path.join(ROOT, f"PARITY_r{n:02d}.log")
+    with open(log, "w") as f:
+        f.write("\n".join(lines) + f"\nexit={raw.returncode}\n")
+    print(f"wrote {log} (exit={raw.returncode})")
+    if raw.returncode != 0:
+        print("PARITY FAILED — fix before committing the log")
+        return raw.returncode
+
+    subprocess.run(
+        [sys.executable, os.path.join(ROOT, "scripts", "attestation.py")],
+        check=True,
+        cwd=ROOT,
+    )
+    if "--scaling" in sys.argv:
+        subprocess.run(
+            [sys.executable, os.path.join(ROOT, "scripts", "scaling.py")],
+            check=True,
+            cwd=ROOT,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
