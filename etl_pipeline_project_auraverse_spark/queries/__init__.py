@@ -42,50 +42,17 @@ ORACLE: dict[str, str] = {}
 # chunking, sketches, robust, pq, sequences, graph representatives —
 # plus the de-vacuated q08/q22 (their r5 greens matched the oracle at
 # 0 rows) and the new two-iteration k-means training query.
-# Round 7 executes the rotation the r6 verdict asked for: of the 78
-# registered queries that had NEVER had a driver row entering r7, 48
-# are front-pinned below (every family gets at least one
-# representative; the judge's independent sf0.01 spot-check covered 24
-# of them), plus the two NEW streaming batch twins
-# (q_stream_twin_tumbling_counts / q_stream_twin_sessionization —
-# verdict ask #7: they execute streaming/events.py helper functions
-# over a bounded scan so the streaming code path gets oracle-gate
-# coverage). The authoritative per-query attestation history is now
-# generated into ATTESTATION.json (scripts/attestation.py) — no more
-# hand-maintained history comment.
-# NEXT ROUND (r8): front-pin the remaining 30 never-attested queries —
-# within-family duplicates deferred this round:
-#   dedup:      q_dedup_minhash_recall, q_dedup_incremental_minhash,
-#               q_dedup_cluster_sizes
-#   text:       q_tokenizer_fertility_by_lang, q_corpus_datacard,
-#               q_text_lexical_diversity, q_lang_source_mutual_info,
-#               q_source_diversity_by_lang
-#   sequences:  q_event_anomaly_zscore, q_dow_seasonality,
-#               q_event_dedup_hourly, q_error_burst_alerts,
-#               q_funnel_conversion_window, q_revenue_anomaly_decomposed,
-#               q_session_revenue_by_duration, q_event_heatmap_dow_hour,
-#               q_seasonal_naive_error
-#   relational: q_unpivot_lineitem_measures, q_map_functions_per_order,
-#               q_null_semantics_battery
-#   curation:   q_quality_logistic_scores, q_sample_quality_weighted,
-#               q_sample_stratified_neyman, q_crossmodal_dedup_conflict
-#   ANN/ML:     q_negative_sampling_parts, q_hrw_shard_rebalance,
-#               q_logreg_auc_calibration, q_bpe_apply_fixed_merges,
-#               q_mmr_rerank, q_ann_ivfadc_residual_recall
-#   new in r7:  q_stream_twin_sliding_counts, q_stream_twin_windowed_psi,
-#               q_sax_daily_revenue, q_hits_supply_graph,
-#               q_bh_fdr_brand_price, q_conformal_price_interval,
-#               q_cusum_changepoint_daily_revenue, q_attribution_last_touch,
-#               q_hybrid_search_rrf, q_search_ndcg_labels,
-#               q_phrase_search_positional, q_embedding_silhouette_lite,
-#               q_sample_weighted_aes, q_sample_weighted_aes_by_lang,
-#               q_join_skew_audit_custkey
-# then fill any remaining slots with the oldest-attested entries
-# (the four ANN/embedding r4 greens q_ann_lsh_multiprobe,
-# q_ann_lsh_recall, q_embedding_norms, q_embedding_centroid_blocks,
-# then curation/dedup/text r4 greens). The authoritative never-attested
-# count lives in ATTESTATION.json (regenerate with
-# scripts/attestation.py after CORRECTNESS_r07 lands).
+# Round 8 executes the rotation the r7 verdict pinned (ask #2): ALL 45
+# queries that had never had a driver row entering r8 (the exact
+# never_attested list in ATTESTATION.json after r7; the r7 judge
+# oracle-verified every one at sf0.01 independently), plus the NEW
+# oracle-gated MP4 container-metadata query (r7 ask #6), plus four
+# fill slots re-attesting the oldest (r4) ANN/embedding greens. After
+# a green r8, never-attested = 0 across the whole registry.
+# NEXT ROUND (r9): never-attested should be empty — rotate by AGE
+# instead: front-pin the ~50 entries whose only attestation is r4/r5
+# (ATTESTATION.json `rounds` per query), newest additions first if any
+# queries were added during r9.
 _MODULES = [
     "etl_pipeline_project_auraverse_spark.queries.relational",
     "etl_pipeline_project_auraverse_spark.queries.tpch_extra",
@@ -141,66 +108,67 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # module-import order after these. Names that don't resolve are
 # ignored so the list can't break registration.
 _FRONT = [
-    # --- streaming batch twins (new this round; verdict ask #7) ---
-    "q_stream_twin_tumbling_counts",
-    "q_stream_twin_sessionization",
-    # --- last-stretch analytics batch (judge-spot-checked sf0.01) ---
-    "q_skyline_parts_per_brand",
-    "q_kaplan_meier_customer_lifetime",
-    "q_ewma_daily_revenue",
-    "q_bootstrap_poisson_mean_price",
-    "q_quantile_normalize_sources",
-    "q_rake_keywords",
-    "q_als_user_step",
-    "q_event_trigrams",
-    "q_ldiversity_order_priority",
-    "q_wasserstein_price_by_returnflag",
-    "q_gini_customer_revenue",
-    "q_source_lang_jsd",
-    "q_text_nfc_cleanup",
-    "q_salted_event_type_stats",
-    # --- statistical-test additions ---
-    "q_welch_ttest_price_returnflag",
-    "q_anova_totalprice_by_segment",
-    "q_kendall_tau_quantity_discount",
-    "q_theilsen_revenue_trend",
-    "q_jackknife_mean_price",
-    # --- iterative ML / ordering / reranking ---
-    "q_lpa_communities",
-    "q_logreg_train_two_iter",
-    "q_markov_stationary_events",
-    "q_hilbert_order_cells",
-    "q_ann_ivfadc_residual_topk",
-    # --- dedup representatives never driver-sampled ---
-    "q_dedup_semantic_prune",
-    "q_dedup_prefix_filter_jaccard",
-    "q_dedup_containment",
-    "q_dedup_tfidf_cosine",
-    # --- drift / curation ---
-    "q_split_drift_psi",
-    # --- text representatives ---
-    "q_bigram_perplexity",
-    "q_zipf_word_fit",
-    "q_collocations_pmi",
-    "q_source_ngram_novelty",
-    # --- sequences / time-series representatives ---
-    "q_asof_view_tolerance",
-    "q_event_gap_percentiles",
-    "q_funnel_view_click_purchase",
-    "q_retention_day_n",
-    "q_daily_autocorr_lag1",
-    "q_event_fano_factor",
-    "q_bot_like_users",
-    # --- rest of the graph family ---
-    "q_cohort_retention",
-    "q_rfm_segmentation",
-    "q_fuzzy_name_matches",
-    "q_item_item_cosine",
-    "q_part_affinity_lift",
-    "q_shortest_path_costs",
-    # --- privacy / layout ---
-    "q_kanonymity_customer",
-    "q_layout_pruning_compare",
+    # --- NEW this round: MP4 container metadata (r7 verdict ask #6) ---
+    "q_mp4_video_metadata",
+    # --- streaming batch twins not yet driver-sampled ---
+    "q_stream_twin_sliding_counts",
+    "q_stream_twin_windowed_psi",
+    # --- dedup ---
+    "q_dedup_minhash_recall",
+    "q_dedup_incremental_minhash",
+    "q_dedup_cluster_sizes",
+    "q_crossmodal_dedup_conflict",
+    # --- text ---
+    "q_tokenizer_fertility_by_lang",
+    "q_corpus_datacard",
+    "q_text_lexical_diversity",
+    "q_lang_source_mutual_info",
+    "q_source_diversity_by_lang",
+    # --- sequences / time-series ---
+    "q_event_anomaly_zscore",
+    "q_dow_seasonality",
+    "q_event_dedup_hourly",
+    "q_error_burst_alerts",
+    "q_funnel_conversion_window",
+    "q_revenue_anomaly_decomposed",
+    "q_session_revenue_by_duration",
+    "q_event_heatmap_dow_hour",
+    "q_seasonal_naive_error",
+    "q_sax_daily_revenue",
+    "q_cusum_changepoint_daily_revenue",
+    "q_attribution_last_touch",
+    # --- relational ---
+    "q_unpivot_lineitem_measures",
+    "q_map_functions_per_order",
+    "q_null_semantics_battery",
+    "q_join_skew_audit_custkey",
+    # --- curation / sampling ---
+    "q_quality_logistic_scores",
+    "q_sample_quality_weighted",
+    "q_sample_stratified_neyman",
+    "q_sample_weighted_aes",
+    "q_sample_weighted_aes_by_lang",
+    # --- ANN / ML / embeddings ---
+    "q_negative_sampling_parts",
+    "q_hrw_shard_rebalance",
+    "q_logreg_auc_calibration",
+    "q_bpe_apply_fixed_merges",
+    "q_mmr_rerank",
+    "q_ann_ivfadc_residual_recall",
+    "q_embedding_silhouette_lite",
+    # --- search ---
+    "q_hybrid_search_rrf",
+    "q_search_ndcg_labels",
+    "q_phrase_search_positional",
+    # --- graph / stats ---
+    "q_hits_supply_graph",
+    "q_bh_fdr_brand_price",
+    "q_conformal_price_interval",
+    # --- fills: re-attest the oldest (r4) ANN/embedding greens ---
+    "q_ann_lsh_multiprobe",
+    "q_ann_lsh_recall",
+    "q_embedding_norms",
+    "q_embedding_centroid_blocks",
 ]
 
 
