@@ -3,11 +3,17 @@
 Runs, in order, on an idle JVM (don't run concurrently with pytest —
 CPU steal inflates every timing; see the r7 BENCH_SWEEP re-record):
 
-1. full-registry DuckDB parity at the driver's sf0.01 gate scale,
+1. attestation-ledger regeneration (ATTESTATION.json) — FIRST, so a
+   CORRECTNESS_r{N}.json that landed after the previous round's regen
+   (the r7 gap: the ledger said rounds_seen [1..6] because the driver
+   writes its artifact after this script runs) is folded in before
+   anything reads the ledger;
+2. full-registry DuckDB parity at the driver's sf0.01 gate scale,
    written to PARITY_r{N}.log (carriage-return progress fragments
    stripped so every per-query line survives grep);
-2. attestation-ledger regeneration (ATTESTATION.json);
-3. optionally the cross-SF scaling sweep (SCALING.md) with --scaling.
+3. attestation-ledger regeneration again (idempotent; picks up any
+   registry additions made this round);
+4. optionally the cross-SF scaling sweep (SCALING.md) with --scaling.
 
 bench.py is left to its own invocation (the driver runs it per round;
 run it manually for a committed refresh).
@@ -31,6 +37,14 @@ def main() -> int:
         return 2
     n = int(sys.argv[1])
     env = dict(os.environ)
+
+    # Fold in any CORRECTNESS artifact that landed since the last regen
+    # (the driver writes its file AFTER this script ran last round).
+    subprocess.run(
+        [sys.executable, os.path.join(ROOT, "scripts", "attestation.py")],
+        check=True,
+        cwd=ROOT,
+    )
 
     raw = subprocess.run(
         [sys.executable, os.path.join(ROOT, "scripts", "parity.py"), "--all"],
