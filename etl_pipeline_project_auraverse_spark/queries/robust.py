@@ -1435,8 +1435,13 @@ def q_bootstrap_poisson_mean_price(spark: SparkSession, sf_dir: str) -> DataFram
     and the aggregate is 32 groups — the replicate CI costs one pass.
     """
     from etl_pipeline_project_auraverse_spark.functions.text import h28
+    from etl_pipeline_project_auraverse_spark.queries._util import parallelize
 
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    # the x32 explode + per-row md5 is the hot loop; a small single-file
+    # scan arrives as ONE partition and would run it on one core
+    orders = parallelize(
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    )
     reps = orders.select(
         "o_orderkey",
         "o_totalprice",

@@ -27,7 +27,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_pipeline_project_auraverse_spark.queries import register
-from etl_pipeline_project_auraverse_spark.queries._util import persist_tracked
+from etl_pipeline_project_auraverse_spark.queries._util import (
+    parallelize,
+    persist_tracked,
+)
 from etl_pipeline_project_auraverse_spark.session import load_table
 
 HLL_M = 256  # registers per group (power of two)
@@ -476,7 +479,12 @@ def q_cms_part_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         cms_probe,
     )
 
-    li = load_table(spark, sf_dir, "lineitem")
+    # the build hashes every row x D with the portable md5 engine —
+    # spread the small single-file scan across cores first (projected
+    # to the key column so the shuffle moves one BIGINT per row)
+    li = parallelize(
+        load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    )
     sketch = cms_build(li, "l_partkey", CMS_D, CMS_W, engine="md5")
     keys = li.groupBy(F.col("l_partkey").alias("key")).agg(
         F.count(F.lit(1)).alias("n_exact")
