@@ -77,6 +77,7 @@ _MODULES = [
     "etl_pipeline_project_auraverse_spark.queries.search",
     "etl_pipeline_project_auraverse_spark.queries.pii",
     "etl_pipeline_project_auraverse_spark.queries.video",
+    "etl_pipeline_project_auraverse_spark.queries.audio",
 ]
 
 

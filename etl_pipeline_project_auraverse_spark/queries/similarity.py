@@ -1369,3 +1369,139 @@ def q_embedding_silhouette_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka-truncation recall: how much of the exact full-dimension
+# top-k survives when candidates are ranked by only the first m
+# dimensions of the embedding (the MRL deployment question — serve
+# truncated vectors at m dims, measure retrieval agreement with the
+# full 64). One exploded pair table scores every (query, candidate)
+# at each truncation level; per-level top-k via a (level, query)-
+# partitioned window; recall is an integer-hit count divided once.
+# At 100 TB the same plan applies to an LSH/IVF-bounded candidate set
+# instead of the broadcast brute-force pairs used for exactness here.
+# ---------------------------------------------------------------------------
+MRL_QUERY_MAX = 20
+MRL_TOP_K = 10
+MRL_DIMS = (8, 16, 32, 64)
+
+
+def _sql_cosine_mdims(a: str, b: str) -> str:
+    """sql_cosine with the truncation level as a COLUMN (l.m)."""
+    def d(x: str, y: str) -> str:
+        return (
+            f"list_sum(list_transform(range(0, l.m), d -> "
+            f"CAST({x}[d+1] AS DOUBLE) * CAST({y}[d+1] AS DOUBLE)))"
+        )
+
+    return (
+        f"CAST(ROUND({d(a, b)} / "
+        f"(SQRT({d(a, a)}) * SQRT({d(b, b)})), 6) AS DOUBLE)"
+    )
+
+
+@register(
+    "q_ann_matryoshka_recall",
+    oracle=f"""
+    WITH qset AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id < {MRL_QUERY_MAX}
+    ),
+    exact AS (
+        SELECT query_id, cand_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY {sql_cosine("q.embedding", "c.embedding")}
+                                DESC, c.vec_id) AS rank
+            FROM qset q JOIN embeddings c ON q.vec_id <> c.vec_id
+        ) WHERE rank <= {MRL_TOP_K}
+    ),
+    levels AS (SELECT unnest([{", ".join(map(str, MRL_DIMS))}]) AS m),
+    truncated AS (
+        SELECT m, query_id, cand_id FROM (
+            SELECT l.m, q.vec_id AS query_id, c.vec_id AS cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY l.m, q.vec_id
+                       ORDER BY {_sql_cosine_mdims("q.embedding", "c.embedding")}
+                                DESC, c.vec_id) AS rank
+            FROM levels l, qset q
+            JOIN embeddings c ON q.vec_id <> c.vec_id
+        ) WHERE rank <= {MRL_TOP_K}
+    ),
+    hits AS (
+        SELECT t.m, COUNT(*) AS total_hits
+        FROM truncated t JOIN exact e
+          ON t.query_id = e.query_id AND t.cand_id = e.cand_id
+        GROUP BY t.m
+    )
+    SELECT CAST(l.m AS BIGINT) AS trunc_dims,
+           (SELECT COUNT(*) FROM qset) AS n_queries,
+           CAST(COALESCE(h.total_hits, 0) AS BIGINT) AS total_hits,
+           CAST(COALESCE(h.total_hits, 0) AS DOUBLE)
+               / ((SELECT COUNT(*) FROM qset) * {MRL_TOP_K}) AS recall_at_k
+    FROM levels l LEFT JOIN hits h ON h.m = l.m
+    ORDER BY trunc_dims
+    """,
+)
+def q_ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of first-m-dimension cosine ranking vs the exact
+    64-dim top-k, one row per truncation level m in {8, 16, 32, 64}
+    (64 is the built-in sanity row: recall 1.0 by construction). The
+    recall ratio is one double division of exact integer counts, so it
+    hashes identically across engines."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qset = F.broadcast(emb.filter(F.col("vec_id") < MRL_QUERY_MAX))
+    pairs = persist_tracked(
+        qset.alias("q")
+        .join(emb.alias("c"), F.col("q.vec_id") != F.col("c.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("cand_id"),
+            F.col("q.embedding").alias("q_emb"),
+            F.col("c.embedding").alias("c_emb"),
+        )
+    )
+    w_exact = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "cand_id")
+    exact = (
+        pairs.withColumn("cos_sim", cosine(F.col("q_emb"), F.col("c_emb")))
+        .withColumn("rank", F.row_number().over(w_exact))
+        .filter(F.col("rank") <= MRL_TOP_K)
+        .select("query_id", "cand_id")
+    )
+    levels = spark.range(0, len(MRL_DIMS)).select(
+        F.element_at(
+            F.array(*[F.lit(m) for m in MRL_DIMS]), (F.col("id") + 1).cast("int")
+        ).alias("m")
+    )
+    trunc_cos = cosine(
+        F.slice(F.col("q_emb"), F.lit(1), F.col("m")),
+        F.slice(F.col("c_emb"), F.lit(1), F.col("m")),
+    )
+    w_lvl = W.partitionBy("m", "query_id").orderBy(F.col("cos_sim").desc(), "cand_id")
+    truncated = (
+        pairs.crossJoin(F.broadcast(levels))
+        .withColumn("cos_sim", trunc_cos)
+        .withColumn("rank", F.row_number().over(w_lvl))
+        .filter(F.col("rank") <= MRL_TOP_K)
+        .select("m", "query_id", "cand_id")
+    )
+    hits = (
+        truncated.join(exact, ["query_id", "cand_id"])
+        .groupBy("m")
+        .agg(F.count("*").alias("total_hits"))
+    )
+    nq = F.broadcast(qset.agg(F.count("*").alias("n_queries")))
+    return (
+        levels.join(hits, "m", "left")
+        .crossJoin(nq)
+        .select(
+            F.col("m").cast("long").alias("trunc_dims"),
+            "n_queries",
+            F.coalesce(F.col("total_hits"), F.lit(0)).cast("long").alias("total_hits"),
+            (
+                F.coalesce(F.col("total_hits"), F.lit(0)).cast("double")
+                / (F.col("n_queries") * MRL_TOP_K)
+            ).alias("recall_at_k"),
+        )
+        .orderBy("trunc_dims")
+    )
