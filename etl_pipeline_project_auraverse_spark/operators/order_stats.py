@@ -261,3 +261,94 @@ def _fused_small_group_path(
             row.append(vlo + frac * (vhi - vlo))
         out_rows.append(tuple(row))
     return spark.createDataFrame(out_rows, out_schema)
+
+
+def weighted_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    count_name: str = "total_weight",
+    out_name: str = "weighted_median",
+) -> DataFrame:
+    """Exact lower weighted median per group: the smallest value v
+    whose cumulative integer weight (ordered by value) reaches half
+    the group's total — ``2*cum(v) >= total`` semantics, matching the
+    SQL twin ``MIN(v) WHERE 2*cum >= total``.
+
+    Same two-job driver-fused plan as the small-group percentile path:
+    a range shuffle on the value bounds every task to a contiguous
+    slice; per-(partition, group) weight cells are collected (bounded:
+    partitions x groups rows); the driver locates each group's
+    crossing partition; one filtered pass computes in-slice cumulative
+    weights and fetches the crossing value. Weights must be integral
+    (cast to BIGINT) so the crossing test is exact in both engines.
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark = df.sparkSession
+    g, v = group_col, value_col
+    ranged = persist_tracked(
+        df.select(g, v, F.col(weight_col).cast("long").alias("__w"))
+        .repartitionByRange(F.col(v))
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    cells = (
+        ranged.groupBy("__pid", g).agg(F.sum("__w").alias("__c")).collect()
+    )
+
+    totals: dict = {}
+    for r in cells:
+        totals[r[g]] = totals.get(r[g], 0) + r["__c"]
+    # crossing partition per group: first pid where cum weight >= T
+    target = {gv: (tot + 1) // 2 for gv, tot in totals.items()}
+    seen: dict = {}
+    crossing = []  # (pid, gval, offset_before_pid, T)
+    for r in sorted(cells, key=lambda r: r["__pid"]):
+        off = seen.get(r[g], 0)
+        t = target[r[g]]
+        if off < t <= off + r["__c"]:
+            crossing.append((r["__pid"], r[g], off, t))
+        seen[r[g]] = off + r["__c"]
+
+    g_type = df.schema[g].dataType
+    out_schema = StructType(
+        [
+            StructField(g, g_type),
+            StructField(count_name, LongType(), False),
+            StructField(out_name, df.schema[v].dataType),
+        ]
+    )
+    if not crossing:
+        return spark.createDataFrame([], out_schema)
+    cross_df = spark.createDataFrame(
+        crossing,
+        StructType(
+            [
+                StructField("__pid", LongType(), False),
+                StructField(g, g_type),
+                StructField("__off", LongType(), False),
+                StructField("__t", LongType(), False),
+            ]
+        ),
+    )
+    w_cum = (
+        Window.partitionBy("__pid", g)
+        .orderBy(v)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    hits = (  # the one heavy pass: only crossing (pid, group) slices survive
+        ranged.join(F.broadcast(cross_df), ["__pid", g])
+        .withColumn("__cum", F.sum("__w").over(w_cum) + F.col("__off"))
+        .filter(
+            (F.col("__cum") >= F.col("__t"))
+            & (F.col("__cum") - F.col("__w") < F.col("__t"))
+        )
+        .select(g, v)
+        .collect()
+    )
+    med = {r[g]: r[v] for r in hits}
+    return spark.createDataFrame(
+        [(gv, totals[gv], med[gv]) for gv in sorted(totals, key=str)],
+        out_schema,
+    )

@@ -1716,3 +1716,53 @@ def q_bh_fdr_brand_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_raw", "brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted median: the quantity-weighted middle price per return flag.
+# Same driver-fused two-job order-statistics plan as the percentile
+# battery (range shuffle bounds every task; the partitions x groups
+# weight-cell table collects; only the crossing slices do ranked
+# work), generalized from row counts to integer weights.
+# ---------------------------------------------------------------------------
+_WMED_ORACLE = """
+WITH d AS (
+    SELECT l_returnflag, l_extendedprice AS v,
+           SUM(CAST(l_quantity AS BIGINT)) AS w
+    FROM lineitem GROUP BY l_returnflag, l_extendedprice
+),
+c AS (
+    SELECT l_returnflag, v, w,
+           SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS cum
+    FROM d
+),
+t AS (SELECT l_returnflag, SUM(w) AS tot FROM d GROUP BY l_returnflag)
+SELECT c.l_returnflag,
+       CAST(t.tot AS BIGINT) AS total_weight,
+       MIN(c.v) AS weighted_median
+FROM c JOIN t USING (l_returnflag)
+WHERE 2 * c.cum >= t.tot
+GROUP BY c.l_returnflag, t.tot
+ORDER BY l_returnflag
+"""
+
+
+@register("q_weighted_median_price_by_flag", oracle=_WMED_ORACLE)
+def q_weighted_median_price_by_flag(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Lower weighted median of extended price per return flag, with
+    line quantity as the weight (2*cum >= total semantics — the
+    smallest price at which half the shipped units are covered).
+    Delegates to ``operators/order_stats.weighted_median``."""
+    from etl_pipeline_project_auraverse_spark.operators.order_stats import (
+        weighted_median,
+    )
+
+    return weighted_median(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_returnflag",
+        "l_extendedprice",
+        "l_quantity",
+    ).orderBy("l_returnflag")

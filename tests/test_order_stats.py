@@ -127,3 +127,56 @@ def test_fused_path_empty_and_all_null_groups(spark):
     )
     assert empty.collect() == []
     assert [f.name for f in empty.schema.fields] == ["g", "n_rows", "p50"]
+
+
+# ---------------------------------------------------------------------------
+# weighted_median: differential vs a local reference implementation.
+# ---------------------------------------------------------------------------
+def _wmed_reference(rows):
+    """Lower weighted median per group: smallest v with 2*cum >= total."""
+    from collections import defaultdict
+
+    by_g = defaultdict(list)
+    for g, v, w in rows:
+        by_g[g].append((v, int(w)))
+    out = {}
+    for g, pairs in by_g.items():
+        pairs.sort()
+        tot = sum(w for _, w in pairs)
+        cum = 0
+        for v, w in pairs:
+            cum += w
+            if 2 * cum >= tot:
+                out[g] = (tot, v)
+                break
+    return out
+
+
+@pytest.mark.parametrize("case", ["uniform", "ties", "odd_even", "one_row"])
+def test_weighted_median_matches_reference(spark, case):
+    from etl_pipeline_project_auraverse_spark.operators.order_stats import (
+        weighted_median,
+    )
+
+    rng = random.Random(7)
+    if case == "uniform":
+        rows = [
+            (f"g{i % 3}", rng.uniform(0, 100), rng.randint(1, 9))
+            for i in range(1500)
+        ]
+    elif case == "ties":  # many repeated values, crossing lands on a tie run
+        rows = [
+            (f"g{i % 2}", float(rng.randint(0, 5)), rng.randint(1, 4))
+            for i in range(800)
+        ]
+    elif case == "odd_even":  # one group odd total weight, one even
+        rows = [("odd", 1.0, 1), ("odd", 2.0, 1), ("odd", 3.0, 1),
+                ("even", 1.0, 2), ("even", 5.0, 2)]
+    else:
+        rows = [("solo", 42.5, 3)]
+    df = spark.createDataFrame(rows, "g string, v double, w long")
+    got = {
+        r["g"]: (r["total_weight"], r["weighted_median"])
+        for r in weighted_median(df, "g", "v", "w").collect()
+    }
+    assert got == _wmed_reference(rows)
