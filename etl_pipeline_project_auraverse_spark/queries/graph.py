@@ -1009,3 +1009,116 @@ def q_hits_supply_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("authority").desc(), "part_key")
         .limit(HITS_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling: iteratively strip nodes of degree < k from the
+# co-purchase graph — the classic density filter before community/
+# embedding work (nodes surviving round r have >= k neighbors among
+# round-(r-1) survivors). Three unrolled rounds, all-integer (degree
+# counts and semi-join filters only), so the per-round census is
+# bit-exact across engines with no rounding contract. At 100 TB each
+# round is one degree groupBy + two key-only semi joins on the pair
+# table; the pair table shrinks monotonically, and a run-to-fixpoint
+# variant would localCheckpoint per round like operators/components.py.
+# ---------------------------------------------------------------------------
+KCORE_K = 3
+KCORE_ROUNDS = 3
+
+
+def _kcore_oracle() -> str:
+    rounds = ""
+    prev = "p0"
+    selects = []
+    for i in range(1, KCORE_ROUNDS + 1):
+        rounds += f""",
+    k{i} AS (
+        SELECT u FROM (SELECT a AS u FROM {prev}
+                       UNION ALL SELECT b FROM {prev})
+        GROUP BY u HAVING COUNT(*) >= {KCORE_K}
+    ),
+    p{i} AS (
+        SELECT p.a, p.b FROM {prev} p
+        JOIN k{i} x ON p.a = x.u JOIN k{i} y ON p.b = y.u
+    )"""
+        selects.append(
+            f"SELECT {i} AS round, (SELECT COUNT(*) FROM k{i}) AS "
+            f"nodes_remaining, (SELECT COUNT(*) FROM p{i}) AS edges_remaining"
+        )
+        prev = f"p{i}"
+    return f"""
+    WITH basket AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    ok_orders AS (
+        SELECT l_orderkey FROM basket
+        GROUP BY l_orderkey HAVING COUNT(*) <= {BASKET_CAP}
+    ),
+    b AS (SELECT basket.* FROM basket JOIN ok_orders USING (l_orderkey)),
+    p0 AS (
+        SELECT x.l_partkey AS a, y.l_partkey AS b
+        FROM b x JOIN b y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        GROUP BY a, b
+        HAVING COUNT(*) >= {MIN_PAIR_SUPPORT}
+    ){rounds}
+    SELECT CAST(round AS BIGINT) AS round,
+           CAST(nodes_remaining AS BIGINT) AS nodes_remaining,
+           CAST(edges_remaining AS BIGINT) AS edges_remaining
+    FROM ({" UNION ALL ".join(selects)})
+    ORDER BY round
+    """
+
+
+@register("q_kcore_copurchase", oracle=_kcore_oracle())
+def q_kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-round census (surviving nodes, surviving undirected edges)
+    of three k-core peeling rounds over the capped co-purchase pair
+    graph — same basket/pair construction as the PageRank and triangle
+    queries."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") <= BASKET_CAP)
+    )
+    lhs = baskets.select("parts", F.posexplode("parts").alias("i", "a"))
+    pairs = persist_tracked(
+        lhs.select(
+            "a",
+            F.explode(
+                F.expr("slice(parts, i + 2, size(parts) - i - 1)")
+            ).alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= MIN_PAIR_SUPPORT)
+        .select("a", "b")
+    )
+    out = None
+    for i in range(1, KCORE_ROUNDS + 1):
+        deg = (
+            pairs.select(F.col("a").alias("u"))
+            .unionByName(pairs.select(F.col("b").alias("u")))
+            .groupBy("u")
+            .agg(F.count("*").alias("d"))
+        )
+        keep = persist_tracked(
+            deg.filter(F.col("d") >= KCORE_K).select("u")
+        )
+        pairs = persist_tracked(
+            pairs.join(keep.withColumnRenamed("u", "a"), "a")
+            .join(keep.withColumnRenamed("u", "b"), "b")
+            .select("a", "b")
+        )
+        row = (
+            keep.agg(F.count("*").alias("nodes_remaining"))
+            .crossJoin(pairs.agg(F.count("*").alias("edges_remaining")))
+            .select(
+                F.lit(i).cast("long").alias("round"),
+                F.col("nodes_remaining").cast("long"),
+                F.col("edges_remaining").cast("long"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("round")
