@@ -45,14 +45,14 @@ ORACLE: dict[str, str] = {}
 # Round 8 executes the rotation the r7 verdict pinned (ask #2): ALL 45
 # queries that had never had a driver row entering r8 (the exact
 # never_attested list in ATTESTATION.json after r7; the r7 judge
-# oracle-verified every one at sf0.01 independently), plus the NEW
-# oracle-gated MP4 container-metadata query (r7 ask #6), plus four
-# fill slots re-attesting the oldest (r4) ANN/embedding greens. After
-# a green r8, never-attested = 0 across the whole registry.
-# NEXT ROUND (r9): never-attested should be empty — rotate by AGE
-# instead: front-pin the ~50 entries whose only attestation is r4/r5
-# (ATTESTATION.json `rounds` per query), newest additions first if any
-# queries were added during r9.
+# oracle-verified every one at sf0.01 independently), plus the FIVE
+# queries NEW in r8 (MP4 container gate — r7 ask #6 — and the audio
+# gate twin, Matryoshka recall, weighted median, k-core peel), which
+# exactly fills the 50 slots. After a green r8, never-attested = 0
+# across the whole registry, including everything added this round.
+# NEXT ROUND (r9): front-pin any queries newly registered in r9, then
+# rotate by AGE: the entries whose only attestation is r4/r5
+# (ATTESTATION.json `rounds` per query) fill the remaining slots.
 _MODULES = [
     "etl_pipeline_project_auraverse_spark.queries.relational",
     "etl_pipeline_project_auraverse_spark.queries.tpch_extra",
@@ -165,11 +165,13 @@ _FRONT = [
     "q_hits_supply_graph",
     "q_bh_fdr_brand_price",
     "q_conformal_price_interval",
-    # --- fills: re-attest the oldest (r4) ANN/embedding greens ---
-    "q_ann_lsh_multiprobe",
-    "q_ann_lsh_recall",
-    "q_embedding_norms",
-    "q_embedding_centroid_blocks",
+    # --- NEW this round (so nothing registered in r8 leaves r8
+    # unattested): audio gate twin, embedding-truncation recall,
+    # weighted order statistics, k-core peel ---
+    "q_wav_audio_features",
+    "q_ann_matryoshka_recall",
+    "q_weighted_median_price_by_flag",
+    "q_kcore_copurchase",
 ]
 
 
