@@ -334,3 +334,143 @@ def q_ldiversity_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey", "c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit: compare the first significant digit
+# distribution of order totals against Benford's law — the classic
+# fabricated-/corrupted-numeric-data screen. Everything is integer:
+# prices become exact cents (floor-micro idiom), the first digit is a
+# string head (no log10 in the data path), observed shares are
+# parts-per-million via integer division, and the expected shares are
+# precomputed literal constants — so the audit hashes identically
+# across engines. One groupBy(9 groups) at any scale.
+# ---------------------------------------------------------------------------
+_BENFORD_PPM = {  # floor(log10(1 + 1/d) * 1e6), precomputed
+    1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+    6: 66946, 7: 57991, 8: 51152, 9: 45757,
+}
+
+
+def _benford_oracle() -> str:
+    exp = " ".join(
+        f"WHEN {d} THEN {p}" for d, p in _BENFORD_PPM.items()
+    )
+    return f"""
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                     AS BIGINT) AS VARCHAR), 1, 1)
+                    AS INTEGER) AS digit
+        FROM orders WHERE o_totalprice > 0
+    ),
+    g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+    t AS (SELECT SUM(n) AS total FROM g)
+    SELECT g.digit,
+           CAST(g.n AS BIGINT) AS n_orders,
+           CAST(g.n * 1000000 // t.total AS BIGINT) AS observed_ppm,
+           CAST(CASE g.digit {exp} END AS BIGINT) AS benford_ppm,
+           CAST(ABS(g.n * 1000000 // t.total
+                    - CASE g.digit {exp} END) AS BIGINT) AS deviation_ppm
+    FROM g, t ORDER BY g.digit
+    """
+
+
+@register("q_benford_price_digits", oracle=_benford_oracle())
+def q_benford_price_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit distribution of order totals vs Benford's law, as
+    integer parts-per-million with the absolute deviation per digit."""
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").cast("string"),
+        1,
+        1,
+    ).cast("int")
+    g = (
+        orders.filter(F.col("o_totalprice") > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    t = g.agg(F.sum("n").alias("total"))
+    exp = F.create_map(
+        *[F.lit(x) for d, p in _BENFORD_PPM.items() for x in (d, p)]
+    )
+    obs_ppm = F.expr("n * 1000000 div total")
+    benford_ppm = F.element_at(exp, F.col("digit")).cast("long")
+    return (
+        g.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            F.col("n").cast("long").alias("n_orders"),
+            obs_ppm.cast("long").alias("observed_ppm"),
+            benford_ppm.alias("benford_ppm"),
+            F.abs(obs_ppm - benford_ppm).cast("long").alias("deviation_ppm"),
+        )
+        .orderBy("digit")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency audit: for each declared candidate FD
+# lhs -> rhs, how many lhs values map to MORE than one rhs value (and
+# how badly). The profiling primitive behind key discovery and
+# denormalization checks; each FD is one groupBy(lhs) with a distinct
+# count — at 100 TB, one shuffle per audited dependency, map-side
+# partials doing most of the work. The battery includes a true key
+# (p_partkey -> p_brand: zero violations by construction) so a green
+# row attests the zero path too, not just the violating ones.
+# ---------------------------------------------------------------------------
+_FDS = [  # (fd_name, table, lhs, rhs)
+    ("part.p_partkey->p_brand", "part", "p_partkey", "p_brand"),
+    ("customer.c_nationkey->c_mktsegment", "customer", "c_nationkey",
+     "c_mktsegment"),
+    ("orders.o_custkey->o_orderpriority", "orders", "o_custkey",
+     "o_orderpriority"),
+]
+
+
+def _fd_oracle() -> str:
+    arms = []
+    for name, table, lhs, rhs in _FDS:
+        arms.append(f"""
+    SELECT '{name}' AS fd,
+           CAST(COUNT(*) AS BIGINT) AS n_lhs,
+           CAST(COUNT(CASE WHEN k > 1 THEN 1 END) AS BIGINT)
+               AS n_violating_lhs,
+           CAST(MAX(k) AS BIGINT) AS max_rhs_variants,
+           CAST(COUNT(CASE WHEN k > 1 THEN 1 END) * 1000000 // COUNT(*)
+                AS BIGINT) AS violation_ppm
+    FROM (SELECT {lhs}, COUNT(DISTINCT {rhs}) AS k FROM {table}
+          GROUP BY {lhs})""")
+        arms_sql = " UNION ALL ".join(arms)
+    return f"SELECT * FROM ({arms_sql}) ORDER BY fd"
+
+
+@register("q_fd_violation_audit", oracle=_fd_oracle())
+def q_fd_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Violation census for three declared candidate functional
+    dependencies (one true key, two violated attributes): per FD the
+    lhs cardinality, violating-lhs count, worst rhs fan-out, and the
+    integer ppm violation share."""
+    out = None
+    for name, table, lhs, rhs in _FDS:
+        k = (
+            load_table(spark, sf_dir, table)
+            .groupBy(lhs)
+            .agg(F.countDistinct(rhs).alias("k"))
+        )
+        row = k.agg(
+            F.count("*").alias("n_lhs"),
+            F.count(F.when(F.col("k") > 1, 1)).alias("n_violating_lhs"),
+            F.max("k").alias("max_rhs_variants"),
+        ).select(
+            F.lit(name).alias("fd"),
+            F.col("n_lhs").cast("long"),
+            F.col("n_violating_lhs").cast("long"),
+            F.col("max_rhs_variants").cast("long"),
+            F.expr("n_violating_lhs * 1000000 div n_lhs")
+            .cast("long")
+            .alias("violation_ppm"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("fd")

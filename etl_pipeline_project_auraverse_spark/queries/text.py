@@ -1380,3 +1380,64 @@ def q_sample_weighted_aes_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("lang", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Heaps'-law vocabulary growth: distinct-word count vs token count at
+# nested corpus prefixes — the dataset-curation curve that says how
+# fast new vocabulary (and therefore tokenizer OOV pressure) grows as
+# you ingest more of a source. Emitted as pure integers (token and
+# vocab counts per checkpoint); the sublinear-growth fit is the
+# reader's one-line regression, not a cross-engine float contract.
+# One exploded scan x |checkpoints| with a distinct aggregate per
+# prefix; checkpoints are fixed doc_id thresholds so the same query is
+# comparable across scale factors.
+# ---------------------------------------------------------------------------
+_HEAPS_CHECKPOINTS = (100, 200, 300, 400, 500)
+
+_HEAPS_ORACLE = f"""
+WITH cps AS (SELECT unnest([{", ".join(map(str, _HEAPS_CHECKPOINTS))}])
+             AS max_doc),
+w AS (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+    FROM documents
+)
+SELECT c.max_doc,
+       CAST(COUNT(CASE WHEN w.doc_id < c.max_doc THEN 1 END) AS BIGINT)
+           AS n_tokens,
+       CAST(COUNT(DISTINCT CASE WHEN w.doc_id < c.max_doc THEN w.w END)
+            AS BIGINT) AS vocab
+FROM cps c CROSS JOIN w
+WHERE w.w <> ''
+GROUP BY c.max_doc ORDER BY c.max_doc
+"""
+
+
+@register("q_heaps_vocab_growth", oracle=_HEAPS_ORACLE)
+def q_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token count and distinct-vocabulary size at five nested corpus
+    prefixes (doc_id < 100..500) — the Heaps'-law growth curve."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < max(_HEAPS_CHECKPOINTS)
+    )
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    cps = F.array(*[F.lit(c) for c in _HEAPS_CHECKPOINTS])
+    leveled = words.select(
+        "doc_id", "w", F.explode(cps).alias("max_doc")
+    ).filter(F.col("doc_id") < F.col("max_doc"))
+    return (
+        leveled.groupBy("max_doc")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.countDistinct("w").alias("vocab"),
+        )
+        .select(
+            F.col("max_doc").cast("int"),
+            F.col("n_tokens").cast("long"),
+            F.col("vocab").cast("long"),
+        )
+        .orderBy("max_doc")
+    )
