@@ -766,139 +766,3 @@ def q_hll_overlap_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
-
-
-# ---------------------------------------------------------------------------
-# HLL set operations: union via register max-merge, intersection via
-# inclusion-exclusion on the estimates — the sketch algebra that lets
-# audience-overlap / cross-split-contamination questions run without
-# ever shuffling a key set (registers are the ONLY thing merged; at
-# 100 TB each side's sketch is HLL_M integers). Exact counts computed
-# alongside so the gate attests the estimates against ground truth.
-# ---------------------------------------------------------------------------
-_HSO_A, _HSO_B = "view", "purchase"
-
-
-def _hll_est_sql(src: str) -> str:
-    """Estimate chain over a register CTE ``src(s, bucket, m_rho)`` —
-    same arithmetic as the per-type HLL oracle."""
-    return f"""
-    SELECT s,
-           CAST(ROUND(CASE WHEN raw <= CAST({2.5 * HLL_M!r} AS DOUBLE)
-                                AND zeros > 0
-                           THEN CAST({HLL_M} AS DOUBLE)
-                                * ln(CAST({HLL_M} AS DOUBLE) / zeros)
-                           ELSE raw END, 4) AS DOUBLE) AS est
-    FROM (
-        SELECT s,
-               CAST({_ALPHA!r} AS DOUBLE) * CAST({HLL_M * HLL_M} AS DOUBLE)
-                   / (CAST(SUM(CAST(1 AS BIGINT) << ({RHO_MAX} - m_rho))
-                           AS BIGINT) / CAST({_SCALE!r} AS DOUBLE)
-                      + ({HLL_M} - COUNT(*))) AS raw,
-               {HLL_M} - COUNT(*) AS zeros
-        FROM {src} GROUP BY s
-    )"""
-
-
-def _hso_oracle() -> str:
-    return f"""
-    WITH f AS (
-        SELECT event_type AS s, user_id FROM events
-        WHERE event_type IN ('{_HSO_A}', '{_HSO_B}')
-    ),
-    h AS (
-        SELECT s,
-               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
-                   AS h
-        FROM f
-    ),
-    r AS (
-        SELECT s, h % {HLL_M} AS bucket,
-               MAX(CASE WHEN h // {HLL_M} = 0 THEN {RHO_MAX}
-                        ELSE LEAST(length(bin(h // {HLL_M}))
-                                   - length(rtrim(bin(h // {HLL_M}), '0')) + 1,
-                                   {RHO_MAX}) END) AS m_rho
-        FROM h GROUP BY s, h % {HLL_M}
-    ),
-    ru AS (
-        SELECT '__union' AS s, bucket, MAX(m_rho) AS m_rho
-        FROM r GROUP BY bucket
-    ),
-    est AS ({_hll_est_sql("(SELECT * FROM r UNION ALL SELECT * FROM ru)")}),
-    p AS (
-        SELECT MAX(CASE WHEN s = '{_HSO_A}' THEN est END) AS est_a,
-               MAX(CASE WHEN s = '{_HSO_B}' THEN est END) AS est_b,
-               MAX(CASE WHEN s = '__union' THEN est END) AS est_union
-        FROM est
-    ),
-    ex AS (
-        SELECT COUNT(DISTINCT CASE WHEN s = '{_HSO_A}' THEN user_id END)
-                   AS n_a_exact,
-               COUNT(DISTINCT CASE WHEN s = '{_HSO_B}' THEN user_id END)
-                   AS n_b_exact,
-               COUNT(DISTINCT user_id) AS union_exact
-        FROM f
-    )
-    SELECT CAST(n_a_exact AS BIGINT) AS n_a_exact,
-           CAST(n_b_exact AS BIGINT) AS n_b_exact,
-           CAST(union_exact AS BIGINT) AS union_exact,
-           CAST(n_a_exact + n_b_exact - union_exact AS BIGINT)
-               AS intersect_exact,
-           est_a, est_b, est_union,
-           CAST(est_a + est_b - est_union AS DOUBLE) AS est_intersect
-    FROM ex, p
-    """
-
-
-@register("q_hll_set_operations", oracle=_hso_oracle())
-def q_hll_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct-user union and intersection of two event types, exact
-    AND sketched: union = per-bucket max-merge of the two HLL register
-    tables, intersection = inclusion-exclusion on the three estimates.
-    One row out; every estimate reuses the bit-exact register/estimate
-    chain of q_hll_distinct_users."""
-    ev = load_table(spark, sf_dir, "events")
-    f = persist_tracked(
-        ev.filter(F.col("event_type").isin(_HSO_A, _HSO_B)).select(
-            F.col("event_type").alias("s"), "user_id"
-        )
-    )
-    regs = persist_tracked(hll_registers(f, ["s"], "user_id"))
-    union_regs = (
-        regs.groupBy("bucket")
-        .agg(F.max("m_rho").alias("m_rho"))
-        .select(F.lit("__union").alias("s"), "bucket", "m_rho")
-    )
-    est = hll_estimate_from_registers(
-        regs.unionByName(union_regs), ["s"]
-    )
-    p = est.agg(
-        F.max(F.when(F.col("s") == _HSO_A, F.col("hll_estimate"))).alias("est_a"),
-        F.max(F.when(F.col("s") == _HSO_B, F.col("hll_estimate"))).alias("est_b"),
-        F.max(F.when(F.col("s") == "__union", F.col("hll_estimate"))).alias(
-            "est_union"
-        ),
-    )
-    ex = f.agg(
-        F.countDistinct(
-            F.when(F.col("s") == _HSO_A, F.col("user_id"))
-        ).alias("n_a_exact"),
-        F.countDistinct(
-            F.when(F.col("s") == _HSO_B, F.col("user_id"))
-        ).alias("n_b_exact"),
-        F.countDistinct("user_id").alias("union_exact"),
-    )
-    return ex.crossJoin(F.broadcast(p)).select(
-        F.col("n_a_exact").cast("long"),
-        F.col("n_b_exact").cast("long"),
-        F.col("union_exact").cast("long"),
-        (F.col("n_a_exact") + F.col("n_b_exact") - F.col("union_exact"))
-        .cast("long")
-        .alias("intersect_exact"),
-        "est_a",
-        "est_b",
-        "est_union",
-        (F.col("est_a") + F.col("est_b") - F.col("est_union"))
-        .cast("double")
-        .alias("est_intersect"),
-    )
