@@ -337,80 +337,6 @@ def q_ldiversity_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Benford first-digit audit: compare the first significant digit
-# distribution of order totals against Benford's law — the classic
-# fabricated-/corrupted-numeric-data screen. Everything is integer:
-# prices become exact cents (floor-micro idiom), the first digit is a
-# string head (no log10 in the data path), observed shares are
-# parts-per-million via integer division, and the expected shares are
-# precomputed literal constants — so the audit hashes identically
-# across engines. One groupBy(9 groups) at any scale.
-# ---------------------------------------------------------------------------
-_BENFORD_PPM = {  # floor(log10(1 + 1/d) * 1e6), precomputed
-    1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
-    6: 66946, 7: 57991, 8: 51152, 9: 45757,
-}
-
-
-def _benford_oracle() -> str:
-    exp = " ".join(
-        f"WHEN {d} THEN {p}" for d, p in _BENFORD_PPM.items()
-    )
-    return f"""
-    WITH d AS (
-        SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5)
-                                     AS BIGINT) AS VARCHAR), 1, 1)
-                    AS INTEGER) AS digit
-        FROM orders WHERE o_totalprice > 0
-    ),
-    g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
-    t AS (SELECT SUM(n) AS total FROM g)
-    SELECT g.digit,
-           CAST(g.n AS BIGINT) AS n_orders,
-           CAST(g.n * 1000000 // t.total AS BIGINT) AS observed_ppm,
-           CAST(CASE g.digit {exp} END AS BIGINT) AS benford_ppm,
-           CAST(ABS(g.n * 1000000 // t.total
-                    - CASE g.digit {exp} END) AS BIGINT) AS deviation_ppm
-    FROM g, t ORDER BY g.digit
-    """
-
-
-@register("q_benford_price_digits", oracle=_benford_oracle())
-def q_benford_price_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-digit distribution of order totals vs Benford's law, as
-    integer parts-per-million with the absolute deviation per digit."""
-    orders = load_table(spark, sf_dir, "orders")
-    digit = F.substring(
-        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").cast("string"),
-        1,
-        1,
-    ).cast("int")
-    g = (
-        orders.filter(F.col("o_totalprice") > 0)
-        .select(digit.alias("digit"))
-        .groupBy("digit")
-        .agg(F.count("*").alias("n"))
-    )
-    t = g.agg(F.sum("n").alias("total"))
-    exp = F.create_map(
-        *[F.lit(x) for d, p in _BENFORD_PPM.items() for x in (d, p)]
-    )
-    obs_ppm = F.expr("n * 1000000 div total")
-    benford_ppm = F.element_at(exp, F.col("digit")).cast("long")
-    return (
-        g.crossJoin(F.broadcast(t))
-        .select(
-            "digit",
-            F.col("n").cast("long").alias("n_orders"),
-            obs_ppm.cast("long").alias("observed_ppm"),
-            benford_ppm.alias("benford_ppm"),
-            F.abs(obs_ppm - benford_ppm).cast("long").alias("deviation_ppm"),
-        )
-        .orderBy("digit")
-    )
-
-
-# ---------------------------------------------------------------------------
 # Functional-dependency audit: for each declared candidate FD
 # lhs -> rhs, how many lhs values map to MORE than one rhs value (and
 # how badly). The profiling primitive behind key discovery and
