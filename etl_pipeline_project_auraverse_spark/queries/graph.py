@@ -1095,7 +1095,12 @@ def q_kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w") >= MIN_PAIR_SUPPORT)
         .select("a", "b")
     )
-    out = None
+    # Driver-fused census (the order_stats/spearman idiom): each
+    # round\'s two counts are ACTIONS that double as the persist
+    # materializations, and the 3-row result is assembled locally —
+    # which drops the per-round crossJoin/union choreography (~9
+    # stages) from the plan. 2 jobs per round at any scale.
+    rows = []
     for i in range(1, KCORE_ROUNDS + 1):
         deg = (
             pairs.select(F.col("a").alias("u"))
@@ -1106,19 +1111,13 @@ def q_kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         keep = persist_tracked(
             deg.filter(F.col("d") >= KCORE_K).select("u")
         )
+        n_nodes = keep.count()
         pairs = persist_tracked(
             pairs.join(keep.withColumnRenamed("u", "a"), "a")
             .join(keep.withColumnRenamed("u", "b"), "b")
             .select("a", "b")
         )
-        row = (
-            keep.agg(F.count("*").alias("nodes_remaining"))
-            .crossJoin(pairs.agg(F.count("*").alias("edges_remaining")))
-            .select(
-                F.lit(i).cast("long").alias("round"),
-                F.col("nodes_remaining").cast("long"),
-                F.col("edges_remaining").cast("long"),
-            )
-        )
-        out = row if out is None else out.unionByName(row)
-    return out.orderBy("round")
+        rows.append((i, n_nodes, pairs.count()))
+    return spark.createDataFrame(
+        rows, "round long, nodes_remaining long, edges_remaining long"
+    ).orderBy("round")
