@@ -1449,11 +1449,16 @@ def q_ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (64 is the built-in sanity row: recall 1.0 by construction). The
     recall ratio is one double division of exact integer counts, so it
     hashes identically across engines."""
+    from etl_pipeline_project_auraverse_spark.queries._util import parallelize
+
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     qset = F.broadcast(emb.filter(F.col("vec_id") < MRL_QUERY_MAX))
+    # parallelize the corpus side: the broadcast join streams it, and a
+    # single-file scan would score every (query, candidate, level)
+    # cosine on ONE core
     pairs = persist_tracked(
         qset.alias("q")
-        .join(emb.alias("c"), F.col("q.vec_id") != F.col("c.vec_id"))
+        .join(parallelize(emb).alias("c"), F.col("q.vec_id") != F.col("c.vec_id"))
         .select(
             F.col("q.vec_id").alias("query_id"),
             F.col("c.vec_id").alias("cand_id"),

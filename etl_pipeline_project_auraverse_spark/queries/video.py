@@ -87,12 +87,19 @@ ORDER BY doc_id
 
 @register("q_mp4_video_metadata", oracle=_ORACLE)
 def q_mp4_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_project_auraverse_spark.queries._util import (
+        persist_tracked,
+    )
+
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id")
         .filter(F.col("doc_id") % _DOC_MOD == 0)
     )
-    payloads = synthesize_mp4_column(parallelize(docs))
+    # persist: the payload column feeds TWO mapInPandas consumers
+    # (metadata + frame timeline) — without it each consumer re-runs
+    # the synthesis pass
+    payloads = persist_tracked(synthesize_mp4_column(parallelize(docs)))
     meta = video_metadata(payloads).filter(F.col("handler") == "vide")
     frame_stats = (
         sample_mp4_frames(payloads, every_n=_EVERY_N)
@@ -103,10 +110,12 @@ def q_mp4_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("time_sec").alias("last_sample_sec"),
         )
     )
-    return (
+    joined = persist_tracked(
         meta.select(
             "doc_id", "major_brand", "codec", "width", "height", "n_samples"
-        )
-        .join(frame_stats, "doc_id")
-        .orderBy("doc_id")
+        ).join(frame_stats, "doc_id")
     )
+    # persist before the cosmetic sort: a global orderBy adds a range-
+    # sampling pass that would otherwise re-execute the whole Python
+    # chain a second time
+    return joined.orderBy("doc_id")
