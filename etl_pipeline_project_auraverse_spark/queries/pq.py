@@ -1431,14 +1431,23 @@ def _logreg_fit(spark: SparkSession, sf_dir: str):
     scale-posture contract)."""
     from etl_pipeline_project_auraverse_spark.queries._util import parallelize
 
+    from etl_pipeline_project_auraverse_spark.queries._util import (
+        persist_tracked,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
     # parallelize: the per-row sigmoid + decimal accumulation is the
     # expensive part, and a small single-file scan would otherwise run
-    # it on ONE core (measured 2.7 s -> 0.4 s per step at sf0.1)
-    feat = parallelize(
-        li.selectExpr(
-            f"{_LOGREG_Y} AS y",
-            *[f"{expr} AS {n}" for n, expr in _LOGREG_FEATS],
+    # it on ONE core (measured 2.7 s -> 0.4 s per step at sf0.1).
+    # persist: every GD step and every downstream metric/AUC consumer
+    # re-aggregates this frame — without the cache each action re-runs
+    # the scan + repartition + feature projection.
+    feat = persist_tracked(
+        parallelize(
+            li.selectExpr(
+                f"{_LOGREG_Y} AS y",
+                *[f"{expr} AS {n}" for n, expr in _LOGREG_FEATS],
+            )
         )
     )
 
