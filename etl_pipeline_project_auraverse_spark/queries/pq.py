@@ -38,6 +38,9 @@ from etl_pipeline_project_auraverse_spark.functions.vectors import (
     sql_dot,
 )
 from etl_pipeline_project_auraverse_spark.queries import register
+from etl_pipeline_project_auraverse_spark.queries._util import (
+    parallelize as _par,
+)
 from etl_pipeline_project_auraverse_spark.queries.similarity import (
     sql_centroid_cte,
     sql_probes_cte,
@@ -277,9 +280,12 @@ def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qset = F.broadcast(emb.filter(F.col("vec_id") < PQ_QUERY_MAX))
     w_exact = W.partitionBy("query_id").orderBy(F.col("ip").desc(), "cand_id")
+    # parallelize the streamed corpus side: the broadcast join would
+    # otherwise run every exact-arm dot product on one core (a small
+    # single-file embeddings scan arrives as ONE partition)
     exact = (
         qset.alias("q")
-        .join(emb.alias("c"), F.col("q.vec_id") != F.col("c.vec_id"))
+        .join(_par(emb).alias("c"), F.col("q.vec_id") != F.col("c.vec_id"))
         .select(
             F.col("q.vec_id").alias("query_id"),
             F.col("c.vec_id").alias("cand_id"),
@@ -712,9 +718,12 @@ def q_ann_ivfadc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qset = F.broadcast(emb.filter(F.col("vec_id") < PQ_QUERY_MAX))
     w_exact = W.partitionBy("query_id").orderBy(F.col("ip").desc(), "cand_id")
+    # parallelize the streamed corpus side: the broadcast join would
+    # otherwise run every exact-arm dot product on one core (a small
+    # single-file embeddings scan arrives as ONE partition)
     exact = (
         qset.alias("q")
-        .join(emb.alias("c"), F.col("q.vec_id") != F.col("c.vec_id"))
+        .join(_par(emb).alias("c"), F.col("q.vec_id") != F.col("c.vec_id"))
         .select(
             F.col("q.vec_id").alias("query_id"),
             F.col("c.vec_id").alias("cand_id"),
@@ -1299,9 +1308,12 @@ def q_ann_ivfadc_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qset = F.broadcast(emb.filter(F.col("vec_id") < PQ_QUERY_MAX))
     w_exact = W.partitionBy("query_id").orderBy(F.col("ip").desc(), "cand_id")
+    # parallelize the streamed corpus side: the broadcast join would
+    # otherwise run every exact-arm dot product on one core (a small
+    # single-file embeddings scan arrives as ONE partition)
     exact = (
         qset.alias("q")
-        .join(emb.alias("c"), F.col("q.vec_id") != F.col("c.vec_id"))
+        .join(_par(emb).alias("c"), F.col("q.vec_id") != F.col("c.vec_id"))
         .select(
             F.col("q.vec_id").alias("query_id"),
             F.col("c.vec_id").alias("cand_id"),
