@@ -50,10 +50,10 @@ ORACLE: dict[str, str] = {}
 # gate twin, Matryoshka recall, weighted median, k-core peel), which
 # exactly fills the 50 slots. After a green r8, never-attested = 0
 # across the whole registry, including everything added this round.
-# NEXT ROUND (r9): front-pin the two late-r8 additions that did not
-# fit the 50 slots (q_fd_violation_audit, q_heaps_vocab_growth — both
-# pre-verified green at sf0.01+sf0.001) plus any queries newly
-# registered in r9, then
+# NEXT ROUND (r9): front-pin the three late-r8 additions that did not
+# fit the 50 slots (q_fd_violation_audit, q_heaps_vocab_growth,
+# q_incremental_agg_merge — all pre-verified green at sf0.01+sf0.001)
+# plus any queries newly registered in r9, then
 # rotate by AGE: the entries whose only attestation is r4/r5
 # (ATTESTATION.json `rounds` per query) fill the remaining slots.
 _MODULES = [

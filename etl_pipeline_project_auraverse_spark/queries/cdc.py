@@ -58,3 +58,142 @@ def q_cdc_latest_order_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("o_totalprice", 2).cast("double").alias("last_totalprice"),
         F.col("o_orderpriority").alias("last_priority"),
     ).orderBy("custkey")
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance: the merge-don't-recompute
+# contract. Per-customer sufficient statistics (order count, DECIMAL
+# revenue, max price, latest date) are built separately over a base
+# partition and a delta partition, merged with the statistics' own
+# combine functions (add / add / greatest / greatest), and attested
+# in-plan against a full recompute — `mismatch_keys` MUST be 0, and
+# the oracle hashes it, so any non-mergeable drift in the state shape
+# fails the gate. This is the primitive behind incremental rollup
+# tables and watermark-bounded backfills: at 100 TB you aggregate
+# yesterday's delta (tiny) and merge into the stored state instead of
+# rescanning history. Merge is a key-partitioned full-outer join; the
+# final census is a 1-row aggregate.
+# ---------------------------------------------------------------------------
+_INC_SPLIT = "1997-01-01"
+
+_INC_ORACLE = f"""
+WITH base AS (
+    SELECT o_custkey, COUNT(*) AS n,
+           SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS tot,
+           MAX(o_totalprice) AS mx, MAX(o_orderdate) AS last_d
+    FROM orders WHERE o_orderdate < TIMESTAMP '{_INC_SPLIT}'
+    GROUP BY o_custkey
+),
+delta AS (
+    SELECT o_custkey, COUNT(*) AS n,
+           SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS tot,
+           MAX(o_totalprice) AS mx, MAX(o_orderdate) AS last_d
+    FROM orders WHERE o_orderdate >= TIMESTAMP '{_INC_SPLIT}'
+    GROUP BY o_custkey
+),
+merged AS (
+    SELECT COALESCE(b.o_custkey, d.o_custkey) AS o_custkey,
+           COALESCE(b.n, 0) + COALESCE(d.n, 0) AS n,
+           COALESCE(b.tot, 0) + COALESCE(d.tot, 0) AS tot,
+           GREATEST(COALESCE(b.mx, 0), COALESCE(d.mx, 0)) AS mx,
+           GREATEST(COALESCE(b.last_d, TIMESTAMP '1970-01-01'),
+                    COALESCE(d.last_d, TIMESTAMP '1970-01-01')) AS last_d,
+           b.o_custkey IS NOT NULL AS in_base,
+           d.o_custkey IS NOT NULL AS in_delta
+    FROM base b FULL OUTER JOIN delta d ON b.o_custkey = d.o_custkey
+),
+recomputed AS (
+    SELECT o_custkey, COUNT(*) AS n,
+           SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS tot,
+           MAX(o_totalprice) AS mx, MAX(o_orderdate) AS last_d
+    FROM orders GROUP BY o_custkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(COUNT(CASE WHEN m.in_base AND NOT m.in_delta THEN 1 END)
+            AS BIGINT) AS base_only_keys,
+       CAST(COUNT(CASE WHEN m.in_delta AND NOT m.in_base THEN 1 END)
+            AS BIGINT) AS delta_only_keys,
+       CAST(SUM(m.n) AS BIGINT) AS total_orders,
+       CAST(ROUND(CAST(SUM(m.tot) AS DOUBLE), 2) AS DOUBLE) AS grand_total,
+       CAST(COUNT(CASE WHEN r.o_custkey IS NULL OR m.n <> r.n
+                       OR m.tot <> r.tot OR m.mx <> r.mx
+                       OR m.last_d <> r.last_d THEN 1 END)
+            AS BIGINT) AS mismatch_keys
+FROM merged m LEFT JOIN recomputed r ON m.o_custkey = r.o_custkey
+"""
+
+
+@register("q_incremental_agg_merge", oracle=_INC_ORACLE)
+def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Census of merged base+delta per-customer statistics with an
+    in-plan merge-vs-recompute attestation (mismatch_keys must be 0)."""
+    orders = load_table(spark, sf_dir, "orders")
+    split = F.lit(_INC_SPLIT).cast("timestamp")
+
+    def state(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(25,6)")).alias("tot"),
+            F.max("o_totalprice").alias("mx"),
+            F.max("o_orderdate").alias("last_d"),
+        )
+
+    base = state(orders.filter(F.col("o_orderdate") < split)).select(
+        F.col("o_custkey").alias("bk"), F.col("n").alias("bn"),
+        F.col("tot").alias("btot"), F.col("mx").alias("bmx"),
+        F.col("last_d").alias("bld"),
+    )
+    delta = state(orders.filter(F.col("o_orderdate") >= split)).select(
+        F.col("o_custkey").alias("dk"), F.col("n").alias("dn"),
+        F.col("tot").alias("dtot"), F.col("mx").alias("dmx"),
+        F.col("last_d").alias("dld"),
+    )
+    epoch = F.lit("1970-01-01").cast("timestamp")
+    merged = (
+        base.join(delta, base["bk"] == delta["dk"], "full_outer")
+        .select(
+            F.coalesce("bk", "dk").alias("o_custkey"),
+            (F.coalesce("bn", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n"),
+            (
+                F.coalesce(F.col("btot"), F.lit(0).cast("decimal(25,6)"))
+                + F.coalesce(F.col("dtot"), F.lit(0).cast("decimal(25,6)"))
+            ).alias("tot"),
+            F.greatest(
+                F.coalesce("bmx", F.lit(0.0)), F.coalesce("dmx", F.lit(0.0))
+            ).alias("mx"),
+            F.greatest(
+                F.coalesce(F.col("bld"), epoch), F.coalesce(F.col("dld"), epoch)
+            ).alias("last_d"),
+            F.col("bk").isNotNull().alias("in_base"),
+            F.col("dk").isNotNull().alias("in_delta"),
+        )
+    )
+    recomputed = state(orders).select(
+        F.col("o_custkey").alias("rk"), F.col("n").alias("rn"),
+        F.col("tot").alias("rtot"), F.col("mx").alias("rmx"),
+        F.col("last_d").alias("rld"),
+    )
+    mism = (
+        F.col("rk").isNull()
+        | (F.col("n") != F.col("rn"))
+        | (F.col("tot") != F.col("rtot"))
+        | (F.col("mx") != F.col("rmx"))
+        | (F.col("last_d") != F.col("rld"))
+    )
+    return (
+        merged.join(recomputed, merged["o_custkey"] == recomputed["rk"], "left")
+        .agg(
+            F.count("*").cast("long").alias("n_keys"),
+            F.count(F.when(F.col("in_base") & ~F.col("in_delta"), 1))
+            .cast("long")
+            .alias("base_only_keys"),
+            F.count(F.when(F.col("in_delta") & ~F.col("in_base"), 1))
+            .cast("long")
+            .alias("delta_only_keys"),
+            F.sum("n").cast("long").alias("total_orders"),
+            F.round(F.sum("tot").cast("double"), 2)
+            .cast("double")
+            .alias("grand_total"),
+            F.count(F.when(mism, 1)).cast("long").alias("mismatch_keys"),
+        )
+    )
