@@ -180,3 +180,41 @@ def test_weighted_median_matches_reference(spark, case):
         for r in weighted_median(df, "g", "v", "w").collect()
     }
     assert got == _wmed_reference(rows)
+
+
+def test_weighted_median_property(spark):
+    """Property check across generated shapes: duplicate-heavy values,
+    weight-1 degeneration to the plain lower median, negative values,
+    and a group landing entirely in one range slice."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from etl_pipeline_project_auraverse_spark.operators.order_stats import (
+        weighted_median,
+    )
+
+    rows_strategy = st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=-50, max_value=50).map(float),
+            st.integers(min_value=1, max_value=7),
+        ),
+        min_size=1,
+        max_size=120,
+    )
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(rows=rows_strategy)
+    def check(rows):
+        df = spark.createDataFrame(rows, "g string, v double, w long")
+        got = {
+            r["g"]: (r["total_weight"], r["weighted_median"])
+            for r in weighted_median(df, "g", "v", "w").collect()
+        }
+        assert got == _wmed_reference(rows)
+
+    check()
