@@ -1031,13 +1031,17 @@ def _kcore_oracle() -> str:
     prev = "p0"
     selects = []
     for i in range(1, KCORE_ROUNDS + 1):
+        # MATERIALIZED: each round references the previous round's
+        # CTEs multiple times; DuckDB would otherwise inline them and
+        # re-evaluate the basket join exponentially (observed: temp-
+        # spill blow-up at sf0.1)
         rounds += f""",
-    k{i} AS (
+    k{i} AS MATERIALIZED (
         SELECT u FROM (SELECT a AS u FROM {prev}
                        UNION ALL SELECT b FROM {prev})
         GROUP BY u HAVING COUNT(*) >= {KCORE_K}
     ),
-    p{i} AS (
+    p{i} AS MATERIALIZED (
         SELECT p.a, p.b FROM {prev} p
         JOIN k{i} x ON p.a = x.u JOIN k{i} y ON p.b = y.u
     )"""
@@ -1055,7 +1059,7 @@ def _kcore_oracle() -> str:
         GROUP BY l_orderkey HAVING COUNT(*) <= {BASKET_CAP}
     ),
     b AS (SELECT basket.* FROM basket JOIN ok_orders USING (l_orderkey)),
-    p0 AS (
+    p0 AS MATERIALIZED (
         SELECT x.l_partkey AS a, y.l_partkey AS b
         FROM b x JOIN b y
           ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
