@@ -140,7 +140,8 @@ HEADLINE.remove("q_gapfill_daily_purchases")
 # headline rotates. One representative per major family: TPC-H
 # scan/agg + join trees, windows, dedup, ANN (+ brute-force baseline),
 # text, robust order-stats, graph, sketches, curation, timeseries,
-# CDC, DQ. The final JSON line carries them under "core".
+# CDC, DQ. The core list is printed on the preceding info line (NOT
+# the final JSON line, which stays under the driver's tail window).
 CORE = [
     "q01_pricing_summary",
     "q03_shipping_priority",

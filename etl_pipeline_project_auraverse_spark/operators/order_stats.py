@@ -283,6 +283,12 @@ def weighted_median(
     crossing partition; one filtered pass computes in-slice cumulative
     weights and fetches the crossing value. Weights must be integral
     (cast to BIGINT) so the crossing test is exact in both engines.
+
+    Weight contract: weights are assumed **strictly positive** after
+    the BIGINT cast. A group whose total weight is zero or negative
+    has no crossing partition and is omitted from the result (it has
+    no well-defined weighted median), matching the SQL twin where the
+    ``2*cum >= total`` filter never fires for such groups.
     """
     from pyspark.sql.types import LongType, StructField, StructType
 
@@ -348,7 +354,13 @@ def weighted_median(
         .collect()
     )
     med = {r[g]: r[v] for r in hits}
+    # zero/negative-total groups never cross (see the weight contract
+    # in the docstring) — skip them rather than KeyError on med[gv]
     return spark.createDataFrame(
-        [(gv, totals[gv], med[gv]) for gv in sorted(totals, key=str)],
+        [
+            (gv, totals[gv], med[gv])
+            for gv in sorted(totals, key=str)
+            if gv in med
+        ],
         out_schema,
     )

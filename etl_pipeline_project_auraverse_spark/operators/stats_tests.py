@@ -75,9 +75,17 @@ def spearman(df: DataFrame, cols: list[str]) -> DataFrame:
         for i in range(len(cols))
         for j in range(i + 1, len(cols))
     ]
-    # listwise null handling, identical to the join formulation (an
-    # inner join against per-column null-free rank maps dropped rows
-    # with a null in ANY ranked column)
+    # Listwise null handling: ranks are computed on the
+    # listwise-deleted frame (na.drop over ALL ranked columns first,
+    # then rank). NOTE this differs from the old join formulation on
+    # partially-null inputs — there, each column's rank map was built
+    # over that column's non-null values (including rows later dropped
+    # by the inner join), so rank VALUES (and rho) could differ. The
+    # two agree whenever every ranked column is null-free, which holds
+    # for the lineitem measures the committed oracle runs on; callers
+    # with partial nulls get rank-after-listwise-deletion semantics
+    # (scipy's `spearmanr(nan_policy='omit')` pairwise analogue does
+    # the same per-pair).
     base = persist_tracked(df.na.drop(subset=cols).select(*cols))
     nd = base.agg(
         *[F.countDistinct(c).alias(c) for c in cols]

@@ -368,7 +368,7 @@ def _fd_oracle() -> str:
                 AS BIGINT) AS violation_ppm
     FROM (SELECT {lhs}, COUNT(DISTINCT {rhs}) AS k FROM {table}
           GROUP BY {lhs})""")
-        arms_sql = " UNION ALL ".join(arms)
+    arms_sql = " UNION ALL ".join(arms)
     return f"SELECT * FROM ({arms_sql}) ORDER BY fd"
 
 

@@ -1428,16 +1428,23 @@ def q_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     leveled = words.select(
         "doc_id", "w", F.explode(cps).alias("max_doc")
     ).filter(F.col("doc_id") < F.col("max_doc"))
+    agg = leveled.groupBy("max_doc").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("w").alias("vocab"),
+    )
+    # The oracle's CROSS JOIN + CASE emits a row per checkpoint even
+    # when no token lands under it (n_tokens = vocab = 0); mirror that
+    # by left-joining the checkpoint list so empty prefixes (tiny SF,
+    # sparse doc_ids) still produce their zero row.
+    cp_df = spark.createDataFrame(
+        [(c,) for c in _HEAPS_CHECKPOINTS], "max_doc int"
+    )
     return (
-        leveled.groupBy("max_doc")
-        .agg(
-            F.count("*").alias("n_tokens"),
-            F.countDistinct("w").alias("vocab"),
-        )
+        cp_df.join(agg, "max_doc", "left")
         .select(
             F.col("max_doc").cast("int"),
-            F.col("n_tokens").cast("long"),
-            F.col("vocab").cast("long"),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(F.col("vocab"), F.lit(0)).cast("long").alias("vocab"),
         )
         .orderBy("max_doc")
     )
