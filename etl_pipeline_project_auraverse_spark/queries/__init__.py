@@ -50,12 +50,20 @@ ORACLE: dict[str, str] = {}
 # gate twin, Matryoshka recall, weighted median, k-core peel), which
 # exactly fills the 50 slots. After a green r8, never-attested = 0
 # across the whole registry, including everything added this round.
-# NEXT ROUND (r9): front-pin the three late-r8 additions that did not
-# fit the 50 slots (q_fd_violation_audit, q_heaps_vocab_growth,
-# q_incremental_agg_merge — all pre-verified green at sf0.01+sf0.001)
-# plus any queries newly registered in r9, then
-# rotate by AGE: the entries whose only attestation is r4/r5
-# (ATTESTATION.json `rounds` per query) fill the remaining slots.
+# Round 9 executes that plan: the three late-r8 additions lead, then
+# q_array_functions_per_order (red in r4 — the registry's only
+# red-never-green oracle entry — since fixed and green in every
+# committed parity log), then the FOUR queries new in r9 (exactly-once
+# rollup replay attestation — r8 verdict ask #4 — Levenshtein-blocked
+# near-dup, MRR@10 search eval, grouped closed-form OLS), then the
+# AGE refresh: q_price_histogram (last green r3) and the oldest 41 of
+# the 45 r4-attested entries. The four r4 entries that did not fit
+# (q_text_top_sources, q_user_first_last_event, q_user_funnel,
+# q_window_analytics_battery) lead the r10 age refresh together with
+# the remaining r5 block.
+# NEXT ROUND (r10): front-pin anything newly registered, then the 4
+# deferred r4 names above, then fill with the r5-attested block
+# (ATTESTATION.json `last_green` == 5).
 _MODULES = [
     "etl_pipeline_project_auraverse_spark.queries.relational",
     "etl_pipeline_project_auraverse_spark.queries.tpch_extra",
@@ -112,69 +120,60 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # module-import order after these. Names that don't resolve are
 # ignored so the list can't break registration.
 _FRONT = [
-    # --- NEW this round: MP4 container metadata (r7 verdict ask #6) ---
-    "q_mp4_video_metadata",
-    # --- streaming batch twins not yet driver-sampled ---
-    "q_stream_twin_sliding_counts",
-    "q_stream_twin_windowed_psi",
-    # --- dedup ---
-    "q_dedup_minhash_recall",
-    "q_dedup_incremental_minhash",
-    "q_dedup_cluster_sizes",
-    "q_crossmodal_dedup_conflict",
-    # --- text ---
-    "q_tokenizer_fertility_by_lang",
-    "q_corpus_datacard",
-    "q_text_lexical_diversity",
-    "q_lang_source_mutual_info",
-    "q_source_diversity_by_lang",
-    # --- sequences / time-series ---
-    "q_event_anomaly_zscore",
-    "q_dow_seasonality",
-    "q_event_dedup_hourly",
-    "q_error_burst_alerts",
-    "q_funnel_conversion_window",
-    "q_revenue_anomaly_decomposed",
-    "q_session_revenue_by_duration",
-    "q_event_heatmap_dow_hour",
-    "q_seasonal_naive_error",
-    "q_sax_daily_revenue",
-    "q_cusum_changepoint_daily_revenue",
-    "q_attribution_last_touch",
-    # --- relational ---
-    "q_unpivot_lineitem_measures",
-    "q_map_functions_per_order",
-    "q_null_semantics_battery",
-    "q_join_skew_audit_custkey",
-    # --- curation / sampling ---
-    "q_quality_logistic_scores",
-    "q_sample_quality_weighted",
-    "q_sample_stratified_neyman",
-    "q_sample_weighted_aes",
-    "q_sample_weighted_aes_by_lang",
-    # --- ANN / ML / embeddings ---
-    "q_negative_sampling_parts",
-    "q_hrw_shard_rebalance",
-    "q_logreg_auc_calibration",
-    "q_bpe_apply_fixed_merges",
-    "q_mmr_rerank",
-    "q_ann_ivfadc_residual_recall",
-    "q_embedding_silhouette_lite",
-    # --- search ---
-    "q_hybrid_search_rrf",
-    "q_search_ndcg_labels",
-    "q_phrase_search_positional",
-    # --- graph / stats ---
-    "q_hits_supply_graph",
-    "q_bh_fdr_brand_price",
-    "q_conformal_price_interval",
-    # --- NEW this round (so nothing registered in r8 leaves r8
-    # unattested): audio gate twin, embedding-truncation recall,
-    # weighted order statistics, k-core peel ---
-    "q_wav_audio_features",
-    "q_ann_matryoshka_recall",
-    "q_weighted_median_price_by_flag",
-    "q_kcore_copurchase",
+    # --- never-attested late-r8 additions (r8 verdict ask #1) ---
+    "q_fd_violation_audit",
+    "q_heaps_vocab_growth",
+    "q_incremental_agg_merge",
+    # --- only red-row oracle entry (r4), re-attest green ---
+    "q_array_functions_per_order",
+    # --- NEW in r9 ---
+    "q_incremental_rollup_replay",
+    "q_dedup_edit_distance",
+    "q_mrr_search_eval",
+    "q_ols_price_on_quantity",
+    # --- age refresh: last green r3/r4 (oldest first) ---
+    "q_price_histogram",
+    "q_ann_ivf_cosine",
+    "q_ann_ivf_recall",
+    "q_ann_lsh_cosine",
+    "q_ann_lsh_multiprobe",
+    "q_ann_lsh_recall",
+    "q_asof_view_before_purchase",
+    "q_basket_part_pairs",
+    "q_bigram_rarity",
+    "q_curation_pipeline_decisions",
+    "q_decontam_eval_overlap",
+    "q_dedup_clusters",
+    "q_dedup_embedding_cosine",
+    "q_dedup_exact",
+    "q_dedup_minhash_lsh",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_simhash",
+    "q_embedding_centroid_blocks",
+    "q_embedding_norms",
+    "q_event_tumbling_windows",
+    "q_full_outer_customer_orders",
+    "q_gapfill_daily_purchases",
+    "q_json_props_stats",
+    "q_knn_bruteforce_cosine",
+    "q_percentiles_by_returnflag",
+    "q_profile_documents_schema",
+    "q_profile_orders_schema",
+    "q_repetition_stats",
+    "q_sample_documents_hash",
+    "q_sample_reservoir_per_lang",
+    "q_scd2_customer_order_history",
+    "q_sequence_packing",
+    "q_sessionize_events",
+    "q_source_mixture_weights",
+    "q_split_train_val_test",
+    "q_text_fingerprints",
+    "q_text_gopher_filter",
+    "q_text_lang_id_confusion",
+    "q_text_lang_marker_scores",
+    "q_text_quality_scores",
+    "q_text_stats_by_lang",
+    "q_text_token_counts",
 ]
 
 

@@ -197,3 +197,124 @@ def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(mism, 1)).cast("long").alias("mismatch_keys"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exactly-once rollup replay attestation: drive the REAL
+# ``operators/incremental.apply_rollup_batch`` fold (the foreachBatch
+# hook behind ``streaming/events.rollup_stream``) over three
+# deterministic event batches, deliberately REPLAY two of them
+# (foreachBatch is at-least-once for side effects after a crash), and
+# attest that (a) both replays were detected as no-ops by the
+# swapped-in batch-id guard and (b) the final stored rollup is
+# row-for-row identical to the all-at-once aggregate. The oracle
+# computes the census directly from `events` and pins the replay/
+# mismatch counters as literals — if a replay ever double-counts,
+# `total_events`/`grand_value` AND `replays_ignored` flip and the
+# value hash fails. Values fold through DECIMAL(25,6) so the
+# across-batch merge is associative and bit-exact vs DuckDB.
+# The heavy lifting (per-batch partial aggregate + key-partitioned
+# merge) is all distributed; only the <= windows x event_types census
+# and the tiny state swap touch the driver. 100 TB shape: each fold
+# scans ONLY its delta and merges into stored state — never a rescan.
+# ---------------------------------------------------------------------------
+_ROLLUP_REPLAY_ORACLE = """
+WITH r AS (
+    SELECT time_bucket(INTERVAL 6 HOUR, ts) AS win_start, event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(value AS DECIMAL(25,6))) AS total_value
+    FROM events GROUP BY 1, 2
+)
+SELECT CAST(3 AS BIGINT) AS batches_applied,
+       CAST(2 AS BIGINT) AS replays_ignored,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT win_start) AS BIGINT) AS n_windows,
+       CAST(SUM(n_events) AS BIGINT) AS total_events,
+       CAST(ROUND(CAST(SUM(total_value) AS DOUBLE), 2) AS DOUBLE)
+           AS grand_value,
+       CAST(0 AS BIGINT) AS mismatch_rows
+FROM r
+"""
+
+
+@register("q_incremental_rollup_replay", oracle=_ROLLUP_REPLAY_ORACLE)
+def q_incremental_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fold events through ``apply_rollup_batch`` in 3 batches with 2
+    deliberate batch replays; census of the stored rollup plus in-plan
+    attestation that replays were no-ops and the rollup equals the
+    all-at-once aggregate."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import LongType, DoubleType, StructField, StructType
+
+    from etl_pipeline_project_auraverse_spark.operators.incremental import (
+        _partial_rollup,
+        apply_rollup_batch,
+    )
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast("decimal(25,6)")
+    )
+    state_dir = tempfile.mkdtemp(prefix="rollup_replay_")
+    try:
+        applied, ignored = 0, 0
+        # batch schedule with two at-least-once replays: 0, 1, 1(dup),
+        # 2, 0(stale dup) — the guard must reject both duplicates.
+        for bid in (0, 1, 1, 2, 0):
+            batch = events.filter(F.col("event_id") % 3 == bid)
+            if apply_rollup_batch(spark, state_dir, batch, bid):
+                applied += 1
+            else:
+                ignored += 1
+        stored = spark.read.parquet(f"{state_dir}/rollup")
+        full = _partial_rollup(events)
+        keys = ["win_start", "win_end", "event_type"]
+        mismatch = (
+            stored.select(*keys, F.col("n_events").alias("sn"),
+                          F.col("total_value").alias("sv"))
+            .join(
+                full.select(*keys, F.col("n_events").alias("fn"),
+                            F.col("total_value").alias("fv")),
+                keys,
+                "full_outer",
+            )
+            .filter(
+                F.col("sn").isNull() | F.col("fn").isNull()
+                | (F.col("sn") != F.col("fn")) | (F.col("sv") != F.col("fv"))
+            )
+            .count()
+        )
+        census = stored.agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("win_start").alias("n_windows"),
+            F.sum("n_events").alias("total_events"),
+            F.round(F.sum("total_value").cast("double"), 2).alias("grand_value"),
+        ).collect()[0]
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+    schema = StructType(
+        [
+            StructField("batches_applied", LongType(), False),
+            StructField("replays_ignored", LongType(), False),
+            StructField("n_rows", LongType(), False),
+            StructField("n_windows", LongType(), False),
+            StructField("total_events", LongType(), False),
+            StructField("grand_value", DoubleType(), False),
+            StructField("mismatch_rows", LongType(), False),
+        ]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                applied,
+                ignored,
+                census["n_rows"],
+                census["n_windows"],
+                int(census["total_events"]),
+                float(census["grand_value"]),
+                mismatch,
+            )
+        ],
+        schema,
+    )

@@ -1364,3 +1364,77 @@ def q_dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance (Levenshtein) near-dup within prefix blocks — the
+# record-linkage classic for "same text, a few character edits"
+# (OCR noise, template fills) that token-set measures under-resolve.
+# Levenshtein is O(len^2) per pair, so it NEVER runs all-pairs: docs
+# are blocked on their 16-char prefix (near-identical texts share it),
+# a per-block frequency cap bounds any hot block's pair fan-out at
+# EDIT_BLOCK_CAP^2 (the DF_CAP argument above), and a cheap length
+# pre-filter (|len_a - len_b| <= threshold is a Levenshtein lower
+# bound) prunes candidates before the quadratic distance runs. Both
+# the cap and the filters are mirrored in the oracle.
+# ---------------------------------------------------------------------------
+EDIT_DIST_MAX = 8
+EDIT_BLOCK_CAP = 64
+EDIT_PREFIX = 16
+
+_EDIT_ORACLE = f"""
+WITH capped AS (
+    SELECT doc_id, text, n_chars, substr(text, 1, {EDIT_PREFIX}) AS p,
+           COUNT(*) OVER (PARTITION BY substr(text, 1, {EDIT_PREFIX})) AS bc
+    FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+       CAST(a.n_chars AS BIGINT) AS len_a, CAST(b.n_chars AS BIGINT) AS len_b
+FROM capped a JOIN capped b
+  ON a.p = b.p AND a.doc_id < b.doc_id
+WHERE a.bc <= {EDIT_BLOCK_CAP} AND b.bc <= {EDIT_BLOCK_CAP}
+  AND abs(a.n_chars - b.n_chars) <= {EDIT_DIST_MAX}
+  AND levenshtein(a.text, b.text) <= {EDIT_DIST_MAX}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("q_dedup_edit_distance", oracle=_EDIT_ORACLE)
+def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs with Levenshtein distance <= EDIT_DIST_MAX,
+    candidate-generated by a prefix-blocked, frequency-capped,
+    length-prefiltered equi self-join (never all-pairs)."""
+    from pyspark.sql.window import Window as W
+
+    docs = parallelize(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "text",
+        "n_chars",
+        F.substring("text", 1, EDIT_PREFIX).alias("p"),
+    )
+    capped = docs.withColumn(
+        "bc", F.count("*").over(W.partitionBy("p"))
+    ).filter(F.col("bc") <= EDIT_BLOCK_CAP)
+    a = capped.select(
+        F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"),
+        F.col("n_chars").alias("len_a"), "p",
+    )
+    b = capped.select(
+        F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"),
+        F.col("n_chars").alias("len_b"), "p",
+    )
+    return (
+        a.join(b, "p")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.abs(F.col("len_a") - F.col("len_b")) <= EDIT_DIST_MAX)
+        )
+        .withColumn("edit_dist", F.levenshtein("ta", "tb").cast("long"))
+        .filter(F.col("edit_dist") <= EDIT_DIST_MAX)
+        .select(
+            "doc_a", "doc_b", "edit_dist",
+            F.col("len_a").cast("long"), F.col("len_b").cast("long"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

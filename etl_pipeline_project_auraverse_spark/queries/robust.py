@@ -1766,3 +1766,96 @@ def q_weighted_median_price_by_flag(
         "l_extendedprice",
         "l_quantity",
     ).orderBy("l_returnflag")
+
+# ---------------------------------------------------------------------------
+# Per-group closed-form OLS: slope / intercept / r² of extendedprice
+# on quantity within each returnflag — the grouped simple-regression
+# primitive (trend fitting, per-segment elasticities) computed from
+# one pass of sufficient statistics. Inputs are scaled to exact
+# integers (centi-quantity, price cents) so every per-row product fits
+# BIGINT; the six sums accumulate in DECIMAL(38,0) — associative,
+# bit-identical across partitionings and engines (DuckDB's int64
+# decimal-multiply path overflows on wide DECIMAL products, so the
+# products are integer BIGINT and only the SUM is decimal). The
+# closed-form assembly is then pure IEEE double arithmetic on those
+# exact inputs, mirrored expression-for-expression in the oracle, each
+# output through the FLOOR(x*1e6+0.5) micro-rounding idiom. One
+# map-side partial aggregate + a 3-group reduce: no joins, no windows
+# — the cheapest possible 100 TB plan shape.
+# ---------------------------------------------------------------------------
+_OLS_ORACLE = """
+WITH ints AS (
+    SELECT l_returnflag,
+           CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS xi,
+           CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS yi
+    FROM lineitem
+),
+s AS (
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           SUM(CAST(xi AS DECIMAL(38,0))) AS sx,
+           SUM(CAST(yi AS DECIMAL(38,0))) AS sy,
+           SUM(CAST(xi * xi AS DECIMAL(38,0))) AS sxx,
+           SUM(CAST(xi * yi AS DECIMAL(38,0))) AS sxy,
+           SUM(CAST(yi * yi AS DECIMAL(38,0))) AS syy
+    FROM ints GROUP BY l_returnflag
+),
+d AS (
+    SELECT l_returnflag, n,
+           CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+           CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+           CAST(sxy AS DOUBLE) AS sxyd, CAST(syy AS DOUBLE) AS syyd
+    FROM s
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       CAST(FLOOR((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+                  * 1e6 + 0.5) / 1e6 AS DOUBLE) AS slope,
+       CAST(FLOOR((syd - (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+                   * sxd) / nd / 100.0 * 1e6 + 0.5) / 1e6 AS DOUBLE)
+           AS intercept,
+       CAST(FLOOR((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd)
+                  / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd))
+                  * 1e6 + 0.5) / 1e6 AS DOUBLE) AS r2
+FROM d ORDER BY l_returnflag
+"""
+
+
+@register("q_ols_price_on_quantity", oracle=_OLS_ORACLE)
+def q_ols_price_on_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped simple linear regression (price ~ quantity per
+    returnflag) from one integer-scaled sufficient-statistics pass.
+    Slope is price-dollars per quantity unit (the centi scalings
+    cancel), intercept is de-scaled back to dollars."""
+    li = load_table(spark, sf_dir, "lineitem")
+    xi = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
+    yi = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    ints = li.select("l_returnflag", xi.alias("xi"), yi.alias("yi"))
+    dec = lambda c: c.cast("decimal(38,0)")
+    s = ints.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(dec(F.col("xi"))).alias("sx"),
+        F.sum(dec(F.col("yi"))).alias("sy"),
+        F.sum(dec(F.col("xi") * F.col("xi"))).alias("sxx"),
+        F.sum(dec(F.col("xi") * F.col("yi"))).alias("sxy"),
+        F.sum(dec(F.col("yi") * F.col("yi"))).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    syyd = F.col("syy").cast("double")
+    cov = nd * sxyd - sxd * syd
+    varx = nd * sxxd - sxd * sxd
+    vary = nd * syyd - syd * syd
+    slope = cov / varx
+    micro = lambda c: (F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).cast(
+        "double"
+    )
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        micro(slope).alias("slope"),
+        micro((syd - slope * sxd) / nd / F.lit(100.0)).alias("intercept"),
+        micro(cov * cov / (varx * vary)).alias("r2"),
+    ).orderBy("l_returnflag")

@@ -487,3 +487,104 @@ def q_phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rank", "doc_id", "n_hits", "first_pos")
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# MRR@k: mean-reciprocal-rank of the first relevant hit — the sibling
+# offline metric to NDCG@k (above), standard for known-item search and
+# retrieval-augmented-generation recall tuning. Same fixed query set
+# and label-match relevance as the NDCG query; same two-level shard
+# rank so no task sorts the full candidate set; reciprocal ranks go
+# through the FLOOR(x*1e6+0.5) integer-micro idiom. A query with no
+# relevant candidate in the top k scores rr = 0 (first_rel_rank = 0
+# sentinel), emitted unconditionally via a left join against the
+# query list so both engines always produce NDCG_N_QUERY rows.
+# ---------------------------------------------------------------------------
+MRR_K = 10
+
+_MRR_ORACLE = rf"""
+    WITH pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               {sql_cosine("q.embedding", "c.embedding")} AS cos_sim,
+               CAST(c.label = q.label AS INT) AS rel
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < {NDCG_N_QUERY}
+    ),
+    ranked AS (
+        SELECT query_id, rel,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, cand_id) AS rank
+        FROM pairs
+    ),
+    first_rel AS (
+        SELECT query_id, MIN(rank) AS first_rel_rank
+        FROM ranked WHERE rel = 1 AND rank <= {MRR_K}
+        GROUP BY query_id
+    ),
+    qs AS (SELECT DISTINCT query_id FROM pairs)
+    SELECT qs.query_id,
+           CAST(COALESCE(f.first_rel_rank, 0) AS BIGINT) AS first_rel_rank,
+           CAST(CASE WHEN f.first_rel_rank IS NULL THEN 0.0
+                     ELSE FLOOR(1e0 / f.first_rel_rank * 1e6 + 0.5) / 1e6
+                END AS DOUBLE) AS rr
+    FROM qs LEFT JOIN first_rel f USING (query_id)
+    ORDER BY qs.query_id
+"""
+
+
+@register("q_mrr_search_eval", oracle=_MRR_ORACLE)
+def q_mrr_search_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank of the first label-relevant candidate within the
+    top MRR_K cosine hits, per fixed query (0 when none lands in k)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < NDCG_N_QUERY).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("label").alias("q_label"),
+        )
+    )
+    pairs = (
+        emb.select(F.col("vec_id").alias("cand_id"), "embedding", "label")
+        .join(q, F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            cosine(F.col("q_emb"), F.col("embedding")).alias("cos_sim"),
+            (F.col("label") == F.col("q_label")).cast("int").alias("rel"),
+        )
+    )
+    w_local = W.partitionBy("query_id", "__shard").orderBy(
+        F.col("cos_sim").desc(), "cand_id"
+    )
+    w_query = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), "cand_id"
+    )
+    first_rel = (
+        pairs.withColumn("__shard", F.col("cand_id") % BM25_SHARDS)
+        .withColumn("__lrn", F.row_number().over(w_local))
+        .filter(F.col("__lrn") <= MRR_K)
+        .withColumn("rank", F.row_number().over(w_query))
+        .filter((F.col("rank") <= MRR_K) & (F.col("rel") == 1))
+        .groupBy("query_id")
+        .agg(F.min("rank").alias("first_rel_rank"))
+    )
+    qs = q.select("query_id")
+    return (
+        qs.join(first_rel, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("first_rel_rank", F.lit(0)).cast("long")
+            .alias("first_rel_rank"),
+            F.when(F.col("first_rel_rank").isNull(), F.lit(0.0))
+            .otherwise(
+                F.floor(
+                    F.lit(1.0) / F.col("first_rel_rank") * F.lit(1e6) + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            )
+            .cast("double")
+            .alias("rr"),
+        )
+        .orderBy("query_id")
+    )
