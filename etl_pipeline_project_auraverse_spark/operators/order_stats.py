@@ -364,3 +364,269 @@ def weighted_median(
         ],
         out_schema,
     )
+
+
+# ---------------------------------------------------------------------------
+# Shuffle-free exact percentiles: iterative histogram refinement.
+# ---------------------------------------------------------------------------
+HIST_BUCKETS = 8192  # histogram resolution per refinement pass
+HIST_FETCH_CAP = 65_536  # interval size below which rows are fetched exactly
+
+
+def hist_group_percentiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    percentiles: Sequence[float],
+    names: Sequence[str] | None = None,
+    count_name: str = "n_rows",
+    stats: dict | None = None,
+    persist: bool = True,
+    bounds: tuple[float, float] | None = None,
+) -> DataFrame:
+    """Exact interpolated percentiles per group WITHOUT any data
+    shuffle: the distributed-selection classic. Each pass is one
+    map-side-combinable aggregate — ``groupBy(probe, bucket)`` over a
+    fixed per-probe bucketing — whose result (≤ probes × HIST_BUCKETS
+    tiny rows) is collected; the driver narrows each target rank to
+    one bucket and repeats until the candidate interval holds ≤
+    HIST_FETCH_CAP rows, then one filtered pass fetches those rows for
+    an exact driver-side pick. Convergence is a factor of
+    HIST_BUCKETS per pass (a 10^12-row group resolves in 2 passes
+    with the default cap), and a single-valued bucket resolves
+    immediately, so value skew cannot stall it.
+
+    Boundary exactness: each pass records the actual MIN and MAX value
+    inside every bucket. Bucket index is monotone in the value, so
+    bucket value-ranges are disjoint and ordered, which makes the next
+    pass's membership predicate (``v BETWEEN bucket_min AND
+    bucket_max``) EXACTLY the set of rows counted in that bucket — no
+    float-edge ambiguity ever affects a rank offset.
+
+    Returns the same shape and bit-identical values as
+    :func:`exact_group_percentiles` (same ``pos = p·(n−1)`` rank
+    arithmetic and IEEE interpolation; matches DuckDB
+    ``quantile_cont``): one driver-assembled row per group with a
+    non-null value count and one double column per percentile.
+    Designed for low-cardinality groups (the probe table is
+    broadcast); prefer the range-shuffle operator above when groups
+    number in the thousands.
+
+    ``stats`` lets a caller who already knows each group's non-null
+    count and VALID (possibly loose) value bounds skip the initial
+    stats job: ``{gval: (n, lo_bound, hi_bound)}``. Bounds only need
+    to CONTAIN the data (the first histogram narrows to actual bucket
+    min/max anyway); the count must be exact. ``persist=False`` skips
+    the internal cache when the caller passes an already-persisted
+    projection.
+
+    ``bounds=(lo, hi)`` — GLOBAL value bounds containing all groups
+    (e.g. from a parquet footer) — removes the stats job entirely:
+    pass 1 becomes a probe-free ``groupBy(group, bucket)`` histogram
+    over the shared bucketing, and the group list, exact counts, AND
+    each rank's first narrowing all fall out of that one collect.
+    """
+    import math
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    if names is None:
+        names = [f"p{int(p * 100)}" for p in percentiles]
+    spark = df.sparkSession
+    g, v = group_col, value_col
+
+    rows = df.select(g, F.col(v).cast("double").alias(v)).where(
+        F.col(v).isNotNull()
+    )
+    if persist:
+        rows = persist_tracked(rows)
+    first_hist: dict | None = None  # gval -> sorted bucket rows
+    if stats is None and bounds is not None and bounds[1] > bounds[0]:
+        w0 = (bounds[1] - bounds[0]) / HIST_BUCKETS
+        b0 = F.least(
+            F.floor((F.col(v) - F.lit(bounds[0])) / F.lit(w0)),
+            F.lit(HIST_BUCKETS - 1),
+        ).cast("long")
+        h0 = (
+            rows.filter(F.col(v).between(F.lit(bounds[0]), F.lit(bounds[1])))
+            .groupBy(g, b0.alias("__b"))
+            .agg(
+                F.count("*").alias("__c"),
+                F.min(v).alias("__bmin"),
+                F.max(v).alias("__bmax"),
+            )
+            .collect()
+        )
+        first_hist = {}
+        for r in h0:
+            first_hist.setdefault(r[g], []).append(r)
+        stats = {}
+        for gv, bl in first_hist.items():
+            bl.sort(key=lambda r: r["__b"])
+            stats[gv] = (
+                sum(r["__c"] for r in bl),
+                bl[0]["__bmin"],
+                bl[-1]["__bmax"],
+            )
+    if stats is None:
+        stat_rows = rows.groupBy(g).agg(
+            F.count("*").alias("__n"),
+            F.min(v).alias("__lo"),
+            F.max(v).alias("__hi"),
+        ).collect()
+        stats = {
+            r[g]: (r["__n"], r["__lo"], r["__hi"]) for r in stat_rows
+        }
+
+    # per-group target ranks (1-based): pos = p·(n−1)
+    counts: dict = {}
+    targets: dict = {}  # gval -> {rank, ...}
+    specs: dict = {}  # gval -> [(name, lo_rank, hi_rank, frac)]
+    init: dict = {}  # gval -> (lo_val, hi_val)
+    for gv, (n, vlo, vhi) in stats.items():
+        counts[gv] = n
+        init[gv] = (vlo, vhi)
+        for p, name in zip(percentiles, names):
+            pos = float(p) * float(n - 1)
+            lo, hi = int(math.floor(pos)) + 1, int(math.ceil(pos)) + 1
+            specs.setdefault(gv, []).append((name, lo, hi, pos - math.floor(pos)))
+            targets.setdefault(gv, set()).update((lo, hi))
+
+    g_type = df.schema[g].dataType
+    out_schema = StructType(
+        [StructField(g, g_type), StructField(count_name, LongType(), False)]
+        + [StructField(name, DoubleType()) for name in names]
+    )
+    if not counts:
+        return spark.createDataFrame([], out_schema)
+
+    # probe state: (gval, rank) -> [lo_val, hi_val, off, n_in_interval]
+    state = {
+        (gv, rk): [init[gv][0], init[gv][1], 0, counts[gv]]
+        for gv in targets
+        for rk in targets[gv]
+    }
+    resolved: dict = {}  # (gval, rank) -> value
+    if first_hist is not None:
+        # the bounds-mode pass already histogrammed every group — apply
+        # its narrowing before the loop so no interval re-scans whole
+        for key in state:
+            gv, rank = key
+            cum = 0
+            for b in first_hist[gv]:
+                if cum + b["__c"] >= rank:
+                    state[key] = [b["__bmin"], b["__bmax"], cum, b["__c"]]
+                    break
+                cum += b["__c"]
+
+    def _probe_df(pending: dict) -> DataFrame:
+        # dedupe identical (gval, interval, off) probes: same interval
+        # resolves every rank that maps into it from one histogram
+        # pending is keyed by the (gval, lo, hi, off) probe tuple; the
+        # group value for the join column is its first element
+        rows_ = [
+            (i, pk[0], st[0], st[1], (st[1] - st[0]) / HIST_BUCKETS)
+            for i, (pk, st) in enumerate(pending.items())
+        ]
+        return spark.createDataFrame(
+            rows_,
+            StructType(
+                [
+                    StructField("__probe", LongType(), False),
+                    StructField(g, g_type),
+                    StructField("__plo", DoubleType(), False),
+                    StructField("__phi", DoubleType(), False),
+                    StructField("__w", DoubleType(), False),
+                ]
+            ),
+        )
+
+    for _ in range(8):  # ≥ 2 passes handles 10^12 rows; 8 is paranoia
+        # group pending probes by (gval, interval) so equal intervals
+        # share one histogram
+        pending: dict = {}
+        key_of: dict = {}
+        for key, st in state.items():
+            if key in resolved:
+                continue
+            if st[0] == st[1]:  # single-valued interval: done
+                resolved[key] = st[0]
+                continue
+            if st[3] <= HIST_FETCH_CAP:
+                continue  # small enough for the exact fetch pass
+            pk = (key[0], st[0], st[1], st[2])
+            pending.setdefault(pk, st)
+            key_of.setdefault(pk, []).append(key)
+        if not pending:
+            break
+        probes = _probe_df(pending)
+        bucket = F.least(
+            F.floor((F.col(v) - F.col("__plo")) / F.col("__w")),
+            F.lit(HIST_BUCKETS - 1),
+        ).cast("long")
+        hist = (
+            rows.join(F.broadcast(probes), g)
+            .filter(F.col(v).between(F.col("__plo"), F.col("__phi")))
+            .groupBy("__probe", bucket.alias("__b"))
+            .agg(
+                F.count("*").alias("__c"),
+                F.min(v).alias("__bmin"),
+                F.max(v).alias("__bmax"),
+            )
+            .collect()
+        )
+        by_probe: dict = {}
+        for r in hist:
+            by_probe.setdefault(r["__probe"], []).append(r)
+        for i, (pk, keys) in enumerate(zip(pending, [key_of[pk] for pk in pending])):
+            buckets = sorted(by_probe.get(i, []), key=lambda r: r["__b"])
+            for key in keys:
+                rank, st = key[1], state[key]
+                cum = st[2]
+                for b in buckets:
+                    if cum + b["__c"] >= rank:
+                        state[key] = [b["__bmin"], b["__bmax"], cum, b["__c"]]
+                        break
+                    cum += b["__c"]
+
+    # exact fetch for every unresolved probe (each ≤ HIST_FETCH_CAP rows)
+    fetch_pending = {
+        (key[0], st[0], st[1], st[2]): st
+        for key, st in state.items()
+        if key not in resolved
+    }
+    if fetch_pending:
+        key_of = {}
+        for key, st in state.items():
+            if key in resolved:
+                continue
+            key_of.setdefault((key[0], st[0], st[1], st[2]), []).append(key)
+        probes = _probe_df(fetch_pending)
+        got = (
+            rows.join(F.broadcast(probes), g)
+            .filter(F.col(v).between(F.col("__plo"), F.col("__phi")))
+            .select("__probe", v)
+            .collect()
+        )
+        vals_by_probe: dict = {}
+        for r in got:
+            vals_by_probe.setdefault(r["__probe"], []).append(r[v])
+        for i, pk in enumerate(fetch_pending):
+            vs = sorted(vals_by_probe.get(i, []))
+            for key in key_of[pk]:
+                rank, st = key[1], state[key]
+                resolved[key] = vs[rank - st[2] - 1]
+
+    out_rows = []
+    for gv in sorted(counts, key=str):
+        row: list = [gv, counts[gv]]
+        for name, lo, hi, frac in specs[gv]:
+            vlo, vhi = resolved[(gv, lo)], resolved[(gv, hi)]
+            row.append(vlo + frac * (vhi - vlo))
+        out_rows.append(tuple(row))
+    return spark.createDataFrame(out_rows, out_schema)

@@ -84,3 +84,46 @@ def sql_dec_avg(expr: str, scale: int = 6) -> str:
         f"CAST(ROUND(CAST(SUM(CAST(({expr}) AS DECIMAL(25,6))) AS DOUBLE)"
         f" / COUNT({expr}), {scale}) AS DOUBLE)"
     )
+
+
+def parquet_column_bounds(
+    sf_dir: str, table: str, col: str
+) -> tuple[float, float] | None:
+    """Global (min, max) of a column straight from the parquet footer
+    statistics — no Spark job. Returns None when the footer lacks
+    min/max (multi-file dirs, stats disabled), in which case callers
+    fall back to an aggregate pass. At 100 TB this is the same trick
+    the scan planner itself uses for row-group pruning: the metadata
+    is O(row-groups), never the data."""
+    try:
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(f"{sf_dir}/{table}.parquet")
+        idx = pf.schema_arrow.get_field_index(col)
+        if idx < 0:
+            return None
+        lo = hi = None
+        for i in range(pf.metadata.num_row_groups):
+            st = pf.metadata.row_group(i).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if lo is None:
+            return None
+        return float(lo), float(hi)
+    except Exception:
+        return None
+
+
+def round_half_up(x: float, digits: int) -> float:
+    """Driver-side twin of Spark's ``F.round`` (java BigDecimal
+    HALF_UP on the double's exact decimal expansion — NOT Python's
+    banker's ``round``), for queries that assemble already-computed
+    doubles into a createDataFrame result."""
+    import decimal
+
+    q = decimal.Decimal(1).scaleb(-digits)
+    return float(
+        decimal.Decimal(x).quantize(q, rounding=decimal.ROUND_HALF_UP)
+    )

@@ -24,6 +24,7 @@ from etl_pipeline_project_auraverse_spark.queries import register
 from etl_pipeline_project_auraverse_spark.queries._util import (
     DEC,
     dec_avg,
+    parallelize,
     persist_tracked,
     dec_sum,
     sql_dec_avg,
@@ -188,39 +189,228 @@ MAD_FENCE = 3.0
 def q_mad_outlier_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust outlier counts per return flag: rows whose price deviates
     from the group median by more than 3 x 1.4826 x MAD. Medians and
-    MADs are exact (range-shuffle order statistics), the fence
-    comparison is identical double arithmetic in both engines."""
+    MADs are exact, the fence comparison is identical double
+    arithmetic in both engines.
+
+    Four shuffle-free passes over one cached 2-column projection —
+    the histogram-refinement selection plan
+    (``operators/order_stats.hist_group_percentiles``) fused with a
+    driver-side fence fold:
+
+      P1  probe-free price histogram (global bounds come free from the
+          parquet footer) -> per-group counts + each median rank
+          narrowed to one bucket;
+      P2  fetch the crossing buckets -> exact medians;
+      P3  probe-free deviation histogram (bounds [0, max arm] are
+          driver-derivable, no stats job);
+      P4  fetch the MAD-crossing buckets PLUS every bucket the fence
+          3*1.4826*mad could land in (mad is bracketed by its bucket,
+          so the candidate region is known before mad is exact).
+
+    The outlier census then needs NO further pass: buckets wholly
+    above/below the exact fence classify by their recorded min/max
+    (bucket value-ranges are disjoint — see the operator docstring),
+    and the one straddling bucket's rows were fetched in P4. Falls
+    back to an aggregate fence pass only if the candidate region is
+    unexpectedly heavy (value skew) — correctness never depends on the
+    fast path."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from etl_pipeline_project_auraverse_spark.operators.order_stats import (
+        HIST_BUCKETS,
+        HIST_FETCH_CAP,
+        hist_group_percentiles,
+    )
+    from etl_pipeline_project_auraverse_spark.queries._util import (
+        parquet_column_bounds,
+        round_half_up as _round_half_up,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
-    med = exact_group_percentiles(
-        li, "l_returnflag", "l_extendedprice", [0.5], names=["med"],
-        n_groups_hint=3,
-    ).select("l_returnflag", "med")
-    # persisted: the deviation projection feeds the MAD order-stats
-    # pass AND the final fence aggregate — without it each consumer
-    # re-scans the parquet and re-runs the broadcast join (3 narrow
-    # columns, so the cache is far cheaper than the recompute)
-    with_dev = persist_tracked(
-        li.join(F.broadcast(med), "l_returnflag").select(
-            "l_returnflag",
-            "med",
-            F.abs(F.col("l_extendedprice") - F.col("med")).alias("dev"),
-        )
+    proj = persist_tracked(
+        parallelize(li.select("l_returnflag", "l_extendedprice"))
     )
-    mad = exact_group_percentiles(
-        with_dev, "l_returnflag", "dev", [0.5], names=["mad"], n_groups_hint=3
-    ).select("l_returnflag", "mad")
-    fence = F.lit(MAD_FENCE) * F.lit(MAD_CONSISTENCY) * F.col("mad")
-    return (
-        with_dev.join(F.broadcast(mad), "l_returnflag")
-        .groupBy("l_returnflag")
+    bounds = parquet_column_bounds(sf_dir, "lineitem", "l_extendedprice")
+    med_df = hist_group_percentiles(
+        proj, "l_returnflag", "l_extendedprice", [0.5], names=["med"],
+        persist=False, bounds=bounds,
+    )  # P1 + P2 (footer bounds: no stats job; falls back internally)
+    med, counts = {}, {}
+    glo, ghi = bounds if bounds else (None, None)
+    for r in med_df.collect():  # driver-assembled: local, no job
+        med[r["l_returnflag"]] = r["med"]
+        counts[r["l_returnflag"]] = r["n_rows"]
+
+    def case_map(vals: dict) -> F.Column:
+        c = F.lit(None).cast("double")
+        for k, v in vals.items():
+            c = F.when(F.col("l_returnflag") == k, F.lit(v)).otherwise(c)
+        return c
+
+    dev = F.abs(F.col("l_extendedprice") - case_map(med))
+    if glo is None:
+        # no footer stats: bound each arm with a min/max pass
+        b = proj.agg(
+            F.min("l_extendedprice"), F.max("l_extendedprice")
+        ).collect()[0]
+        glo, ghi = b[0], b[1]
+    dmax = max(max(m - glo, ghi - m) for m in med.values())
+    w0 = dmax / HIST_BUCKETS
+    b0 = F.least(F.floor(dev / F.lit(w0)), F.lit(HIST_BUCKETS - 1)).cast(
+        "long"
+    )
+    hist = (  # P3: probe-free deviation histogram
+        proj.groupBy("l_returnflag", b0.alias("__b"))
         .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.min("med"), 4).cast("double").alias("median_price"),
-            F.round(F.min("mad"), 4).cast("double").alias("mad"),
-            F.count(F.when(F.col("dev") > fence, F.lit(1))).alias("n_outliers"),
+            F.count("*").alias("__c"),
+            F.min(dev).alias("__bmin"),
+            F.max(dev).alias("__bmax"),
         )
-        .orderBy("l_returnflag")
+        .collect()
     )
+    by_g: dict = {}
+    for r in hist:
+        by_g.setdefault(r["l_returnflag"], []).append(r)
+
+    import math
+
+    FENCE_C = MAD_FENCE * MAD_CONSISTENCY
+    # per group: locate the MAD ranks' buckets and the fence candidate
+    # region [FENCE_C * madbucket_min, FENCE_C * madbucket_max]
+    fetch_iv: dict = {}  # gval -> list[(lo, hi)] bucket intervals to fetch
+    rank_spec: dict = {}  # gval -> (lo_rank, hi_rank, frac)
+    fallback = False
+    for gv, bl in by_g.items():
+        bl.sort(key=lambda r: r["__b"])
+        n = counts[gv]
+        pos = 0.5 * float(n - 1)
+        lo_r, hi_r = int(math.floor(pos)) + 1, int(math.ceil(pos)) + 1
+        rank_spec[gv] = (lo_r, hi_r, pos - math.floor(pos))
+        ivs, fmin, fmax, fetched_mass = [], None, None, 0
+        cum = 0
+        for b in bl:
+            nxt = cum + b["__c"]
+            if cum < hi_r and nxt >= lo_r:  # holds a target rank
+                ivs.append((b["__bmin"], b["__bmax"]))
+                fetched_mass += b["__c"]
+                fmin = b["__bmin"] if fmin is None else fmin
+                fmax = b["__bmax"]
+            cum = nxt
+        # fence candidate region from the mad bracket [fmin, fmax]
+        flo, fhi = FENCE_C * fmin, FENCE_C * fmax
+        for b in bl:
+            if b["__bmax"] >= flo and b["__bmin"] <= fhi:
+                ivs.append((b["__bmin"], b["__bmax"]))
+                fetched_mass += b["__c"]
+        fetch_iv[gv] = ivs
+        if fetched_mass > HIST_FETCH_CAP:
+            fallback = True
+    if fallback:
+        # heavy candidate region (pathological skew): exact but slower
+        # two-pass tail — refine mad via the operator, then one fence
+        # aggregate. Values identical, only choreography differs.
+        dev_stats = {
+            gv: (counts[gv], 0.0, dmax) for gv in counts
+        }
+        mad_rows = hist_group_percentiles(
+            proj.select("l_returnflag", dev.alias("dev")),
+            "l_returnflag", "dev", [0.5], names=["mad"],
+            stats=dev_stats, persist=False,
+        ).collect()
+        mad = {r["l_returnflag"]: r["mad"] for r in mad_rows}
+        fences = {k: FENCE_C * v for k, v in mad.items()}
+        out = (
+            proj.groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count(F.when(dev > case_map(fences), F.lit(1))).alias(
+                    "n_outliers"
+                ),
+            )
+            .select(
+                "l_returnflag",
+                "n_rows",
+                F.round(case_map(med), 4).cast("double").alias("median_price"),
+                F.round(case_map(mad), 4).cast("double").alias("mad"),
+                "n_outliers",
+            )
+            .orderBy("l_returnflag")
+        )
+        return out
+
+    # P4: one fetch for the mad buckets + fence candidate buckets
+    pred = None
+    for gv, ivs in fetch_iv.items():
+        for lo, hi in ivs:
+            p = (F.col("l_returnflag") == gv) & dev.between(
+                F.lit(lo), F.lit(hi)
+            )
+            pred = p if pred is None else (pred | p)
+    got = proj.filter(pred).select("l_returnflag", dev.alias("dev")).collect()
+    devs_by_g: dict = {}
+    for r in got:
+        devs_by_g.setdefault(r["l_returnflag"], []).append(r["dev"])
+
+    out_rows = []
+    for gv in sorted(counts, key=str):
+        bl, devs = by_g[gv], sorted(devs_by_g.get(gv, []))
+        lo_r, hi_r, frac = rank_spec[gv]
+        # exact mad: ranks resolved inside the fetched (disjoint,
+        # ordered) bucket rows; off = mass of buckets strictly below
+        # the first fetched target bucket
+        # recompute the target-bucket offset exactly as in the scan
+        cum, off, in_mass = 0, None, 0
+        for b in bl:
+            nxt = cum + b["__c"]
+            if cum < hi_r and nxt >= lo_r:
+                if off is None:
+                    off = cum
+                in_mass += b["__c"]
+            cum = nxt
+        # ranks lo_r/hi_r map to indices (rank - off - 1) within the
+        # sorted fetched rows: no fetched bucket sorts BELOW the first
+        # target bucket (a lower bucket b has b.bmax < fmin <=
+        # FENCE_C*fmin = region start, since fmin >= 0), and buckets
+        # are value-disjoint, so the first in-target-mass entries of
+        # `devs` are exactly the target buckets' rows in global order.
+        vlo = devs[lo_r - off - 1]
+        vhi = devs[hi_r - off - 1]
+        madv = vlo + frac * (vhi - vlo)
+        fence = FENCE_C * madv
+        n_out = 0
+        for b in bl:
+            if b["__bmin"] > fence:
+                n_out += b["__c"]
+            elif b["__bmax"] <= fence:
+                continue
+            else:
+                # straddling bucket: its rows are in the fetched set
+                n_out += sum(
+                    1
+                    for d in devs
+                    if b["__bmin"] <= d <= b["__bmax"] and d > fence
+                )
+        out_rows.append(
+            (gv, counts[gv], _round_half_up(med[gv], 4),
+             _round_half_up(madv, 4), n_out)
+        )
+    g_type = li.schema["l_returnflag"].dataType
+    schema = StructType(
+        [
+            StructField("l_returnflag", g_type),
+            StructField("n_rows", LongType(), False),
+            StructField("median_price", DoubleType(), False),
+            StructField("mad", DoubleType(), False),
+            StructField("n_outliers", LongType(), False),
+        ]
+    )
+    return spark.createDataFrame(out_rows, schema)
 
 
 # ---------------------------------------------------------------------------

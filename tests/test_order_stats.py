@@ -218,3 +218,101 @@ def test_weighted_median_property(spark):
         assert got == _wmed_reference(rows)
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# hist_group_percentiles: the shuffle-free histogram-refinement path
+# must be value-identical to the range-shuffle operator (and therefore
+# to F.percentile / quantile_cont) on every distribution shape,
+# including the bounds mode and the pathological single-value group
+# that exercises the zero-width-interval early exit.
+# ---------------------------------------------------------------------------
+from etl_pipeline_project_auraverse_spark.operators.order_stats import (  # noqa: E402
+    hist_group_percentiles,
+)
+
+
+@pytest.mark.parametrize(
+    "case", ["uniform", "ties", "skewed", "singletons", "constant"]
+)
+def test_hist_percentiles_match_spark_exact(spark, case):
+    rng = random.Random(7)
+    if case == "uniform":
+        rows = [(f"g{i % 4}", rng.uniform(0, 1000)) for i in range(2000)]
+    elif case == "ties":
+        rows = [(f"g{i % 3}", float(rng.randint(0, 9))) for i in range(1500)]
+    elif case == "skewed":
+        rows = [("hot", rng.gauss(100, 15)) for _ in range(3000)]
+        rows += [("cold", float(i)) for i in range(7)]
+    elif case == "singletons":
+        rows = [(f"s{i}", float(i * 10)) for i in range(5)]
+    else:  # constant: one value repeated — zero-width intervals
+        rows = [("c", 42.0)] * 100 + [("d", -1.0)] * 3
+    df = spark.createDataFrame(rows, "g string, v double").repartition(8)
+
+    got = {
+        r["g"]: [r[n] for n in NAMES]
+        for r in hist_group_percentiles(df, "g", "v", PS, NAMES).collect()
+    }
+    want = _reference(spark, df)
+    assert got.keys() == want.keys()
+    for g in want:
+        for a, b in zip(got[g], want[g]):
+            assert math.isclose(a, b, rel_tol=0, abs_tol=1e-9), (g, got[g], want[g])
+
+
+def test_hist_percentiles_bounds_mode(spark):
+    """Global-bounds mode (footer-style [lo, hi]) skips the stats job
+    but must return identical values, with loose bounds too."""
+    rng = random.Random(11)
+    rows = [(f"g{i % 3}", rng.uniform(-50, 50)) for i in range(3000)]
+    df = spark.createDataFrame(rows, "g string, v double").repartition(8)
+    want = _reference(spark, df)
+    for bounds in [(-50.0, 50.0), (-1000.0, 1000.0)]:  # exact and loose
+        got = {
+            r["g"]: [r[n] for n in NAMES]
+            for r in hist_group_percentiles(
+                df, "g", "v", PS, NAMES, bounds=bounds
+            ).collect()
+        }
+        assert got.keys() == want.keys()
+        for g in want:
+            for a, b in zip(got[g], want[g]):
+                assert math.isclose(a, b, rel_tol=0, abs_tol=1e-9), (
+                    bounds, g, got[g], want[g],
+                )
+
+
+def test_hist_percentiles_refinement_loop(spark, monkeypatch):
+    """Force multi-pass refinement (tiny fetch cap + coarse buckets) so
+    the narrowing loop itself is exercised, not just the direct fetch."""
+    import etl_pipeline_project_auraverse_spark.operators.order_stats as os_mod
+
+    monkeypatch.setattr(os_mod, "HIST_FETCH_CAP", 20)
+    monkeypatch.setattr(os_mod, "HIST_BUCKETS", 16)
+    rng = random.Random(13)
+    rows = [(f"g{i % 2}", rng.uniform(0, 1.0)) for i in range(4000)]
+    df = spark.createDataFrame(rows, "g string, v double").repartition(8)
+    got = {
+        r["g"]: [r[n] for n in NAMES]
+        for r in os_mod.hist_group_percentiles(df, "g", "v", PS, NAMES).collect()
+    }
+    want = _reference(spark, df)
+    for g in want:
+        for a, b in zip(got[g], want[g]):
+            assert math.isclose(a, b, rel_tol=0, abs_tol=1e-9), (g, got[g], want[g])
+
+
+def test_mad_query_fallback_path_identical(spark, sf_dir, monkeypatch):
+    """q_mad_outlier_prices' skew fallback (fence candidate region too
+    heavy to fetch) must produce the exact same rows as the fused
+    fast path."""
+    import etl_pipeline_project_auraverse_spark.operators.order_stats as os_mod
+    from etl_pipeline_project_auraverse_spark.queries.robust import (
+        q_mad_outlier_prices,
+    )
+
+    fast = sorted(map(tuple, q_mad_outlier_prices(spark, sf_dir).collect()))
+    monkeypatch.setattr(os_mod, "HIST_FETCH_CAP", 0)  # force the fallback
+    slow = sorted(map(tuple, q_mad_outlier_prices(spark, sf_dir).collect()))
+    assert fast == slow
