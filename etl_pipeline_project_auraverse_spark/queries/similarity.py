@@ -219,7 +219,13 @@ def _centroid_scored(emb: DataFrame) -> DataFrame:
         )
     )
     w = W.partitionBy("vec_id").orderBy(F.col("cos_to_centroid").desc(), "centroid_id")
-    return scored.withColumn("rn", F.row_number().over(w))
+    # persisted: assignments, probes, residual codes, LUTs, and block
+    # dots ALL hang off this one n×K scoring pass — Spark's cache
+    # manager matches the canonicalized plan, so the repeated
+    # centroid_probes()/centroid_assignments() calls inside one query
+    # share a single cached copy instead of re-running the cross-join
+    # cosines and the rank shuffle per consumer
+    return persist_tracked(scored.withColumn("rn", F.row_number().over(w)))
 
 
 def centroid_assignments(emb: DataFrame) -> DataFrame:
