@@ -309,7 +309,23 @@ def main() -> None:
         # run of the top of the cost table keeps real regressions
         # distinguishable from scheduler noise for ~40s of bench wall.
         slowest = sorted(all_timings, key=all_timings.get, reverse=True)[:20]
-        for name in slowest:
+        # r8 verdict ask #2: ALSO re-time round-over-round flappers —
+        # any entry >1.5x slower than the prior committed sweep (read
+        # BEFORE this run overwrites it). q_split_drift_psi moved
+        # 1.78s -> 3.02s in r8 with no plan change; the static top-20
+        # rule missed it because it never entered the top of the cost
+        # table.
+        prior_path = Path(__file__).resolve().parent / "BENCH_SWEEP.json"
+        try:
+            prior = json.loads(prior_path.read_text()).get("queries", {})
+        except Exception:
+            prior = {}
+        flappers = {
+            n
+            for n, t in all_timings.items()
+            if n in prior and prior[n] > 0 and t > 1.5 * prior[n]
+        }
+        for name in sorted(set(slowest) | flappers):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).collect()

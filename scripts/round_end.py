@@ -56,8 +56,9 @@ def main() -> int:
     noise = re.compile(r"WARN|log4j|setLogLevel|NativeCodeLoader|^\[Stage")
     lines = []
     for line in (raw.stdout + raw.stderr).splitlines():
-        last = line.split("\r")[-1]
-        if last and not noise.search(last):
+        last = line.split("\r")[-1].rstrip()
+        # .strip(): progress-bar erase lines are spaces-only, not empty
+        if last.strip() and not noise.search(last):
             lines.append(last)
     log = os.path.join(ROOT, f"PARITY_r{n:02d}.log")
     with open(log, "w") as f:

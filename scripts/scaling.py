@@ -82,12 +82,102 @@ def main() -> None:
         "step).",
         "",
     ]
+    lines += _file_skipping_section(spark)
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out = os.path.join(root, "SCALING.md")
     with open(out, "w") as f:
         f.write("\n".join(lines))
     print(f"wrote {out}")
     spark.stop()
+
+
+def _file_skipping_section(spark) -> list[str]:
+    """Measured file pruning (r8 verdict ask #6): write sf0.1 orders
+    as 64 real parquet files under three layouts — natural order,
+    Z-order, Hilbert — each with a per-file min/max manifest, then
+    count how many files a 10% band predicate on each clustered
+    dimension actually reads via ``operators/file_skipping.read_pruned``.
+    This turns the layout family's structural claim into N-of-M files
+    skipped on disk."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_project_auraverse_spark.operators.file_skipping import (
+        read_pruned,
+        write_with_stats,
+    )
+    from etl_pipeline_project_auraverse_spark.operators.zorder import (
+        hilbert_key,
+        quantize,
+        zorder_key,
+        zorder_layout,
+    )
+    from etl_pipeline_project_auraverse_spark.queries.layout import ZBITS
+
+    n_files = 64
+    orders = spark.read.parquet("/root/testdata/sf0.1/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    s = orders.agg(
+        F.min("o_custkey").alias("mnc"), F.max("o_custkey").alias("mxc"),
+        F.min("o_totalprice").alias("mnp"), F.max("o_totalprice").alias("mxp"),
+    ).first()
+    xq = quantize(F.col("o_custkey"), F.lit(s["mnc"]), F.lit(s["mxc"]), ZBITS)
+    yq = quantize(
+        F.col("o_totalprice"), F.lit(s["mnp"]), F.lit(s["mxp"]), ZBITS
+    )
+    base = orders.select("*", xq.alias("xq"), yq.alias("yq"))
+    layouts = {
+        "natural": orders.repartition(n_files),
+        "zorder": zorder_layout(
+            base, zorder_key([F.col("xq"), F.col("yq")], ZBITS), n_files
+        ).drop("xq", "yq"),
+        "hilbert": zorder_layout(
+            hilbert_key(base, F.col("xq"), F.col("yq"), ZBITS),
+            F.col("hkey"),
+            n_files,
+        ).drop("xq", "yq", "hkey"),
+    }
+    # 10% bands in the middle of each clustered dimension
+    p_lo = s["mnp"] + 0.45 * (s["mxp"] - s["mnp"])
+    p_hi = s["mnp"] + 0.55 * (s["mxp"] - s["mnp"])
+    c_lo = s["mnc"] + 0.45 * (s["mxc"] - s["mnc"])
+    c_hi = s["mnc"] + 0.55 * (s["mxc"] - s["mnc"])
+    rows = []
+    tmp = tempfile.mkdtemp(prefix="skipping_")
+    try:
+        for name, df in layouts.items():
+            path = os.path.join(tmp, name)
+            write_with_stats(df, path, ["o_custkey", "o_totalprice"])
+            _, rp = read_pruned(spark, path, {"o_totalprice": (p_lo, p_hi)})
+            _, rc = read_pruned(spark, path, {"o_custkey": (c_lo, c_hi)})
+            rows.append((name, rp, rc))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    out = [
+        "## Measured file skipping (sf0.1 orders, 64 files per layout)",
+        "",
+        "Real parquet files + the `operators/file_skipping` min/max",
+        "manifest; each cell is files READ / files TOTAL for a 10% band",
+        "predicate on that dimension (fewer read = more skipped). The",
+        "natural layout prunes almost nothing on the non-write-ordered",
+        "dimension; the space-filling-curve layouts keep BOTH envelopes",
+        "tight — the property that decides scan cost at 100 TB, where a",
+        "skipped file is a task never scheduled.",
+        "",
+        "| layout | price band reads | custkey band reads |",
+        "|---|---|---|",
+    ]
+    for name, rp, rc in rows:
+        out.append(
+            f"| {name} | {rp.n_read}/{rp.n_total} "
+            f"({rp.n_skipped} skipped) | {rc.n_read}/{rc.n_total} "
+            f"({rc.n_skipped} skipped) |"
+        )
+    out.append("")
+    return out
 
 
 if __name__ == "__main__":
