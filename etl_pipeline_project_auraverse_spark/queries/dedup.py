@@ -969,6 +969,10 @@ def q_dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     # exact verification: count common shingles for each candidate via
     # the inverted table joined on BOTH endpoints with equal hash
+    # (measured FASTER than the materialized-set/array_intersect
+    # verify at sf0.1 — 4.2s vs 19s — because the hash equi-join only
+    # moves matching postings while the array formulation ships both
+    # docs' full shingle sets into every candidate row)
     inter = (
         cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
         .join(
