@@ -106,6 +106,9 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _PAIRS_MEMO.get(key)
     if hit is not None:
+        if not hit.is_cached:  # a catalog.clearCache() dropped it
+            hit.persist()
+            hit.count()
         return hit
     for old in _PAIRS_MEMO.values():
         try:

@@ -1151,6 +1151,9 @@ def _ivfadc_residual_scores_shared(
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _SCORES_MEMO.get(key)
     if hit is not None:
+        if not hit.is_cached:  # a catalog.clearCache() dropped it
+            hit.persist()
+            hit.count()
         return hit
     for old in _SCORES_MEMO.values():
         try:
