@@ -119,3 +119,29 @@ def register_checkpoint_ids(spark: SparkSession, ids: Iterable[int]) -> None:
     fs = frozenset(ids)
     if fs:
         _LIVE_CHECKPOINTS.append((spark, fs))
+
+
+# Cross-query memoized builds (shared index artifacts: the IVFADC
+# scores table, the co-purchase pair graph) are deliberately NOT in
+# _LIVE_CACHES — release_caches() runs at every query start and would
+# defeat the sharing. They register here instead so tests (and any
+# caller that wants a truly cold engine) can drop them explicitly;
+# the owning memo dicts keep working afterwards — the getters detect
+# the lost cache and re-persist on next use.
+_LIVE_MEMOS: list = []
+
+
+def track_memo(df):
+    """Register a memoized persisted DataFrame for explicit release."""
+    _LIVE_MEMOS.append(df)
+    return df
+
+
+def release_memos(blocking: bool = True) -> None:
+    """Unpersist every tracked memo (idempotent, never raises)."""
+    while _LIVE_MEMOS:
+        df = _LIVE_MEMOS.pop()
+        try:
+            df.unpersist(blocking=blocking)
+        except Exception:
+            pass

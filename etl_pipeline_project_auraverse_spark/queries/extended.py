@@ -297,17 +297,23 @@ def q_window_analytics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_percentiles_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NOT F.percentile: that buffers a whole group's values in one
     # aggregation buffer (3 groups → whole column on 3 tasks at 100 TB).
-    # exact_group_percentiles computes the same interpolated values via
-    # a range shuffle + partition-offset order statistics — bounded
-    # per-task state at any scale (operators/order_stats.py).
+    # hist_group_percentiles computes the same interpolated values with
+    # NO data shuffle at all — iterative histogram refinement, map-side
+    # aggregates + driver narrowing, parquet-footer bounds in place of
+    # the stats job (operators/order_stats.py; the range-shuffle
+    # operator exact_group_percentiles remains for high-cardinality
+    # groups, where the per-probe broadcast would stop being tiny).
     from etl_pipeline_project_auraverse_spark.operators.order_stats import (
-        exact_group_percentiles,
+        hist_group_percentiles,
+    )
+    from etl_pipeline_project_auraverse_spark.queries._util import (
+        parquet_column_bounds,
     )
 
     li = load_table(spark, sf_dir, "lineitem")
-    pct = exact_group_percentiles(
+    pct = hist_group_percentiles(
         li, "l_returnflag", "l_extendedprice", [0.5, 0.9, 0.99], ["p50", "p90", "p99"],
-        n_groups_hint=3,
+        bounds=parquet_column_bounds(sf_dir, "lineitem", "l_extendedprice"),
     )
     return pct.select(
         "l_returnflag",

@@ -106,8 +106,10 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _PAIRS_MEMO.get(key)
     if hit is not None:
-        if not hit.is_cached:  # a catalog.clearCache() dropped it
-            hit.persist()
+        if not hit.is_cached:  # catalog.clearCache()/release_memos hit
+            from etl_pipeline_project_auraverse_spark.cache import track_memo
+
+            track_memo(hit.persist())
             hit.count()
         return hit
     for old in _PAIRS_MEMO.values():
@@ -135,6 +137,9 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w") >= MIN_PAIR_SUPPORT)
         .persist()
     )
+    from etl_pipeline_project_auraverse_spark.cache import track_memo
+
+    track_memo(pairs)
     pairs.count()  # materialize now; survives the per-query cache sweep
     _PAIRS_MEMO[key] = pairs
     return pairs

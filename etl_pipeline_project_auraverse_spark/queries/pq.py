@@ -1151,8 +1151,10 @@ def _ivfadc_residual_scores_shared(
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _SCORES_MEMO.get(key)
     if hit is not None:
-        if not hit.is_cached:  # a catalog.clearCache() dropped it
-            hit.persist()
+        if not hit.is_cached:  # catalog.clearCache()/release_memos hit
+            from etl_pipeline_project_auraverse_spark.cache import track_memo
+
+            track_memo(hit.persist())
             hit.count()
         return hit
     for old in _SCORES_MEMO.values():
@@ -1161,7 +1163,9 @@ def _ivfadc_residual_scores_shared(
         except Exception:
             pass
     _SCORES_MEMO.clear()
-    scores = _ivfadc_residual_scores(emb).persist()
+    from etl_pipeline_project_auraverse_spark.cache import track_memo
+
+    scores = track_memo(_ivfadc_residual_scores(emb).persist())
     scores.count()  # materialize while the build's child caches are live
     _SCORES_MEMO[key] = scores
     return scores

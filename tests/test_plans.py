@@ -221,14 +221,17 @@ def test_caches_released_between_queries(spark, q):
     row must not accumulate persisted RDDs — the registry releases the
     previous query's caches when the next one starts, and an explicit
     release_caches() empties the rest."""
+    from etl_pipeline_project_auraverse_spark.cache import release_memos
     from etl_pipeline_project_auraverse_spark.queries._util import release_caches
 
     release_caches()  # drop any caches a previous test left registered
+    release_memos()  # and any cross-query memoized index builds
     for name in ["q_dedup_ngram_jaccard", "q_dedup_simhash", "q_ann_lsh_cosine"]:
         q(name).count()
         n_cached = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
         assert n_cached <= 2, f"{name}: {n_cached} cached RDDs live mid-sweep"
     release_caches()
+    release_memos()
     assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == 0
 
 
@@ -412,10 +415,15 @@ def test_heavy_hitters_recount_is_broadcast_semi_join(q):
     assert "BroadcastExchange" in plan
 
 
-def test_mad_bounds_are_broadcast(q):
-    """Median and MAD (3 rows each) broadcast back over the fact scan."""
+def test_mad_result_is_driver_assembled(q):
+    """The histogram-refinement MAD plan runs its passes as actions
+    and assembles the 3-row census locally — the returned plan must be
+    a local table with NO joins or exchanges (the heavy work already
+    happened in the map-side histogram/fetch passes)."""
     plan = PI.physical_plan(q("q_mad_outlier_prices"))
-    assert plan.count("BroadcastExchange") >= 2
+    assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
+    assert "Join" not in plan
+    assert "Exchange" not in plan
 
 
 def test_psi_bounds_and_totals_are_broadcast(q):
