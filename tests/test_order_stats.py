@@ -316,3 +316,22 @@ def test_mad_query_fallback_path_identical(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(os_mod, "HIST_FETCH_CAP", 0)  # force the fallback
     slow = sorted(map(tuple, q_mad_outlier_prices(spark, sf_dir).collect()))
     assert fast == slow
+
+
+def test_hist_percentiles_ignore_nulls(spark):
+    """Null values are excluded from counts and ranks, same as
+    F.percentile / quantile_cont."""
+    rng = random.Random(17)
+    rows = [
+        ("g0", rng.uniform(0, 100) if i % 5 else None) for i in range(1000)
+    ] + [("allnull", None)] * 10
+    df = spark.createDataFrame(rows, "g string, v double").repartition(8)
+    got = {
+        r["g"]: [r["n_rows"], *[r[n] for n in NAMES]]
+        for r in hist_group_percentiles(df, "g", "v", PS, NAMES).collect()
+    }
+    want = _reference(spark, df.where("v is not null"))
+    assert set(got) == {"g0"}  # the all-null group produces no row
+    assert got["g0"][0] == 800
+    for a, b in zip(got["g0"][1:], want["g0"]):
+        assert math.isclose(a, b, rel_tol=0, abs_tol=1e-9)
