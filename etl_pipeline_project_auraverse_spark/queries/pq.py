@@ -395,7 +395,7 @@ def q_ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     are unique by construction), scored by the PQ LUT — never their
     raw floats — and ranked per query over the bounded candidate set."""
     emb = load_table(spark, sf_dir, "embeddings")
-    scores = _ivfadc_scores(emb)
+    scores = _ivfadc_scores_shared(emb, spark, sf_dir)
     w = W.partitionBy("query_id").orderBy(F.col("adc").desc(), "cand_id")
     return (
         scores.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -712,7 +712,7 @@ def q_ann_ivfadc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     w_rank = W.partitionBy("query_id").orderBy(F.col("adc").desc(), "cand_id")
     approx = (
-        _ivfadc_scores(emb)
+        _ivfadc_scores_shared(emb, spark, sf_dir)
         .withColumn("rank", F.row_number().over(w_rank))
         .filter(F.col("rank") <= PQ_TOP_K)
         .select("query_id", "cand_id")
@@ -1145,10 +1145,12 @@ def _ivfadc_residual_scores(emb: DataFrame) -> DataFrame:
 _SCORES_MEMO: dict = {}
 
 
-def _ivfadc_residual_scores_shared(
-    emb: DataFrame, spark: SparkSession, sf_dir: str
+def _shared_scores(
+    builder, tag: str, emb: DataFrame, spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
+    """Memoize a scores table per (application, corpus, index kind);
+    see the block comment above. At most one corpus is ever held."""
+    key = (spark.sparkContext.applicationId, sf_dir, tag)
     hit = _SCORES_MEMO.get(key)
     if hit is not None:
         if not hit.is_cached:  # catalog.clearCache()/release_memos hit
@@ -1157,18 +1159,32 @@ def _ivfadc_residual_scores_shared(
             track_memo(hit.persist())
             hit.count()
         return hit
-    for old in _SCORES_MEMO.values():
+    stale = [k for k in _SCORES_MEMO if k[:2] != key[:2]]
+    for k in stale:  # different app/corpus: evict
         try:
-            old.unpersist(blocking=False)
+            _SCORES_MEMO.pop(k).unpersist(blocking=False)
         except Exception:
             pass
-    _SCORES_MEMO.clear()
     from etl_pipeline_project_auraverse_spark.cache import track_memo
 
-    scores = track_memo(_ivfadc_residual_scores(emb).persist())
+    scores = track_memo(builder(emb).persist())
     scores.count()  # materialize while the build's child caches are live
     _SCORES_MEMO[key] = scores
     return scores
+
+
+def _ivfadc_residual_scores_shared(
+    emb: DataFrame, spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _shared_scores(
+        _ivfadc_residual_scores, "residual", emb, spark, sf_dir
+    )
+
+
+def _ivfadc_scores_shared(
+    emb: DataFrame, spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _shared_scores(_ivfadc_scores, "plain", emb, spark, sf_dir)
 
 
 def _sql_kval() -> str:
