@@ -64,27 +64,45 @@ def q_winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the range-shuffle order-statistics operator (bounded per-task
     state at any group size), then broadcast back (3 rows) so the fact
     scan is touched exactly twice with no low-cardinality funnel."""
+    from etl_pipeline_project_auraverse_spark.operators.order_stats import (
+        hist_group_percentiles,
+    )
+    from etl_pipeline_project_auraverse_spark.queries._util import (
+        parquet_column_bounds,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
-    bounds = exact_group_percentiles(
-        li,
-        "l_returnflag",
-        "l_extendedprice",
-        [WINSOR_LO, WINSOR_HI],
-        names=["lo", "hi"],
-        n_groups_hint=3,
-    ).select("l_returnflag", "lo", "hi")
+    # bounds via the shuffle-free histogram operator (footer bounds
+    # replace the stats job), returned driver-assembled so the clamp
+    # and both bounds become literal CASE expressions — the fact scan
+    # is touched by the two bounded histogram/fetch passes plus ONE
+    # closing aggregate, with no join at all
+    bounds = {
+        r["l_returnflag"]: (r["lo"], r["hi"])
+        for r in hist_group_percentiles(
+            li, "l_returnflag", "l_extendedprice",
+            [WINSOR_LO, WINSOR_HI], names=["lo", "hi"],
+            bounds=parquet_column_bounds(sf_dir, "lineitem", "l_extendedprice"),
+        ).collect()
+    }
+
+    def case_map(i: int) -> F.Column:
+        c = F.lit(None).cast("double")
+        for k, v in bounds.items():
+            c = F.when(F.col("l_returnflag") == k, F.lit(v[i])).otherwise(c)
+        return c
+
     clamped = F.least(
-        F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi")
+        F.greatest(F.col("l_extendedprice"), case_map(0)), case_map(1)
     )
     return (
-        li.join(F.broadcast(bounds), "l_returnflag")
-        .groupBy("l_returnflag")
+        li.groupBy("l_returnflag")
         .agg(
             F.count("*").alias("n_rows"),
             dec_avg("l_extendedprice", 4).alias("raw_mean"),
             dec_avg(clamped, 4).alias("winsorized_mean"),
-            F.round(F.first("lo"), 4).cast("double").alias("lo_bound"),
-            F.round(F.first("hi"), 4).cast("double").alias("hi_bound"),
+            F.round(F.first(case_map(0)), 4).cast("double").alias("lo_bound"),
+            F.round(F.first(case_map(1)), 4).cast("double").alias("hi_bound"),
         )
         .orderBy("l_returnflag")
     )
@@ -120,17 +138,29 @@ def q_equidepth_histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     global NTILE window, which would funnel every row through one sort
     task). The same shape an optimizer's column-statistics build or a
     feature-binning pass uses at scale."""
+    from etl_pipeline_project_auraverse_spark.operators.order_stats import (
+        hist_group_percentiles,
+    )
+    from etl_pipeline_project_auraverse_spark.queries._util import (
+        parquet_column_bounds,
+    )
+
     orders = load_table(spark, sf_dir, "orders")
     with_g = orders.withColumn("__g", F.lit("all"))
     ps = [i / N_BUCKETS for i in range(1, N_BUCKETS)]
     names = [f"b{i}" for i in range(1, N_BUCKETS)]
-    bounds = exact_group_percentiles(
-        with_g, "__g", "o_totalprice", ps, names=names, n_groups_hint=1
-    ).select(F.array(*names).alias("bounds"))
-    assigned = orders.join(F.broadcast(bounds)).select(
+    # exact octiles via the shuffle-free histogram operator; the 7
+    # boundaries come back driver-assembled, so assignment is a pure
+    # literal-array expression — no join, no broadcast build job
+    row = hist_group_percentiles(
+        with_g, "__g", "o_totalprice", ps, names=names,
+        bounds=parquet_column_bounds(sf_dir, "orders", "o_totalprice"),
+    ).collect()[0]
+    bounds = F.array(*[F.lit(row[n]).cast("double") for n in names])
+    assigned = orders.select(
         "o_totalprice",
         F.aggregate(
-            "bounds",
+            bounds,
             F.lit(0).cast("bigint"),
             lambda acc, x: acc + F.when(x < F.col("o_totalprice"), 1).otherwise(0),
         ).alias("bucket"),
