@@ -391,6 +391,27 @@ def main() -> None:
             "tdigest_max_rel_err": round(rel_err, 6),
         }
 
+        # Same medians through the shuffle-free histogram-refinement
+        # operator (r9): exact values with NO data shuffle — must be
+        # bit-identical to the range-shuffle path and is the third
+        # point of the exactness/plan-shape trade this block measures.
+        from etl_pipeline_project_auraverse_spark.operators.order_stats import (
+            hist_group_percentiles,
+        )
+
+        def _hist():
+            return {
+                r["l_returnflag"]: r["p50"]
+                for r in hist_group_percentiles(
+                    li, "l_returnflag", "l_extendedprice", [0.5],
+                    names=["p50"],
+                ).collect()
+            }
+
+        hist_meds, hist_sec = _min3(_hist)
+        tdigest_vs_exact["hist_refine_sec"] = hist_sec
+        tdigest_vs_exact["hist_matches_exact"] = hist_meds == exact_meds
+
     stat1 = _read_proc_stat()
     steal_frac = None
     if stat0 and stat1 and stat1[1] > stat0[1]:

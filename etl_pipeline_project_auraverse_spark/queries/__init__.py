@@ -59,8 +59,9 @@ ORACLE: dict[str, str] = {}
 # AGE refresh: q_price_histogram (last green r3) and the oldest 41 of
 # the 45 r4-attested entries. The four r4 entries that did not fit
 # (q_text_top_sources, q_user_first_last_event, q_user_funnel,
-# q_window_analytics_battery) lead the r10 age refresh together with
-# the remaining r5 block.
+# q_window_analytics_battery — plus q_text_token_counts, displaced by
+# the late-r9 mixture-allocation query) lead the r10 age refresh
+# together with the remaining r5 block.
 # NEXT ROUND (r10): front-pin anything newly registered, then the 4
 # deferred r4 names above, then fill with the r5-attested block
 # (ATTESTATION.json `last_green` == 5).
@@ -128,6 +129,7 @@ _FRONT = [
     "q_array_functions_per_order",
     # --- NEW in r9 ---
     "q_incremental_rollup_replay",
+    "q_mixture_epoch_capped_allocation",
     "q_dedup_edit_distance",
     "q_mrr_search_eval",
     "q_ols_price_on_quantity",
@@ -173,7 +175,8 @@ _FRONT = [
     "q_text_lang_marker_scores",
     "q_text_quality_scores",
     "q_text_stats_by_lang",
-    "q_text_token_counts",
+    # (q_text_token_counts deferred to r10 with the other four when
+    # the late-r9 mixture-allocation query took its slot)
 ]
 
 

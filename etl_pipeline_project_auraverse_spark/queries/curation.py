@@ -23,6 +23,8 @@ Scale design (100 TB posture):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -1734,3 +1736,150 @@ def q_conformal_price_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("qc")
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Epoch-capped training-mixture allocation (water-filling): the actual
+# token-budget plan a 100 TB pretraining mix needs. Naive temperature
+# weights (w ∝ sqrt(tokens), q_source_mixture_weights above) can ask a
+# small source for more epochs than you are willing to repeat it;
+# the correct allocation is A_i = min(cap_i, λ·w_i) with Σ A_i = B —
+# classic water-filling, which has a CLOSED FORM over the per-source
+# table sorted by cap_i/w_i: the saturated set is a prefix of that
+# order, so one pass of prefix sums finds the water level
+# λ_k = (B − Σ_{i≤k} cap_i) / (Σ_{i>k} w_i) at the unique consistent
+# k. Everything runs on the tiny per-source aggregate (|sources|
+# rows); the only data-scale work is the one token-count scan.
+# Budget B = half the corpus tokens; cap = MIX_MAX_EPOCHS epochs of a
+# source, so the problem is always feasible (Σ cap ≥ 2B).
+# ---------------------------------------------------------------------------
+MIX_MAX_EPOCHS = 2
+MIX_BUDGET_FRAC = 0.5
+
+_MIX_ALLOC_ORACLE = rf"""
+WITH per_source AS (
+    SELECT source,
+           CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+               AS n_tokens
+    FROM documents GROUP BY source
+),
+base AS (
+    SELECT source, n_tokens,
+           CAST(ROUND(SQRT(n_tokens), 6) AS DOUBLE) AS w,
+           CAST({MIX_MAX_EPOCHS} * n_tokens AS DOUBLE) AS cap
+    FROM per_source
+),
+tot AS (
+    SELECT CAST(FLOOR({MIX_BUDGET_FRAC} * SUM(n_tokens)) AS DOUBLE) AS b,
+           CAST(SUM(CAST(ROUND(SQRT(n_tokens), 6) AS DECIMAL(25,6)))
+                AS DOUBLE) AS w_tot
+    FROM per_source
+),
+ranked AS (
+    SELECT base.*, cap / w AS r,
+           ROW_NUMBER() OVER (ORDER BY cap / w, source) AS rn,
+           SUM(cap) OVER (ORDER BY cap / w, source) AS cum_cap,
+           SUM(CAST(w AS DECIMAL(25,6))) OVER (ORDER BY cap / w, source)
+               AS cum_w
+    FROM base
+),
+lam AS (  -- candidate water levels: k sources saturated (k = 0 is rn=NULL arm)
+    SELECT rn, r,
+           (t.b - cum_cap) / (t.w_tot - CAST(cum_w AS DOUBLE)) AS lam_k,
+           LEAD(r) OVER (ORDER BY rn) AS r_next,
+           MAX(rn) OVER () AS n_src
+    FROM ranked CROSS JOIN tot t
+),
+chosen AS (
+    SELECT MIN(lam_sel) AS lam FROM (
+        SELECT CASE
+            WHEN (SELECT MIN(r) FROM lam) >= (SELECT b / w_tot FROM tot)
+            THEN (SELECT b / w_tot FROM tot)
+        END AS lam_sel
+        UNION ALL
+        SELECT CASE
+            WHEN r <= lam_k AND (rn = n_src OR r_next >= lam_k)
+            THEN lam_k END
+        FROM lam
+    ) WHERE lam_sel IS NOT NULL
+)
+SELECT b.source, b.n_tokens,
+       CAST(b.w AS DOUBLE) AS weight,
+       CAST(b.cap AS BIGINT) AS cap_tokens,
+       CAST(LEAST(b.cap, FLOOR(c.lam * b.w)) AS BIGINT) AS alloc_tokens,
+       CAST(FLOOR(LEAST(b.cap, FLOOR(c.lam * b.w)) / b.n_tokens * 1e4)
+            / 1e4 AS DOUBLE) AS epochs,
+       b.cap <= c.lam * b.w AS saturated
+FROM base b CROSS JOIN chosen c
+ORDER BY b.source
+"""
+
+
+@register("q_mixture_epoch_capped_allocation", oracle=_MIX_ALLOC_ORACLE)
+def q_mixture_epoch_capped_allocation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Water-filling token allocation per source under a budget of
+    half the corpus and a MIX_MAX_EPOCHS repetition cap — the
+    epoch-aware mixture plan (allocation = min(cap, λ·weight), water
+    level λ from the sorted prefix closed form)."""
+    from pyspark.sql.window import Window as W
+
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    per_source = (
+        docs.select("source", n_words(F.col("text")).alias("nw"))
+        .groupBy("source")
+        .agg(F.sum("nw").alias("n_tokens"))
+    )
+    base = per_source.select(
+        "source",
+        "n_tokens",
+        F.round(F.sqrt("n_tokens"), 6).cast("double").alias("w"),
+        (F.lit(MIX_MAX_EPOCHS) * F.col("n_tokens")).cast("double").alias("cap"),
+    )
+    # the per-source table is tiny (|sources| rows): collect it and do
+    # the closed-form water level driver-side with the SAME float
+    # arithmetic as the oracle's window formulation
+    rows = base.collect()
+    b = float(
+        math.floor(MIX_BUDGET_FRAC * sum(r["n_tokens"] for r in rows))
+    )
+    # decimal-exact weight total, mirroring the oracle's DECIMAL sum
+    from decimal import Decimal
+
+    w_tot = float(
+        sum(Decimal(repr(r["w"])).quantize(Decimal("0.000001")) for r in rows)
+    )
+    ranked = sorted(rows, key=lambda r: (r["cap"] / r["w"], r["source"]))
+    lam = None
+    if min(r["cap"] / r["w"] for r in ranked) >= b / w_tot:
+        lam = b / w_tot  # nobody saturates at the unconstrained level
+    if lam is None:
+        cum_cap, cum_w = 0.0, Decimal(0)
+        cands = []
+        for k, r in enumerate(ranked):
+            cum_cap += r["cap"]
+            cum_w += Decimal(repr(r["w"])).quantize(Decimal("0.000001"))
+            lam_k = (b - cum_cap) / (w_tot - float(cum_w))
+            r_next = (
+                ranked[k + 1]["cap"] / ranked[k + 1]["w"]
+                if k + 1 < len(ranked)
+                else None
+            )
+            if (r["cap"] / r["w"]) <= lam_k and (
+                r_next is None or r_next >= lam_k
+            ):
+                cands.append(lam_k)
+        lam = min(cands)
+    alloc = F.least(F.col("cap"), F.floor(F.lit(lam) * F.col("w")).cast("double"))
+    return base.select(
+        "source",
+        "n_tokens",
+        F.col("w").alias("weight"),
+        F.col("cap").cast("long").alias("cap_tokens"),
+        alloc.cast("long").alias("alloc_tokens"),
+        (
+            F.floor(alloc / F.col("n_tokens") * F.lit(1e4)) / F.lit(1e4)
+        ).cast("double").alias("epochs"),
+        (F.col("cap") <= F.lit(lam) * F.col("w")).alias("saturated"),
+    ).orderBy("source")
