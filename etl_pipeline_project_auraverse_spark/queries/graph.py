@@ -106,7 +106,11 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _PAIRS_MEMO.get(key)
     if hit is not None:
-        if not hit.is_cached:  # catalog.clearCache()/release_memos hit
+        # NOTE: DataFrame.is_cached reflects the persist REQUEST and
+        # stays True after catalog.clearCache(); storageLevel queries
+        # the cache manager and is the real liveness signal.
+        lvl = hit.storageLevel
+        if not (lvl.useMemory or lvl.useDisk):  # clearCache/release hit
             from etl_pipeline_project_auraverse_spark.cache import track_memo
 
             track_memo(hit.persist())

@@ -1153,7 +1153,11 @@ def _shared_scores(
     key = (spark.sparkContext.applicationId, sf_dir, tag)
     hit = _SCORES_MEMO.get(key)
     if hit is not None:
-        if not hit.is_cached:  # catalog.clearCache()/release_memos hit
+        # NOTE: DataFrame.is_cached reflects the persist REQUEST and
+        # stays True after catalog.clearCache(); storageLevel queries
+        # the cache manager and is the real liveness signal.
+        lvl = hit.storageLevel
+        if not (lvl.useMemory or lvl.useDisk):  # clearCache/release hit
             from etl_pipeline_project_auraverse_spark.cache import track_memo
 
             track_memo(hit.persist())

@@ -1,0 +1,77 @@
+"""Cross-query memoized index builds (the shared IVFADC scores table,
+co-purchase pair graph, logreg weights): identity, release, and
+clearCache-recovery contracts. These memos live OUTSIDE the per-query
+cache registry, so their lifecycle needs its own pins — a silent drop
+would turn the shared builds back into per-query rebuilds, and a
+broken recovery would crash every consumer after catalog.clearCache().
+"""
+
+from __future__ import annotations
+
+from etl_pipeline_project_auraverse_spark.cache import release_memos
+from etl_pipeline_project_auraverse_spark.queries import QUERIES, load_all
+
+load_all()
+
+
+def _rows(spark, name, sf_dir):
+    return sorted(map(tuple, QUERIES[name](spark, sf_dir).collect()))
+
+
+def _live(df) -> bool:
+    # is_cached reflects the persist REQUEST and survives clearCache;
+    # storageLevel asks the cache manager (the real liveness signal)
+    lvl = df.storageLevel
+    return lvl.useMemory or lvl.useDisk
+
+
+def test_ivfadc_memo_identity_and_recovery(spark, sf_dir):
+    """Both IVFADC consumers must return identical values whether the
+    scores table is freshly built, memo-reused, cleared by
+    catalog.clearCache(), or dropped by release_memos()."""
+    import etl_pipeline_project_auraverse_spark.queries.pq as pq
+
+    first = _rows(spark, "q_ann_ivfadc_residual_topk", sf_dir)
+    assert pq._SCORES_MEMO, "build did not register in the memo"
+    memo_df = next(iter(pq._SCORES_MEMO.values()))
+    assert _live(memo_df)
+
+    again = _rows(spark, "q_ann_ivfadc_residual_topk", sf_dir)
+    assert again == first  # memo hit, same values
+
+    spark.catalog.clearCache()
+    assert not _live(memo_df)
+    recovered = _rows(spark, "q_ann_ivfadc_residual_topk", sf_dir)
+    assert recovered == first  # re-persisted transparently
+    assert _live(memo_df)
+
+    release_memos()
+    assert not _live(memo_df)
+    dropped = _rows(spark, "q_ann_ivfadc_residual_topk", sf_dir)
+    assert dropped == first
+
+
+def test_copurchase_pairs_memo_shared_across_queries(spark, sf_dir):
+    """kcore and triangle both read the memoized pair graph; the memo
+    key must hold exactly one corpus and survive both consumers."""
+    import etl_pipeline_project_auraverse_spark.queries.graph as graph
+
+    k1 = _rows(spark, "q_kcore_copurchase", sf_dir)
+    assert len(graph._PAIRS_MEMO) == 1
+    pairs_df = next(iter(graph._PAIRS_MEMO.values()))
+    t1 = _rows(spark, "q_triangle_copurchase", sf_dir)
+    assert next(iter(graph._PAIRS_MEMO.values())) is pairs_df  # no rebuild
+    assert _rows(spark, "q_kcore_copurchase", sf_dir) == k1
+    assert _rows(spark, "q_triangle_copurchase", sf_dir) == t1
+
+
+def test_logreg_weight_memo_is_deterministic(spark, sf_dir):
+    """The fitted weights memo must hand back the exact floats a fresh
+    fit produces."""
+    import etl_pipeline_project_auraverse_spark.queries.pq as pq
+
+    feat1, w1a, w2a = pq._logreg_fit(spark, sf_dir)
+    assert pq._LOGREG_W_MEMO  # populated
+    pq._LOGREG_W_MEMO.clear()
+    feat2, w1b, w2b = pq._logreg_fit(spark, sf_dir)  # fresh fit
+    assert w1a == w1b and w2a == w2b
