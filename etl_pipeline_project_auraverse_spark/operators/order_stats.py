@@ -420,8 +420,10 @@ def hist_group_percentiles(
     the internal cache when the caller passes an already-persisted
     projection.
 
-    ``bounds=(lo, hi)`` — GLOBAL value bounds containing all groups
-    (e.g. from a parquet footer) — removes the stats job entirely:
+    ``bounds=(lo, hi)`` — APPROXIMATE global value bounds (e.g. from a
+    parquet footer; out-of-range values clamp into the edge buckets,
+    so bad bounds cost balance, not correctness) — removes the stats
+    job entirely:
     pass 1 becomes a probe-free ``groupBy(group, bucket)`` histogram
     over the shared bucketing, and the group list, exact counts, AND
     each rank's first narrowing all fall out of that one collect.
@@ -448,13 +450,19 @@ def hist_group_percentiles(
     first_hist: dict | None = None  # gval -> sorted bucket rows
     if stats is None and bounds is not None and bounds[1] > bounds[0]:
         w0 = (bounds[1] - bounds[0]) / HIST_BUCKETS
-        b0 = F.least(
-            F.floor((F.col(v) - F.lit(bounds[0])) / F.lit(w0)),
-            F.lit(HIST_BUCKETS - 1),
+        # Clamp instead of filter: values outside the advertised bounds
+        # land in the edge buckets (whose tracked __bmin/__bmax are the
+        # ACTUAL extremes), so stale/mis-resolved bounds skew bucket
+        # balance but can never silently drop rows or corrupt counts.
+        b0 = F.greatest(
+            F.lit(0),
+            F.least(
+                F.floor((F.col(v) - F.lit(bounds[0])) / F.lit(w0)),
+                F.lit(HIST_BUCKETS - 1),
+            ),
         ).cast("long")
         h0 = (
-            rows.filter(F.col(v).between(F.lit(bounds[0]), F.lit(bounds[1])))
-            .groupBy(g, b0.alias("__b"))
+            rows.groupBy(g, b0.alias("__b"))
             .agg(
                 F.count("*").alias("__c"),
                 F.min(v).alias("__bmin"),

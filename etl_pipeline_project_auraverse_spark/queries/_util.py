@@ -99,8 +99,22 @@ def parquet_column_bounds(
         import pyarrow.parquet as pq
 
         pf = pq.ParquetFile(f"{sf_dir}/{table}.parquet")
-        idx = pf.schema_arrow.get_field_index(col)
-        if idx < 0:
+        if pf.metadata.num_row_groups == 0:
+            return None
+        # Resolve the PHYSICAL leaf chunk by path, not the arrow
+        # top-level field index: nested/repeated columns expand to
+        # multiple leaves, shifting positions so the field index would
+        # silently read another column's stats.
+        rg0 = pf.metadata.row_group(0)
+        idx = next(
+            (
+                j
+                for j in range(rg0.num_columns)
+                if rg0.column(j).path_in_schema == col
+            ),
+            None,
+        )
+        if idx is None:
             return None
         lo = hi = None
         for i in range(pf.metadata.num_row_groups):
@@ -117,13 +131,20 @@ def parquet_column_bounds(
 
 
 def round_half_up(x: float, digits: int) -> float:
-    """Driver-side twin of Spark's ``F.round`` (java BigDecimal
-    HALF_UP on the double's exact decimal expansion — NOT Python's
-    banker's ``round``), for queries that assemble already-computed
-    doubles into a createDataFrame result."""
+    """Driver-side twin of Spark's ``F.round`` on DoubleType: Scala
+    routes through ``BigDecimal(Double.toString(x))`` — the SHORTEST
+    round-trip decimal repr, which Python's ``repr`` also produces —
+    then HALF_UP. NOT Python's banker's ``round``, and NOT the
+    double's exact binary expansion (``Decimal(x)``): at repr-tie
+    points like 2.675 the expansion is 2.67499…, giving 2.67 where
+    Spark says 2.68. DuckDB's ``ROUND`` rounds the binary value, so a
+    repr-tie in real data would diverge from an oracle twin — callers
+    keep rounded quantities at least one digit finer than their
+    decimal inputs so ties are unreachable (see q_mad_outlier_prices:
+    4 dp over ≤3-dp rank-interpolated cents)."""
     import decimal
 
     q = decimal.Decimal(1).scaleb(-digits)
     return float(
-        decimal.Decimal(x).quantize(q, rounding=decimal.ROUND_HALF_UP)
+        decimal.Decimal(repr(x)).quantize(q, rounding=decimal.ROUND_HALF_UP)
     )

@@ -1860,7 +1860,15 @@ def q_mixture_epoch_capped_allocation(
         for k, r in enumerate(ranked):
             cum_cap += r["cap"]
             cum_w += Decimal(repr(r["w"])).quantize(Decimal("0.000001"))
-            lam_k = (b - cum_cap) / (w_tot - float(cum_w))
+            denom = w_tot - float(cum_w)
+            if denom <= 0.0:
+                # k == last ranked source: the oracle's x/0.0 yields
+                # NULL in DuckDB, which its CASE filter drops — mirror
+                # by skipping (Python would raise ZeroDivisionError).
+                # Unreachable as the chosen λ: b = 0.5·T ≤ 2·T = Σcap,
+                # so a finite candidate always exists earlier.
+                continue
+            lam_k = (b - cum_cap) / denom
             r_next = (
                 ranked[k + 1]["cap"] / ranked[k + 1]["w"]
                 if k + 1 < len(ranked)

@@ -263,12 +263,20 @@ def test_hist_percentiles_match_spark_exact(spark, case):
 
 def test_hist_percentiles_bounds_mode(spark):
     """Global-bounds mode (footer-style [lo, hi]) skips the stats job
-    but must return identical values, with loose bounds too."""
+    but must return identical values — with loose bounds, and with
+    WRONG bounds too (too narrow / entirely off the data): out-of-range
+    values clamp into the edge buckets instead of being filtered, so a
+    stale or mis-resolved footer can never silently drop rows."""
     rng = random.Random(11)
     rows = [(f"g{i % 3}", rng.uniform(-50, 50)) for i in range(3000)]
     df = spark.createDataFrame(rows, "g string, v double").repartition(8)
     want = _reference(spark, df)
-    for bounds in [(-50.0, 50.0), (-1000.0, 1000.0)]:  # exact and loose
+    for bounds in [
+        (-50.0, 50.0),  # exact
+        (-1000.0, 1000.0),  # loose
+        (-10.0, 10.0),  # too narrow: most rows clamp to edge buckets
+        (200.0, 300.0),  # entirely off: ALL rows clamp to bucket 0
+    ]:
         got = {
             r["g"]: [r[n] for n in NAMES]
             for r in hist_group_percentiles(
@@ -335,3 +343,53 @@ def test_hist_percentiles_ignore_nulls(spark):
     assert got["g0"][0] == 800
     for a, b in zip(got["g0"][1:], want["g0"]):
         assert math.isclose(a, b, rel_tol=0, abs_tol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Driver-side helpers feeding this machinery (queries/_util.py): the
+# F.round twin and the parquet-footer bounds fetch (r9 advice items).
+# ---------------------------------------------------------------------------
+
+
+def test_round_half_up_matches_spark_f_round(spark):
+    """Spark's F.round on doubles goes through BigDecimal(
+    Double.toString(x)) — the SHORTEST decimal repr — so 2.675 (whose
+    exact binary expansion is 2.67499…) rounds UP to 2.68. The driver
+    twin must agree on exactly these repr-tie values."""
+    from etl_pipeline_project_auraverse_spark.queries._util import round_half_up
+
+    vals = [2.675, 2.665, 1.005, 0.125, -2.675, 1.2349999, 3.14159, 0.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = {
+        r["v"]: r["r"]
+        for r in df.select("v", F.round("v", 2).alias("r")).collect()
+    }
+    for v in vals:
+        assert got[v] == round_half_up(v, 2), (v, got[v], round_half_up(v, 2))
+    assert round_half_up(2.675, 2) == 2.68  # Decimal(x) would give 2.67
+
+
+def test_parquet_column_bounds_nested_leaf_resolution(tmp_path):
+    """Nested/repeated columns expand to multiple physical leaves, so
+    the arrow top-level field index diverges from the leaf chunk index;
+    the footer fetch must resolve by path_in_schema or it silently
+    reads another column's min/max."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_pipeline_project_auraverse_spark.queries._util import (
+        parquet_column_bounds,
+    )
+
+    t = pa.table(
+        {
+            "meta": pa.array([{"a": i, "b": -i} for i in range(5)]),
+            "tags": pa.array([[100 + i, 200 + i] for i in range(5)]),
+            "price": pa.array([10.0, 5.0, 20.0, 7.5, 12.0]),
+        }
+    )
+    pq.write_table(t, tmp_path / "tbl.parquet")
+    # field index of "price" is 2 but its leaf chunk index is 3 — the
+    # old field-index lookup returned the tags leaf's (100..204) stats
+    assert parquet_column_bounds(str(tmp_path), "tbl", "price") == (5.0, 20.0)
+    assert parquet_column_bounds(str(tmp_path), "tbl", "nope") is None

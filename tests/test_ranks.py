@@ -124,3 +124,70 @@ def test_spearman_inline_ranks_match_window_formula(spark):
     num = n * float(s["pxy"]) - sx * sy
     den = ((n * float(s["qx"]) - sx * sx) * (n * float(s["qy"]) - sy * sy)) ** 0.5
     assert got[("x", "y")] == round(num / den, 6)
+
+
+def test_spearman_partial_null_listwise_semantics(spark):
+    """Pin the r9 rank-semantics change (r9 advice): ranks are computed
+    AFTER listwise deletion over ALL ranked columns — scipy's
+    ``spearmanr(nan_policy='omit')`` matrix analogue — not per-column
+    before an inner join. Observable consequence, asserted here: a null
+    in column z changes the x–y rho when z is in the ranked set,
+    because z's null rows leave the frame before x and y are ranked."""
+    from etl_pipeline_project_auraverse_spark.operators.stats_tests import (
+        spearman,
+    )
+
+    def ref_rho(xs, ys):
+        def rk(vs):
+            order = sorted(range(len(vs)), key=lambda i: vs[i])
+            r = [0.0] * len(vs)
+            i = 0
+            while i < len(order):
+                j = i
+                while j < len(order) and vs[order[j]] == vs[order[i]]:
+                    j += 1
+                avg = (i + 1 + j) / 2.0
+                for k in order[i:j]:
+                    r[k] = avg
+                i = j
+            return r
+
+        rx, ry = rk(xs), rk(ys)
+        n = len(xs)
+        sx, sy = sum(rx), sum(ry)
+        num = n * sum(a * b for a, b in zip(rx, ry)) - sx * sy
+        den = (
+            (n * sum(a * a for a in rx) - sx * sx)
+            * (n * sum(b * b for b in ry) - sy * sy)
+        ) ** 0.5
+        return round(num / den, 6)
+
+    rows = [
+        (1.0, 1.0, None),
+        (2.0, 3.0, 5.0),
+        (3.0, 2.0, 1.0),
+        (4.0, 4.0, 2.0),
+        (5.0, 5.0, None),
+    ]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+
+    two = {
+        (r["col_x"], r["col_y"]): r["rho"]
+        for r in spearman(df, ["x", "y"]).collect()
+    }
+    assert two[("x", "y")] == ref_rho(
+        [r[0] for r in rows], [r[1] for r in rows]
+    )
+
+    kept = [r for r in rows if r[2] is not None]  # listwise over x,y,z
+    three = {
+        (r["col_x"], r["col_y"]): r["rho"]
+        for r in spearman(df, ["x", "y", "z"]).collect()
+    }
+    assert three[("x", "y")] == ref_rho(
+        [r[0] for r in kept], [r[1] for r in kept]
+    )
+    assert three[("x", "y")] != two[("x", "y")]  # the divergence is real
+    assert three[("x", "z")] == ref_rho(
+        [r[0] for r in kept], [r[2] for r in kept]
+    )
