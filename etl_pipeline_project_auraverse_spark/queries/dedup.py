@@ -947,22 +947,37 @@ def q_dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
     from pyspark.sql.window import Window as W
 
     sh = persist_tracked(_shingle_hashes(docs))  # prefix build + verify joins
-    df_counts = sh.groupBy("h").agg(F.count("*").alias("__df"))
-    w_doc = W.partitionBy("doc_id").orderBy(F.col("__df").asc(), F.col("h").asc())
+    # df via a count window sharing the h-shuffle (one exchange) rather
+    # than a groupBy+join (aggregate exchange + join exchange)
     ranked = (
-        sh.join(df_counts, "h")
-        .withColumn("__rk", F.row_number().over(w_doc))
+        sh.withColumn("__df", F.count("*").over(W.partitionBy("h")))
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy(
+                    F.col("__df").asc(), F.col("h").asc()
+                )
+            ),
+        )
         .withColumn("__n", F.count("*").over(W.partitionBy("doc_id")))
     )
     prefix = ranked.filter(
         F.col("__rk") <= F.col("__n") - F.ceil(F.lit(PF_J) * F.col("__n")) + 1
-    ).select("doc_id", "h")
+    ).select("doc_id", "h", "__n")
+    # PPJoin length filter IN the candidate join: J >= t forces
+    # n_common >= t·max(n_a, n_b) and n_common <= min(n_a, n_b), so
+    # size-incompatible pairs (t·max > min) can never qualify — prune
+    # them before the distinct and the verify join ever see them.
     cand = (
         prefix.alias("a")
         .join(
             prefix.alias("b"),
             (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.greatest(F.col("a.__n"), F.col("b.__n")) * PF_J
+                <= F.least(F.col("a.__n"), F.col("b.__n"))
+            ),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
