@@ -75,3 +75,39 @@ def test_logreg_weight_memo_is_deterministic(spark, sf_dir):
     pq._LOGREG_W_MEMO.clear()
     feat2, w1b, w2b = pq._logreg_fit(spark, sf_dir)  # fresh fit
     assert w1a == w1b and w2a == w2b
+
+
+def test_pair_memo_clearcache_recovery_end_to_end(spark, sf_dir):
+    """The r9 verdict's driver-order pin: kcore → clearCache → kcore
+    must RECOVER the pair-graph memo (re-persist + eager materialize
+    from the parquet snapshot), not rebuild per scan. Fails if the
+    liveness check regresses to ``is_cached`` (which stays True after
+    clearCache, so recovery would never fire) or if the snapshot-read
+    plan regresses to a lineitem re-derivation."""
+    import etl_pipeline_project_auraverse_spark.queries.graph as graph
+
+    first = _rows(spark, "q_kcore_copurchase", sf_dir)
+    ((key, memo),) = list(graph._PAIRS_MEMO.items())
+    assert _live(memo)
+
+    spark.catalog.clearCache()
+    lvl = memo.storageLevel
+    assert not (lvl.useMemory or lvl.useDisk)  # really dropped
+    # Pin WHY is_cached is the wrong signal: it still claims cached.
+    # If a future Spark makes is_cached reflect real liveness, this
+    # assert flags that the recovery comment/logic deserve a re-look.
+    assert memo.is_cached
+
+    assert _rows(spark, "q_kcore_copurchase", sf_dir) == first
+    memo2 = graph._PAIRS_MEMO[key]
+    assert memo2 is memo  # recovered in place, not rebuilt
+    assert _live(memo2)  # re-persisted by the liveness check
+    # eagerly MATERIALIZED, not just re-marked: cached partitions exist
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    assert any(i.numCachedPartitions() > 0 for i in infos)
+    # and the memo scans the compact snapshot, not lineitem
+    # (inputFiles() is empty on a cached DF; the physical plan's
+    # FileScan location is the reliable handle)
+    plan = memo2._jdf.queryExecution().sparkPlan().toString()
+    assert "memo_snapshots" in plan
+    assert "lineitem" not in plan
