@@ -315,11 +315,38 @@ def main() -> None:
         # 1.78s -> 3.02s in r8 with no plan change; the static top-20
         # rule missed it because it never entered the top of the cost
         # table.
-        prior_path = Path(__file__).resolve().parent / "BENCH_SWEEP.json"
+        # Diff against the sweep COMMITTED at the last round boundary
+        # (the driver's "round N: verdict/..." commit), not the
+        # working-tree file: intra-round bench re-runs overwrite
+        # BENCH_SWEEP.json, so the working-tree comparison silently
+        # rebases the flapper rule onto this round's own runs (r9: the
+        # rule missed three >1.5x committed-vs-committed movers that
+        # way). Fall back to the working-tree file on a fresh clone.
+        prior = {}
         try:
-            prior = json.loads(prior_path.read_text()).get("queries", {})
+            import subprocess
+
+            repo = str(Path(__file__).resolve().parent)
+            boundary = subprocess.run(
+                ["git", "-C", repo, "log", "--format=%H", "-n", "1",
+                 "--grep", "^round [0-9]*:"],
+                capture_output=True, text=True, timeout=10,
+            ).stdout.strip()
+            if boundary:
+                shown = subprocess.run(
+                    ["git", "-C", repo, "show",
+                     f"{boundary}:BENCH_SWEEP.json"],
+                    capture_output=True, text=True, timeout=10,
+                ).stdout
+                prior = json.loads(shown).get("queries", {})
         except Exception:
             prior = {}
+        if not prior:
+            try:
+                prior_path = Path(__file__).resolve().parent / "BENCH_SWEEP.json"
+                prior = json.loads(prior_path.read_text()).get("queries", {})
+            except Exception:
+                prior = {}
         flappers = {
             n
             for n, t in all_timings.items()
