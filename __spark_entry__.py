@@ -33,10 +33,12 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Only oracle-backed queries are exposed to the driver: its compare
-    treats a missing ``oracle_sql()`` entry as an error row, so
-    oracle-less queries (iterative BPE training) stay in the internal
-    registry for tests/bench but are filtered here.
+    Only oracle-backed queries are exposed to the driver (its compare
+    treats a missing ``oracle_sql()`` entry as an error row). Since
+    r10 every registered query is oracle-backed — the last oracle-less
+    entry, iterative BPE training, gained a chained-argmax trajectory
+    oracle — so the filter is a no-op kept as a guard for future
+    genuinely non-SQL-expressible additions.
     """
     from etl_pipeline_project_auraverse_spark.queries import ORACLE, QUERIES, load_all
 

@@ -132,6 +132,43 @@ def _select_batch(
 # shallower batches) rather than shipping unbounded state to the driver.
 MAX_STATS_ROWS = 200_000
 
+# Vocab tables that FIT THE DRIVER train locally: production tokenizer
+# trainers do exactly this — one distributed pass compresses the corpus
+# to (word, freq), and the merge loop is driver-local whenever the
+# distinct-word table is small (the loop's cost is O(vocab) per merge
+# regardless of where it runs, but each distributed round pays shuffle
+# + collect + mapInPandas + checkpoint choreography that dwarfs the
+# arithmetic below ~10^5 words). Byte-identical by construction: both
+# paths implement sequential argmax BPE with the same tie-break.
+DRIVER_VOCAB_CAP = 65_536
+
+
+def _train_local(
+    rows, num_merges: int, min_pair_freq: int
+) -> list[tuple[str, str, int]]:
+    """Sequential BPE over a collected (word, freq, symbols) table —
+    the textbook one-recount-per-merge loop."""
+    from collections import Counter
+
+    freqs = [(list(r["symbols"]), int(r["freq"])) for r in rows]
+    merges: list[tuple[str, str, int]] = []
+    while len(merges) < num_merges:
+        counts: Counter = Counter()
+        for s, f in freqs:
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += f
+        if not counts:
+            break
+        (left, right), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if n < min_pair_freq:
+            break
+        merges.append((left, right, n))
+        joined = left + right
+        freqs = [(_merge_word(s, left, right, joined), f) for s, f in freqs]
+    return merges
+
 
 def _cascade_batch(
     top: list,
@@ -278,6 +315,7 @@ def train_bpe(
     min_pair_freq: int = 2,
     batch_candidates: int = 64,
     stats: dict | None = None,
+    driver_vocab_cap: int = DRIVER_VOCAB_CAP,
 ) -> list[tuple[str, str, int]]:
     """Learn up to ``num_merges`` merges; returns
     ``[(left, right, pair_freq), ...]`` in merge order — byte-identical
@@ -300,6 +338,18 @@ def train_bpe(
 
     spark = docs.sparkSession
     vocab, live_ids = local_checkpoint_tracked(word_vocabulary(docs, text_col))
+    # Small-vocab fast path: the checkpoint above already materialized
+    # the ONLY corpus-sized computation; probe with a limit-collect
+    # (one cheap job against the checkpointed table) and finish the
+    # merge loop on the driver if it fits. ``stats["rounds"] == 0``
+    # marks the local path.
+    if driver_vocab_cap > 0:
+        probe = vocab.limit(driver_vocab_cap + 1).collect()
+        if len(probe) <= driver_vocab_cap:
+            unpersist_rdd_ids(spark, live_ids)
+            if stats is not None:
+                stats["rounds"] = 0
+            return _train_local(probe, num_merges, min_pair_freq)
     merges: list[tuple[str, str, int]] = []
     rounds = 0
     try:

@@ -62,9 +62,19 @@ ORACLE: dict[str, str] = {}
 # q_window_analytics_battery — plus q_text_token_counts, displaced by
 # the late-r9 mixture-allocation query) lead the r10 age refresh
 # together with the remaining r5 block.
-# NEXT ROUND (r10): front-pin anything newly registered, then the 4
-# deferred r4 names above, then fill with the r5-attested block
-# (ATTESTATION.json `last_green` == 5).
+# Round 10 executes that plan: the SIX queries new/newly-oracle-backed
+# in r10 lead (trained-BPE argmax-trajectory oracle — r9 verdict ask
+# #5 — cross-source contamination matrix, unigram-LM cross-entropy,
+# vocab coverage curve, percentile length-band filter, blocked-GEMM
+# kNN label-consistency audit), then the 5 deferred r4 names, then the
+# oldest 39 of the 48 r5-attested entries.
+# NEXT ROUND (r11): front-pin anything newly registered, then the 9
+# r5-attested entries that did not fit this round
+# (q20_promotion_suppliers, q_fulfillment_latency,
+# q_supplier_hhi_by_nation, q_repeat_purchase_timing,
+# q_customer_quartile_migration, q_chi2_priority_segment,
+# q_range_join_purchase_context, q_tfidf_top_terms,
+# q_vocab_top_trigrams), then fill by age from ATTESTATION.json.
 _MODULES = [
     "etl_pipeline_project_auraverse_spark.queries.relational",
     "etl_pipeline_project_auraverse_spark.queries.tpch_extra",
@@ -121,62 +131,59 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # module-import order after these. Names that don't resolve are
 # ignored so the list can't break registration.
 _FRONT = [
-    # --- never-attested late-r8 additions (r8 verdict ask #1) ---
-    "q_fd_violation_audit",
-    "q_heaps_vocab_growth",
-    "q_incremental_agg_merge",
-    # --- only red-row oracle entry (r4), re-attest green ---
-    "q_array_functions_per_order",
-    # --- NEW in r9 ---
-    "q_incremental_rollup_replay",
-    "q_mixture_epoch_capped_allocation",
-    "q_dedup_edit_distance",
-    "q_mrr_search_eval",
-    "q_ols_price_on_quantity",
-    # --- age refresh: last green r3/r4 (oldest first) ---
-    "q_price_histogram",
-    "q_ann_ivf_cosine",
-    "q_ann_ivf_recall",
-    "q_ann_lsh_cosine",
-    "q_ann_lsh_multiprobe",
-    "q_ann_lsh_recall",
-    "q_asof_view_before_purchase",
-    "q_basket_part_pairs",
-    "q_bigram_rarity",
-    "q_curation_pipeline_decisions",
-    "q_decontam_eval_overlap",
-    "q_dedup_clusters",
-    "q_dedup_embedding_cosine",
-    "q_dedup_exact",
-    "q_dedup_minhash_lsh",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_simhash",
-    "q_embedding_centroid_blocks",
-    "q_embedding_norms",
-    "q_event_tumbling_windows",
-    "q_full_outer_customer_orders",
-    "q_gapfill_daily_purchases",
-    "q_json_props_stats",
-    "q_knn_bruteforce_cosine",
-    "q_percentiles_by_returnflag",
-    "q_profile_documents_schema",
-    "q_profile_orders_schema",
-    "q_repetition_stats",
-    "q_sample_documents_hash",
-    "q_sample_reservoir_per_lang",
-    "q_scd2_customer_order_history",
-    "q_sequence_packing",
-    "q_sessionize_events",
-    "q_source_mixture_weights",
-    "q_split_train_val_test",
-    "q_text_fingerprints",
-    "q_text_gopher_filter",
-    "q_text_lang_id_confusion",
-    "q_text_lang_marker_scores",
-    "q_text_quality_scores",
-    "q_text_stats_by_lang",
-    # (q_text_token_counts deferred to r10 with the other four when
-    # the late-r9 mixture-allocation query took its slot)
+    # --- NEW / newly-oracle-backed in r10 ---
+    "q_bpe_token_stats",
+    "q_cross_source_ngram_overlap",
+    "q_unigram_crossentropy_by_source",
+    "q_vocab_coverage_topk",
+    "q_doc_length_band_filter",
+    "q_knn_label_consistency",
+    # --- deferred r4 tranche (last green r4) ---
+    "q_text_token_counts",
+    "q_text_top_sources",
+    "q_user_first_last_event",
+    "q_user_funnel",
+    "q_window_analytics_battery",
+    # --- age refresh: oldest 39 of the r5-attested block ---
+    "q01_pricing_summary",
+    "q06_forecast_revenue",
+    "q03_shipping_priority",
+    "q05_local_supplier_revenue",
+    "q04_late_ship_priority",
+    "q_top_customers_by_revenue",
+    "q_semi_customers_with_urgent_orders",
+    "q_anti_customers_without_recent_orders",
+    "q_revenue_by_part_type",
+    "q_window_top_parts_per_brand",
+    "q_window_running_customer_spend",
+    "q_window_order_gaps",
+    "q_window_moving_avg_price",
+    "q_above_nation_avg_balance",
+    "q_rollup_status_priority",
+    "q_cube_returnflag_linestatus",
+    "q_grouping_sets_order_stats",
+    "q_set_ops_nation_roles",
+    "q_pivot_priority_by_status",
+    "q_distinct_nation_segments",
+    "q_conditional_agg_segments",
+    "q_scalar_string_functions",
+    "q_scalar_date_functions",
+    "q_scalar_math_functions",
+    "q_topk_orders_by_price",
+    "q10_returned_item_customers",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue_share",
+    "q18_large_volume_orders",
+    "q02_min_cost_supplier",
+    "q07_volume_shipping",
+    "q09_profit_by_nation",
+    "q12_ship_delay_priority",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
+    "q21_suppliers_kept_waiting",
+    "q11_important_parts",
+    "q16_supplier_part_relation",
 ]
 
 

@@ -320,16 +320,93 @@ def q_bigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Real BPE token counting (no oracle: iterative argmax training is not
-# SQL-expressible, so __spark_entry__ filters this query from the
-# driver registry; the algorithm is differentially tested against a
-# pure-Python reference implementation in tests/test_bpe.py, and the
-# FIXED-merge twin below carries the oracle-backed driver coverage).
+# Real BPE token counting — ORACLE-BACKED since r10: train_bpe is
+# byte-identical to sequential BPE (argmax by pair count desc, then
+# lexicographically smallest pair; min_pair_freq=2), so for a fixed
+# small merge budget the whole training run is enumerable as chained
+# CTEs — each round recounts adjacent sentinel-string pairs over the
+# vocab, picks the argmax with ORDER BY n DESC, l, r LIMIT 1, and
+# applies it with the same non-overlapping replace() proven equivalent
+# to greedy left-to-right merging by the fixed-merge twin below. The
+# oracle therefore attests the ARGMAX TRAJECTORY itself (a wrong merge
+# in any round flips the value hash), the same in-plan attestation
+# idiom as q_incremental_rollup_replay. The cascade internals are
+# additionally differential-fuzzed against a pure-Python sequential
+# reference in tests/test_bpe.py.
 # ---------------------------------------------------------------------------
 BPE_MERGES = 6
+_BPE_MIN_FREQ = 2  # train_bpe's min_pair_freq default, pinned for the oracle
+_BPE_ENC = r"regexp_replace(w, '(.)', e'\x01\\1\x01', 'g') || e'\x01</w>\x01'"
 
 
-@register("q_bpe_token_stats")
+def _bpe_round_ctes(k: int, src: str) -> str:
+    """One training round: recount adjacent pairs, pick the argmax."""
+    return f"""
+    p{k} AS MATERIALIZED (
+        SELECT u[1] AS l, u[2] AS r, SUM(f) AS n
+        FROM (SELECT f,
+                     unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS u
+              FROM (SELECT f, string_split(trim(s, e'\\x01'), e'\\x01\\x01') AS syms
+                    FROM {src}))
+        GROUP BY u[1], u[2]
+    ),
+    m{k} AS MATERIALIZED (
+        SELECT l, r FROM p{k} WHERE n >= {_BPE_MIN_FREQ}
+        ORDER BY n DESC, l, r LIMIT 1
+    )"""
+
+
+def _bpe_apply_cte(k: int, src: str, out: str) -> str:
+    """Apply round k's learned merge (no-op when the round is empty)."""
+    return f"""
+    {out} AS MATERIALIZED (
+        SELECT * REPLACE (CASE WHEN (SELECT COUNT(*) FROM m{k}) = 0 THEN s
+            ELSE replace(s,
+                (SELECT e'\\x01' || l || e'\\x01\\x01' || r || e'\\x01' FROM m{k}),
+                (SELECT e'\\x01' || l || r || e'\\x01' FROM m{k})) END AS s)
+        FROM {src}
+    )"""
+
+
+def _bpe_trained_oracle() -> str:
+    ctes = [
+        r"""words AS (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        FROM documents
+    ),
+    vocab AS (SELECT w, COUNT(*) AS f FROM words WHERE w <> '' GROUP BY w),
+    e0 AS MATERIALIZED (SELECT f, """
+        + _BPE_ENC
+        + r""" AS s FROM vocab)"""
+    ]
+    for k in range(1, BPE_MERGES + 1):
+        ctes.append(_bpe_round_ctes(k, f"e{k - 1}"))
+        ctes.append(_bpe_apply_cte(k, f"e{k - 1}", f"e{k}"))
+    ctes.append(
+        r"""docwords AS (
+        SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        FROM documents WHERE doc_id < 100
+    ),
+    a0 AS MATERIALIZED (SELECT doc_id, """
+        + _BPE_ENC
+        + r""" AS s FROM docwords WHERE w <> '')"""
+    )
+    for k in range(1, BPE_MERGES + 1):
+        ctes.append(_bpe_apply_cte(k, f"a{k - 1}", f"a{k}"))
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"""
+    SELECT doc_id,
+           COUNT(*) AS n_words,
+           CAST(SUM((length(s) - length(replace(s, e'\\x01', ''))) / 2)
+                AS BIGINT) AS n_bpe_tokens
+    FROM a{BPE_MERGES} GROUP BY doc_id ORDER BY doc_id
+    """
+    )
+
+
+@register("q_bpe_token_stats", oracle=_bpe_trained_oracle())
 def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train BPE merges on the document corpus (vocab-table rounds,
     O(distinct words) per round — operators/bpe.py), then count tokens
@@ -1891,3 +1968,84 @@ def q_mixture_epoch_capped_allocation(
         ).cast("double").alias("epochs"),
         (F.col("cap") <= F.lit(lam) * F.col("w")).alias("saturated"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Percentile-band length filtering: per-language exact p10/p90 word
+# counts and the census of what a [p10, p90] band keeps — the standard
+# "drop the truncated fragments and the concatenation blobs" curation
+# rule, stated with EXACT order statistics (the shuffle-free histogram
+# refinement operator) instead of approx_percentile.
+# ---------------------------------------------------------------------------
+LEN_BAND_LO = 0.1
+LEN_BAND_HI = 0.9
+
+
+@register(
+    "q_doc_length_band_filter",
+    oracle=rf"""
+    WITH d AS (
+        SELECT lang,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS nw
+        FROM documents
+    ),
+    q AS (
+        SELECT lang,
+               quantile_cont(nw, {LEN_BAND_LO}) AS p10,
+               quantile_cont(nw, {LEN_BAND_HI}) AS p90
+        FROM d GROUP BY lang
+    )
+    SELECT d.lang,
+           CAST(ROUND(q.p10, 6) AS DOUBLE) AS p10_words,
+           CAST(ROUND(q.p90, 6) AS DOUBLE) AS p90_words,
+           COUNT(CASE WHEN d.nw < q.p10 THEN 1 END) AS n_below,
+           COUNT(CASE WHEN d.nw >= q.p10 AND d.nw <= q.p90 THEN 1 END)
+               AS n_in_band,
+           COUNT(CASE WHEN d.nw > q.p90 THEN 1 END) AS n_above,
+           CAST(SUM(CASE WHEN d.nw >= q.p10 AND d.nw <= q.p90
+                         THEN d.nw ELSE 0 END) AS BIGINT) AS words_in_band
+    FROM d JOIN q USING (lang)
+    GROUP BY d.lang, q.p10, q.p90
+    ORDER BY d.lang
+    """,
+)
+def q_doc_length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language [p10, p90] word-count band + survival census.
+    Pass 1: the histogram-refinement percentile operator (map-side
+    histograms only, no range shuffle); pass 2: one scan joined against
+    the broadcast 5-row percentile table."""
+    from etl_pipeline_project_auraverse_spark.operators.order_stats import (
+        hist_group_percentiles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = persist_tracked(
+        docs.select("lang", n_words(F.col("text")).alias("nw"))
+    )
+    q = hist_group_percentiles(
+        d, "lang", "nw", [LEN_BAND_LO, LEN_BAND_HI], ["p10", "p90"],
+        persist=False,
+    ).select("lang", "p10", "p90")
+    in_band = (F.col("nw") >= F.col("p10")) & (F.col("nw") <= F.col("p90"))
+    return (
+        d.join(F.broadcast(q), "lang")
+        .groupBy("lang", "p10", "p90")
+        .agg(
+            F.count(F.when(F.col("nw") < F.col("p10"), 1)).alias("n_below"),
+            F.count(F.when(in_band, 1)).alias("n_in_band"),
+            F.count(F.when(F.col("nw") > F.col("p90"), 1)).alias("n_above"),
+            F.sum(F.when(in_band, F.col("nw")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("words_in_band"),
+        )
+        .select(
+            "lang",
+            F.round("p10", 6).cast("double").alias("p10_words"),
+            F.round("p90", 6).cast("double").alias("p90_words"),
+            "n_below",
+            "n_in_band",
+            "n_above",
+            "words_in_band",
+        )
+        .orderBy("lang")
+    )

@@ -1457,3 +1457,97 @@ def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-SOURCE contamination matrix: shingle-set overlap between every
+# pair of ingest sources. The corpus-level complement of the per-pair
+# dedup family — answers "which feeds are re-crawling each other"
+# before any doc-level pairing runs. Scale shape: the distinct
+# (source, shingle) projection collapses document counts entirely, and
+# the self-join on the shingle hash fans out at most |sources|² rows
+# PER SHINGLE — bounded by the (tiny) source universe, not by corpus
+# size, so no DF cap is needed.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_cross_source_ngram_overlap",
+    oracle=f"""
+    WITH {SQL_SHINGLE_CTE},
+    src_sh AS (
+        SELECT DISTINCT d.source, s.h
+        FROM sh s JOIN documents d USING (doc_id)
+    ),
+    sz AS (SELECT source, COUNT(*) AS n FROM src_sh GROUP BY source),
+    pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               COUNT(*) AS n_common
+        FROM src_sh a JOIN src_sh b
+          ON a.h = b.h AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT p.source_a, p.source_b, p.n_common,
+           za.n AS n_a, zb.n AS n_b,
+           CAST(ROUND(p.n_common * 1.0 / (za.n + zb.n - p.n_common), 6)
+                AS DOUBLE) AS jaccard,
+           CAST(ROUND(p.n_common * 1.0 / za.n, 6) AS DOUBLE) AS contain_a,
+           CAST(ROUND(p.n_common * 1.0 / zb.n, 6) AS DOUBLE) AS contain_b
+    FROM pairs p
+    JOIN sz za ON za.source = p.source_a
+    JOIN sz zb ON zb.source = p.source_b
+    ORDER BY source_a, source_b
+    """,
+)
+def q_cross_source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise 3-gram-shingle Jaccard and directional containment
+    between sources (containment catches a small feed embedded in a
+    big one, which Jaccard hides)."""
+    docs = load_table(spark, sf_dir, "documents")
+    src_sh = persist_tracked(
+        _shingle_hashes(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "h")
+        .distinct()
+    )  # feeds sizes + both sides of the pair join
+    sz = src_sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        src_sh.alias("a")
+        .join(
+            src_sh.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(sz.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sz.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_common") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ).cast("double").alias("jaccard"),
+            F.round(F.col("n_common") * 1.0 / F.col("n_a"), 6)
+            .cast("double")
+            .alias("contain_a"),
+            F.round(F.col("n_common") * 1.0 / F.col("n_b"), 6)
+            .cast("double")
+            .alias("contain_b"),
+        )
+        .orderBy("source_a", "source_b")
+    )

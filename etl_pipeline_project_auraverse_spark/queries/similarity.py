@@ -1516,3 +1516,123 @@ def q_ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("trunc_dims")
     )
+
+
+# ---------------------------------------------------------------------------
+# kNN label-consistency audit ("confident-learning lite"): for a
+# deterministic BOUNDED query slice, find each vector's exact 1-NN by
+# cosine and check whether the neighbor carries the same label. A
+# label whose vectors' nearest neighbors routinely disagree is noisy
+# or semantically overlapping — the embedding-space mislabel detector
+# every labeled-data pipeline runs before training.
+#
+# Scale shape — blocked GEMM, the production brute-force layout: the
+# query slice is bounded by construction (vec_id < CAP in a residue
+# class → ≤ CAP/MOD queries at ANY corpus size), collected once and
+# closure-broadcast as a dense matrix; each candidate partition scores
+# its block with ONE vectorized matrix product inside mapInPandas and
+# emits only its per-query partial winner (n_partitions × n_queries
+# rows), so the all-pairs score matrix never materializes anywhere.
+# The interpreted array-fold cosine at this pair count measured ~16 s
+# at sf0.1; the blocked matmul runs the same 512k pairs in <2 s.
+# ---------------------------------------------------------------------------
+KNN_LC_MOD = 5
+KNN_LC_REM = 2
+KNN_LC_CAP = 1280  # ≤ 256 queries regardless of corpus size
+
+
+@register(
+    "q_knn_label_consistency",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT q.vec_id AS query_id, q.label AS q_label, c.label AS c_label,
+               {sql_cosine("q.embedding", "c.embedding")} AS cos_sim,
+               c.vec_id AS cand_id
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id % {KNN_LC_MOD} = {KNN_LC_REM}
+          AND q.vec_id < {KNN_LC_CAP}
+    ),
+    nn AS (
+        SELECT query_id, q_label, c_label,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, cand_id) AS rk
+        FROM pairs
+    )
+    SELECT CAST(q_label AS BIGINT) AS label,
+           COUNT(*) AS n_queries,
+           COUNT(CASE WHEN c_label = q_label THEN 1 END) AS n_nn_same_label,
+           CAST(ROUND(COUNT(CASE WHEN c_label = q_label THEN 1 END) * 1.0
+                      / COUNT(*), 6) AS DOUBLE) AS consistency
+    FROM nn WHERE rk = 1
+    GROUP BY q_label ORDER BY label
+    """,
+)
+def q_knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_q = (F.col("vec_id") % KNN_LC_MOD == KNN_LC_REM) & (
+        F.col("vec_id") < KNN_LC_CAP
+    )
+    q_rows = sorted(
+        emb.filter(is_q).select("vec_id", "label", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    qid = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    Q = np.array([list(r["embedding"]) for r in q_rows], dtype=np.float64)
+    qn = np.sqrt((Q * Q).sum(axis=1))
+    q_labels = [(int(r["vec_id"]), int(r["label"])) for r in q_rows]
+
+    def block_nn(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            clab = pdf["label"].to_numpy()
+            C = np.array([list(e) for e in pdf["embedding"]], dtype=np.float64)
+            cn = np.sqrt((C * C).sum(axis=1))
+            # block score matrix + the SAME 6dp rounding the fold path
+            # and the oracle apply, so rank order can't drift on ties
+            S = np.round((C @ Q.T) / (cn[:, None] * qn[None, :]), 6)
+            out = []
+            for j in range(len(qid)):
+                mask = cid != qid[j]  # self-pair exclusion
+                if not mask.any():
+                    continue
+                col, ids = S[mask, j], cid[mask]
+                order = np.lexsort((ids, -col))  # cos desc, cand_id asc
+                b = order[0]
+                out.append(
+                    (int(qid[j]), int(ids[b]), float(col[b]), int(clab[mask][b]))
+                )
+            yield pd.DataFrame(
+                out, columns=["query_id", "cand_id", "cos_sim", "c_label"]
+            )
+
+    partials = emb.select("vec_id", "label", "embedding").mapInPandas(
+        block_nn,
+        schema="query_id long, cand_id long, cos_sim double, c_label int",
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "cand_id")
+    nn = partials.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") == 1
+    )
+    ql = F.broadcast(
+        emb.sparkSession.createDataFrame(
+            q_labels, "query_id long, q_label int"
+        )
+    )
+    match = F.count(F.when(F.col("c_label") == F.col("q_label"), 1))
+    return (
+        nn.join(ql, "query_id")
+        .groupBy(F.col("q_label").cast("long").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            match.alias("n_nn_same_label"),
+            F.round(match * 1.0 / F.count(F.lit(1)), 6)
+            .cast("double")
+            .alias("consistency"),
+        )
+        .orderBy("label")
+    )

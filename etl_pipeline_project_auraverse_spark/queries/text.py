@@ -1448,3 +1448,163 @@ def q_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("max_doc")
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM cross-entropy per source: train a corpus-level unigram
+# language model (one word-count aggregate — at 100 TB this is THE
+# canonical map-side-combine groupBy) and score each source's token
+# stream under it. The cheap end of perplexity-based data selection:
+# a source whose cross-entropy is far above the corpus average is
+# out-of-distribution (boilerplate, garble, wrong tokenization).
+# Determinism: per-word log-probs are frozen to integer micro-nats
+# (FLOOR(ln(p)·1e6 + 0.5), the A-ES/Zipf idiom), so every downstream
+# sum is exact integer arithmetic in both engines.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_unigram_crossentropy_by_source",
+    oracle=r"""
+    WITH ww AS (
+        SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS w
+        FROM documents
+    ),
+    toks AS (SELECT source, w FROM ww WHERE w <> ''),
+    corpus AS (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w),
+    tot AS (SELECT COUNT(*) AS n FROM toks),
+    lp AS (
+        SELECT w, CAST(FLOOR(ln(cnt * 1.0 / (SELECT n FROM tot)) * 1e6 + 0.5)
+                       AS BIGINT) AS lpm
+        FROM corpus
+    )
+    SELECT source,
+           COUNT(*) AS n_tokens,
+           CAST(ROUND(-SUM(CAST(lpm AS DECIMAL(25,0))) / (1e6 * COUNT(*)), 6)
+                AS DOUBLE) AS cross_entropy_nats
+    FROM toks JOIN lp USING (w)
+    GROUP BY source ORDER BY source
+    """,
+)
+def q_unigram_crossentropy_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """H(source ‖ corpus) = −(1/M_s)·Σ_w c_s(w)·ln p(w) with p from the
+    pooled corpus. Two shuffles total: the corpus count (map-side
+    combined) and the per-source aggregate; the scoring join is on the
+    word key where AQE spreads stopword skew. Log-probs ride as exact
+    micro-nat BIGINTs, so only the final division touches floats."""
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    toks = persist_tracked(
+        docs.select(
+            "source", F.explode(words(F.col("text"))).alias("w")
+        ).filter(F.col("w") != "")
+    )  # feeds the LM build AND the scoring join
+    n_total = toks.count()  # scalar: also materializes the cache
+    lp = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt")).select(
+        "w",
+        F.floor(
+            F.log(F.col("cnt") * 1.0 / F.lit(n_total)) * F.lit(1e6) + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("lpm"),
+    )
+    return (
+        toks.join(lp, "w")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("lpm").cast("decimal(25,0)")).alias("s"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            F.round(-F.col("s") / (F.lit(1e6) * F.col("n_tokens")), 6)
+            .cast("double")
+            .alias("cross_entropy_nats"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve: what fraction of the token stream the
+# top-k vocabulary entries cover, for k in COVERAGE_KS. THE sizing
+# input for tokenizer vocab budgets and OOV-rate predictions; the
+# Heaps/Zipf companions measure growth and shape, this measures mass.
+# Top-k is a TakeOrderedAndProject (per-partition heaps, never a full
+# sort) and the cumulative masses are exact integer sums assembled
+# driver-side from the bounded max(COVERAGE_KS)-row collect.
+# ---------------------------------------------------------------------------
+COVERAGE_KS = [10, 100, 1000]
+
+
+@register(
+    "q_vocab_coverage_topk",
+    oracle=rf"""
+    WITH ww AS (
+        SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents
+    ),
+    toks AS (SELECT w FROM ww WHERE w <> ''),
+    corpus AS (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w),
+    ranked AS (
+        SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS rk FROM corpus
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM toks)
+    SELECT k.k AS top_k,
+           LEAST(k.k, (SELECT COUNT(*) FROM corpus)) AS n_terms,
+           CAST(FLOOR(SUM(CASE WHEN rk <= k.k THEN cnt ELSE 0 END)
+                      * 1e6 * 1.0 / (SELECT n FROM tot) + 0.5) / 1e6
+                AS DOUBLE) AS covered_frac
+    FROM ranked CROSS JOIN (VALUES {", ".join(f"({k})" for k in COVERAGE_KS)}) k(k)
+    GROUP BY k.k ORDER BY k.k
+    """,
+)
+def q_vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction of corpus tokens covered by the top-k vocabulary for
+    k ∈ {10, 100, 1000}. One count aggregate, one bounded top-k fetch
+    (orderBy+limit compiles to per-partition top-k heaps), exact
+    integer cumulative sums on the driver."""
+    import math
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = persist_tracked(
+        docs.select(F.explode(words(F.col("text"))).alias("w")).filter(
+            F.col("w") != ""
+        )
+    )
+    corpus = persist_tracked(toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt")))
+    totals = corpus.agg(
+        F.count(F.lit(1)).alias("v"), F.sum("cnt").alias("n")
+    ).collect()[0]
+    n_vocab, n_total = totals["v"], int(totals["n"])
+    top = (
+        corpus.orderBy(F.col("cnt").desc(), "w")
+        .limit(max(COVERAGE_KS))
+        .collect()
+    )
+    rows = []
+    cum, i = 0, 0
+    for k in COVERAGE_KS:
+        while i < min(k, len(top)):
+            cum += int(top[i]["cnt"])
+            i += 1
+        # floor-micro on the SAME double expression as the oracle so
+        # half-tie mass/N ratios cannot round apart across engines
+        frac = math.floor(cum * 1e6 * 1.0 / n_total + 0.5) / 1e6
+        rows.append((k, min(k, n_vocab), frac))
+    schema = StructType(
+        [
+            StructField("top_k", LongType(), False),
+            StructField("n_terms", LongType(), False),
+            StructField("covered_frac", DoubleType(), False),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)

@@ -76,7 +76,7 @@ def test_batched_rounds_fewer_than_merges(spark):
         [(i, t) for i, t in enumerate(TEXTS)], ["doc_id", "text"]
     )
     stats: dict = {}
-    got = train_bpe(docs, num_merges=20, stats=stats)
+    got = train_bpe(docs, num_merges=20, stats=stats, driver_vocab_cap=0)
     assert got == _reference_bpe(TEXTS, num_merges=20)
     assert stats["rounds"] < len(got), (stats, len(got))
 
@@ -101,7 +101,7 @@ def test_batched_matches_reference_on_random_corpora(spark):
         docs = spark.createDataFrame(
             [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
         )
-        got = train_bpe(docs, num_merges=10)
+        got = train_bpe(docs, num_merges=10, driver_vocab_cap=0)
         want = _reference_bpe(texts, num_merges=10)
         assert got == want, (seed, alphabet, got, want)
 
@@ -138,7 +138,7 @@ def test_zipf_batch_factor_at_least_4x(spark):
         [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
     )
     stats: dict = {}
-    got = train_bpe(docs, num_merges=100, stats=stats)
+    got = train_bpe(docs, num_merges=100, stats=stats, driver_vocab_cap=0)
     assert got == _reference_bpe(texts, num_merges=100)
     assert len(got) == 100
     assert stats["rounds"] <= len(got) / 4, stats
@@ -164,7 +164,7 @@ def test_joined_token_collision_matches_reference(spark):
     docs = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
     )
-    got = train_bpe(docs, num_merges=15)
+    got = train_bpe(docs, num_merges=15, driver_vocab_cap=0)
     want = _reference_bpe(texts, num_merges=15)
     assert got == want, (got, want)
 
@@ -186,7 +186,7 @@ def test_single_symbol_alphabet_fuzz(spark):
         docs = spark.createDataFrame(
             [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
         )
-        got = train_bpe(docs, num_merges=12)
+        got = train_bpe(docs, num_merges=12, driver_vocab_cap=0)
         want = _reference_bpe(texts, num_merges=12)
         assert got == want, (seed, got, want)
 
@@ -233,7 +233,9 @@ def test_train_bpe_frees_all_checkpoints(spark):
         [(i, t) for i, t in enumerate(TEXTS)], ["doc_id", "text"]
     )
     before = persistent_rdd_ids(spark)
-    train_bpe(docs, num_merges=6)
+    train_bpe(docs, num_merges=6, driver_vocab_cap=0)  # distributed rounds
+    assert persistent_rdd_ids(spark) - before == set()
+    train_bpe(docs, num_merges=6)  # local fast path frees its checkpoint too
     assert persistent_rdd_ids(spark) - before == set()
 
 
@@ -302,7 +304,7 @@ def test_over_cap_fallback_stays_byte_identical(spark, monkeypatch):
         [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
     )
     stats: dict = {}
-    got = bpe_mod.train_bpe(docs, num_merges=12, stats=stats)
+    got = bpe_mod.train_bpe(docs, num_merges=12, stats=stats, driver_vocab_cap=0)
     assert got == _reference_bpe(texts, num_merges=12)
     assert len(got) == 12
 
@@ -317,6 +319,25 @@ def test_tiny_window_relevance_filtering_stays_identical(spark):
         docs = spark.createDataFrame(
             [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
         )
-        got = train_bpe(docs, num_merges=15, batch_candidates=cand)
+        got = train_bpe(docs, num_merges=15, batch_candidates=cand, driver_vocab_cap=0)
         want = _reference_bpe(texts, num_merges=15)
         assert got == want, (seed, cand)
+
+
+def test_local_and_distributed_paths_identical(spark):
+    """The driver-local fast path (vocab fits DRIVER_VOCAB_CAP) and the
+    distributed cascade must return the SAME merge list — both claim
+    byte-identity to sequential BPE, so they must agree with each other
+    on every corpus shape, and stats["rounds"] == 0 marks which ran."""
+    for seed in (31, 32):
+        texts = _zipf_corpus(seed=seed, nvocab=150, ndocs=20)
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        )
+        st_local: dict = {}
+        st_dist: dict = {}
+        local = train_bpe(docs, num_merges=20, stats=st_local)
+        dist = train_bpe(docs, num_merges=20, stats=st_dist, driver_vocab_cap=0)
+        assert local == dist, seed
+        assert st_local["rounds"] == 0
+        assert st_dist["rounds"] >= 1
