@@ -578,7 +578,15 @@ def _column_stats_oracle() -> str:
 def q_column_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Optimizer statistics for three lineitem columns from one melted
     scan: row/null counts, average width, HLL NDV (with the exact NDV
-    alongside to measure it)."""
+    alongside to measure it).
+
+    Everything reduces over the (col, value, cnt) DISTINCT table, built
+    by ONE map-side-combinable groupBy: counts and widths come back as
+    cnt-weighted sums, exact NDV is a plain count (no countDistinct
+    expand), and the md5 HLL hash runs once per DISTINCT value instead
+    of once per row (an HLL of a set only depends on its distinct
+    elements) — at 100 TB that is the difference between hashing the
+    corpus and hashing its value domain."""
     li = load_table(spark, sf_dir, "lineitem")
     melted = li.select(
         F.explode(
@@ -593,15 +601,19 @@ def q_column_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("kv")
     ).select("kv.col", "kv.v")
-    s = melted.groupBy("col").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.count("v").alias("n_nonnull"),
-        F.countDistinct("v").alias("ndv_exact"),
-        F.round(F.sum(F.length("v")) / (F.count("v") * 1.0), 6)
-        .cast("double")
-        .alias("avg_width"),
+    dist = persist_tracked(
+        melted.groupBy("col", "v").agg(F.count(F.lit(1)).alias("cnt"))
     )
-    hll = hll_distinct(melted.where(F.col("v").isNotNull()), "col", "v")
+    s = dist.groupBy("col").agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("v").isNotNull(), F.col("cnt")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_nonnull"),
+        F.count("v").alias("ndv_exact"),
+        F.sum(F.when(F.col("v").isNotNull(), F.length("v") * F.col("cnt")))
+        .alias("len_sum"),
+    )
+    hll = hll_distinct(dist.where(F.col("v").isNotNull()), "col", "v")
     return (
         s.join(hll, "col")
         .select(
@@ -610,7 +622,9 @@ def q_column_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_rows") - F.col("n_nonnull")).alias("n_nulls"),
             "ndv_exact",
             F.col("hll_estimate").alias("ndv_hll"),
-            "avg_width",
+            F.round(F.col("len_sum") / (F.col("n_nonnull") * 1.0), 6)
+            .cast("double")
+            .alias("avg_width"),
         )
         .orderBy("column_name")
     )

@@ -35,7 +35,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_pipeline_project_auraverse_spark.queries import register
-from etl_pipeline_project_auraverse_spark.queries._util import DEC, dec_sum, sql_dec_sum
+from etl_pipeline_project_auraverse_spark.queries._util import (
+    DEC,
+    dec_sum,
+    persist_tracked,
+    sql_dec_sum,
+)
 from etl_pipeline_project_auraverse_spark.session import load_table
 
 REV = "l_extendedprice * (1 - l_discount)"
@@ -493,25 +498,35 @@ def q_customer_quartile_migration(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     with_mid = orders.crossJoin(F.broadcast(mid))
 
-    def half_rev(cond):
-        return (
-            with_mid.filter(cond)
-            .groupBy("o_custkey")
-            .agg(dec_sum("o_totalprice", 2).alias("rev"))
+    def half_sum(cond):
+        # SUM over a when()-guarded column: NULL when the customer has
+        # no orders in that half — the same null the old per-half
+        # aggregate + left join produced
+        return F.round(
+            F.sum(F.when(cond, F.col("o_totalprice")).cast(DEC)), 2
+        ).cast("double")
+
+    # ONE customer aggregate computes BOTH halves (the old plan scanned
+    # orders twice and union-distinct'ed the customer sets; every
+    # customer with an order lands here by construction)
+    halves = persist_tracked(
+        with_mid.groupBy("o_custkey").agg(
+            half_sum(F.col("o_orderdate") <= F.col("m")).alias("rev1"),
+            half_sum(F.col("o_orderdate") > F.col("m")).alias("rev2"),
         )
+    )
 
-    h1 = half_rev(F.col("o_orderdate") <= F.col("m"))
-    h2 = half_rev(F.col("o_orderdate") > F.col("m"))
-
-    def bounds(h, names):
+    def bounds(col, names):
         return exact_group_percentiles(
-            h.withColumn("__g", F.lit("all")), "__g", "rev",
+            halves.filter(F.col(col).isNotNull())
+            .select(F.col(col).alias("rev"))
+            .withColumn("__g", F.lit("all")),
+            "__g", "rev",
             [0.25, 0.5, 0.75], names=names, n_groups_hint=1,
         ).select(*names)
 
-    b1 = bounds(h1, ["q1a", "q2a", "q3a"])
-    b2 = bounds(h2, ["q1b", "q2b", "q3b"])
-    custs = h1.select("o_custkey").union(h2.select("o_custkey")).distinct()
+    b1 = bounds("rev1", ["q1a", "q2a", "q3a"])
+    b2 = bounds("rev2", ["q1b", "q2b", "q3b"])
 
     def quart(rev, q1, q2, q3):
         return (
@@ -523,9 +538,7 @@ def q_customer_quartile_migration(spark: SparkSession, sf_dir: str) -> DataFrame
         )
 
     assigned = (
-        custs.join(h1.withColumnRenamed("rev", "rev1"), "o_custkey", "left")
-        .join(h2.withColumnRenamed("rev", "rev2"), "o_custkey", "left")
-        .crossJoin(F.broadcast(b1))
+        halves.crossJoin(F.broadcast(b1))
         .crossJoin(F.broadcast(b2))
         .select(
             quart(F.col("rev1"), F.col("q1a"), F.col("q2a"), F.col("q3a"))
