@@ -67,10 +67,11 @@ ORACLE: dict[str, str] = {}
 # #5 — cross-source contamination matrix, unigram-LM cross-entropy,
 # vocab coverage curve, percentile length-band filter, blocked-GEMM
 # kNN label-consistency audit), then the 5 deferred r4 names, then the
-# oldest 39 of the 48 r5-attested entries.
-# NEXT ROUND (r11): front-pin anything newly registered, then the 9
+# oldest 38 of the 48 r5-attested entries (a late-r10
+# stream-twin addition displaced the 39th).
+# NEXT ROUND (r11): front-pin anything newly registered, then the 10
 # r5-attested entries that did not fit this round
-# (q20_promotion_suppliers, q_fulfillment_latency,
+# (q16_supplier_part_relation, q20_promotion_suppliers, q_fulfillment_latency,
 # q_supplier_hhi_by_nation, q_repeat_purchase_timing,
 # q_customer_quartile_migration, q_chi2_priority_segment,
 # q_range_join_purchase_context, q_tfidf_top_terms,
@@ -138,6 +139,7 @@ _FRONT = [
     "q_vocab_coverage_topk",
     "q_doc_length_band_filter",
     "q_knn_label_consistency",
+    "q_stream_twin_interval_join",
     # --- deferred r4 tranche (last green r4) ---
     "q_text_token_counts",
     "q_text_top_sources",
@@ -183,7 +185,6 @@ _FRONT = [
     "q19_discounted_revenue",
     "q21_suppliers_kept_waiting",
     "q11_important_parts",
-    "q16_supplier_part_relation",
 ]
 
 

@@ -1453,6 +1453,40 @@ def q_stream_twin_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("win_start", "event_type")
 
 
+# The stream-stream interval join's batch twin: watermarks are no-ops
+# on a bounded frame, the time-bounded join condition is the same
+# expression the state store enforces, and leftOuter exercises the
+# emit-on-watermark-expiry path's semantics (unmatched views appear
+# exactly once).
+@register(
+    "q_stream_twin_interval_join",
+    oracle="""
+    SELECT v.user_id,
+           v.event_id AS view_id, v.ts AS view_ts,
+           p.event_id AS purchase_id, p.ts AS purchase_ts,
+           p.value AS purchase_value
+    FROM events v
+    LEFT JOIN events p
+      ON p.user_id = v.user_id AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    WHERE v.event_type = 'view'
+    ORDER BY view_id, purchase_id
+    """,
+)
+def q_stream_twin_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``streaming.events.purchase_context_join`` (the stream-stream
+    interval join) on a bounded scan, leftOuter to keep
+    never-converted views."""
+    from etl_pipeline_project_auraverse_spark.streaming.events import (
+        purchase_context_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return purchase_context_join(
+        ev, range_minutes=30, watermark="1 hour", how="leftOuter"
+    ).orderBy("view_id", "purchase_id")
+
+
 # ---------------------------------------------------------------------------
 # SAX symbolization (Lin/Keogh/Lonardi/Chiu 2003): z-normalize the
 # daily revenue series and discretize into 4 equiprobable N(0,1)
