@@ -1121,13 +1121,6 @@ def _mmr_oracle() -> str:
     """
 
 
-def _union_all(dfs: list[DataFrame]) -> DataFrame:
-    out = dfs[0]
-    for d in dfs[1:]:
-        out = out.unionByName(d, allowMissingColumns=False)
-    return out
-
-
 @register("q_mmr_rerank", oracle=_mmr_oracle())
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy MMR diversification of each query's top-{MMR_POOL}
@@ -1170,85 +1163,75 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             cosine(F.col("ea"), F.col("eb")).alias("sim"),
         )
     )
-    w_sel = W.partitionBy("query_id").orderBy(F.col("score").desc(), "cand_id")
-    s1 = (
-        pool.withColumn("rn", F.row_number().over(
-            W.partitionBy("query_id").orderBy(F.col("rel").desc(), "cand_id")
-        ))
-        .filter(F.col("rn") == 1)
-        .select(
-            "query_id",
-            "cand_id",
-            "rel",
-            F.round(
-                F.expr(f"CAST({MMR_LAMBDA} AS DECIMAL(2,1))")
-                * F.col("rel").cast("decimal(25,6)"),
-                6,
-            )
-            .cast("double")
-            .alias("score"),
-            F.lit(1).alias("mmr_rank"),
-        )
+    # Driver-fused greedy selection (the order_stats/k-core idiom):
+    # the pool (N_QUERY*MMR_POOL rows) and its pairwise-sim table
+    # (<= N_QUERY*MMR_POOL^2 rows) are bounded by construction, so the
+    # K-round argmax loop runs locally on two collects with the SAME
+    # exact-decimal scoring as the oracle. The old formulation chained
+    # K union-plans whose Catalyst analysis dominated runtime at every
+    # SF (deep-plan choreography, ~4 s); the distributed work — cosine
+    # pools and pairwise sims — is unchanged.
+    from collections import defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
     )
-    picked = [s1]
-    for i in range(2, MMR_K + 1):
-        sel = _union_all(picked).select("query_id", "cand_id")
-        sel_b = sel.select(
-            F.col("query_id").alias("sq"), F.col("cand_id").alias("sb")
-        )
-        cand = (
-            pool.join(F.broadcast(sel), ["query_id", "cand_id"], "left_anti")
-            .join(F.broadcast(sel_b), F.col("query_id") == F.col("sq"))
-            .join(
-                psim.select(
-                    F.col("query_id").alias("pq"),
-                    F.col("a").alias("pa"),
-                    F.col("b").alias("pb"),
-                    "sim",
-                ),
-                (F.col("query_id") == F.col("pq"))
-                & (F.col("cand_id") == F.col("pa"))
-                & (F.col("sb") == F.col("pb")),
-            )
-            .groupBy("query_id", "cand_id", "rel")
-            .agg(
-                # DECIMAL score arithmetic: 0.7·rel lands on a 7dp
-                # value ending in 5 whenever rel's 6th digit is odd —
-                # an exact decimal half-tie where Spark (BigDecimal
-                # HALF_UP) and DuckDB (scaled double round) disagree.
-                # Decimal math is exact and rounds identically in both.
-                F.round(
-                    F.expr(f"CAST({MMR_LAMBDA} AS DECIMAL(2,1))")
-                    * F.col("rel").cast("decimal(25,6)")
-                    - F.expr(
-                        f"CAST({round(1 - MMR_LAMBDA, 6)} AS DECIMAL(2,1))"
+
+    pool_rows = pool.collect()
+    sim_rows = psim.collect()
+    by_q: dict = defaultdict(list)
+    for r in pool_rows:
+        by_q[r["query_id"]].append((int(r["cand_id"]), r["rel"]))
+    sims: dict = {}
+    for r in sim_rows:
+        sims[(r["query_id"], int(r["a"]), int(r["b"]))] = r["sim"]
+
+    lam = Decimal(str(MMR_LAMBDA))
+    mu = Decimal(str(round(1 - MMR_LAMBDA, 6)))
+    q6 = Decimal("0.000001")
+
+    def r6(d: Decimal) -> float:
+        return float(d.quantize(q6, rounding=ROUND_HALF_UP))
+
+    out_rows = []
+    for qid in sorted(by_q):
+        cands = by_q[qid]
+        picked: list[int] = []
+        for rank in range(1, MMR_K + 1):
+            best = None
+            for cand_id, rel in cands:
+                if cand_id in picked:
+                    continue
+                if rank == 1:
+                    score = r6(lam * Decimal(repr(rel)))
+                else:
+                    mx = max(sims[(qid, cand_id, b)] for b in picked)
+                    score = r6(
+                        lam * Decimal(repr(rel)) - mu * Decimal(repr(mx))
                     )
-                    * F.max("sim").cast("decimal(25,6)"),
-                    6,
-                )
-                .cast("double")
-                .alias("score")
-            )
-        )
-        picked.append(
-            cand.withColumn("rn", F.row_number().over(w_sel))
-            .filter(F.col("rn") == 1)
-            .select(
-                "query_id",
-                "cand_id",
-                "rel",
-                "score",
-                F.lit(i).alias("mmr_rank"),
-            )
-        )
-    out = _union_all(picked)
-    return out.select(
-        "query_id",
-        "cand_id",
-        F.col("mmr_rank").cast("long").alias("mmr_rank"),
-        F.col("rel").cast("double").alias("relevance"),
-        F.col("score").cast("double").alias("mmr_score"),
-    ).orderBy("query_id", "mmr_rank")
+                key = (-score if rank > 1 else -rel, cand_id)
+                if best is None or key < best[0]:
+                    best = (key, cand_id, rel, score)
+            _, cand_id, rel, score = best
+            picked.append(cand_id)
+            out_rows.append((int(qid), cand_id, rank, float(rel), score))
+
+    schema = StructType(
+        [
+            StructField("query_id", LongType(), False),
+            StructField("cand_id", LongType(), False),
+            StructField("mmr_rank", LongType(), False),
+            StructField("relevance", DoubleType(), False),
+            StructField("mmr_score", DoubleType(), False),
+        ]
+    )
+    return spark.createDataFrame(out_rows, schema).orderBy(
+        "query_id", "mmr_rank"
+    )
 
 
 
