@@ -145,3 +145,56 @@ def release_memos(blocking: bool = True) -> None:
             df.unpersist(blocking=blocking)
         except Exception:
             pass
+
+
+def memo_snapshot_path(spark: SparkSession, name: str, corpus_key: str) -> str:
+    """Per-(application, corpus) parquet location for a materialized
+    index table, under Spark's own warehouse dir."""
+    import hashlib
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    tag = hashlib.md5(corpus_key.encode()).hexdigest()[:12]
+    app = spark.sparkContext.applicationId
+    return f"{wh.rstrip('/')}/memo_snapshots/{app}/{name}_{tag}"
+
+
+def memo_table(
+    memo: dict,
+    spark: SparkSession,
+    corpus_key: str,
+    build_plan,
+    snapshot_path: str,
+) -> DataFrame:
+    """Per-(application, corpus) MATERIALIZED index table — built once,
+    written to a parquet snapshot, persisted outside the per-query
+    cache registry (at most one corpus held per memo dict).
+
+    Recovery after a cache sweep (``catalog.clearCache()`` /
+    ``release_memos()``): ``storageLevel`` — not ``is_cached``, which
+    reflects only the persist REQUEST — detects the lost cache, and
+    re-materialization is an EAGER re-read of the compact snapshot
+    (consumers scan these tables several times, often twice inside one
+    job, where a lazily-populating cache double-computes partitions —
+    measured 7 -> 18 s on k-core), never a re-derivation of the build
+    plan from base tables.
+    """
+    key = (spark.sparkContext.applicationId, corpus_key)
+    hit = memo.get(key)
+    if hit is not None:
+        lvl = hit.storageLevel
+        if not (lvl.useMemory or lvl.useDisk):
+            track_memo(hit.persist())
+            hit.count()
+        return hit
+    for old in memo.values():
+        try:
+            old.unpersist(blocking=False)
+        except Exception:
+            pass
+    memo.clear()
+    build_plan().write.mode("overwrite").parquet(snapshot_path)
+    df = spark.read.parquet(snapshot_path).persist()
+    track_memo(df)
+    df.count()  # materialize now; survives the per-query cache sweep
+    memo[key] = df
+    return df
