@@ -164,6 +164,7 @@ def memo_table(
     corpus_key: str,
     build_plan,
     snapshot_path: str,
+    subkey: str = "",
 ) -> DataFrame:
     """Per-(application, corpus) MATERIALIZED index table — built once,
     written to a parquet snapshot, persisted outside the per-query
@@ -178,7 +179,7 @@ def memo_table(
     measured 7 -> 18 s on k-core), never a re-derivation of the build
     plan from base tables.
     """
-    key = (spark.sparkContext.applicationId, corpus_key)
+    key = (spark.sparkContext.applicationId, corpus_key, subkey)
     hit = memo.get(key)
     if hit is not None:
         lvl = hit.storageLevel
@@ -186,12 +187,13 @@ def memo_table(
             track_memo(hit.persist())
             hit.count()
         return hit
-    for old in memo.values():
+    # evict other CORPORA only: same-corpus siblings (different subkey,
+    # e.g. the plain and residual IVFADC scores) coexist
+    for k in [k for k in memo if k[:2] != key[:2]]:
         try:
-            old.unpersist(blocking=False)
+            memo.pop(k).unpersist(blocking=False)
         except Exception:
             pass
-    memo.clear()
     build_plan().write.mode("overwrite").parquet(snapshot_path)
     df = spark.read.parquet(snapshot_path).persist()
     track_memo(df)

@@ -1149,36 +1149,22 @@ def _shared_scores(
     builder, tag: str, emb: DataFrame, spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Memoize a scores table per (application, corpus, index kind);
-    see the block comment above. At most one corpus is ever held."""
-    key = (spark.sparkContext.applicationId, sf_dir, tag)
-    hit = _SCORES_MEMO.get(key)
-    if hit is not None:
-        # NOTE: DataFrame.is_cached reflects the persist REQUEST and
-        # stays True after catalog.clearCache(); storageLevel queries
-        # the cache manager and is the real liveness signal.
-        lvl = hit.storageLevel
-        if not (lvl.useMemory or lvl.useDisk):  # clearCache/release hit
-            from etl_pipeline_project_auraverse_spark.cache import track_memo
+    see the block comment above. Disk-snapshotted via
+    ``cache.memo_table`` since r10: recovery after a cache sweep
+    re-reads the tiny candidate table instead of replaying the whole
+    IVF/PQ index build from the embeddings (which is what the old
+    lazy re-persist cost on the consumer's next action — the memoized
+    plan WAS the build DAG). The plain and residual kinds coexist per
+    corpus via the subkey."""
+    from etl_pipeline_project_auraverse_spark.cache import (
+        memo_snapshot_path,
+        memo_table,
+    )
 
-            # LAZY re-persist: the consumer's own first action
-            # materializes it (an eager count here would add a full
-            # extra pass that single-action consumers never amortize;
-            # the original build's eager count exists only because the
-            # per-query cache sweep is about to drop its child caches)
-            track_memo(hit.persist())
-        return hit
-    stale = [k for k in _SCORES_MEMO if k[:2] != key[:2]]
-    for k in stale:  # different app/corpus: evict
-        try:
-            _SCORES_MEMO.pop(k).unpersist(blocking=False)
-        except Exception:
-            pass
-    from etl_pipeline_project_auraverse_spark.cache import track_memo
-
-    scores = track_memo(builder(emb).persist())
-    scores.count()  # materialize while the build's child caches are live
-    _SCORES_MEMO[key] = scores
-    return scores
+    snap = memo_snapshot_path(spark, f"ivfadc_scores_{tag}", f"{sf_dir}|{tag}")
+    return memo_table(
+        _SCORES_MEMO, spark, sf_dir, lambda: builder(emb), snap, subkey=tag
+    )
 
 
 def _ivfadc_residual_scores_shared(
