@@ -509,11 +509,20 @@ def test_logreg_gradient_is_map_side_agg(q):
 
 
 def test_mmr_loop_stays_on_pool_sized_tables(q):
-    """MMR's greedy loop must join the pool against the broadcast
-    selected set and the pool-pair sim table with hash equi-joins; the
-    only nested-loop products allowed are the intentional broadcast
-    query-vs-corpus pool build (one per pool/psim arm)."""
+    """MMR's greedy loop is driver-fused since r10: the pool and
+    pairwise-sim collects are bounded (N_QUERY*MMR_POOL and
+    N_QUERY*MMR_POOL^2 rows), the K-round argmax runs locally, and the
+    RESULT plan is a local-relation sort — no cartesian anywhere, and
+    exactly N_QUERY*MMR_K output rows prove the selection stayed
+    pool-sized."""
+    from etl_pipeline_project_auraverse_spark.queries.similarity import (
+        MMR_K,
+        N_QUERY,
+    )
+
     df = q("q_mmr_rerank")
     plan = PI.physical_plan(df)
     assert "CartesianProduct" not in plan
-    assert "BroadcastHashJoin" in plan
+    # driver-assembled result: a bounded local relation, not a join DAG
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan
+    assert df.count() == N_QUERY * MMR_K
