@@ -67,11 +67,13 @@ ORACLE: dict[str, str] = {}
 # #5 — cross-source contamination matrix, unigram-LM cross-entropy,
 # vocab coverage curve, percentile length-band filter, blocked-GEMM
 # kNN label-consistency audit), then the 5 deferred r4 names, then the
-# oldest 38 of the 48 r5-attested entries (a late-r10
-# stream-twin addition displaced the 39th).
-# NEXT ROUND (r11): front-pin anything newly registered, then the 10
+# oldest 37 of the 48 r5-attested entries (two late-r10
+# additions — the interval-join stream twin and the Bloom-prefiltered
+# decontamination — displaced the 38th/39th).
+# NEXT ROUND (r11): front-pin anything newly registered, then the 11
 # r5-attested entries that did not fit this round
-# (q16_supplier_part_relation, q20_promotion_suppliers, q_fulfillment_latency,
+# (q11_important_parts, q16_supplier_part_relation,
+# q20_promotion_suppliers, q_fulfillment_latency,
 # q_supplier_hhi_by_nation, q_repeat_purchase_timing,
 # q_customer_quartile_migration, q_chi2_priority_segment,
 # q_range_join_purchase_context, q_tfidf_top_terms,
@@ -140,6 +142,7 @@ _FRONT = [
     "q_doc_length_band_filter",
     "q_knn_label_consistency",
     "q_stream_twin_interval_join",
+    "q_decontam_bloom_prefilter",
     # --- deferred r4 tranche (last green r4) ---
     "q_text_token_counts",
     "q_text_top_sources",
@@ -184,7 +187,6 @@ _FRONT = [
     "q17_small_quantity_revenue",
     "q19_discounted_revenue",
     "q21_suppliers_kept_waiting",
-    "q11_important_parts",
 ]
 
 

@@ -2049,3 +2049,122 @@ def q_doc_length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered decontamination: the 100 TB shape of
+# q_decontam_eval_overlap. The eval set's shingle hashes pack into a
+# few-KB portable Bloom filter (operators/bloom.py — md5-position,
+# engine-reproducible) broadcast to every task; the corpus shingle
+# stream is pruned MAP-SIDE before the exact membership join touches
+# anything. This query measures what that buys per source — candidate
+# rate, false-positive rate — and the oracle attests n_false_neg == 0
+# (the Bloom guarantee): a hash-position mismatch between engines
+# would flip the value hash.
+# ---------------------------------------------------------------------------
+DECON_BLOOM_M = 4096
+DECON_BLOOM_K = 4
+
+
+def _decontam_bloom_oracle() -> str:
+    from etl_pipeline_project_auraverse_spark.queries.dedup import SQL_SHINGLE_CTE
+
+    def pos_sql(key: str, i: int) -> str:
+        return (
+            f"('0x' || substr(md5(CAST({key} AS VARCHAR) || '#{i}'), 1, 15))"
+            f"::BIGINT % {DECON_BLOOM_M}"
+        )
+
+    bits = " UNION ".join(
+        f"SELECT {pos_sql('h', i)} AS pos FROM eval_h"
+        for i in range(DECON_BLOOM_K)
+    )
+    probes = ", ".join(
+        f"{pos_sql('h', i)} AS p{i}" for i in range(DECON_BLOOM_K)
+    )
+    passes = " AND ".join(
+        f"p{i} IN (SELECT pos FROM bits)" for i in range(DECON_BLOOM_K)
+    )
+    return f"""
+    WITH {SQL_SHINGLE_CTE},
+    tagged AS (
+        SELECT s.doc_id, s.h, d.source,
+               d.doc_id % {EVAL_MOD} = {EVAL_RESIDUE} AS is_eval
+        FROM sh s JOIN documents d USING (doc_id)
+    ),
+    eval_h AS (SELECT DISTINCT h FROM tagged WHERE is_eval),
+    bits AS ({bits}),
+    probe AS (
+        SELECT source, h, {probes} FROM tagged WHERE NOT is_eval
+    ),
+    flag AS (
+        SELECT source, ({passes}) AS bloom_pass,
+               h IN (SELECT h FROM eval_h) AS is_member
+        FROM probe
+    )
+    SELECT source,
+           COUNT(*) AS n_shingle_rows,
+           COUNT(CASE WHEN bloom_pass THEN 1 END) AS n_candidates,
+           COUNT(CASE WHEN is_member THEN 1 END) AS n_true,
+           COUNT(CASE WHEN bloom_pass AND NOT is_member THEN 1 END)
+               AS n_false_pos,
+           COUNT(CASE WHEN is_member AND NOT bloom_pass THEN 1 END)
+               AS n_false_neg,
+           CAST(ROUND(COUNT(CASE WHEN bloom_pass AND NOT is_member THEN 1 END)
+                      / ((COUNT(*) - COUNT(CASE WHEN is_member THEN 1 END))
+                         * 1.0), 6) AS DOUBLE) AS fp_rate
+    FROM flag
+    GROUP BY source ORDER BY source
+    """
+
+
+@register("q_decontam_bloom_prefilter", oracle=_decontam_bloom_oracle())
+def q_decontam_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Bloom-prune effectiveness for eval decontamination:
+    shingle rows, Bloom candidates, exact members, measured FP rate,
+    and the zero-FN guarantee under the driver gate."""
+    from etl_pipeline_project_auraverse_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+    )
+    from etl_pipeline_project_auraverse_spark.queries.dedup import shingle_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    tagged = persist_tracked(
+        shingle_index(spark, sf_dir)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .withColumn(
+            "is_eval", (F.col("doc_id") % EVAL_MOD) == EVAL_RESIDUE
+        )
+    )
+    eval_h = tagged.filter("is_eval").select("h").distinct()
+    bloom = bloom_build(eval_h, "h", DECON_BLOOM_M, DECON_BLOOM_K)
+    probe = bloom_might_contain(
+        tagged.filter(~F.col("is_eval")).select("source", "h"),
+        "h",
+        bloom,
+        DECON_BLOOM_M,
+        DECON_BLOOM_K,
+    ).join(
+        F.broadcast(eval_h.withColumn("is_member", F.lit(True))),
+        "h",
+        "left",
+    ).withColumn("is_member", F.coalesce("is_member", F.lit(False)))
+    cand = F.count(F.when(F.col("bloom_pass"), 1))
+    true_ = F.count(F.when(F.col("is_member"), 1))
+    fpos = F.count(F.when(F.col("bloom_pass") & ~F.col("is_member"), 1))
+    fneg = F.count(F.when(F.col("is_member") & ~F.col("bloom_pass"), 1))
+    return (
+        probe.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingle_rows"),
+            cand.alias("n_candidates"),
+            true_.alias("n_true"),
+            fpos.alias("n_false_pos"),
+            fneg.alias("n_false_neg"),
+            F.round(
+                fpos / ((F.count(F.lit(1)) - true_) * 1.0), 6
+            ).cast("double").alias("fp_rate"),
+        )
+        .orderBy("source")
+    )
