@@ -87,8 +87,18 @@ def spearman(df: DataFrame, cols: list[str]) -> DataFrame:
     # (scipy's `spearmanr(nan_policy='omit')` pairwise analogue does
     # the same per-pair).
     base = persist_tracked(df.na.drop(subset=cols).select(*cols))
+    # Path decision only — both paths are exact for ANY cardinality
+    # (the literal map is built from the actual groupBy; the limit just
+    # bounds map-expression size), so a single-pass HLL estimate
+    # replaces the exact countDistinct: at sf0.1 the two are a wash
+    # (the base-cache materialization dominates either), but the exact
+    # version's per-column expand multiplies shuffle input by the
+    # column count at real scale while the HLL sketch stays one pass,
+    # map-side combined. HLL++ is deterministic (order-independent
+    # register max), and a near-threshold misestimate merely picks the
+    # other exact path.
     nd = base.agg(
-        *[F.countDistinct(c).alias(c) for c in cols]
+        *[F.approx_count_distinct(c, 0.02).alias(c) for c in cols]
     ).collect()[0]
     small = [c for c in cols if nd[c] <= _LITERAL_RANK_LIMIT]
     big = [c for c in cols if nd[c] > _LITERAL_RANK_LIMIT]
