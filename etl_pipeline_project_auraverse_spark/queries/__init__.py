@@ -135,6 +135,10 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # ignored so the list can't break registration.
 _FRONT = [
     # --- NEW / newly-oracle-backed in r10 ---
+    "q_winnowing_fingerprints",
+    "q_source_similarity_minhash",
+    "q_domain_reweight_step",
+    "q_filter_attribution",
     "q_bpe_token_stats",
     "q_cross_source_ngram_overlap",
     "q_unigram_crossentropy_by_source",

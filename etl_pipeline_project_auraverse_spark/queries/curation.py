@@ -2168,3 +2168,243 @@ def q_decontam_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-style domain reweighting (Xie et al. 2023, one exponentiated-
+# gradient step): start from each source's baseline token share, treat
+# its cross-entropy under the POOLED unigram LM as the excess-loss
+# signal (domains the reference model compresses badly get upweighted),
+# and take w'_s ∝ share_s · exp(η · (ce_s − min_ce)), renormalized.
+# This is the mixture-update primitive of the DoReMi loop; iterating it
+# with a real proxy model is the published algorithm.
+#
+# Scale design: one pooled-LM count (map-side combined), one word-keyed
+# scoring join (AQE spreads stopword skew), then everything else is
+# |sources|-row algebra on 1-row broadcasts. Log-probs ride as exact
+# micro-nat integers; exp/division happen once per SOURCE on rounded
+# inputs, then the weights renormalize via a rounded-decimal sum.
+# ---------------------------------------------------------------------------
+REWEIGHT_ETA = 1.0
+
+
+@register(
+    "q_domain_reweight_step",
+    oracle=rf"""
+    WITH ww AS (
+        SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS w
+        FROM documents
+    ),
+    toks AS (SELECT source, w FROM ww WHERE w <> ''),
+    corpus AS (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w),
+    tot AS (SELECT COUNT(*) AS n FROM toks),
+    lp AS (
+        SELECT w, CAST(FLOOR(ln(cnt * 1.0 / (SELECT n FROM tot)) * 1e6 + 0.5)
+                       AS BIGINT) AS lpm
+        FROM corpus
+    ),
+    ce AS (
+        SELECT source,
+               COUNT(*) AS n_tokens,
+               CAST(ROUND(-SUM(CAST(lpm AS DECIMAL(25,0))) / (1e6 * COUNT(*)), 6)
+                    AS DOUBLE) AS ce_nats
+        FROM toks JOIN lp USING (w)
+        GROUP BY source
+    ),
+    base AS (
+        SELECT source, n_tokens, ce_nats,
+               CAST(ROUND(n_tokens * 1.0 / (SELECT n FROM tot), 6) AS DOUBLE)
+                   AS baseline_share,
+               CAST(ROUND(ce_nats - (SELECT MIN(ce_nats) FROM ce), 6) AS DOUBLE)
+                   AS excess_nats
+        FROM ce
+    ),
+    unnorm AS (
+        SELECT *,
+               CAST(ROUND(baseline_share * exp({REWEIGHT_ETA} * excess_nats), 6)
+                    AS DOUBLE) AS u
+        FROM base
+    )
+    SELECT source, n_tokens, baseline_share, ce_nats, excess_nats,
+           CAST(ROUND(u / (SELECT CAST(SUM(CAST(u AS DECIMAL(25,6))) AS DOUBLE)
+                           FROM unnorm), 6) AS DOUBLE) AS new_weight
+    FROM unnorm
+    ORDER BY source
+    """,
+)
+def q_domain_reweight_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One DoReMi exponentiated-gradient mixture update over sources."""
+    from etl_pipeline_project_auraverse_spark.functions.text import words
+
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    toks = persist_tracked(
+        docs.select("source", F.explode(words(F.col("text"))).alias("w")).filter(
+            F.col("w") != ""
+        )
+    )  # feeds the LM build AND the scoring join
+    n_total = toks.count()  # scalar: also materializes the cache
+    lp = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "w",
+            F.floor(
+                F.log(F.col("cnt") * 1.0 / F.lit(n_total)) * F.lit(1e6) + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("lpm"),
+        )
+    )
+    ce = (
+        toks.join(lp, "w")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("lpm").cast("decimal(25,0)")).alias("s"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            F.round(-F.col("s") / (F.lit(1e6) * F.col("n_tokens")), 6)
+            .cast("double")
+            .alias("ce_nats"),
+        )
+    )
+    ce = persist_tracked(ce)  # |sources| rows: feeds min() AND the step
+    min_ce = ce.agg(F.min("ce_nats").alias("min_ce"))
+    base = ce.crossJoin(F.broadcast(min_ce)).select(
+        "source",
+        "n_tokens",
+        "ce_nats",
+        F.round(F.col("n_tokens") * 1.0 / F.lit(n_total), 6)
+        .cast("double")
+        .alias("baseline_share"),
+        F.round(F.col("ce_nats") - F.col("min_ce"), 6)
+        .cast("double")
+        .alias("excess_nats"),
+    )
+    unnorm = base.withColumn(
+        "u",
+        F.round(
+            F.col("baseline_share") * F.exp(F.lit(REWEIGHT_ETA) * F.col("excess_nats")),
+            6,
+        ).cast("double"),
+    )
+    unnorm = persist_tracked(unnorm)
+    z = unnorm.agg(F.sum(F.col("u").cast(DEC)).cast("double").alias("z"))
+    return (
+        unnorm.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_tokens",
+            "baseline_share",
+            "ce_nats",
+            "excess_nats",
+            F.round(F.col("u") / F.col("z"), 6).cast("double").alias("new_weight"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-filter attribution matrix: for every combination of FAILED
+# quality rules (a 4-bit mask over the Gopher battery above), how many
+# documents land in that cell. The single-bit cells are the marginal
+# "only this filter removes these docs" counts — the readout that tells
+# a curation team which rule is doing unique work vs overlapping
+# another; mask 0 is the surviving corpus. One scan, ≤16-row aggregate.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_filter_attribution",
+    oracle=rf"""
+    WITH scored AS (
+        SELECT lang,
+               len(string_split_regex(trim(text), '\s+')) AS nw,
+               length(regexp_replace(trim(text), '\s+', '', 'g')) AS nchars,
+               length(text) - length(regexp_replace(text, '{PUNCT_RE}', '', 'g'))
+                   AS npunct,
+               len(regexp_extract_all(text, '{STOPWORD_RE}')) AS nstop
+        FROM documents
+    ),
+    flags AS (
+        SELECT CASE WHEN nw BETWEEN {MIN_WORDS} AND {MAX_WORDS}
+                    THEN 0 ELSE 1 END AS fail_len,
+               CASE WHEN nchars * 1.0 / nw BETWEEN {MIN_MWL} AND {MAX_MWL}
+                    THEN 0 ELSE 1 END AS fail_mwl,
+               CASE WHEN npunct * 1.0 / nw <= {MAX_PUNCT_RATIO}
+                    THEN 0 ELSE 1 END AS fail_punct,
+               CASE WHEN lang <> 'en' OR nstop >= {MIN_STOP_HITS}
+                    THEN 0 ELSE 1 END AS fail_stop
+        FROM scored
+    ),
+    cells AS (
+        SELECT fail_len * 8 + fail_mwl * 4 + fail_punct * 2 + fail_stop AS mask,
+               MAX(fail_len) AS fail_len, MAX(fail_mwl) AS fail_mwl,
+               MAX(fail_punct) AS fail_punct, MAX(fail_stop) AS fail_stop,
+               COUNT(*) AS n_docs
+        FROM flags
+        GROUP BY 1
+    )
+    SELECT CAST(mask AS BIGINT) AS mask,
+           CAST(fail_len AS BIGINT) AS fail_len,
+           CAST(fail_mwl AS BIGINT) AS fail_mwl,
+           CAST(fail_punct AS BIGINT) AS fail_punct,
+           CAST(fail_stop AS BIGINT) AS fail_stop,
+           n_docs,
+           CAST(ROUND(n_docs * 1.0 / (SELECT SUM(n_docs) FROM cells), 6) AS DOUBLE)
+               AS share
+    FROM cells
+    ORDER BY mask
+    """,
+)
+def q_filter_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Failed-rule combination census over the Gopher battery."""
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    nw = n_words(text)
+    nchars = F.length(F.regexp_replace(F.trim(text), r"\s+", ""))
+    npunct = F.length(text) - F.length(F.regexp_replace(text, PUNCT_RE, ""))
+    nstop = F.size(F.regexp_extract_all(text, F.lit(STOPWORD_RE)))
+    fail = lambda ok: F.when(ok, 0).otherwise(1)  # noqa: E731
+    flags = docs.select(
+        fail(nw.between(MIN_WORDS, MAX_WORDS)).alias("fail_len"),
+        fail((nchars * 1.0 / nw).between(MIN_MWL, MAX_MWL)).alias("fail_mwl"),
+        fail(npunct * 1.0 / nw <= MAX_PUNCT_RATIO).alias("fail_punct"),
+        fail((F.col("lang") != "en") | (nstop >= MIN_STOP_HITS)).alias("fail_stop"),
+    )
+    cells = (
+        flags.withColumn(
+            "mask",
+            F.col("fail_len") * 8
+            + F.col("fail_mwl") * 4
+            + F.col("fail_punct") * 2
+            + F.col("fail_stop"),
+        )
+        .groupBy("mask")
+        .agg(
+            F.max("fail_len").alias("fail_len"),
+            F.max("fail_mwl").alias("fail_mwl"),
+            F.max("fail_punct").alias("fail_punct"),
+            F.max("fail_stop").alias("fail_stop"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+    cells = persist_tracked(cells)  # ≤16 rows: feeds total AND output
+    total = cells.agg(F.sum("n_docs").alias("total"))
+    return (
+        cells.crossJoin(F.broadcast(total))
+        .select(
+            F.col("mask").cast("long").alias("mask"),
+            F.col("fail_len").cast("long").alias("fail_len"),
+            F.col("fail_mwl").cast("long").alias("fail_mwl"),
+            F.col("fail_punct").cast("long").alias("fail_punct"),
+            F.col("fail_stop").cast("long").alias("fail_stop"),
+            "n_docs",
+            F.round(F.col("n_docs") * 1.0 / F.col("total"), 6)
+            .cast("double")
+            .alias("share"),
+        )
+        .orderBy("mask")
+    )

@@ -1577,3 +1577,147 @@ def q_cross_source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level source-similarity matrix via MinHash signatures: one
+# 8-minhash signature PER SOURCE over its distinct shingle set, then
+# every source pair's estimated Jaccard (fraction of agreeing
+# signature slots) NEXT TO the exact Jaccard, so the estimate's error
+# is itself oracle-attested. This is the "which crawls/scrapes overlap"
+# readout used to spot mirrored sources before per-document dedup.
+#
+# Scale design: the signature build is ONE groupBy(source) over the
+# memoized shingle index — partial-aggregated (MIN is associative), so
+# the shuffled state is |sources| x 8 integers no matter how many
+# shingle rows exist. The exact-intersection join is h-keyed with at
+# most |sources| rows per key (the source-level index is distinct), so
+# its worst fan-out per key is |sources|^2 — independent of corpus row
+# count. The signature cross-pairing is a broadcast over a |sources|-row
+# table. At 100 TB only the exact arm grows; dropping it (keeping the
+# estimate) is the documented degradation path.
+# ---------------------------------------------------------------------------
+
+
+def _sql_source_sig_slots() -> str:
+    return ",\n               ".join(
+        f"MIN(({MH_A[i]} * h + {MH_B[i]}) % {MH_P}) AS mh{i}" for i in range(N_MH)
+    )
+
+
+@register(
+    "q_source_similarity_minhash",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS w
+        FROM documents
+    ),
+    shs AS (
+        SELECT DISTINCT source, ('0x' || substr(md5(s), 1, 7))::BIGINT AS h
+        FROM (
+            SELECT source,
+                   unnest(list_transform(range(1, len(w) - 1),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+            FROM toks WHERE len(w) >= 3
+        )
+    ),
+    sizes AS (SELECT source, COUNT(*) AS n FROM shs GROUP BY source),
+    sig AS (
+        SELECT source,
+               {_sql_source_sig_slots()}
+        FROM shs GROUP BY source
+    ),
+    pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               ({" + ".join(f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in range(N_MH))})
+                   AS n_agree
+        FROM sig a JOIN sig b ON a.source < b.source
+    ),
+    inter AS (
+        SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_common
+        FROM shs a JOIN shs b ON a.h = b.h AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT p.source_a, p.source_b,
+           za.n AS n_a, zb.n AS n_b,
+           CAST(COALESCE(i.n_common, 0) AS BIGINT) AS n_common,
+           CAST(ROUND(COALESCE(i.n_common, 0) * 1.0
+                      / (za.n + zb.n - COALESCE(i.n_common, 0)), 6) AS DOUBLE)
+               AS jaccard,
+           CAST(ROUND(p.n_agree / {N_MH}.0, 6) AS DOUBLE) AS est_jaccard
+    FROM pairs p
+    JOIN sizes za ON za.source = p.source_a
+    JOIN sizes zb ON zb.source = p.source_b
+    LEFT JOIN inter i ON i.source_a = p.source_a AND i.source_b = p.source_b
+    ORDER BY p.source_a, p.source_b
+    """,
+)
+def q_source_similarity_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All source pairs: exact shingle-set Jaccard next to the 8-slot
+    MinHash signature estimate (the sketch a 100 TB corpus would
+    actually compare)."""
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    shs = persist_tracked(  # feeds sizes + signature + self-join (2x)
+        shingle_index(spark, sf_dir)
+        .join(src, "doc_id")
+        .select("source", "h")
+        .distinct()
+    )
+    sizes = shs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    sig = shs.groupBy("source").agg(
+        *[
+            F.min((F.lit(MH_A[i]) * F.col("h") + F.lit(MH_B[i])) % F.lit(MH_P)).alias(
+                f"mh{i}"
+            )
+            for i in range(N_MH)
+        ]
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    n_agree = sum(
+        F.when(F.col(f"a.mh{i}") == F.col(f"b.mh{i}"), 1).otherwise(0)
+        for i in range(N_MH)
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            n_agree.alias("n_agree"),
+        )
+    )
+    inter = (
+        shs.alias("x")
+        .join(
+            shs.alias("y"),
+            (F.col("x.h") == F.col("y.h")) & (F.col("x.source") < F.col("y.source")),
+        )
+        .groupBy(
+            F.col("x.source").alias("source_a"), F.col("y.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    n_common = F.coalesce(F.col("n_common"), F.lit(0))
+    return (
+        pairs.join(
+            F.broadcast(sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))),
+            "source_b",
+        )
+        .join(inter, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            n_common.cast("long").alias("n_common"),
+            F.round(n_common * 1.0 / (F.col("n_a") + F.col("n_b") - n_common), 6)
+            .cast("double")
+            .alias("jaccard"),
+            F.round(F.col("n_agree") / float(N_MH), 6).cast("double").alias("est_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )

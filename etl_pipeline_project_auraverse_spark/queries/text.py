@@ -1608,3 +1608,118 @@ def q_vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003 —
+# the MOSS local-fingerprinting algorithm): hash every word 4-gram,
+# slide a window of W consecutive hashes and keep each window's MINIMUM
+# — the selected set is position-insensitive, its density is ~2/(W+1),
+# and any shared substring of length >= k+W-1 tokens is GUARANTEED to
+# produce at least one shared fingerprint. That guarantee is what makes
+# winnowing the standard plagiarism / overlap detector: unlike MinHash
+# (whole-document similarity) it localizes partial overlap.
+#
+# Scale design: the gram explode is map-side; the only window is
+# PARTITIONED by doc_id (never global); the shared-fingerprint census
+# is one high-cardinality groupBy on the 28-bit fingerprint space.
+# All counts are exact integers — bit-identical across engines.
+# ---------------------------------------------------------------------------
+WINNOW_K = 4  # words per k-gram
+WINNOW_W = 4  # hashes per winnowing window
+
+
+@register(
+    "q_winnowing_fingerprints",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(range(1, len(w) - {WINNOW_K - 2})) - 1 AS pos,
+               unnest(list_transform(range(1, len(w) - {WINNOW_K - 2}),
+                      i -> ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]), 1, 7))::BIGINT)) AS h
+        FROM toks WHERE len(w) >= {WINNOW_K}
+    ),
+    win AS (
+        SELECT doc_id, pos,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW) AS fp
+        FROM grams
+    ),
+    sel AS (SELECT DISTINCT doc_id, fp FROM win WHERE pos >= {WINNOW_W - 1}),
+    shared AS (SELECT fp FROM sel GROUP BY fp HAVING COUNT(*) >= 2),
+    per_doc AS (
+        SELECT s.doc_id,
+               COUNT(*) AS n_selected,
+               COUNT(sh.fp) AS n_shared
+        FROM sel s LEFT JOIN shared sh ON sh.fp = s.fp
+        GROUP BY s.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(CASE WHEN len(w) >= {WINNOW_K} THEN len(w) - {WINNOW_K - 1} ELSE 0 END AS BIGINT) AS n_grams,
+           CAST(COALESCE(p.n_selected, 0) AS BIGINT) AS n_selected,
+           CAST(COALESCE(p.n_shared, 0) AS BIGINT) AS n_shared
+    FROM toks t LEFT JOIN per_doc p ON p.doc_id = t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document winnowed fingerprint census: number of k-gram
+    hashes, number of SELECTED (winnowed) fingerprints, and how many of
+    those are shared with at least one other document."""
+    from pyspark.sql.window import Window as W
+    from etl_pipeline_project_auraverse_spark.functions.text import h28
+
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", words(F.col("text")).alias("toks"))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.get(F.col("toks"), i + k) for k in range(WINNOW_K)]
+    )
+    grams = F.when(
+        F.size("toks") >= WINNOW_K,
+        F.transform(F.sequence(F.lit(0), F.size("toks") - WINNOW_K), gram),
+    ).otherwise(F.array().cast("array<string>"))
+    g = toks.select("doc_id", F.posexplode(grams).alias("pos", "s")).select(
+        "doc_id", "pos", h28(F.col("s")).alias("h")
+    )
+    w_win = W.partitionBy("doc_id").orderBy("pos").rowsBetween(-(WINNOW_W - 1), 0)
+    sel = (
+        g.withColumn("fp", F.min("h").over(w_win))
+        .filter(F.col("pos") >= WINNOW_W - 1)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    sel = persist_tracked(sel)  # feeds the shared census AND the per-doc join
+    shared = (
+        sel.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs_fp"))
+        .filter(F.col("n_docs_fp") >= 2)
+        .select("fp", F.lit(1).alias("is_shared"))
+    )
+    per_doc = (
+        sel.join(shared, "fp", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_selected"),
+            F.sum(F.coalesce(F.col("is_shared"), F.lit(0))).alias("n_shared"),
+        )
+    )
+    base = toks.select(
+        "doc_id",
+        F.when(F.size("toks") >= WINNOW_K, F.size("toks") - (WINNOW_K - 1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_grams"),
+    )
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_selected"), F.lit(0)).cast("long").alias("n_selected"),
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared"),
+        )
+        .orderBy("doc_id")
+    )
