@@ -139,6 +139,9 @@ _FRONT = [
     "q_source_similarity_minhash",
     "q_domain_reweight_step",
     "q_filter_attribution",
+    "q_embedding_outlier_maha",
+    "q_global_shuffle_order",
+    "q_kneser_ney_crossentropy",
     "q_bpe_token_stats",
     "q_cross_source_ngram_overlap",
     "q_unigram_crossentropy_by_source",

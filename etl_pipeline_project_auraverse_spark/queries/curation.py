@@ -2408,3 +2408,188 @@ def q_filter_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mask")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global training order WITHOUT a global sort: the
+# standard "shuffle 100 TB for epoch N" primitive. Every document gets
+# a portable hash key; its global position is (bucket prefix offset) +
+# (rank within bucket) under the lexicographic (bucket, key, doc_id)
+# order. The within-bucket ranks are PARTITIONED windows and the
+# offsets come from a |buckets|-row prefix sum — so no task ever sees
+# more than one bucket's rows, while the assembled index is a true
+# permutation of the corpus, reproducible across engines, runs, and
+# cluster sizes (rand() is none of those). Epoch slices are then plain
+# range predicates on order_idx.
+# ---------------------------------------------------------------------------
+SHUFFLE_BUCKETS = 64
+SHUFFLE_SLICE = 100  # rows in the attested slice (the "first batch")
+
+
+@register(
+    "q_global_shuffle_order",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id,
+               ('0x' || substr(md5('shuffle|' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+                   AS k
+        FROM documents
+    ),
+    ordered AS (
+        SELECT doc_id,
+               k % {SHUFFLE_BUCKETS} AS bucket,
+               ROW_NUMBER() OVER (ORDER BY k % {SHUFFLE_BUCKETS}, k, doc_id) - 1
+                   AS order_idx
+        FROM keyed
+    )
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+           CAST(order_idx AS BIGINT) AS order_idx
+    FROM ordered
+    WHERE order_idx < {SHUFFLE_SLICE}
+    ORDER BY order_idx
+    """,
+)
+def q_global_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First ``SHUFFLE_SLICE`` documents of the deterministic epoch
+    shuffle. The oracle states the same permutation as ONE global
+    ROW_NUMBER; the Spark plan assembles it from partitioned ranks +
+    a ``SHUFFLE_BUCKETS``-row prefix sum (the scale path)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    keyed = docs.select(
+        "doc_id",
+        h28(F.concat(F.lit("shuffle|"), F.col("doc_id").cast("string"))).alias("k"),
+    ).withColumn("bucket", F.col("k") % SHUFFLE_BUCKETS)
+    keyed = persist_tracked(keyed)  # feeds bucket counts AND the rank pass
+    w_local = W.partitionBy("bucket").orderBy("k", "doc_id")
+    ranked = keyed.withColumn("within", F.row_number().over(w_local))
+    counts = keyed.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    offs = counts.select(
+        "bucket", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off")
+    )
+    return (
+        ranked.join(F.broadcast(offs), "bucket")
+        .select(
+            "doc_id",
+            F.col("bucket").cast("long").alias("bucket"),
+            (F.col("off") + F.col("within") - 1).cast("long").alias("order_idx"),
+        )
+        .filter(F.col("order_idx") < SHUFFLE_SLICE)
+        .orderBy("order_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram cross-entropy per source — the
+# production LM smoothing (absolute discount D with continuation-
+# probability backoff) next to the Laplace filter above. KN fixes
+# Laplace's known failure on skewed corpora: a word that appears often
+# but only in ONE context ("Francisco") gets a LOW continuation
+# probability, so formulaic/boilerplate sources stand out. Formula:
+#   P(w2|w1) = max(c(w1,w2) − D, 0)/c(w1) + D·N1+(w1,·)/c(w1) · Pcont(w2)
+#   Pcont(w2) = N1+(·,w2) / |distinct bigram types|
+#
+# Scale design: identical to the Laplace twin — count tables build in
+# one pass each (the continuation counts are two-phase countDistinct
+# aggregates), scoring is equi-joins on the context/next-word keys
+# (AQE spreads stop-bigram skew), per-term rounding + decimal sums
+# keep the float accumulation partition-order-proof.
+# ---------------------------------------------------------------------------
+KN_DISCOUNT = 0.75
+
+
+@register(
+    "q_kneser_ney_crossentropy",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT source, string_split_regex(trim(text), '\s+') AS w FROM documents
+    ),
+    bg AS (
+        SELECT source,
+               unnest(list_transform(range(1, len(w)), i -> w[i])) AS ctx,
+               unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS nxt
+        FROM toks WHERE len(w) >= 2
+    ),
+    c2 AS (SELECT ctx, nxt, COUNT(*) AS c2 FROM bg GROUP BY ctx, nxt),
+    s1 AS (SELECT ctx, COUNT(*) AS c1, COUNT(DISTINCT nxt) AS n1f
+           FROM bg GROUP BY ctx),
+    s2 AS (SELECT nxt, COUNT(DISTINCT ctx) AS n1b FROM bg GROUP BY nxt),
+    tt AS (SELECT COUNT(*) AS t FROM c2),
+    terms AS (
+        SELECT bg.source,
+               ROUND(log2((GREATEST(c2.c2 - {KN_DISCOUNT}, 0.0)
+                           + {KN_DISCOUNT} * s1.n1f * s2.n1b / tt.t)
+                          / s1.c1), 6) AS term
+        FROM bg
+        JOIN c2 ON c2.ctx = bg.ctx AND c2.nxt = bg.nxt
+        JOIN s1 ON s1.ctx = bg.ctx
+        JOIN s2 ON s2.nxt = bg.nxt
+        CROSS JOIN tt
+    )
+    SELECT source,
+           COUNT(*) AS n_bigrams,
+           CAST(ROUND(-CAST(SUM(CAST(term AS DECIMAL(25,6))) AS DOUBLE)
+                      / COUNT(*), 6) AS DOUBLE) AS cross_entropy_bits,
+           CAST(ROUND(pow(2.0, ROUND(-CAST(SUM(CAST(term AS DECIMAL(25,6)))
+                                           AS DOUBLE) / COUNT(*), 6)), 4)
+                AS DOUBLE) AS perplexity
+    FROM terms GROUP BY source ORDER BY source
+    """,
+)
+def q_kneser_ney_crossentropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source cross-entropy under an interpolated Kneser-Ney
+    bigram model counted from the corpus itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = parallelize(docs).select(
+        "source", F.split(F.trim(F.col("text")), r"\s+").alias("w")
+    )
+    grams = F.when(
+        F.size("w") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("w") - 2),
+            lambda i: F.struct(
+                F.get(F.col("w"), i).alias("ctx"),
+                F.get(F.col("w"), i + 1).alias("nxt"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<ctx:string,nxt:string>>"))
+    bg = persist_tracked(  # feeds three count tables AND the scoring joins
+        toks.select("source", F.explode(grams).alias("g")).select(
+            "source", F.col("g.ctx").alias("ctx"), F.col("g.nxt").alias("nxt")
+        )
+    )
+    c2 = bg.groupBy("ctx", "nxt").agg(F.count(F.lit(1)).alias("c2"))
+    s1 = bg.groupBy("ctx").agg(
+        F.count(F.lit(1)).alias("c1"), F.countDistinct("nxt").alias("n1f")
+    )
+    s2 = bg.groupBy("nxt").agg(F.countDistinct("ctx").alias("n1b"))
+    tt = c2.agg(F.count(F.lit(1)).alias("t"))
+    term = F.round(
+        F.log2(
+            (
+                F.greatest(F.col("c2") - KN_DISCOUNT, F.lit(0.0))
+                + F.lit(KN_DISCOUNT) * F.col("n1f") * F.col("n1b") / F.col("t")
+            )
+            / F.col("c1")
+        ),
+        6,
+    )
+    scored = (
+        bg.join(c2, ["ctx", "nxt"])
+        .join(s1, "ctx")
+        .join(s2, "nxt")
+        .crossJoin(F.broadcast(tt))
+        .select("source", term.alias("term"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.col("term").cast("decimal(25,6)")).cast("double").alias("s"),
+        )
+    )
+    h = F.round(-F.col("s") / F.col("n_bigrams"), 6)
+    return scored.select(
+        "source",
+        "n_bigrams",
+        h.cast("double").alias("cross_entropy_bits"),
+        F.round(F.pow(F.lit(2.0), h), 4).cast("double").alias("perplexity"),
+    ).orderBy("source")

@@ -32,6 +32,7 @@ from etl_pipeline_project_auraverse_spark.queries._util import (
     dec_avg,
     persist_tracked,
     sql_dec_avg,
+    two_level_rank,
 )
 from etl_pipeline_project_auraverse_spark.session import load_table
 
@@ -1618,4 +1619,111 @@ def q_knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("consistency"),
         )
         .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding outlier audit via diagonal-covariance Mahalanobis distance:
+# per-label per-dimension mean/variance from exact decimal sums, then
+# each vector's z² = Σ_d (x_d − μ_d)² / (σ²_d + ε) against its OWN
+# label's statistics — the cheap "does this embedding belong to its
+# cluster" screen that catches mislabeled/corrupted vectors before
+# they poison retrieval training. Top outliers reported.
+#
+# Scale design: the stats table is |labels| × dims rows (tiny) built by
+# one partial-aggregated groupBy over the posexploded values; scoring
+# is a BROADCAST join of that table back onto the same explode (no
+# second shuffle beyond the per-vector sum); the top-k is the standard
+# two-level shard rank — no task ever sorts the full corpus.
+# ---------------------------------------------------------------------------
+MAHA_TOP = 20
+MAHA_EPS = 1e-6
+
+
+@register(
+    "q_embedding_outlier_maha",
+    oracle=f"""
+    WITH vals AS (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) - 1 AS d,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    stats AS (
+        SELECT label, d,
+               CAST(ROUND(CAST(SUM(CAST(v AS DECIMAL(25,6))) AS DOUBLE)
+                          / COUNT(*), 9) AS DOUBLE) AS mu,
+               CAST(ROUND(CAST(SUM(CAST(v * v AS DECIMAL(25,6))) AS DOUBLE)
+                          / COUNT(*), 9) AS DOUBLE) AS m2
+        FROM vals GROUP BY label, d
+    ),
+    var_ AS (
+        SELECT label, d, mu,
+               GREATEST(CAST(ROUND(m2 - mu * mu, 9) AS DOUBLE), 0.0) AS vr
+        FROM stats
+    ),
+    scored AS (
+        SELECT v.vec_id, v.label,
+               CAST(ROUND(SUM(CAST(ROUND((v.v - s.mu) * (v.v - s.mu)
+                                          / (s.vr + {MAHA_EPS}), 6)
+                                   AS DECIMAL(25,6))), 6) AS DOUBLE) AS maha_sq
+        FROM vals v JOIN var_ s ON s.label = v.label AND s.d = v.d
+        GROUP BY v.vec_id, v.label
+    )
+    SELECT vec_id, label, maha_sq, rk
+    FROM (
+        SELECT vec_id, label, maha_sq,
+               CAST(ROW_NUMBER() OVER (ORDER BY maha_sq DESC, vec_id) AS BIGINT) AS rk
+        FROM scored
+    )
+    WHERE rk <= {MAHA_TOP}
+    ORDER BY rk
+    """,
+)
+def q_embedding_outlier_maha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``MAHA_TOP`` embedding outliers by diagonal Mahalanobis z²
+    against their own label's per-dimension statistics."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("d", "vf")
+    ).select("vec_id", "label", "d", F.col("vf").cast("double").alias("v"))
+    vals = persist_tracked(vals)  # feeds the stats build AND the scoring join
+    stats = vals.groupBy("label", "d").agg(
+        F.round(F.sum(F.col("v").cast("decimal(25,6)")).cast("double") / F.count(F.lit(1)), 9)
+        .cast("double")
+        .alias("mu"),
+        F.round(
+            F.sum((F.col("v") * F.col("v")).cast("decimal(25,6)")).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        )
+        .cast("double")
+        .alias("m2"),
+    )
+    var_ = stats.select(
+        "label",
+        "d",
+        "mu",
+        F.greatest(F.round(F.col("m2") - F.col("mu") * F.col("mu"), 9), F.lit(0.0))
+        .cast("double")
+        .alias("vr"),
+    )
+    term = F.round(
+        (F.col("v") - F.col("mu")) * (F.col("v") - F.col("mu"))
+        / (F.col("vr") + F.lit(MAHA_EPS)),
+        6,
+    )
+    scored = (
+        vals.join(F.broadcast(var_), ["label", "d"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.round(F.sum(term.cast("decimal(25,6)")), 6)
+            .cast("double")
+            .alias("maha_sq")
+        )
+    )
+    return (
+        two_level_rank(scored, "maha_sq", "vec_id", MAHA_TOP, "rk")
+        .select("vec_id", "label", "maha_sq", "rk")
+        .orderBy("rk")
     )

@@ -334,6 +334,11 @@ BOUNDED_GLOBAL_WINDOW_OK = {
     # global rank over the two-level-rank survivors (<= K * SHARDS
     # heaviest join keys)
     "q_join_skew_audit_custkey": 1,
+    # global rank over the two-level-rank survivors (<= MAHA_TOP *
+    # SHARDS outlier candidates)
+    "q_embedding_outlier_maha": 1,
+    # prefix sum over the <= SHUFFLE_BUCKETS-row bucket-count table
+    "q_global_shuffle_order": 1,
 }
 
 # Iterative builders whose CONSTRUCTION runs full multi-job loops
