@@ -142,6 +142,8 @@ _FRONT = [
     "q_embedding_outlier_maha",
     "q_global_shuffle_order",
     "q_kneser_ney_crossentropy",
+    "q_hard_negative_mining",
+    "q_padding_waste_by_context",
     "q_bpe_token_stats",
     "q_cross_source_ngram_overlap",
     "q_unigram_crossentropy_by_source",

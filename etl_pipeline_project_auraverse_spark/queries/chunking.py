@@ -129,3 +129,71 @@ def q_chunk_dedup_crossdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_docs") > 1)
         .orderBy("chunk_hash")
     )
+
+
+# ---------------------------------------------------------------------------
+# Padding-waste audit per context length: if every document is split
+# into ceil(tokens/C) fixed-length training sequences of C tokens, how
+# much of the resulting token grid is padding? The readout that decides
+# whether a corpus needs sequence PACKING (q_sequence_packing) before
+# training, per candidate context size. Pure map-side arithmetic per
+# document fanned out over the |contexts|-element literal array, then
+# one aggregate — no shuffle beyond the 3-row groupBy.
+# ---------------------------------------------------------------------------
+PAD_CONTEXTS = [128, 256, 512]
+
+
+@register(
+    "q_padding_waste_by_context",
+    oracle=f"""
+    WITH per_doc AS (
+        SELECT c.context,
+               CAST(CEIL(length(text) / 4.0) AS BIGINT) AS toks
+        FROM documents
+        CROSS JOIN (SELECT unnest([{", ".join(str(c) for c in PAD_CONTEXTS)}]) AS context) c
+    ),
+    cells AS (
+        SELECT context,
+               COUNT(*) AS n_docs,
+               CAST(SUM(toks) AS BIGINT) AS total_tokens,
+               CAST(SUM(CAST(CEIL(toks * 1.0 / context) AS BIGINT) * context)
+                    AS BIGINT) AS grid_tokens
+        FROM per_doc GROUP BY context
+    )
+    SELECT CAST(context AS BIGINT) AS context, n_docs, total_tokens, grid_tokens,
+           CAST(grid_tokens - total_tokens AS BIGINT) AS padding_tokens,
+           CAST(ROUND((grid_tokens - total_tokens) * 1.0 / grid_tokens, 6) AS DOUBLE)
+               AS waste_frac
+    FROM cells
+    ORDER BY context
+    """,
+)
+def q_padding_waste_by_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-grid padding waste at each candidate context length."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.ceil(F.length("text") / 4.0).cast("long")
+    per_doc = docs.select(
+        toks.alias("toks"),
+        F.explode(F.array(*[F.lit(c) for c in PAD_CONTEXTS])).alias("context"),
+    )
+    grid = F.ceil(F.col("toks") * 1.0 / F.col("context")).cast("long") * F.col(
+        "context"
+    )
+    cells = per_doc.groupBy("context").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks").alias("total_tokens"),
+        F.sum(grid).alias("grid_tokens"),
+    )
+    return cells.select(
+        F.col("context").cast("long").alias("context"),
+        "n_docs",
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        F.col("grid_tokens").cast("long").alias("grid_tokens"),
+        (F.col("grid_tokens") - F.col("total_tokens")).cast("long").alias("padding_tokens"),
+        F.round(
+            (F.col("grid_tokens") - F.col("total_tokens")) * 1.0 / F.col("grid_tokens"),
+            6,
+        )
+        .cast("double")
+        .alias("waste_frac"),
+    ).orderBy("context")

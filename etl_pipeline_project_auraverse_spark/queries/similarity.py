@@ -1727,3 +1727,100 @@ def q_embedding_outlier_maha(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", "maha_sq", "rk")
         .orderBy("rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining for embedding/retrieval training: for each query
+# vector, the most similar SAME-label vector (the positive you'd train
+# toward) and the most similar DIFFERENT-label vector (the hard
+# negative — the confusable neighbor contrastive losses need), plus the
+# margin between them. Queries with small or negative margins are the
+# boundary cases worth mining into training pairs.
+#
+# Scale design: the bounded query set broadcasts against the corpus
+# (same shape as the brute-force kNN arm — at 100 TB the candidate side
+# would be the IVF/LSH-pruned pool instead, same downstream plan); both
+# per-arm ranks are windows PARTITIONED by (query, arm).
+# ---------------------------------------------------------------------------
+HN_QUERIES = 10
+
+
+@register(
+    "q_hard_negative_mining",
+    oracle=f"""
+    WITH qset AS (
+        SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < {HN_QUERIES}
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, q.label AS label, c.vec_id AS cand_id,
+               CASE WHEN c.label = q.label THEN 1 ELSE 0 END AS is_pos,
+               {sql_cosine("q.embedding", "c.embedding")} AS sim
+        FROM qset q JOIN embeddings c ON c.vec_id <> q.vec_id
+    ),
+    best AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id, is_pos
+                                     ORDER BY sim DESC, cand_id) AS rn
+        FROM scored
+    )
+    SELECT p.query_id, p.label,
+           p.cand_id AS pos_id, p.sim AS pos_sim,
+           n.cand_id AS neg_id, n.sim AS neg_sim,
+           CAST(ROUND(p.sim - n.sim, 6) AS DOUBLE) AS margin
+    FROM best p
+    JOIN best n ON n.query_id = p.query_id AND n.rn = 1 AND n.is_pos = 0
+    WHERE p.rn = 1 AND p.is_pos = 1
+    ORDER BY p.query_id
+    """,
+)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best positive + hardest negative (by cosine) per query vector,
+    with the contrastive margin between them."""
+    from pyspark.sql.window import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qset = emb.filter(F.col("vec_id") < HN_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(qset))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("q_label").alias("label"),
+            F.col("vec_id").alias("cand_id"),
+            F.when(F.col("label") == F.col("q_label"), 1).otherwise(0).alias("is_pos"),
+            cosine(F.col("q_emb"), F.col("embedding")).alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id", "is_pos").orderBy(F.col("sim").desc(), "cand_id")
+    best = persist_tracked(
+        scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    )
+    pos = best.filter(F.col("is_pos") == 1).select(
+        "query_id",
+        "label",
+        F.col("cand_id").alias("pos_id"),
+        F.col("sim").alias("pos_sim"),
+    )
+    neg = best.filter(F.col("is_pos") == 0).select(
+        "query_id",
+        F.col("cand_id").alias("neg_id"),
+        F.col("sim").alias("neg_sim"),
+    )
+    return (
+        pos.join(neg, "query_id")
+        .select(
+            "query_id",
+            "label",
+            "pos_id",
+            "pos_sim",
+            "neg_id",
+            "neg_sim",
+            F.round(F.col("pos_sim") - F.col("neg_sim"), 6)
+            .cast("double")
+            .alias("margin"),
+        )
+        .orderBy("query_id")
+    )
