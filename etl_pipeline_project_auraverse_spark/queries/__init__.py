@@ -144,6 +144,7 @@ _FRONT = [
     "q_kneser_ney_crossentropy",
     "q_hard_negative_mining",
     "q_padding_waste_by_context",
+    "q_cdc_chunking_stats",
     "q_bpe_token_stats",
     "q_cross_source_ngram_overlap",
     "q_unigram_crossentropy_by_source",

@@ -197,3 +197,117 @@ def q_padding_waste_by_context(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("waste_frac"),
     ).orderBy("context")
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (Rabin/gear-hash style, the restic/borg/
+# LBFS storage-dedup primitive): a chunk boundary falls AFTER any word
+# whose portable hash ≡ 0 (mod CDC_MOD), so boundaries depend only on
+# LOCAL content — inserting a paragraph shifts fixed-size chunk grids
+# everywhere, but CDC chunks downstream of the edit keep their
+# identity, which is why dedup ratios survive document revisions.
+# Expected chunk length = CDC_MOD words. The query reports, per
+# source, the chunk census and the cross-document duplicate-chunk
+# fraction — the storage/transfer savings CDC would deliver.
+#
+# Scale design: boundary flags are map-side; the running boundary
+# count is a window PARTITIONED by doc_id; chunk assembly is one
+# groupBy (doc, chunk) whose per-group state is bounded by chunk
+# length; the dedup census is a per-source aggregate with a two-phase
+# distinct on the chunk fingerprint.
+# ---------------------------------------------------------------------------
+CDC_MOD = 16
+
+
+@register(
+    "q_cdc_chunking_stats",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS w
+        FROM documents
+    ),
+    pw AS (
+        SELECT doc_id, source,
+               unnest(range(1, len(w) + 1)) - 1 AS pos,
+               unnest(w) AS word
+        FROM toks
+    ),
+    flagged AS (
+        SELECT *,
+               CASE WHEN ('0x' || substr(md5(word), 1, 7))::BIGINT % {CDC_MOD} = 0
+                    THEN 1 ELSE 0 END AS b
+        FROM pw
+    ),
+    chunks AS (
+        SELECT doc_id, source, pos, word,
+               COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS chunk_id
+        FROM flagged
+    ),
+    chunk_tbl AS (
+        SELECT doc_id, source, chunk_id,
+               COUNT(*) AS n_words,
+               md5(string_agg(word, ' ' ORDER BY pos)) AS ch
+        FROM chunks GROUP BY doc_id, source, chunk_id
+    )
+    SELECT source,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           CAST(ROUND(SUM(n_words) * 1.0 / COUNT(*), 6) AS DOUBLE)
+               AS avg_chunk_words,
+           COUNT(DISTINCT ch) AS n_distinct_chunks,
+           CAST(ROUND((COUNT(*) - COUNT(DISTINCT ch)) * 1.0 / COUNT(*), 6)
+                AS DOUBLE) AS dup_frac
+    FROM chunk_tbl GROUP BY source ORDER BY source
+    """,
+)
+def q_cdc_chunking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source content-defined-chunk census and duplicate-chunk
+    fraction."""
+    from pyspark.sql.window import Window as W
+
+    from etl_pipeline_project_auraverse_spark.functions.text import h28, words
+
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", "source", words(F.col("text")).alias("w"))
+    pw = toks.select("doc_id", "source", F.posexplode("w").alias("pos", "word"))
+    flagged = pw.withColumn(
+        "b", F.when(h28(F.col("word")) % CDC_MOD == 0, 1).otherwise(0)
+    )
+    w_run = W.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    chunks = flagged.withColumn(
+        "chunk_id", F.coalesce(F.sum("b").over(w_run), F.lit(0))
+    )
+    chunk_tbl = chunks.groupBy("doc_id", "source", "chunk_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda x: x["word"],
+                ),
+            )
+        ).alias("ch"),
+    )
+    return (
+        chunk_tbl.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_words").cast("long").alias("total_words"),
+            F.round(F.sum("n_words") * 1.0 / F.count(F.lit(1)), 6)
+            .cast("double")
+            .alias("avg_chunk_words"),
+            F.countDistinct("ch").alias("n_distinct_chunks"),
+            F.round(
+                (F.count(F.lit(1)) - F.countDistinct("ch")) * 1.0 / F.count(F.lit(1)),
+                6,
+            )
+            .cast("double")
+            .alias("dup_frac"),
+        )
+        .orderBy("source")
+    )
