@@ -1,0 +1,218 @@
+"""Property tests for the second-half round-10 LLM-pipeline operators.
+
+Each test pins the DEFINING property of its algorithm on constructed
+inputs — the guarantees the oracle-parity rows can't express:
+
+- winnowing: any shared token run of >= k+w-1 words yields at least one
+  shared fingerprint (the Schleimer et al. detection guarantee);
+- content-defined chunking: chunks away from an edit keep their
+  identity (the dedup-under-revision property fixed grids lack);
+- global shuffle order: the assembled index is a bijection onto
+  [0, n) (a true permutation, not just unique values);
+- Kneser-Ney: the smoothed conditional distribution sums to 1 for
+  every context (probability-mass conservation).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pipeline_project_auraverse_spark.queries import QUERIES, load_all
+
+load_all()
+
+
+def _docs_df(spark, rows):
+    """documents-shaped frame from (doc_id, text, lang, source)."""
+    return spark.createDataFrame(
+        [(i, t, lang, src, len(t)) for (i, t, lang, src) in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def _run_on(spark, tmp_path, name, rows):
+    """Run a registered documents query against a constructed corpus."""
+    sf = str(tmp_path)
+    _docs_df(spark, rows).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    return QUERIES[name](spark, sf)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing guarantee: k=4, w=4 — any shared run of k+w-1 = 7 words
+# must produce a shared fingerprint; short overlaps may legitimately
+# produce none.
+# ---------------------------------------------------------------------------
+def test_winnowing_detects_long_shared_run(spark, tmp_path):
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 words
+    rows = [
+        (0, f"intro words here {shared} closing trailer text", "en", "s0"),
+        (1, f"{shared} completely different continuation tokens now", "en", "s1"),
+        (2, "unrelated content with no overlap at all whatsoever", "en", "s2"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in _run_on(spark, tmp_path, "q_winnowing_fingerprints", rows).collect()
+    }
+    assert out[0]["n_shared"] >= 1
+    assert out[1]["n_shared"] >= 1
+    assert out[2]["n_shared"] == 0
+    # density: selected fingerprints are a strict subset of the grams
+    for r in out.values():
+        assert 0 < r["n_selected"] <= r["n_grams"]
+
+
+def test_winnowing_position_insensitive(spark, tmp_path):
+    """The same long run is detected wherever it sits in the document."""
+    shared = "one two three four five six seven"
+    rows = [
+        (0, f"{shared} padding padding padding padding", "en", "s0"),
+        (1, f"padding padding padding padding {shared}", "en", "s1"),
+    ]
+    out = _run_on(spark, tmp_path, "q_winnowing_fingerprints", rows).collect()
+    assert all(r["n_shared"] >= 1 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# CDC: inserting words near the START of a document must not disturb
+# chunk identity in the tail — the duplicate-chunk census still finds
+# the shared tail chunks. A fixed-size grid would shift every chunk.
+# ---------------------------------------------------------------------------
+def test_cdc_chunks_survive_prefix_edit(spark, tmp_path):
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(50)]
+    tail = " ".join(rng.choice(vocab) for _ in range(120))
+    rows = [
+        (0, f"original opening {tail}", "en", "same"),
+        (1, f"edited and much longer opening inserted here {tail}", "en", "same"),
+    ]
+    out = _run_on(spark, tmp_path, "q_cdc_chunking_stats", rows).collect()
+    assert len(out) == 1
+    r = out[0]
+    # the two docs share their tail chunks: a meaningful fraction of
+    # all chunks must be duplicates despite the prefix edit
+    assert r["dup_frac"] > 0.3, r
+    assert r["n_distinct_chunks"] < r["n_chunks"]
+
+
+# ---------------------------------------------------------------------------
+# Global shuffle order: a true permutation of the corpus.
+# ---------------------------------------------------------------------------
+def test_global_shuffle_is_permutation(spark, sf_dir):
+    from etl_pipeline_project_auraverse_spark.queries.curation import (
+        SHUFFLE_BUCKETS,
+        SHUFFLE_SLICE,
+    )
+    from etl_pipeline_project_auraverse_spark.session import load_table
+
+    out = QUERIES["q_global_shuffle_order"](spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    want = min(SHUFFLE_SLICE, n_docs)
+    assert len(out) == want
+    # the slice is exactly [0, want) with unique doc_ids — a prefix of
+    # a permutation, not merely unique order values
+    assert sorted(r["order_idx"] for r in out) == list(range(want))
+    assert len({r["doc_id"] for r in out}) == want
+    assert all(0 <= r["bucket"] < SHUFFLE_BUCKETS for r in out)
+
+
+def test_global_shuffle_deterministic(spark, sf_dir):
+    a = [tuple(r) for r in QUERIES["q_global_shuffle_order"](spark, sf_dir).collect()]
+    b = [tuple(r) for r in QUERIES["q_global_shuffle_order"](spark, sf_dir).collect()]
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney: P(.|ctx) sums to 1 for every observed context (the
+# discount mass is exactly redistributed through the continuation
+# distribution). Checked by reconstructing the model the query builds.
+# ---------------------------------------------------------------------------
+def test_kneser_ney_mass_conservation(spark, tmp_path):
+    from collections import Counter, defaultdict
+
+    from etl_pipeline_project_auraverse_spark.queries.curation import KN_DISCOUNT
+
+    texts = [
+        "a b a c a b d",
+        "b a b c d a a",
+        "c a b a b a c",
+    ]
+    # reference model, computed independently of the query code
+    bigrams = []
+    for t in texts:
+        w = t.split()
+        bigrams += list(zip(w, w[1:]))
+    c2 = Counter(bigrams)
+    c1 = Counter(w1 for (w1, _) in bigrams)
+    n1f = defaultdict(set)
+    n1b = defaultdict(set)
+    for w1, w2 in c2:
+        n1f[w1].add(w2)
+        n1b[w2].add(w1)
+    t_types = len(c2)
+    vocab_next = {w2 for (_, w2) in bigrams}
+    for ctx in c1:
+        total = sum(
+            (
+                max(c2.get((ctx, w2), 0) - KN_DISCOUNT, 0.0)
+                + KN_DISCOUNT * len(n1f[ctx]) * len(n1b[w2]) / t_types
+            )
+            / c1[ctx]
+            for w2 in vocab_next
+        )
+        assert total == pytest.approx(1.0, abs=1e-9), ctx
+    # and the registered query agrees with this reference model's
+    # corpus-level cross-entropy on the same texts
+    import math
+
+    rows = [(i, t, "en", "s") for i, t in enumerate(texts)]
+    out = {
+        r["source"]: r
+        for r in _run_on(spark, tmp_path, "q_kneser_ney_crossentropy", rows).collect()
+    }
+    terms = []
+    for w1, w2 in bigrams:
+        p = (
+            max(c2[(w1, w2)] - KN_DISCOUNT, 0.0)
+            + KN_DISCOUNT * len(n1f[w1]) * len(n1b[w2]) / t_types
+        ) / c1[w1]
+        terms.append(round(math.log2(p), 6))
+    h_ref = -sum(terms) / len(terms)
+    assert out["s"]["n_bigrams"] == len(bigrams)
+    assert out["s"]["cross_entropy_bits"] == pytest.approx(h_ref, abs=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining: arms are label-correct and the margin matches.
+# ---------------------------------------------------------------------------
+def test_hard_negative_arms_and_margin(spark, sf_dir):
+    from etl_pipeline_project_auraverse_spark.session import load_table
+
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    for r in QUERIES["q_hard_negative_mining"](spark, sf_dir).collect():
+        assert labels[r["pos_id"]] == r["label"]
+        assert labels[r["neg_id"]] != r["label"]
+        assert r["pos_id"] != r["query_id"]
+        assert r["margin"] == pytest.approx(
+            round(r["pos_sim"] - r["neg_sim"], 6), abs=1e-9
+        )
+
+
+# ---------------------------------------------------------------------------
+# Padding waste: grid >= tokens always; waste shrinks (weakly) as the
+# context gets shorter only when documents are long — pin the exact
+# invariants instead: per-context grid consistency.
+# ---------------------------------------------------------------------------
+def test_padding_waste_invariants(spark, sf_dir):
+    out = QUERIES["q_padding_waste_by_context"](spark, sf_dir).collect()
+    assert [r["context"] for r in out] == sorted(r["context"] for r in out)
+    for r in out:
+        assert r["grid_tokens"] >= r["total_tokens"]
+        assert r["padding_tokens"] == r["grid_tokens"] - r["total_tokens"]
+        assert r["grid_tokens"] % r["context"] == 0
+        assert 0.0 <= r["waste_frac"] < 1.0
