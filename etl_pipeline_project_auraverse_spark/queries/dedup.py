@@ -112,6 +112,99 @@ def shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return memo_table(_SHINGLE_MEMO, spark, sf_dir, build, snap)
 
 
+# The DF-capped representation and the exact pair-statistics table
+# built from it are ALSO shared maintained tables: n-gram Jaccard, the
+# cluster closure (via the Jaccard edge list), MinHash recall, and the
+# band-geometry sweep all consume the same capped (doc_id, h) index
+# and the same (doc_a, doc_b, n_common, n_a, n_b) pair stats. In a
+# production engine the candidate-pair table is incrementally
+# maintained at ingest (q_dedup_incremental_minhash is that shape);
+# rebuilding it inside every consumer is the anti-pattern the memo
+# removes. Pair stats hold INTEGER sufficient statistics only —
+# Jaccard ratios are recomputed by each consumer, so the snapshot
+# never stores engine-dependent floats.
+_CAPPED_MEMO: dict = {}
+_PAIR_MEMO: dict = {}
+
+
+def capped_shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized DF-capped distinct (doc_id, h): shingles with document
+    frequency > ``DF_CAP`` removed from the representation."""
+    from etl_pipeline_project_auraverse_spark.cache import (
+        memo_snapshot_path,
+        memo_table,
+    )
+
+    def build() -> DataFrame:
+        raw = shingle_index(spark, sf_dir)
+        hot = (
+            raw.groupBy("h")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > DF_CAP)
+        )
+        return raw.join(F.broadcast(hot.select("h")), "h", "left_anti").repartition(
+            spark.sparkContext.defaultParallelism, "h"
+        )
+
+    snap = memo_snapshot_path(spark, "shingle_capped", f"{sf_dir}|3gram|cap{DF_CAP}")
+    return memo_table(_CAPPED_MEMO, spark, sf_dir, build, snap)
+
+
+PAIR_MEMO_MIN_J = 0.5  # every consumer thresholds at >= this
+
+
+def capped_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized NEAR-DUP pair statistics over the capped index:
+    (doc_a, doc_b, n_common, n_a, n_b) for pairs with exact Jaccard
+    >= ``PAIR_MEMO_MIN_J`` — the bounded DF_CAP² self-join run ONCE
+    per corpus instead of once per consumer.
+
+    The raw any-shared-shingle pair table is ~200x larger (1.13M rows
+    vs 256 at sf0.1) and NO consumer reads below J=0.5, so the
+    threshold belongs inside the maintained table: the snapshot stays
+    compact at any corpus size while the expensive self-join+aggregate
+    still runs exactly once. Integer columns only — each consumer
+    recomputes its own Jaccard, so no engine-dependent floats are
+    stored."""
+    from etl_pipeline_project_auraverse_spark.cache import (
+        memo_snapshot_path,
+        memo_table,
+    )
+
+    def build() -> DataFrame:
+        shc = capped_shingle_index(spark, sf_dir)
+        sizes = shc.groupBy("doc_id").agg(F.count("*").alias("n"))
+        pairs = (
+            shc.alias("a")
+            .join(
+                shc.alias("b"),
+                (F.col("a.h") == F.col("b.h"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count("*").alias("n_common"))
+        )
+        jac = F.col("n_common") * 1.0 / (
+            F.col("n_a") + F.col("n_b") - F.col("n_common")
+        )
+        return (
+            pairs.join(
+                sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")),
+                "doc_a",
+            )
+            .join(
+                sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")),
+                "doc_b",
+            )
+            .filter(jac >= PAIR_MEMO_MIN_J)
+        )
+
+    snap = memo_snapshot_path(
+        spark, "pair_stats", f"{sf_dir}|3gram|cap{DF_CAP}|j{PAIR_MEMO_MIN_J}"
+    )
+    return memo_table(_PAIR_MEMO, spark, sf_dir, build, snap)
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup: canonical-text fingerprint accounting per language.
 # ---------------------------------------------------------------------------
@@ -179,27 +272,12 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     of corpus^2. The hot-shingle set is tiny by construction, so the
     filter is a broadcast anti-join — no extra shuffle on the big side.
     """
-    # the memoized shingle index feeds the DF count AND the anti-join
-    # (and four other dedup-family queries)
-    raw = shingle_index(spark, sf_dir)
-    hot = raw.groupBy("h").agg(F.count("*").alias("df")).filter(F.col("df") > DF_CAP)
-    sh = persist_tracked(  # feeds self-join (2x) + sizes
-        raw.join(F.broadcast(hot.select("h")), "h", "left_anti")
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    pairs = (
-        sh.alias("a")
-        .join(
-            sh.alias("b"),
-            (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
+    # the memoized pair-stats table (shared with the cluster closure,
+    # MinHash recall, and the band-geometry sweep) already carries the
+    # integer sufficient statistics; this query is one filter over it
     jac = F.col("n_common") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     return (
-        pairs.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")), "doc_b")
+        capped_pair_stats(spark, sf_dir)
         .filter(jac >= 0.8)
         .select(
             "doc_a",
@@ -730,30 +808,16 @@ def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirroring q_ann_ivf_recall / q_ann_lsh_recall for the dedup
     family. Both arms use the SAME DF-capped shingle representation
     (the production representation — q_dedup_ngram_jaccard's scale
-    rationale), so the comparison is apples to apples. The exact arm's
-    inverted-index self-join is the bounded DF_CAP^2 shape; the
-    threshold join is a 2-row broadcast."""
-    raw = shingle_index(spark, sf_dir)
-    hot = raw.groupBy("h").agg(F.count("*").alias("df")).filter(F.col("df") > DF_CAP)
-    shc = persist_tracked(raw.join(F.broadcast(hot.select("h")), "h", "left_anti"))
-    sizes = shc.groupBy("doc_id").agg(F.count("*").alias("n"))
-    pairs = (
-        shc.alias("a")
-        .join(
-            shc.alias("b"),
-            (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
-    truth = (
-        pairs.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (F.col("n_common") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("n_common"))).alias("jac"),
-        )
+    rationale), so the comparison is apples to apples. The exact arm
+    reads the memoized pair-stats table; the threshold join is a 2-row
+    broadcast."""
+    shc = capped_shingle_index(spark, sf_dir)
+    truth = capped_pair_stats(spark, sf_dir).select(
+        "doc_a",
+        "doc_b",
+        (
+            F.col("n_common") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        ).alias("jac"),
     )
     mhc = shc.groupBy("doc_id").agg(
         *[
@@ -1721,3 +1785,202 @@ def q_source_similarity_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH band-GEOMETRY sweep: the S-curve knob study. With 8 minhashes
+# split into b bands of r rows, P(candidate) = 1 - (1 - J^r)^b — r=1
+# is recall-greedy (any agreeing slot pairs you), r=4 is precision-
+# greedy (a whole quad must agree). q_dedup_minhash_recall measures
+# the production 4x2 scheme against thresholds; this query measures
+# ALL THREE geometries at a fixed threshold so the parameter choice is
+# itself data-attested (candidate volume vs recall vs precision).
+#
+# Scale design: sketch/truth build once off the memoized shingle
+# index; each geometry adds one band-keyed equi-join whose fan-out is
+# bounded by band-bucket occupancy (true near-dups plus 28-bit hash
+# collisions), never a cross join; the per-geometry stats are 1-row
+# aggregates assembled into a 3-row result.
+# ---------------------------------------------------------------------------
+BAND_SWEEP_TAU = 0.5
+BAND_SWEEP_CONFIGS = [(1, 8), (2, 4), (4, 2)]  # (rows_per_band, n_bands)
+
+
+def _band_sweep_oracle() -> str:
+    mins = ",\n               ".join(
+        f"MIN(({MH_A[i]} * h + {MH_B[i]}) % {MH_P}) AS mh{i}" for i in range(N_MH)
+    )
+    parts = []
+    for r, b in BAND_SWEEP_CONFIGS:
+        selects = "\n        UNION ALL ".join(
+            "SELECT doc_id, {band} AS band, {key} AS key FROM mhc".format(
+                band=band,
+                key=" || ',' || ".join(
+                    f"CAST(mh{band * r + j} AS VARCHAR)" for j in range(r)
+                ),
+            )
+            for band in range(b)
+        )
+        parts.append(
+            f"""
+    bands_r{r} AS (
+        {selects}
+    ),
+    cand_r{r} AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands_r{r} x JOIN bands_r{r} y
+          ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+    ),
+    stat_r{r} AS (
+        SELECT {r} AS rows_per_band, {b} AS n_bands,
+               (SELECT COUNT(*) FROM cand_r{r}) AS n_candidates,
+               (SELECT COUNT(*) FROM tr) AS n_true_pairs,
+               (SELECT COUNT(*) FROM tr t
+                JOIN cand_r{r} c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+                   AS n_caught
+    )"""
+        )
+    unioned = " UNION ALL ".join(
+        f"SELECT * FROM stat_r{r}" for r, _ in BAND_SWEEP_CONFIGS
+    )
+    return f"""
+    WITH {SQL_SHINGLE_CTE},
+    hot AS (SELECT h FROM sh GROUP BY h HAVING COUNT(*) > {DF_CAP}),
+    shc AS (SELECT doc_id, h FROM sh WHERE h NOT IN (SELECT h FROM hot)),
+    sizesc AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
+    truth AS (
+        SELECT p.doc_a, p.doc_b,
+               p.n_common * 1.0 / (sa.n + sb.n - p.n_common) AS jac
+        FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+            FROM shc a JOIN shc b ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ) p
+        JOIN sizesc sa ON sa.doc_id = p.doc_a
+        JOIN sizesc sb ON sb.doc_id = p.doc_b
+    ),
+    tr AS (SELECT doc_a, doc_b FROM truth WHERE jac >= {BAND_SWEEP_TAU}),
+    mhc AS (
+        SELECT doc_id,
+               {mins}
+        FROM shc GROUP BY doc_id
+    ),{",".join(parts)}
+    SELECT CAST(rows_per_band AS BIGINT) AS rows_per_band,
+           CAST(n_bands AS BIGINT) AS n_bands,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_true_pairs AS BIGINT) AS n_true_pairs,
+           CAST(n_caught AS BIGINT) AS n_caught,
+           CAST(ROUND(CASE WHEN n_true_pairs = 0 THEN 0.0
+                           ELSE n_caught * 1.0 / n_true_pairs END, 6) AS DOUBLE)
+               AS recall,
+           CAST(ROUND(CASE WHEN n_candidates = 0 THEN 0.0
+                           ELSE n_caught * 1.0 / n_candidates END, 6) AS DOUBLE)
+               AS precision
+    FROM ({unioned})
+    ORDER BY rows_per_band
+    """
+
+
+@register("q_dedup_band_geometry_sweep", oracle=_band_sweep_oracle())
+def q_dedup_band_geometry_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate volume, recall and precision of the 8x1 / 4x2 / 2x4
+    LSH band geometries against exact-Jaccard truth at one threshold."""
+    shc = capped_shingle_index(spark, sf_dir)
+    jac = F.col("n_common") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    tr = persist_tracked(  # joined against each geometry's candidates
+        capped_pair_stats(spark, sf_dir)
+        .filter(jac >= BAND_SWEEP_TAU)
+        .select("doc_a", "doc_b")
+    )
+    mhc = persist_tracked(  # scanned once per geometry
+        shc.groupBy("doc_id").agg(
+            *[
+                F.min(
+                    (F.lit(MH_A[i]) * F.col("h") + F.lit(MH_B[i])) % F.lit(MH_P)
+                ).alias(f"mh{i}")
+                for i in range(N_MH)
+            ]
+        )
+    )
+    # ONE tagged band table for all three geometries — one self-join,
+    # one distinct, two groupBys, instead of 5 jobs per geometry
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("cfg"),
+                F.lit(band).alias("band"),
+                F.concat_ws(
+                    ",", *[F.col(f"mh{band * r + j}") for j in range(r)]
+                ).alias("key"),
+            )
+            for r, b in BAND_SWEEP_CONFIGS
+            for band in range(b)
+        ]
+    )
+    bands = mhc.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id",
+        F.col("bk.cfg").alias("cfg"),
+        F.col("bk.band").alias("band"),
+        F.col("bk.key").alias("key"),
+    )
+    cand = persist_tracked(  # counted per cfg AND joined against truth
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.cfg") == F.col("y.cfg"))
+            & (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.cfg").alias("cfg"),
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    # driver-fused assembly (the MMR idiom): the three aggregates are
+    # |configs|-row tables — collect them and emit the 3-row result
+    # directly instead of spending three broadcast-join jobs on it
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from etl_pipeline_project_auraverse_spark.queries._util import round_half_up
+
+    ncand = {
+        r["cfg"]: r["n"]
+        for r in cand.groupBy("cfg").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    caught = {
+        r["cfg"]: r["n"]
+        for r in cand.join(tr, ["doc_a", "doc_b"])
+        .groupBy("cfg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_true = tr.count()
+    rows = []
+    for r, b in BAND_SWEEP_CONFIGS:
+        nc, nh = ncand.get(r, 0), caught.get(r, 0)
+        rows.append(
+            (
+                r,
+                b,
+                nc,
+                n_true,
+                nh,
+                round_half_up(nh * 1.0 / n_true, 6) if n_true else 0.0,
+                round_half_up(nh * 1.0 / nc, 6) if nc else 0.0,
+            )
+        )
+    schema = StructType(
+        [
+            StructField("rows_per_band", LongType(), False),
+            StructField("n_bands", LongType(), False),
+            StructField("n_candidates", LongType(), False),
+            StructField("n_true_pairs", LongType(), False),
+            StructField("n_caught", LongType(), False),
+            StructField("recall", DoubleType(), False),
+            StructField("precision", DoubleType(), False),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
