@@ -701,6 +701,51 @@ def _clusters_oracle() -> str:
     """
 
 
+# The cluster-assignment table is ALSO a maintained table: the cluster
+# readout, the size histogram (via it), and the keep-policy study all
+# consume the same (doc_id, cluster_id) fixpoint. The closure is the
+# single most expensive dedup derivation (iterative hash-min rounds),
+# so it runs once per corpus and snapshots compactly (rows = clustered
+# docs only).
+_CLUSTER_MEMO: dict = {}
+
+
+def cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized (doc_id, cluster_id) fixpoint of the >= 0.8-Jaccard
+    near-dup graph's transitive closure."""
+    from etl_pipeline_project_auraverse_spark.cache import (
+        memo_snapshot_path,
+        memo_table,
+    )
+
+    def build() -> DataFrame:
+        from etl_pipeline_project_auraverse_spark.operators.components import (
+            connected_components,
+        )
+
+        # localCheckpoint: the closure's union scans the edge list
+        # twice (both directions) — materialize the Jaccard DAG once
+        # and hand the operator a lineage-free 2-column table
+        from etl_pipeline_project_auraverse_spark.cache import (
+            local_checkpoint_tracked,
+            unpersist_rdd_ids,
+        )
+
+        edges, edge_ids = local_checkpoint_tracked(
+            q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+        )
+        comp = connected_components(edges, "doc_a", "doc_b")
+        # connected_components eagerly checkpointed everything it
+        # derives from the edge table — free the edge blocks now
+        unpersist_rdd_ids(spark, edge_ids)
+        return comp.select(
+            F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id")
+        )
+
+    snap = memo_snapshot_path(spark, "clusters", f"{sf_dir}|3gram|cap{DF_CAP}|j0.8")
+    return memo_table(_CLUSTER_MEMO, spark, sf_dir, build, snap)
+
+
 @register("q_dedup_clusters", oracle=_clusters_oracle())
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters over the DF-capped Jaccard pair list: each
@@ -710,25 +755,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation — O(diameter) equi-join rounds, bounded per-round
     state — where the oracle states the same fixpoint as a recursive
     CTE (fine at oracle scale, quadratic blowup at corpus scale)."""
-    from etl_pipeline_project_auraverse_spark.operators.components import (
-        connected_components,
+    comp = cluster_assignments(spark, sf_dir).select(
+        F.col("doc_id").alias("id"), F.col("cluster_id").alias("comp")
     )
-
-    # localCheckpoint: the closure's union scans the edge list twice
-    # (both directions) — materialize the expensive Jaccard DAG once
-    # and hand the operator a lineage-free 2-column table
-    from etl_pipeline_project_auraverse_spark.cache import (
-        local_checkpoint_tracked,
-        unpersist_rdd_ids,
-    )
-
-    edges, edge_ids = local_checkpoint_tracked(
-        q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    )
-    comp = connected_components(edges, "doc_a", "doc_b")
-    # connected_components eagerly checkpointed everything it derives
-    # from the edge table, so its blocks are consumed — free them now
-    unpersist_rdd_ids(spark, edge_ids)
     sizes = comp.groupBy("comp").agg(F.count("*").alias("n_docs"))
     return (
         comp.join(sizes, "comp")
@@ -1984,3 +2013,168 @@ def q_dedup_band_geometry_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# Keep-policy impact: once near-dup clusters exist, WHICH document
+# survives each cluster is a real curation knob — keep-first (stable /
+# arrival order), keep-longest (maximize retained text), or
+# keep-best-quality (maximize retained quality score). The query
+# reports, per policy, how much text and quality the corpus retains,
+# so the policy choice is data-attested instead of folklore.
+#
+# Scale design: the cluster closure rides the memoized pair-stats
+# table (one filter) + hash-min components; each policy is ONE window
+# PARTITIONED by cluster over the small clustered-docs table; the
+# corpus-level totals are 1-row aggregates.
+# ---------------------------------------------------------------------------
+
+
+def _keep_policy_oracle() -> str:
+    from etl_pipeline_project_auraverse_spark.queries.text import (
+        SQL_N_WORDS,
+        SQL_PUNCT_HITS,
+        SQL_STOP_HITS,
+    )
+
+    quality = (
+        f"CAST(ROUND(LEAST(1.0, {SQL_N_WORDS} / 200.0) * 0.4"
+        f" + ({SQL_STOP_HITS} * 1.0 / {SQL_N_WORDS}) * 0.4"
+        f" + (1.0 - {SQL_PUNCT_HITS} * 1.0 / length(text)) * 0.2, 6) AS DOUBLE)"
+    )
+    pol = {
+        "keep_first": "doc_id",
+        "keep_longest": "n_chars DESC, doc_id",
+        "keep_best_quality": "quality DESC, doc_id",
+    }
+    arms = " UNION ALL ".join(
+        f"""
+    SELECT '{name}' AS policy, t.n_clusters, t.n_cluster_docs,
+           t.n_cluster_docs - t.n_clusters AS n_dropped,
+           CAST(SUM(m.n_chars) AS BIGINT) AS chars_kept,
+           CAST(t.total_chars - SUM(m.n_chars) AS BIGINT) AS chars_dropped,
+           CAST(ROUND(CAST(SUM(CAST(m.quality AS DECIMAL(25,6))) AS DOUBLE)
+                      / COUNT(*), 6) AS DOUBLE) AS avg_keeper_quality
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                       ORDER BY {order}) AS rn FROM m) m
+    CROSS JOIN tot t
+    WHERE m.rn = 1
+    GROUP BY t.n_clusters, t.n_cluster_docs, t.total_chars"""
+        for name, order in pol.items()
+    )
+    return f"""
+    WITH RECURSIVE {SQL_SHINGLE_CTE},
+    hot AS (SELECT h FROM sh GROUP BY h HAVING COUNT(*) > {DF_CAP}),
+    shc AS (SELECT doc_id, h FROM sh WHERE h NOT IN (SELECT h FROM hot)),
+    sizesc AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
+    prs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM shc a JOIN shc b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    good AS (
+        SELECT p.doc_a, p.doc_b
+        FROM prs p
+        JOIN sizesc sa ON sa.doc_id = p.doc_a
+        JOIN sizesc sb ON sb.doc_id = p.doc_b
+        WHERE p.n_common * 1.0 / (sa.n + sb.n - p.n_common) >= 0.8
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM good
+        UNION ALL SELECT doc_b, doc_a FROM good
+    ),
+    reach AS (
+        SELECT a AS id, a AS r FROM edges
+        UNION
+        SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.id
+    ),
+    comp AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+    q AS (
+        SELECT doc_id, n_chars, {quality} AS quality FROM documents
+    ),
+    m AS (
+        SELECT c.doc_id, c.cluster_id, q.n_chars, q.quality
+        FROM comp c JOIN q USING (doc_id)
+    ),
+    tot AS (
+        SELECT COUNT(DISTINCT cluster_id) AS n_clusters,
+               COUNT(*) AS n_cluster_docs,
+               SUM(n_chars) AS total_chars
+        FROM m
+    )
+    SELECT * FROM ({arms})
+    ORDER BY policy
+    """
+
+
+@register("q_dedup_keep_policy_impact", oracle=_keep_policy_oracle())
+def q_dedup_keep_policy_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retained text and quality per keeper-selection policy over the
+    >= 0.8-Jaccard near-dup clusters."""
+    from pyspark.sql.window import Window as W
+
+    from etl_pipeline_project_auraverse_spark.functions.text import (
+        PUNCT_RE,
+        STOPWORD_RE,
+        match_count,
+        n_words,
+    )
+    comp = cluster_assignments(spark, sf_dir)
+    t = F.col("text")
+    nw = n_words(t)
+    stop_ratio = match_count(F.lower(t), STOPWORD_RE) * 1.0 / nw
+    punct_ratio = match_count(t, PUNCT_RE) * 1.0 / F.length(t)
+    quality = F.round(
+        F.least(F.lit(1.0), nw / 200.0) * 0.4
+        + stop_ratio * 0.4
+        + (1.0 - punct_ratio) * 0.2,
+        6,
+    ).cast("double")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", quality.alias("quality")
+    )
+    m = persist_tracked(  # one window pass per policy + the totals
+        comp.join(docs, "doc_id")
+    )
+    tot = m.agg(
+        F.countDistinct("cluster_id").alias("n_clusters"),
+        F.count(F.lit(1)).alias("n_cluster_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    policies = {
+        "keep_first": [F.col("doc_id").asc()],
+        "keep_longest": [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        "keep_best_quality": [F.col("quality").desc(), F.col("doc_id").asc()],
+    }
+    arms = []
+    for name, order in policies.items():
+        w = W.partitionBy("cluster_id").orderBy(*order)
+        keepers = m.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+        arms.append(
+            keepers.agg(
+                F.sum("n_chars").alias("chars_kept"),
+                F.round(
+                    F.sum(F.col("quality").cast("decimal(25,6)")).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                )
+                .cast("double")
+                .alias("avg_keeper_quality"),
+            )
+            .crossJoin(F.broadcast(tot))
+            .select(
+                F.lit(name).alias("policy"),
+                "n_clusters",
+                "n_cluster_docs",
+                (F.col("n_cluster_docs") - F.col("n_clusters")).alias("n_dropped"),
+                F.col("chars_kept").cast("long").alias("chars_kept"),
+                (F.col("total_chars") - F.col("chars_kept"))
+                .cast("long")
+                .alias("chars_dropped"),
+                "avg_keeper_quality",
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out.orderBy("policy")
