@@ -70,9 +70,14 @@ ORACLE: dict[str, str] = {}
 # oldest 37 of the 48 r5-attested entries (two late-r10
 # additions — the interval-join stream twin and the Bloom-prefiltered
 # decontamination — displaced the 38th/39th).
-# NEXT ROUND (r11): front-pin anything newly registered, then the 11
-# r5-attested entries that did not fit this round
-# (q11_important_parts, q16_supplier_part_relation,
+# The 13 second-half additions (winnowing … keep-policy) lead the
+# front, so the ~50-slot sample now ends inside the r5 tranche: the 24
+# r5 names through q_scalar_math_functions stay in-sample; the 13
+# after them (q_topk_orders_by_price, q10, q13, q14, q18, q02, q07,
+# q09, q12, q15, q17, q19, q21) are displaced to r11.
+# NEXT ROUND (r11): front-pin anything newly registered, then the
+# displaced r5 names above plus the 11 r5-attested entries that never
+# fit r10 (q11_important_parts, q16_supplier_part_relation,
 # q20_promotion_suppliers, q_fulfillment_latency,
 # q_supplier_hhi_by_nation, q_repeat_purchase_timing,
 # q_customer_quartile_migration, q_chi2_priority_segment,
