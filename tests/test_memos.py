@@ -111,3 +111,46 @@ def test_pair_memo_clearcache_recovery_end_to_end(spark, sf_dir):
     plan = memo2._jdf.queryExecution().sparkPlan().toString()
     assert "memo_snapshots" in plan
     assert "lineitem" not in plan
+
+
+def test_dedup_maintained_tables_memo_recovery(spark, sf_dir):
+    """The r10 dedup maintained tables (capped shingle index, J>=0.5
+    pair stats, cluster assignments) share the same lifecycle contract
+    as the older memos: consumers return identical values on fresh
+    build, memo hit, clearCache recovery, and release_memos rebuild."""
+    import etl_pipeline_project_auraverse_spark.queries.dedup as dedup
+
+    first = _rows(spark, "q_dedup_ngram_jaccard", sf_dir)
+    clusters = _rows(spark, "q_dedup_clusters", sf_dir)
+    assert dedup._CAPPED_MEMO and dedup._PAIR_MEMO and dedup._CLUSTER_MEMO
+    pair_df = next(iter(dedup._PAIR_MEMO.values()))
+    cluster_df = next(iter(dedup._CLUSTER_MEMO.values()))
+    assert _live(pair_df) and _live(cluster_df)
+
+    spark.catalog.clearCache()
+    assert not _live(pair_df) and not _live(cluster_df)
+    assert _rows(spark, "q_dedup_ngram_jaccard", sf_dir) == first
+    assert _rows(spark, "q_dedup_clusters", sf_dir) == clusters
+    assert _live(pair_df) and _live(cluster_df)
+
+    release_memos()
+    assert _rows(spark, "q_dedup_keep_policy_impact", sf_dir) == _rows(
+        spark, "q_dedup_keep_policy_impact", sf_dir
+    )
+    assert _rows(spark, "q_dedup_ngram_jaccard", sf_dir) == first
+
+
+def test_pair_stats_memo_is_thresholded(spark, sf_dir):
+    """The stored pair table must contain ONLY pairs at or above the
+    memo threshold — the compactness contract that keeps the snapshot
+    bounded at corpus scale."""
+    from pyspark.sql import functions as F
+
+    import etl_pipeline_project_auraverse_spark.queries.dedup as dedup
+
+    ps = dedup.capped_pair_stats(spark, sf_dir)
+    jac = F.col("n_common") * 1.0 / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    assert ps.filter(jac < dedup.PAIR_MEMO_MIN_J).count() == 0
+    assert ps.count() > 0
