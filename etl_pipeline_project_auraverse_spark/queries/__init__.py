@@ -152,6 +152,7 @@ _FRONT = [
     "q_cdc_chunking_stats",
     "q_dedup_band_geometry_sweep",
     "q_dedup_keep_policy_impact",
+    "q_split_leakage_audit",
     "q_bpe_token_stats",
     "q_cross_source_ngram_overlap",
     "q_unigram_crossentropy_by_source",

@@ -2178,3 +2178,102 @@ def q_dedup_keep_policy_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a in arms[1:]:
         out = out.unionByName(a)
     return out.orderBy("policy")
+
+
+# ---------------------------------------------------------------------------
+# Train/val split leakage audit: the decontamination scan pointed at
+# the SPLIT BOUNDARY instead of an external benchmark. Hash-splitting
+# assigns whole documents, but near-duplicate documents land on both
+# sides — a val doc whose shingles mostly exist in train measures
+# memorization, not generalization. Per val doc: how many of its
+# indexed shingles appear anywhere in train, and the leak verdict.
+# Split assignment reuses q_split_train_val_test's portable hash
+# bucket, so the audited split is exactly the one the engine emits.
+#
+# Scale design: rides the capped shingle index (maintained table);
+# the train-side distinct and the membership join are h-keyed
+# shuffles — the same shape as q_decontam_eval_overlap with train as
+# the reference corpus.
+# ---------------------------------------------------------------------------
+SPLIT_TRAIN_PCT_D = 80  # mirrors curation.SPLIT_TRAIN_PCT (guard-tested)
+SPLIT_VAL_PCT_D = 90  # mirrors curation.SPLIT_VAL_PCT
+LEAK_FRAC_THRESHOLD = 0.5
+
+
+@register(
+    "q_split_leakage_audit",
+    oracle=rf"""
+    WITH {SQL_SHINGLE_CTE},
+    hot AS (SELECT h FROM sh GROUP BY h HAVING COUNT(*) > {DF_CAP}),
+    shc AS (SELECT doc_id, h FROM sh WHERE h NOT IN (SELECT h FROM hot)),
+    split AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 100
+                   AS bucket
+        FROM documents
+    ),
+    troc AS (SELECT doc_id FROM split WHERE bucket < {SPLIT_TRAIN_PCT_D}),
+    vdoc AS (SELECT doc_id FROM split
+             WHERE bucket >= {SPLIT_TRAIN_PCT_D} AND bucket < {SPLIT_VAL_PCT_D}),
+    trh AS (SELECT DISTINCT h FROM shc JOIN troc USING (doc_id)),
+    vsh AS (SELECT shc.doc_id, shc.h FROM shc JOIN vdoc USING (doc_id)),
+    per AS (
+        SELECT doc_id,
+               COUNT(*) AS n_shingles,
+               COUNT(CASE WHEN h IN (SELECT h FROM trh) THEN 1 END) AS n_shared
+        FROM vsh GROUP BY doc_id
+    ),
+    scored AS (
+        SELECT v.doc_id,
+               CAST(COALESCE(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+               CAST(COALESCE(p.n_shared, 0) AS BIGINT) AS n_shared,
+               CAST(ROUND(CASE WHEN COALESCE(p.n_shingles, 0) = 0 THEN 0.0
+                               ELSE p.n_shared * 1.0 / p.n_shingles END, 6)
+                    AS DOUBLE) AS leak_frac
+        FROM vdoc v LEFT JOIN per p USING (doc_id)
+    )
+    SELECT doc_id, n_shingles, n_shared, leak_frac,
+           leak_frac >= {LEAK_FRAC_THRESHOLD} AS leaked
+    FROM scored
+    ORDER BY doc_id
+    """,
+)
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-val-document shingle overlap with the train split, with the
+    near-dup leak verdict at ``LEAK_FRAC_THRESHOLD``."""
+    sh = capped_shingle_index(spark, sf_dir)
+    bucket = h28(F.col("doc_id").cast("string")) % 100
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", bucket.alias("bucket")
+    )
+    troc = docs.filter(F.col("bucket") < SPLIT_TRAIN_PCT_D).select("doc_id")
+    vdoc = docs.filter(
+        (F.col("bucket") >= SPLIT_TRAIN_PCT_D) & (F.col("bucket") < SPLIT_VAL_PCT_D)
+    ).select("doc_id")
+    trh = sh.join(troc, "doc_id").select("h").distinct()
+    vsh = sh.join(vdoc, "doc_id")
+    per = (
+        vsh.join(trh.withColumn("in_train", F.lit(1)), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("in_train"), F.lit(0))).alias("n_shared"),
+        )
+    )
+    leak_frac = F.round(
+        F.when(F.coalesce(F.col("n_shingles"), F.lit(0)) == 0, 0.0).otherwise(
+            F.col("n_shared") * 1.0 / F.col("n_shingles")
+        ),
+        6,
+    ).cast("double")
+    return (
+        vdoc.join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_shingles"), F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared"),
+            leak_frac.alias("leak_frac"),
+        )
+        .withColumn("leaked", F.col("leak_frac") >= LEAK_FRAC_THRESHOLD)
+        .orderBy("doc_id")
+    )

@@ -216,3 +216,12 @@ def test_padding_waste_invariants(spark, sf_dir):
         assert r["padding_tokens"] == r["grid_tokens"] - r["total_tokens"]
         assert r["grid_tokens"] % r["context"] == 0
         assert 0.0 <= r["waste_frac"] < 1.0
+
+
+def test_split_constants_mirror_curation():
+    """dedup.py mirrors the split buckets instead of importing them
+    (module-load order); this guard fails if they ever drift."""
+    from etl_pipeline_project_auraverse_spark.queries import curation, dedup
+
+    assert dedup.SPLIT_TRAIN_PCT_D == curation.SPLIT_TRAIN_PCT
+    assert dedup.SPLIT_VAL_PCT_D == curation.SPLIT_VAL_PCT
