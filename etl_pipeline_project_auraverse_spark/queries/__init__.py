@@ -153,6 +153,8 @@ _FRONT = [
     "q_dedup_band_geometry_sweep",
     "q_dedup_keep_policy_impact",
     "q_split_leakage_audit",
+    "q_heavy_hitter_tokens",
+    "q_oov_rate_by_source",
     "q_bpe_token_stats",
     "q_cross_source_ngram_overlap",
     "q_unigram_crossentropy_by_source",

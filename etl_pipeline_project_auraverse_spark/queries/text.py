@@ -1723,3 +1723,136 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch-guided exact heavy-hitter TOKENS: the q_heavy_hitter_parts
+# pattern pointed at the text pipeline, where the token key space is
+# the classic cardinality bomb (vocabulary grows with corpus size per
+# Heaps' law, so a plain GROUP BY shuffles billions of keys at
+# 100 TB). Misra-Gries candidates per partition (provable superset for
+# freq > n/K), broadcast semi-join, exact recount — identical output
+# to GROUP BY ... HAVING, no full-cardinality shuffle. The survivors
+# are the corpus's stopword head (the Zipf mass the coverage curve
+# measures from the other side).
+# ---------------------------------------------------------------------------
+HH_TOK_K = 4000
+HH_TOK_PHI = 0.005  # > 1/HH_TOK_K, so the sketch bound guarantees exactness
+
+
+@register(
+    "q_heavy_hitter_tokens",
+    oracle=rf"""
+    WITH ww AS (
+        SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents
+    ),
+    toks AS (SELECT w FROM ww WHERE w <> ''),
+    n AS (SELECT COUNT(*) AS total FROM toks)
+    SELECT w AS token,
+           COUNT(*) AS n_occurrences,
+           CAST(ROUND(COUNT(*) / (MIN(n.total) * 1.0), 6) AS DOUBLE) AS share
+    FROM toks, n
+    GROUP BY w
+    HAVING COUNT(*) >= MIN(n.total) * {HH_TOK_PHI}
+    ORDER BY token
+    """,
+)
+def q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens covering >= {HH_TOK_PHI:.1%} of all token occurrences,
+    with exact counts via the Misra-Gries + recount operator."""
+    from etl_pipeline_project_auraverse_spark.operators.heavy_hitters import (
+        exact_heavy_hitters,
+    )
+
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    toks = persist_tracked(  # total count + sketch pass + exact recount
+        docs.select(F.explode(words(F.col("text"))).alias("token")).filter(
+            F.col("token") != ""
+        )
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("total"))
+    threshold = total.select((F.col("total") * F.lit(HH_TOK_PHI)).alias("threshold"))
+    hh = exact_heavy_hitters(toks, "token", HH_TOK_K, threshold)
+    return (
+        hh.crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            F.col("n_rows").alias("n_occurrences"),
+            F.round(F.col("n_rows") / (F.col("total") * 1.0), 6)
+            .cast("double")
+            .alias("share"),
+        )
+        .orderBy("token")
+    )
+
+
+# ---------------------------------------------------------------------------
+# OOV rate per source against the top-K corpus vocabulary: the
+# tokenizer-equity readout beside fertility and the coverage curve —
+# a source whose tokens mostly fall outside the frozen vocabulary pays
+# the UNK/byte-fallback tax. Top-K is a TakeOrderedAndProject (per-
+# partition heaps, deterministic cnt-then-word tiebreak) broadcast as
+# the vocabulary; scoring is one map-side membership join + groupBy.
+# ---------------------------------------------------------------------------
+OOV_VOCAB_K = 1000
+
+
+@register(
+    "q_oov_rate_by_source",
+    oracle=rf"""
+    WITH ww AS (
+        SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS w
+        FROM documents
+    ),
+    toks AS (SELECT source, w FROM ww WHERE w <> ''),
+    vocab AS (
+        SELECT w FROM (
+            SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w
+            ORDER BY cnt DESC, w LIMIT {OOV_VOCAB_K}
+        )
+    )
+    SELECT source,
+           COUNT(*) AS n_tokens,
+           COUNT(CASE WHEN v.w IS NULL THEN 1 END) AS n_oov,
+           CAST(ROUND(COUNT(CASE WHEN v.w IS NULL THEN 1 END) * 1.0
+                      / COUNT(*), 6) AS DOUBLE) AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON v.w = t.w
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token OOV rate per source against the top-``OOV_VOCAB_K``
+    corpus vocabulary."""
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    toks = persist_tracked(  # vocabulary build + scoring join
+        docs.select("source", F.explode(words(F.col("text"))).alias("w")).filter(
+            F.col("w") != ""
+        )
+    )
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "w")
+        .limit(OOV_VOCAB_K)
+        .select("w", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "w", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_oov"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") * 1.0 / F.col("n_tokens"), 6)
+            .cast("double")
+            .alias("oov_rate"),
+        )
+        .orderBy("source")
+    )
