@@ -214,7 +214,7 @@ def q_text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     nw = n_words(text)
     nchars = F.length(F.regexp_replace(F.trim(text), r"\s+", ""))
     npunct = F.length(text) - F.length(F.regexp_replace(text, PUNCT_RE, ""))
-    nstop = F.size(F.regexp_extract_all(text, F.lit(STOPWORD_RE)))
+    nstop = F.size(F.regexp_extract_all(text, F.lit(STOPWORD_RE), 0))
     ok = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
     scored = docs.select(
         "lang",
@@ -880,7 +880,7 @@ def q_curation_pipeline_decisions(spark: SparkSession, sf_dir: str) -> DataFrame
     nw = n_words(text)
     nchars = F.length(F.regexp_replace(F.trim(text), r"\s+", ""))
     npunct = F.length(text) - F.length(F.regexp_replace(text, PUNCT_RE, ""))
-    nstop = F.size(F.regexp_extract_all(text, F.lit(STOPWORD_RE)))
+    nstop = F.size(F.regexp_extract_all(text, F.lit(STOPWORD_RE), 0))
     ok_quality = (
         nw.between(MIN_WORDS, MAX_WORDS)
         & (nchars * 1.0 / nw).between(MIN_MWL, MAX_MWL)
@@ -2366,7 +2366,7 @@ def q_filter_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     nw = n_words(text)
     nchars = F.length(F.regexp_replace(F.trim(text), r"\s+", ""))
     npunct = F.length(text) - F.length(F.regexp_replace(text, PUNCT_RE, ""))
-    nstop = F.size(F.regexp_extract_all(text, F.lit(STOPWORD_RE)))
+    nstop = F.size(F.regexp_extract_all(text, F.lit(STOPWORD_RE), 0))
     fail = lambda ok: F.when(ok, 0).otherwise(1)  # noqa: E731
     flags = docs.select(
         fail(nw.between(MIN_WORDS, MAX_WORDS)).alias("fail_len"),

@@ -241,6 +241,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Exact n-gram Jaccard near-dup via inverted-index equi-join.
 # ---------------------------------------------------------------------------
 DF_CAP = 64  # max document frequency a shingle may have and still index
+NGRAM_J = 0.8  # q_dedup_ngram_jaccard's near-dup threshold
 
 
 @register(
@@ -260,7 +261,7 @@ DF_CAP = 64  # max document frequency a shingle may have and still index
     FROM pairs p
     JOIN sizesc sa ON sa.doc_id = p.doc_a
     JOIN sizesc sb ON sb.doc_id = p.doc_b
-    WHERE p.n_common * 1.0 / (sa.n + sb.n - p.n_common) >= 0.8
+    WHERE p.n_common * 1.0 / (sa.n + sb.n - p.n_common) >= {NGRAM_J}
     ORDER BY doc_a, doc_b
     """,
 )
@@ -278,7 +279,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("n_common") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     return (
         capped_pair_stats(spark, sf_dir)
-        .filter(jac >= 0.8)
+        .filter(jac >= NGRAM_J)
         .select(
             "doc_a",
             "doc_b",
@@ -300,6 +301,51 @@ MH_A = [1299721, 15485863, 32452843, 49979687, 67867967, 86028121, 104395301, 12
 MH_B = [15487469, 32452867, 49979693, 67867979, 86028157, 104395303, 122949829, 141650963]
 N_MH = 8
 N_BANDS = 4
+
+# Per-(band, key) occupancy cap — the LSH skew bound. A band bucket of
+# m documents yields m^2/2 candidate pairs in the self-join, so one
+# boilerplate megacluster (m = 10^6 near-identical docs sharing a band
+# key, routine at 100 TB of web text) would alone emit 5*10^11 pairs.
+# Keeping only the BAND_BUCKET_CAP smallest doc_ids per bucket
+# (deterministic; mirrored exactly in every oracle — the DF_CAP idiom)
+# bounds any bucket's contribution at BAND_BUCKET_CAP^2/2 pairs while
+# leaving realistic buckets untouched. Pair COVERAGE beyond the cap is
+# the connected-components pass's job: clustering needs connectivity,
+# not every pair, and 64 members of a megacluster keep it connected.
+BAND_BUCKET_CAP = 64
+
+
+def _cap_band_buckets(bands: DataFrame, *part_cols: str) -> DataFrame:
+    """Keep the ``BAND_BUCKET_CAP`` smallest doc_ids per band bucket.
+
+    The row_number window hashes on the same bucket key the candidate
+    self-join shuffles on, so the exchange is shared/reused — the cap
+    costs an in-partition sort (linear-ish in bucket size), never an
+    extra pass over the corpus. Compare: an uncapped megacluster
+    bucket is quadratic in the JOIN, which no amount of partitioning
+    fixes."""
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy(*[F.col(c) for c in part_cols]).orderBy("doc_id")
+    return (
+        bands.withColumn("_bn", F.row_number().over(w))
+        .filter(F.col("_bn") <= BAND_BUCKET_CAP)
+        .drop("_bn")
+    )
+
+
+def _sql_cap_bands(raw: str, extra_cols: str = "") -> str:
+    """DuckDB twin of :func:`_cap_band_buckets` over a bands CTE body
+    with columns (doc_id, band, key[, extra])."""
+    cols = f"doc_id, band, key{extra_cols}"
+    part = f"band, key{extra_cols}"
+    return f"""
+        SELECT {cols} FROM (
+            SELECT {cols},
+                   ROW_NUMBER() OVER (PARTITION BY {part}
+                                      ORDER BY doc_id) AS _bn
+            FROM ({raw})
+        ) WHERE _bn <= {BAND_BUCKET_CAP}"""
 
 
 def minhash_sketch_bands(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -341,7 +387,7 @@ def minhash_sketch_bands(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     bands = sketch.select("doc_id", F.explode(band_structs).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
-    return sketch, bands
+    return sketch, _cap_band_buckets(bands, "band", "key")
 
 
 def _sql_minhash_cte() -> str:
@@ -361,7 +407,7 @@ def _sql_minhash_cte() -> str:
         FROM sh GROUP BY doc_id
     ),
     bands AS (
-        {bands}
+        {_sql_cap_bands(bands)}
     )"""
 
 
@@ -781,10 +827,12 @@ def _mh_recall_oracle() -> str:
     mins = ",\n               ".join(
         f"MIN(({MH_A[i]} * h + {MH_B[i]}) % {MH_P}) AS mh{i}" for i in range(N_MH)
     )
-    bands = "\n        UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, CAST(mh{2*b} AS VARCHAR) || ',' || "
-        f"CAST(mh{2*b+1} AS VARCHAR) AS key FROM mhc"
-        for b in range(N_BANDS)
+    bands = _sql_cap_bands(
+        "\n        UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, CAST(mh{2*b} AS VARCHAR) || ',' || "
+            f"CAST(mh{2*b+1} AS VARCHAR) AS key FROM mhc"
+            for b in range(N_BANDS)
+        )
     )
     taus = ", ".join(str(t) for t in MH_RECALL_TAUS)
     return f"""
@@ -863,8 +911,12 @@ def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(N_BANDS)
         ]
     )
-    bands = mhc.select("doc_id", F.explode(band_structs).alias("bk")).select(
-        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    bands = _cap_band_buckets(
+        mhc.select("doc_id", F.explode(band_structs).alias("bk")).select(
+            "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+        ),
+        "band",
+        "key",
     )
     cand = (
         bands.alias("x")
@@ -1853,7 +1905,7 @@ def _band_sweep_oracle() -> str:
         parts.append(
             f"""
     bands_r{r} AS (
-        {selects}
+        {_sql_cap_bands(selects)}
     ),
     cand_r{r} AS (
         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -1946,11 +1998,16 @@ def q_dedup_band_geometry_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             for band in range(b)
         ]
     )
-    bands = mhc.select("doc_id", F.explode(band_structs).alias("bk")).select(
-        "doc_id",
-        F.col("bk.cfg").alias("cfg"),
-        F.col("bk.band").alias("band"),
-        F.col("bk.key").alias("key"),
+    bands = _cap_band_buckets(
+        mhc.select("doc_id", F.explode(band_structs).alias("bk")).select(
+            "doc_id",
+            F.col("bk.cfg").alias("cfg"),
+            F.col("bk.band").alias("band"),
+            F.col("bk.key").alias("key"),
+        ),
+        "cfg",
+        "band",
+        "key",
     )
     cand = persist_tracked(  # counted per cfg AND joined against truth
         bands.alias("x")
@@ -2277,3 +2334,25 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("leaked", F.col("leak_frac") >= LEAK_FRAC_THRESHOLD)
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Memo-floor coupling guard: capped_pair_stats only stores pairs with
+# exact Jaccard >= PAIR_MEMO_MIN_J, so every consumer that filters the
+# memo MUST threshold at or above the floor — a tau below it would
+# silently drop truth pairs from the Spark arm while the oracle keeps
+# them. Import-time assert so a threshold edit fails fast, not at the
+# parity gate.
+# ---------------------------------------------------------------------------
+assert min(MH_RECALL_TAUS) >= PAIR_MEMO_MIN_J, (
+    f"MH_RECALL_TAUS {MH_RECALL_TAUS} below the pair-memo floor "
+    f"{PAIR_MEMO_MIN_J}: q_dedup_minhash_recall's truth arm would miss pairs"
+)
+assert BAND_SWEEP_TAU >= PAIR_MEMO_MIN_J, (
+    f"BAND_SWEEP_TAU {BAND_SWEEP_TAU} below the pair-memo floor "
+    f"{PAIR_MEMO_MIN_J}: q_dedup_band_geometry_sweep's truth arm would miss pairs"
+)
+assert NGRAM_J >= PAIR_MEMO_MIN_J, (
+    f"NGRAM_J {NGRAM_J} below the pair-memo floor {PAIR_MEMO_MIN_J}: "
+    f"q_dedup_ngram_jaccard would miss pairs"
+)

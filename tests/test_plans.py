@@ -531,3 +531,47 @@ def test_mmr_loop_stays_on_pool_sized_tables(q):
     # driver-assembled result: a bounded local relation, not a join DAG
     assert "ExistingRDD" in plan or "LocalTableScan" in plan
     assert df.count() == N_QUERY * MMR_K
+
+
+def test_lsh_band_buckets_are_capped_in_plan(q):
+    """Every band-bucket join consumer must carry the occupancy cap IN
+    THE PLAN: a row_number group-limit (Spark compiles the rank filter
+    to WindowGroupLimit — a PARTIAL map-side limit before the shuffle
+    plus a final one after) bounding each (band, key) bucket at
+    BAND_BUCKET_CAP members, so a boilerplate megacluster can never
+    make the candidate self-join quadratic."""
+    from etl_pipeline_project_auraverse_spark.queries.dedup import BAND_BUCKET_CAP
+
+    for name in (
+        "q_dedup_minhash_lsh",
+        "q_dedup_containment",
+        "q_dedup_minhash_recall",
+        "q_dedup_incremental_minhash",
+    ):
+        plan = PI.physical_plan(q(name))
+        assert f"row_number(), {BAND_BUCKET_CAP}, Partial" in plan, (
+            f"{name}: band bucket cap missing its map-side group limit"
+        )
+        assert "_bn" in plan, f"{name}: band bucket cap filter missing"
+
+
+def test_band_sweep_buckets_are_capped():
+    """q_dedup_band_geometry_sweep is driver-fused (its returned frame
+    is an assembled local result), so the band join never appears in
+    the RESULT's plan — lint the wiring instead: the Spark arm must
+    route its tagged band table through _cap_band_buckets, and the
+    oracle must carry the mirrored ROW_NUMBER cap in every geometry's
+    bands CTE."""
+    import inspect as _inspect
+
+    from etl_pipeline_project_auraverse_spark.queries import ORACLE
+    from etl_pipeline_project_auraverse_spark.queries.dedup import (
+        BAND_BUCKET_CAP,
+        BAND_SWEEP_CONFIGS,
+        q_dedup_band_geometry_sweep,
+    )
+
+    src = _inspect.getsource(q_dedup_band_geometry_sweep)
+    assert "_cap_band_buckets(" in src
+    sql = ORACLE["q_dedup_band_geometry_sweep"]
+    assert sql.count(f"WHERE _bn <= {BAND_BUCKET_CAP}") == len(BAND_SWEEP_CONFIGS)

@@ -10,11 +10,12 @@ asserted here on a deliberately skewed fixture:
   representation (index AND sizes), capping any shingle's pair
   contribution at DF_CAP^2 while true near-dups (built from rare
   shingles) still surface.
-- MinHash/LSH band join: a hot band bucket of m docs IS m near-
-  duplicates — the quadratic pair output is the answer, not waste, and
-  AQE skew-join splitting (enabled in the engine session) spreads the
-  hot key's probe work across tasks at real scale. Real pipelines run
-  exact dedup before MinHash precisely to collapse such buckets.
+- MinHash/LSH band join: band buckets are capped at BAND_BUCKET_CAP
+  members (the smallest doc_ids — deterministic, mirrored in the
+  oracle), so a megacluster bucket contributes at most CAP^2/2 pairs
+  instead of m^2/2. Pair COVERAGE beyond the cap is the
+  connected-components pass's job — 64 members of a megacluster keep
+  it connected; clustering needs connectivity, not every pair.
 """
 
 from __future__ import annotations
@@ -91,12 +92,14 @@ def test_jaccard_on_skewed_corpus_finds_only_true_dups(spark, skewed_dir):
     assert pairs[(2000, 2001)] == round(8 / 9, 6)
 
 
-def test_hot_band_bucket_emits_exactly_its_true_dup_pairs(spark, tmp_path):
-    """300 byte-identical docs form one hot band bucket. Every pair the
-    band join emits is a TRUE duplicate (jaccard 1.0): the quadratic
-    output is the semantically required answer. Completeness and
-    correctness here, AQE skew-split (asserted enabled) for task-time
-    bounding at real scale."""
+def test_hot_band_bucket_pair_output_is_capped(spark, tmp_path):
+    """300 byte-identical docs form one hot band bucket (same key in
+    all 4 bands). The bucket cap must bound the pair output at
+    CAP*(CAP-1)/2 — the BAND_BUCKET_CAP smallest doc_ids, a
+    deterministic choice the oracle mirrors — instead of the m^2/2
+    blow-up, and every emitted pair is still a true duplicate."""
+    from etl_pipeline_project_auraverse_spark.queries.dedup import BAND_BUCKET_CAP
+
     m = 300
     text = "alpha beta gamma delta epsilon zeta eta theta"
     texts = [text] * m + [
@@ -105,9 +108,26 @@ def test_hot_band_bucket_emits_exactly_its_true_dup_pairs(spark, tmp_path):
     d = str(tmp_path)
     _write_documents(spark, d, texts)
     rows = QUERIES["q_dedup_minhash_lsh"](spark, d).collect()
-    assert len(rows) == m * (m - 1) // 2
+    cap = BAND_BUCKET_CAP
+    assert len(rows) == cap * (cap - 1) // 2, len(rows)
     assert all(r["jaccard"] == 1.0 and r["n_matching_minhashes"] == 8 for r in rows)
-    # the runtime defense for the hot band key's probe work
+    # deterministic survivor set: the cap keeps the smallest doc_ids
+    members = {r["doc_a"] for r in rows} | {r["doc_b"] for r in rows}
+    assert members == set(range(cap)), sorted(members)[:70]
+    # the capped megacluster core stays CONNECTED — cluster recovery
+    # through connected components still sees one component
+    parent = list(range(cap))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in rows:
+        parent[find(r["doc_a"])] = find(r["doc_b"])
+    assert len({find(i) for i in range(cap)}) == 1
+    # the runtime defense for residual hot-key probe work
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
 
 
