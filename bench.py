@@ -235,12 +235,22 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
     stat0 = _read_proc_stat()
-    # Untimed: warm the probe plan until its timing stabilizes (JIT
-    # tiering keeps improving it for several runs; a still-warming
-    # first calibration would read as a >1.5x "noise" spread and
-    # wrongly mark the whole window suspect).
-    warm = [_calibrate_once(spark) for _ in range(3)]
-    while len(warm) < 8 and warm[-1] > 1.15 * min(warm):
+    # Untimed: warm the probe plan to its steady JIT tier BEFORE the
+    # measurement window opens. The old rule (stop when the last probe
+    # is within 15% of the running MIN) declared victory while C2 was
+    # still tiering — in r10 the probe then sped up >1.5x between the
+    # window's MID and END samples and the conservative spread rule
+    # wrongly flagged all 50 headline entries. Steady state now means
+    # two CONSECUTIVE samples agree within 10% AND neither sits more
+    # than 10% above the running floor; cap at 15 probes (~10 s worst
+    # case) so a genuinely noisy machine can't stall the bench.
+    warm = [_calibrate_once(spark), _calibrate_once(spark)]
+
+    def _steady(xs: list[float]) -> bool:
+        a, b = xs[-2], xs[-1]
+        return abs(a - b) <= 0.10 * min(a, b) and max(a, b) <= 1.10 * min(xs)
+
+    while len(warm) < 15 and not _steady(warm):
         warm.append(_calibrate_once(spark))
     calibrations = [_calibrate(spark)]
 

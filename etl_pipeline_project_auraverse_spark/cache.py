@@ -158,6 +158,55 @@ def memo_snapshot_path(spark: SparkSession, name: str, corpus_key: str) -> str:
     return f"{wh.rstrip('/')}/memo_snapshots/{app}/{name}_{tag}"
 
 
+# applicationIds whose superseded-snapshot GC already ran (get_spark
+# calls the GC on every build/fetch; one sweep per application is
+# enough and keeps repeated getOrCreate calls free).
+_GC_SEEN: set = set()
+
+
+def gc_memo_snapshots(spark: SparkSession) -> list[str]:
+    """Remove memo-snapshot directories left by SUPERSEDED sessions.
+
+    Snapshots are keyed per applicationId (:func:`memo_snapshot_path`)
+    and only the CURRENT application's directory is ever read — a prior
+    session's snapshots are dead weight that accumulates across
+    bench/parity/test sessions (measured: 126 MB over ~10 historical
+    app dirs after one round's cycle). Runs once per application at
+    session start; never touches the live application's directory, and
+    skips directories modified within the last hour so a CONCURRENT
+    session (a parity run starting mid-bench) cannot lose its live
+    snapshots — a one-hour-stale dir belongs to a finished session.
+    Returns the removed directory names (for tests/telemetry)."""
+    import os
+    import shutil
+    import time
+
+    app = spark.sparkContext.applicationId
+    if app in _GC_SEEN:
+        return []
+    _GC_SEEN.add(app)
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    root = wh[len("file:") :] if wh.startswith("file:") else wh
+    base = os.path.join(root.rstrip("/"), "memo_snapshots")
+    removed: list[str] = []
+    try:
+        entries = os.listdir(base)
+    except OSError:
+        return removed
+    cutoff = time.time() - 3600.0
+    for d in entries:
+        if d == app:
+            continue
+        p = os.path.join(base, d)
+        try:
+            if os.path.isdir(p) and os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p)
+                removed.append(d)
+        except OSError:
+            pass  # cleanup must never mask the session's real work
+    return removed
+
+
 def memo_table(
     memo: dict,
     spark: SparkSession,

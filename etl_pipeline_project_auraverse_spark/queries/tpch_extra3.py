@@ -516,38 +516,43 @@ def q_customer_quartile_migration(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
 
-    def bounds(col, names):
-        return exact_group_percentiles(
-            halves.filter(F.col(col).isNotNull())
-            .select(F.col(col).alias("rev"))
-            .withColumn("__g", F.lit("all")),
-            "__g", "rev",
-            [0.25, 0.5, 0.75], names=names, n_groups_hint=1,
-        ).select(*names)
+    # ONE fused percentile pass for BOTH halves: stack (half, rev) and
+    # let the operator treat the half as the group (the old plan ran
+    # the whole multi-pass percentile machinery twice — 2x its fixed
+    # range-shuffle/refinement cost for the same answer). The bounds
+    # table is exactly 2 rows, so inlining it driver-side as literals
+    # replaces two broadcast crossJoins with a plain projection; the
+    # rank arithmetic and IEEE interpolation are unchanged, so values
+    # stay bit-identical to quantile_cont.
+    stacked = halves.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit(1).alias("half"), F.col("rev1").alias("rev")),
+                F.struct(F.lit(2).alias("half"), F.col("rev2").alias("rev")),
+            )
+        ).alias("hr")
+    ).select(F.col("hr.half").alias("half"), F.col("hr.rev").alias("rev"))
+    b = {
+        r["half"]: r
+        for r in exact_group_percentiles(
+            stacked.where(F.col("rev").isNotNull()),
+            "half", "rev",
+            [0.25, 0.5, 0.75], names=["q1", "q2", "q3"], n_groups_hint=2,
+        ).collect()
+    }
 
-    b1 = bounds("rev1", ["q1a", "q2a", "q3a"])
-    b2 = bounds("rev2", ["q1b", "q2b", "q3b"])
-
-    def quart(rev, q1, q2, q3):
+    def quart(rev, bounds_row):
         return (
             F.when(rev.isNull(), 0)
-            .when(rev <= q1, 1)
-            .when(rev <= q2, 2)
-            .when(rev <= q3, 3)
+            .when(rev <= F.lit(bounds_row["q1"]), 1)
+            .when(rev <= F.lit(bounds_row["q2"]), 2)
+            .when(rev <= F.lit(bounds_row["q3"]), 3)
             .otherwise(4)
         )
 
-    assigned = (
-        halves.crossJoin(F.broadcast(b1))
-        .crossJoin(F.broadcast(b2))
-        .select(
-            quart(F.col("rev1"), F.col("q1a"), F.col("q2a"), F.col("q3a"))
-            .cast("long")
-            .alias("from_quartile"),
-            quart(F.col("rev2"), F.col("q1b"), F.col("q2b"), F.col("q3b"))
-            .cast("long")
-            .alias("to_quartile"),
-        )
+    assigned = halves.select(
+        quart(F.col("rev1"), b[1]).cast("long").alias("from_quartile"),
+        quart(F.col("rev2"), b[2]).cast("long").alias("to_quartile"),
     )
     return (
         assigned.groupBy("from_quartile", "to_quartile")

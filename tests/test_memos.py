@@ -154,3 +154,37 @@ def test_pair_stats_memo_is_thresholded(spark, sf_dir):
     )
     assert ps.filter(jac < dedup.PAIR_MEMO_MIN_J).count() == 0
     assert ps.count() > 0
+
+
+def test_superseded_snapshot_gc_bounds_warehouse(spark, tmp_path):
+    """gc_memo_snapshots must delete app-id dirs from FINISHED sessions
+    (stale > 1 h), keep the live application's dir, and keep
+    fresh dirs that may belong to a concurrent session."""
+    import os
+    import time
+
+    from etl_pipeline_project_auraverse_spark import cache as C
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    root = wh[len("file:"):] if wh.startswith("file:") else wh
+    base = os.path.join(root.rstrip("/"), "memo_snapshots")
+    app = spark.sparkContext.applicationId
+    os.makedirs(os.path.join(base, app), exist_ok=True)
+    stale = os.path.join(base, "local-0000000000001")
+    fresh = os.path.join(base, "local-0000000000002")
+    os.makedirs(stale, exist_ok=True)
+    os.makedirs(fresh, exist_ok=True)
+    old = time.time() - 7200
+    os.utime(stale, (old, old))
+    C._GC_SEEN.discard(app)  # the session fixture already swept once
+    removed = C.gc_memo_snapshots(spark)
+    assert "local-0000000000001" in removed
+    assert not os.path.exists(stale)
+    assert os.path.exists(fresh), "a <1h-old dir may belong to a live session"
+    assert os.path.exists(os.path.join(base, app)), "never GC the live app dir"
+    # once-per-application: a second call is a no-op even with stale dirs
+    os.makedirs(stale, exist_ok=True)
+    os.utime(stale, (old, old))
+    assert C.gc_memo_snapshots(spark) == []
+    os.rmdir(stale)
+    os.rmdir(fresh)
