@@ -108,6 +108,7 @@ _MODULES = [
     "etl_pipeline_project_auraverse_spark.queries.pii",
     "etl_pipeline_project_auraverse_spark.queries.video",
     "etl_pipeline_project_auraverse_spark.queries.audio",
+    "etl_pipeline_project_auraverse_spark.queries.crossmodal",
 ]
 
 

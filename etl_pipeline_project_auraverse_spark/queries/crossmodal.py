@@ -1,0 +1,384 @@
+"""Cross-modal analytics: image-derived columns JOINED to text and
+embedding columns — the curation layer between the single-modality
+pillars (``queries/video.py``/``queries/audio.py`` decode one modality
+each; nothing before this module related two modalities).
+
+Three oracle-gated queries, all on the r7-established synthesis
+contract (every image parameter is a closed-form integer function of
+``doc_id``, mirrored verbatim in the SQL oracle, and the Spark arm
+runs the REAL codec path — ``operators/multimodal._decode_bmp`` — so
+a decode bug anywhere flips the value hash):
+
+- ``q_image_caption_audit``: per image-bearing document, REAL
+  BMP decode (geometry, flip-sensitive top/bottom pixel sums) joined
+  to the caption's text statistics — the words-per-pixel curation
+  check an image-caption dataset runs before training.
+- ``q_image_dup_caption_diversity``: image-reuse clusters (exact
+  fingerprint of the DECODED pixel bytes, one groupBy — never a pair
+  join) crossed with caption-fingerprint diversity: the same-image /
+  different-caption vs copy-pasted-pair census that decides which
+  image-text pairs survive dedup.
+- ``q_clip_stripe_alignment``: a CLIP-style modality-alignment audit —
+  a 4-component image signature (row-phase pixel sums from the real
+  decode) against a 4-pool projection of the document's text
+  embedding, cosine per pair, aggregated per embedding label.
+
+Reference scope: the reference dispatches uploads by extension and
+never opens payloads (/root/reference/backend/etl_pipeline.py:30-60);
+cross-modal joins are part of the beyond-reference multimodal story.
+
+Scale: synthesis+decode are ``mapInPandas`` over the binary column
+(per-partition, no shuffle). The only exchanges are doc-keyed
+equi-joins (image facts x text stats x embeddings) and the final
+low-cardinality aggregates. No pair joins anywhere: image-dup
+clustering is a fingerprint groupBy, so a megacluster of reused
+images costs one hot aggregate key, never a quadratic candidate set.
+At 100 TB the synth stage is replaced by the object-store scan and
+everything downstream is unchanged.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_project_auraverse_spark.functions.text import norm_text, words
+from etl_pipeline_project_auraverse_spark.functions.vectors import cosine, sql_cosine
+from etl_pipeline_project_auraverse_spark.queries import register
+from etl_pipeline_project_auraverse_spark.queries._util import parallelize
+from etl_pipeline_project_auraverse_spark.session import load_table
+
+# Image contract shared with the oracles: documents with
+# doc_id % IMG_MOD == 0 carry a 24-bit BMP whose geometry and pixels
+# are closed-form in doc_id (synth_bmp_bytes: all three channels of
+# pixel (y, x) equal (doc_id*31 + (y*w + x)*7) % 256, y TOP-DOWN).
+IMG_MOD = 3
+_W = "(8 + (doc_id % 5) * 4)"  # 8..24
+_H = "(6 + (doc_id % 4) * 3)"  # 6..15
+_MAX_PIX = 24 * 15
+# q_image_dup_caption_diversity reuses one thumbnail per class:
+# fixed 8x6 geometry, pixel seed cls = doc_id % N_IMG_CLASSES.
+N_IMG_CLASSES = 16
+
+_SQL_CAPTION_WORDS = r"CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)"
+_SQL_CAPTION_FP = r"md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))"
+
+
+def _decoded_gray(buf: bytes):
+    """REAL decode through the production BMP parser, returned as the
+    top-down (h, w) grayscale plane (all three channels are equal by
+    the synthesis contract)."""
+    from etl_pipeline_project_auraverse_spark.operators.multimodal import (
+        _decode_image_bytes,
+    )
+
+    w, h, c, rows = _decode_image_bytes(buf)
+    return w, h, rows.reshape(h, w, c)[:, :, 0]
+
+
+def _image_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return parallelize(
+        load_table(spark, sf_dir, "documents").filter(
+            (F.col("doc_id") % IMG_MOD) == 0
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q1: image facts x caption text statistics.
+# ---------------------------------------------------------------------------
+_AUDIT_ORACLE = f"""
+WITH idx AS (SELECT unnest(range({_MAX_PIX})) AS i),
+img AS (
+    SELECT doc_id, {_W} AS w, {_H} AS h, text FROM documents
+    WHERE doc_id % {IMG_MOD} = 0
+),
+pix AS (
+    SELECT img.doc_id, img.w, img.h,
+           (img.doc_id * 31 + idx.i * 7) % 256 AS v,
+           (idx.i // img.w) AS y
+    FROM img CROSS JOIN idx WHERE idx.i < img.w * img.h
+),
+sums AS (
+    SELECT doc_id,
+           CAST(3 * SUM(CASE WHEN y <  h // 2 THEN v END) AS BIGINT) AS top_sum,
+           CAST(3 * SUM(CASE WHEN y >= h - h // 2 THEN v END) AS BIGINT)
+               AS bottom_sum
+    FROM pix GROUP BY doc_id, h
+)
+SELECT img.doc_id,
+       CAST(img.w AS INTEGER) AS width,
+       CAST(img.h AS INTEGER) AS height,
+       s.top_sum, s.bottom_sum,
+       {_SQL_CAPTION_WORDS} AS n_words,
+       CAST(ROUND({_SQL_CAPTION_WORDS} * 1000.0 / (img.w * img.h), 6) AS DOUBLE)
+           AS words_per_kilopixel,
+       {_SQL_CAPTION_WORDS} * 40 >= img.w * img.h AS caption_ok
+FROM img JOIN sums s USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@register("q_image_caption_audit", oracle=_AUDIT_ORACLE)
+def q_image_caption_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per image-caption pair: REAL-decode image facts (geometry plus
+    flip-sensitive top-half/bottom-half pixel sums — a decoder that
+    forgets BMP's bottom-up row order swaps them and fails the hash)
+    joined to the caption's word count, with the words-per-kilopixel
+    density and a caption-adequacy flag a curation pipeline thresholds
+    on. One mapInPandas (synth + decode), one doc-keyed join."""
+    import numpy as np
+
+    from etl_pipeline_project_auraverse_spark.operators.multimodal import (
+        synth_bmp_bytes,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w0, h0 = 8 + (d % 5) * 4, 6 + (d % 4) * 3
+                w, h, gray = _decoded_gray(synth_bmp_bytes(d, w0, h0))
+                g = gray.astype(np.int64)
+                # 3 identical channels -> decoded byte sums are 3x the
+                # grayscale sums; keep the x3 so the value attests the
+                # full 24-bit payload
+                rows.append(
+                    (
+                        d,
+                        w,
+                        h,
+                        int(3 * g[: h // 2].sum()),
+                        int(3 * g[h - h // 2 :].sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "top_sum", "bottom_sum"]
+            )
+
+    img = _image_docs(spark, sf_dir)
+    facts = img.select("doc_id").mapInPandas(
+        run, schema="doc_id long, width int, height int, top_sum long, bottom_sum long"
+    )
+    nw = F.size(words(F.col("text"))).cast("long")
+    caption = img.select("doc_id", nw.alias("n_words"))
+    area = F.col("width") * F.col("height")
+    return (
+        facts.join(caption, "doc_id")
+        .select(
+            "doc_id",
+            "width",
+            "height",
+            "top_sum",
+            "bottom_sum",
+            "n_words",
+            F.round(F.col("n_words") * 1000.0 / area, 6)
+            .cast("double")
+            .alias("words_per_kilopixel"),
+            (F.col("n_words") * 40 >= area).alias("caption_ok"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2: image-reuse clusters x caption diversity.
+# ---------------------------------------------------------------------------
+_DIVERSITY_ORACLE = f"""
+WITH img AS (
+    SELECT doc_id, doc_id % {N_IMG_CLASSES} AS cls,
+           {_SQL_CAPTION_FP} AS caption_fp,
+           {_SQL_CAPTION_WORDS} AS n_words
+    FROM documents WHERE doc_id % {IMG_MOD} = 0
+)
+SELECT CAST(MIN(doc_id) AS BIGINT) AS rep_doc,
+       COUNT(*) AS n_docs,
+       CAST(COUNT(DISTINCT caption_fp) AS BIGINT) AS n_distinct_captions,
+       COUNT(*) - COUNT(DISTINCT caption_fp) AS n_dup_caption_rows,
+       CAST(ROUND(SUM(n_words) * 1.0 / COUNT(*), 6) AS DOUBLE) AS avg_words
+FROM img GROUP BY cls
+ORDER BY rep_doc
+"""
+
+
+@register("q_image_dup_caption_diversity", oracle=_DIVERSITY_ORACLE)
+def q_image_dup_caption_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-reuse census: cluster documents by the EXACT fingerprint
+    of their decoded pixel bytes (one md5 + one groupBy — reused
+    boilerplate images form hot keys, never candidate pairs), then
+    measure caption diversity inside each cluster. The oracle derives
+    the expected cluster structure from the synthesis contract
+    (cls = doc_id % {N_IMG_CLASSES} with a fixed 8x6 geometry), so any
+    decode fault that merges or splits clusters changes the membership
+    counts and fails the hash."""
+    import hashlib
+
+    from etl_pipeline_project_auraverse_spark.operators.multimodal import (
+        synth_bmp_bytes,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                _, _, gray = _decoded_gray(
+                    synth_bmp_bytes(d % N_IMG_CLASSES, 8, 6)
+                )
+                rows.append((d, hashlib.md5(gray.tobytes()).hexdigest()))
+            yield pd.DataFrame(rows, columns=["doc_id", "img_fp"])
+
+    img = _image_docs(spark, sf_dir)
+    fps = img.select("doc_id").mapInPandas(run, schema="doc_id long, img_fp string")
+    nw = F.size(words(F.col("text"))).cast("long")
+    caps = img.select(
+        "doc_id", F.md5(norm_text(F.col("text"))).alias("caption_fp"), nw.alias("n_words")
+    )
+    return (
+        fps.join(caps, "doc_id")
+        .groupBy("img_fp")
+        .agg(
+            F.min("doc_id").alias("rep_doc"),
+            F.count("*").alias("n_docs"),
+            F.countDistinct("caption_fp").alias("n_distinct_captions"),
+            (F.count("*") - F.countDistinct("caption_fp")).alias(
+                "n_dup_caption_rows"
+            ),
+            F.round(F.sum("n_words") * 1.0 / F.count("*"), 6)
+            .cast("double")
+            .alias("avg_words"),
+        )
+        .drop("img_fp")
+        .orderBy("rep_doc")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q3: CLIP-style image-text embedding alignment.
+# ---------------------------------------------------------------------------
+N_POOL = 4  # both modality signatures project to 4 components
+
+
+def _sql_pooled_emb() -> str:
+    """4-pool projection of the 64-dim embedding: component p is the
+    LEFT-TO-RIGHT sum of elements 16p..16p+15 (explicit additions so
+    the fold order matches Spark's expression tree bit for bit)."""
+    pools = []
+    for p in range(N_POOL):
+        terms = " + ".join(
+            f"CAST(embedding[{16 * p + j + 1}] AS DOUBLE)" for j in range(16)
+        )
+        pools.append(f"({terms})")
+    return "[" + ", ".join(pools) + "]"
+
+
+_ALIGN_ORACLE = f"""
+WITH idx AS (SELECT unnest(range({_MAX_PIX})) AS i),
+img AS (
+    SELECT doc_id, {_W} AS w, {_H} AS h FROM documents
+    WHERE doc_id % {IMG_MOD} = 0
+),
+pix AS (
+    SELECT img.doc_id,
+           (img.doc_id * 31 + idx.i * 7) % 256 AS v,
+           ((idx.i // img.w) % {N_POOL}) AS phase
+    FROM img CROSS JOIN idx WHERE idx.i < img.w * img.h
+),
+sig AS (
+    SELECT doc_id,
+           [CAST(SUM(CASE WHEN phase = 0 THEN v ELSE 0 END) AS DOUBLE),
+            CAST(SUM(CASE WHEN phase = 1 THEN v ELSE 0 END) AS DOUBLE),
+            CAST(SUM(CASE WHEN phase = 2 THEN v ELSE 0 END) AS DOUBLE),
+            CAST(SUM(CASE WHEN phase = 3 THEN v ELSE 0 END) AS DOUBLE)] AS u
+    FROM pix GROUP BY doc_id
+),
+pooled AS (
+    SELECT vec_id, label, {_sql_pooled_emb()} AS t FROM embeddings
+),
+scored AS (
+    SELECT p.label, {sql_cosine('s.u', 'p.t', dims=N_POOL)} AS cos
+    FROM sig s JOIN pooled p ON p.vec_id = s.doc_id
+)
+SELECT CAST(label AS INTEGER) AS label,
+       COUNT(*) AS n_docs,
+       CAST(ROUND(CAST(SUM(CAST(cos AS DECIMAL(25,6))) AS DOUBLE)
+                  / COUNT(*), 6) AS DOUBLE) AS avg_alignment,
+       CAST(MIN(cos) AS DOUBLE) AS min_alignment,
+       CAST(MAX(cos) AS DOUBLE) AS max_alignment
+FROM scored GROUP BY label ORDER BY label
+"""
+
+
+@register("q_clip_stripe_alignment", oracle=_ALIGN_ORACLE)
+def q_clip_stripe_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modality-alignment audit, the CLIP-quality-stats shape: a
+    4-component image signature (row-phase pixel sums off the REAL
+    decode — phase y % 4 is flip-sensitive whenever h % 4 != 0, which
+    the geometry contract guarantees for 3 of 4 height classes)
+    against a 4-pool projection of the text embedding; per-pair cosine
+    rounded at 6, per-label decimal-sum aggregate. One mapInPandas,
+    one doc-keyed equi-join against embeddings, one tiny groupBy."""
+    import numpy as np
+
+    from etl_pipeline_project_auraverse_spark.operators.multimodal import (
+        synth_bmp_bytes,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w0, h0 = 8 + (d % 5) * 4, 6 + (d % 4) * 3
+                _, h, gray = _decoded_gray(synth_bmp_bytes(d, w0, h0))
+                g = gray.astype(np.int64)
+                rows.append(
+                    (d, [float(g[p::N_POOL].sum()) for p in range(N_POOL)])
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "u"])
+
+    sig = _image_docs(spark, sf_dir).select("doc_id").mapInPandas(
+        run, schema="doc_id long, u array<double>"
+    )
+    pooled_components = [
+        sum(
+            (F.col("embedding")[16 * p + j].cast("double") for j in range(1, 16)),
+            F.col("embedding")[16 * p].cast("double"),
+        )
+        for p in range(N_POOL)
+    ]
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        "label",
+        F.array(*pooled_components).alias("t"),
+    )
+    scored = sig.join(emb, "doc_id").select(
+        "label", cosine(F.col("u"), F.col("t")).alias("cos")
+    )
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(
+                F.sum(F.col("cos").cast("decimal(25,6)")).cast("double")
+                / F.count("*"),
+                6,
+            )
+            .cast("double")
+            .alias("avg_alignment"),
+            F.min("cos").cast("double").alias("min_alignment"),
+            F.max("cos").cast("double").alias("max_alignment"),
+        )
+        .select(
+            F.col("label").cast("int").alias("label"),
+            "n_docs",
+            "avg_alignment",
+            "min_alignment",
+            "max_alignment",
+        )
+        .orderBy("label")
+    )
