@@ -382,3 +382,97 @@ def q_clip_stripe_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q4: audio-transcript synchronization audit (audio x text).
+# Audio contract shared with queries/audio.py: documents with
+# doc_id % AUD_MOD == 0 carry a PCM16 mono WAV at AUD_RATE Hz with
+# n = 64 + doc_id % 97 samples, amplitude a_i = ((doc_id*7 + i*13) %
+# 2001) - 1000. The caption is the document's own text; the audit
+# reports speech-rate adequacy (words per audio second) — the check an
+# ASR-pair curation pipeline runs before training.
+# ---------------------------------------------------------------------------
+AUD_MOD = 5
+AUD_RATE = 8000
+_AUD_MAX_N = 64 + 96
+
+_SYNC_ORACLE = f"""
+WITH idx AS (SELECT unnest(range({_AUD_MAX_N})) AS i),
+aud AS (
+    SELECT doc_id, 64 + doc_id % 97 AS n, text FROM documents
+    WHERE doc_id % {AUD_MOD} = 0
+),
+s AS (
+    SELECT aud.doc_id,
+           ABS(((aud.doc_id * 7 + idx.i * 13) % 2001) - 1000) AS a
+    FROM aud CROSS JOIN idx WHERE idx.i < aud.n
+),
+amp AS (SELECT doc_id, CAST(SUM(a) AS BIGINT) AS sum_abs FROM s GROUP BY doc_id)
+SELECT aud.doc_id,
+       CAST(aud.n AS BIGINT) AS n_samples,
+       CAST(ROUND(aud.n / {AUD_RATE}.0, 6) AS DOUBLE) AS duration_sec,
+       amp.sum_abs,
+       {_SQL_CAPTION_WORDS} AS n_words,
+       CAST(ROUND({_SQL_CAPTION_WORDS} * {AUD_RATE}.0 / aud.n, 6) AS DOUBLE)
+           AS words_per_sec,
+       CAST(({_SQL_CAPTION_WORDS} * {AUD_RATE}) // (10000 * aud.n) AS BIGINT)
+           AS rate_band
+FROM aud JOIN amp USING (doc_id)
+ORDER BY aud.doc_id
+"""
+
+
+@register("q_audio_caption_sync", oracle=_SYNC_ORACLE)
+def q_audio_caption_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per audio-caption pair: REAL WAV round-trip (stdlib ``wave``
+    writer + reader — sum_abs attests PCM byte order end-to-end)
+    joined to the caption's word count; speech rate as an exact double
+    and an integer-division rate band (no float floor at the band
+    edge), the distribution an ASR curation pass thresholds on."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        from etl_pipeline_project_auraverse_spark.queries.audio import synth_wav
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                with wave.open(io.BytesIO(synth_wav(d)), "rb") as w:
+                    raw = w.readframes(w.getnframes())
+                s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                rows.append((d, len(s), int(np.abs(s).sum())))
+            yield pd.DataFrame(rows, columns=["doc_id", "n_samples", "sum_abs"])
+
+    docs = parallelize(
+        load_table(spark, sf_dir, "documents").filter(
+            (F.col("doc_id") % AUD_MOD) == 0
+        )
+    )
+    facts = docs.select("doc_id").mapInPandas(
+        run, schema="doc_id long, n_samples long, sum_abs long"
+    )
+    nw = F.size(words(F.col("text"))).cast("long")
+    caption = docs.select("doc_id", nw.alias("n_words"))
+    n = F.col("n_samples")
+    return (
+        facts.join(caption, "doc_id")
+        .select(
+            "doc_id",
+            "n_samples",
+            F.round(n / float(AUD_RATE), 6).cast("double").alias("duration_sec"),
+            "sum_abs",
+            "n_words",
+            F.round(F.col("n_words") * float(AUD_RATE) / n, 6)
+            .cast("double")
+            .alias("words_per_sec"),
+            F.expr(f"(n_words * {AUD_RATE}) DIV (10000 * n_samples)")
+            .cast("long")
+            .alias("rate_band"),
+        )
+        .orderBy("doc_id")
+    )

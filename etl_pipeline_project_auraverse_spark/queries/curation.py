@@ -34,6 +34,7 @@ from etl_pipeline_project_auraverse_spark.functions.text import (
     STOPWORD_RE,
     h28,
     n_words,
+    words,
 )
 from etl_pipeline_project_auraverse_spark.cache import persist_tracked
 from etl_pipeline_project_auraverse_spark.queries import register
@@ -2593,3 +2594,188 @@ def q_kneser_ney_crossentropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         h.cast("double").alias("cross_entropy_bits"),
         F.round(F.pow(F.lit(2.0), h), 4).cast("double").alias("perplexity"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Per-DOCUMENT perplexity filter census — the document-granular
+# companion to q_unigram_crossentropy_by_source (that query scores
+# whole sources; filtering happens per document). Every document's
+# token stream is scored under the pooled corpus unigram LM in exact
+# integer micro-nats; documents land in 2-nat-wide cross-entropy bands
+# via INTEGER division (no float floor at band edges), and the census
+# reports how much of each source each band holds — exactly the table
+# a perplexity-filter threshold is chosen from (CCNet-style).
+#
+# Scale: corpus LM = one map-side-combined count; scoring = one join
+# on the token key (AQE spreads stopword skew) + one per-doc
+# aggregate; the census is a tiny (source x band) groupBy.
+# ---------------------------------------------------------------------------
+PPL_BAND_MICRONATS = 2_000_000  # 2 nats per band
+
+
+@register(
+    "q_doc_perplexity_filter",
+    oracle=rf"""
+    WITH ww AS (
+        SELECT doc_id, source,
+               unnest(string_split_regex(trim(text), '\s+')) AS w
+        FROM documents
+    ),
+    toks AS (SELECT doc_id, source, w FROM ww WHERE w <> ''),
+    corpus AS (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w),
+    tot AS (SELECT COUNT(*) AS n FROM toks),
+    lp AS (
+        SELECT w, CAST(FLOOR(ln(cnt * 1.0 / (SELECT n FROM tot)) * 1e6 + 0.5)
+                       AS BIGINT) AS lpm
+        FROM corpus
+    ),
+    perdoc AS (
+        SELECT doc_id, source,
+               COUNT(*) AS n_tok,
+               -SUM(lpm) AS ce_micro
+        FROM toks JOIN lp USING (w)
+        GROUP BY doc_id, source
+    )
+    SELECT source,
+           CAST(ce_micro // ({PPL_BAND_MICRONATS} * n_tok) AS BIGINT) AS ce_band,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(ROUND(CAST(SUM(CAST(ROUND(ce_micro / (1e6 * n_tok), 6)
+                                    AS DECIMAL(25,6))) AS DOUBLE)
+                      / COUNT(*), 6) AS DOUBLE) AS avg_ce_nats
+    FROM perdoc
+    GROUP BY source, ce_band
+    ORDER BY source, ce_band
+    """,
+)
+def q_doc_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, cross-entropy band) census under the pooled corpus
+    unigram LM — integer micro-nat scores, integer-division banding,
+    rounded-term decimal average (see the section rationale)."""
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    toks = persist_tracked(
+        docs.select(
+            "doc_id", "source", F.explode(words(F.col("text"))).alias("w")
+        ).filter(F.col("w") != "")
+    )
+    n_total = toks.count()
+    lp = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt")).select(
+        "w",
+        F.floor(
+            F.log(F.col("cnt") * 1.0 / F.lit(n_total)) * F.lit(1e6) + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("lpm"),
+    )
+    perdoc = (
+        toks.join(lp, "w")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            (-F.sum("lpm")).alias("ce_micro"),
+        )
+    )
+    ce_doc = F.round(F.col("ce_micro") / (F.lit(1e6) * F.col("n_tok")), 6)
+    return (
+        perdoc.select(
+            "source",
+            F.expr(f"ce_micro DIV ({PPL_BAND_MICRONATS} * n_tok)")
+            .cast("long")
+            .alias("ce_band"),
+            "n_tok",
+            ce_doc.alias("ce"),
+        )
+        .groupBy("source", "ce_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("ce").cast("decimal(25,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            )
+            .cast("double")
+            .alias("avg_ce_nats"),
+        )
+        .orderBy("source", "ce_band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled source sampling (the multilingual-LM mixture
+# rule): sample probability p_s ∝ n_s^τ with τ = 0.5, which
+# up-weights small sources relative to proportional sampling. τ = 0.5
+# is deliberately a square root — SQRT is correctly rounded in IEEE
+# 754 (unlike pow with arbitrary exponents, whose last bit is libm-
+# dependent), so the allocation is bit-identical across engines with
+# no integer-lattice workaround. Rounded sqrt terms accumulate through
+# DECIMAL so the normalizer is partition-order-proof.
+#
+# Scale: one map-side token count per source + a |sources|-row
+# projection. The companion to q_mixture_epoch_capped_allocation
+# (hard caps) and q_domain_reweight_step (DoReMi): together they are
+# the three standard mixture policies.
+# ---------------------------------------------------------------------------
+TEMP_BUDGET_TOKENS = 1_000_000
+
+
+@register(
+    "q_temperature_sampling_alloc",
+    oracle=rf"""
+    WITH ww AS (
+        SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS w
+        FROM documents
+    ),
+    counts AS (
+        SELECT source, COUNT(*) AS n_tokens FROM ww WHERE w <> '' GROUP BY source
+    ),
+    scaled AS (
+        SELECT source, n_tokens, ROUND(SQRT(n_tokens), 6) AS s FROM counts
+    ),
+    norm AS (
+        SELECT CAST(SUM(CAST(s AS DECIMAL(25,6))) AS DOUBLE) AS z FROM scaled
+    )
+    SELECT source,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(ROUND(s / z, 6) AS DOUBLE) AS sample_prob,
+           CAST(ROUND(s * {TEMP_BUDGET_TOKENS} / z, 2) AS DOUBLE)
+               AS expected_tokens,
+           CAST(ROUND(s * {TEMP_BUDGET_TOKENS} / z / n_tokens, 6) AS DOUBLE)
+               AS oversample_factor
+    FROM scaled CROSS JOIN norm
+    ORDER BY source
+    """,
+)
+def q_temperature_sampling_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source temperature (τ=0.5) sampling probabilities, expected
+    token draw under a fixed budget, and the oversampling factor vs
+    proportional — the knob table a mixture scheduler reads."""
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    counts = (
+        docs.select("source", F.explode(words(F.col("text"))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+    )
+    scaled = counts.select(
+        "source", "n_tokens", F.round(F.sqrt("n_tokens"), 6).alias("s")
+    )
+    norm = scaled.agg(
+        F.sum(F.col("s").cast("decimal(25,6)")).cast("double").alias("z")
+    )
+    b = F.lit(float(TEMP_BUDGET_TOKENS))
+    return (
+        scaled.crossJoin(F.broadcast(norm))
+        .select(
+            "source",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(F.col("s") / F.col("z"), 6).cast("double").alias("sample_prob"),
+            F.round(F.col("s") * b / F.col("z"), 2)
+            .cast("double")
+            .alias("expected_tokens"),
+            F.round(F.col("s") * b / F.col("z") / F.col("n_tokens"), 6)
+            .cast("double")
+            .alias("oversample_factor"),
+        )
+        .orderBy("source")
+    )

@@ -1824,3 +1824,128 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center seed selection (farthest-first traversal / Gonzalez
+# 1985): the coreset/diversity-sampling primitive — the k points that
+# 2-approximate the optimal covering radius, used to seed diverse
+# eval sets and k-means++-style initializations over embedding
+# corpora. Iterative by nature, so correctness is attested the same
+# way as BPE training: the oracle replays the ENTIRE selection
+# trajectory with chained argmax CTEs — a wrong distance, rounding or
+# tie-break at ANY step changes every later center and flips the hash.
+#
+# Determinism: per-pair squared L2 is ROUNDed at 6 before the LEAST /
+# argmax, ties break on the smaller vec_id.
+#
+# Scale: centers are DRIVER state (K bounded rows of 64 doubles — the
+# bounded-collect idiom of the iterative-ML family); each round is ONE
+# aggregate over the corpus with the K distances fused into a single
+# projection (constant-folded literals, whole-stage codegen), so the
+# full selection is K linear scans of a persisted frame — the textbook
+# distributed farthest-first shape.
+# ---------------------------------------------------------------------------
+KCENTER_K = 8
+
+
+def _sql_d2_to_center(emb_col: str, dims: int = 64) -> str:
+    # the center rides as a correlated COLUMN (1-row cross join), not a
+    # scalar subquery — DuckDB lambdas cannot contain subqueries
+    diff = (
+        f"(CAST(e.embedding[d+1] AS DOUBLE) - "
+        f"CAST({emb_col}[d+1] AS DOUBLE))"
+    )
+    return (
+        f"ROUND(list_sum(list_transform(range(0, {dims}), d -> "
+        f"{diff} * {diff})), 6)"
+    )
+
+
+def _kcenter_oracle() -> str:
+    parts = [
+        "e AS (SELECT vec_id, embedding FROM embeddings)",
+        "c0 AS (SELECT vec_id, embedding AS emb FROM e "
+        "WHERE vec_id = (SELECT MIN(vec_id) FROM e))",
+    ]
+    for k in range(1, KCENTER_K):
+        least = ", ".join(_sql_d2_to_center(f"x{j}.emb") for j in range(k))
+        froms = " ".join(f"CROSS JOIN c{j} x{j}" for j in range(k))
+        parts.append(
+            f"""c{k} AS (
+        SELECT vec_id, emb, mind FROM (
+            SELECT e.vec_id, e.embedding AS emb, LEAST({least}) AS mind
+            FROM e {froms}
+        ) ORDER BY mind DESC, vec_id LIMIT 1
+    )"""
+        )
+    selects = ["SELECT 0 AS step, (SELECT vec_id FROM c0) AS center_vec_id, "
+               "0.0 AS dist_sq"]
+    selects += [
+        f"SELECT {k} AS step, vec_id AS center_vec_id, mind AS dist_sq FROM c{k}"
+        for k in range(1, KCENTER_K)
+    ]
+    unioned = "\n    UNION ALL ".join(selects)
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+    SELECT CAST(step AS BIGINT) AS step,
+           CAST(center_vec_id AS BIGINT) AS center_vec_id,
+           CAST(dist_sq AS DOUBLE) AS dist_sq
+    FROM ({unioned}) ORDER BY step
+    """
+    )
+
+
+@register("q_kcenter_seed_selection", oracle=_kcenter_oracle())
+def q_kcenter_seed_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Farthest-first k-center trajectory over the embedding corpus:
+    step, chosen center, and its (squared) distance to the previously
+    selected set — dist_sq of step k is exactly the covering radius
+    after k centers, so the output doubles as the coverage curve."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    emb = persist_tracked(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+
+    def d2_to(center_vals: list[float]):
+        arr = F.array(*[F.lit(float(v)) for v in center_vals])
+        diff = F.zip_with(
+            F.col("embedding"),
+            arr,
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        )
+        return F.round(F.aggregate(diff, F.lit(0.0), lambda a, b: a + b), 6)
+
+    first = (
+        emb.orderBy("vec_id").limit(1).select("vec_id", "embedding").collect()[0]
+    )
+    centers = [[float(v) for v in first["embedding"]]]
+    rows = [(0, int(first["vec_id"]), 0.0)]
+    for k in range(1, KCENTER_K):
+        ds = [d2_to(c) for c in centers]
+        mind = ds[0] if len(ds) == 1 else F.least(*ds)
+        win = emb.agg(
+            F.max(
+                F.struct(
+                    mind.alias("d"),
+                    (-F.col("vec_id")).alias("nv"),
+                    F.col("embedding").alias("e"),
+                )
+            ).alias("w")
+        ).collect()[0]["w"]
+        rows.append((k, int(-win["nv"]), float(win["d"])))
+        centers.append([float(v) for v in win["e"]])
+    schema = StructType(
+        [
+            StructField("step", LongType(), False),
+            StructField("center_vec_id", LongType(), False),
+            StructField("dist_sq", DoubleType(), False),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)

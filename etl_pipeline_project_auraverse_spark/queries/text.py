@@ -1856,3 +1856,201 @@ def q_oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency fit per source: OLS of ln(count) on ln(rank)
+# over each source's top-ZIPF_R tokens. The slope is the classic
+# corpus-health fingerprint — natural text sits near -1; boilerplate,
+# spam and template farms flatten or steepen it — so the per-source
+# slope is a cheap distribution-shift detector for ingest monitoring.
+#
+# Determinism: each regression TERM (ln rank, ln count, their product,
+# the square) is rounded to 6 decimals BEFORE accumulation — the
+# rounded doubles are exactly representable, DECIMAL sums are
+# associative, and the closed-form assembly is the same IEEE
+# expression tree in both engines — so the fit is bit-identical.
+#
+# Scale: one map-side-combined (source, token) count, a per-source
+# top-R through a sharded local rank (no task sorts a full source
+# vocabulary), then a |sources|-row closed-form projection.
+# ---------------------------------------------------------------------------
+ZIPF_R = 64
+
+
+@register(
+    "q_zipf_fit_by_source",
+    oracle=rf"""
+    WITH ww AS (
+        SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS w
+        FROM documents
+    ),
+    toks AS (SELECT source, w FROM ww WHERE w <> ''),
+    counts AS (SELECT source, w, COUNT(*) AS cnt FROM toks GROUP BY source, w),
+    ranked AS (
+        SELECT source, cnt,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY cnt DESC, w) AS rk
+        FROM counts
+    ),
+    terms AS (
+        SELECT source,
+               ROUND(ln(rk), 6) AS x,
+               ROUND(ln(cnt), 6) AS y
+        FROM ranked WHERE rk <= {ZIPF_R}
+    ),
+    sums AS (
+        SELECT source,
+               COUNT(*) AS r,
+               CAST(SUM(CAST(x AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(ROUND(x * y, 6) AS DECIMAL(25,6))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(ROUND(x * x, 6) AS DECIMAL(25,6))) AS DOUBLE) AS sxx
+        FROM terms GROUP BY source
+    )
+    SELECT source,
+           CAST(r AS BIGINT) AS n_terms,
+           CAST(ROUND((r * sxy - sx * sy) / (r * sxx - sx * sx), 6) AS DOUBLE)
+               AS zipf_slope,
+           CAST(ROUND((sy * sxx - sx * sxy) / (r * sxx - sx * sx), 6) AS DOUBLE)
+               AS zipf_intercept
+    FROM sums ORDER BY source
+    """,
+)
+def q_zipf_fit_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf slope/intercept by closed-form OLS on the
+    top-ZIPF_R (ln rank, ln count) pairs; rounded-term decimal sums
+    keep the fit partition-order-proof (see the battery rationale in
+    the section comment)."""
+    from pyspark.sql.window import Window as W
+
+    from etl_pipeline_project_auraverse_spark.functions.text import h28
+
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    counts = (
+        docs.select("source", F.explode(words(F.col("text"))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # per-source top-R without a full per-source sort: local rank in 16
+    # hash shards first, survivors (<= 16R per source) get the true rank
+    shard = (h28(F.col("w")) % 16).alias("shard")
+    local = W.partitionBy("source", "shard").orderBy(F.col("cnt").desc(), "w")
+    global_ = W.partitionBy("source").orderBy(F.col("cnt").desc(), "w")
+    ranked = (
+        counts.withColumn("shard", shard)
+        .withColumn("lrk", F.row_number().over(local))
+        .filter(F.col("lrk") <= ZIPF_R)
+        .withColumn("rk", F.row_number().over(global_))
+        .filter(F.col("rk") <= ZIPF_R)
+    )
+    x = F.round(F.log(F.col("rk")), 6)
+    y = F.round(F.log(F.col("cnt")), 6)
+    dec = lambda c: F.sum(c.cast("decimal(25,6)")).cast("double")  # noqa: E731
+    sums = ranked.select("source", x.alias("x"), y.alias("y")).groupBy("source").agg(
+        F.count(F.lit(1)).alias("r"),
+        dec(F.col("x")).alias("sx"),
+        dec(F.col("y")).alias("sy"),
+        dec(F.round(F.col("x") * F.col("y"), 6)).alias("sxy"),
+        dec(F.round(F.col("x") * F.col("x"), 6)).alias("sxx"),
+    )
+    r, sx, sy, sxy, sxx = (F.col(c) for c in ("r", "sx", "sy", "sxy", "sxx"))
+    denom = r * sxx - sx * sx
+    return sums.select(
+        "source",
+        r.cast("long").alias("n_terms"),
+        F.round((r * sxy - sx * sy) / denom, 6).cast("double").alias("zipf_slope"),
+        F.round((sy * sxx - sx * sxy) / denom, 6)
+        .cast("double")
+        .alias("zipf_intercept"),
+    ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Length x quality JOINT distribution census — the 2-D histogram a
+# filter designer reads before picking thresholds: marginal length or
+# quality cuts look safe in isolation while their intersection
+# silently drops a whole corner of the corpus (short-but-high-quality
+# docs are the classic casualty). Bands are integer arithmetic on the
+# already-rounded quality score, so band edges cannot round apart
+# across engines.
+#
+# Scale: one projection + one tiny (8 x 6)-cell groupBy; the share
+# denominator rides in as a 1-row broadcast.
+# ---------------------------------------------------------------------------
+LEN_BAND_WORDS = 64  # words per length band, capped at band 7
+
+
+@register(
+    "q_length_quality_joint",
+    oracle=f"""
+    WITH scored AS (
+        SELECT LEAST(n_tokens // {LEN_BAND_WORDS}, 7) AS len_band,
+               LEAST(CAST(FLOOR(ROUND(
+                   LEAST(1.0, n_tokens / 200.0) * 0.4
+                   + (stop_hits * 1.0 / n_tokens) * 0.4
+                   + (1.0 - punct_hits * 1.0 / length(text)) * 0.2, 6) * 5)
+                   AS BIGINT), 4) AS q_band
+        FROM (
+            SELECT text,
+                   {{n_words}} AS n_tokens,
+                   {{stop_hits}} AS stop_hits,
+                   {{punct_hits}} AS punct_hits
+            FROM documents
+        )
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM scored)
+    SELECT CAST(len_band AS BIGINT) AS len_band,
+           q_band,
+           COUNT(*) AS n_docs,
+           CAST(ROUND(COUNT(*) * 1.0 / (SELECT n FROM tot), 6) AS DOUBLE)
+               AS corpus_share
+    FROM scored GROUP BY len_band, q_band
+    ORDER BY len_band, q_band
+    """.format(
+        n_words=SQL_N_WORDS, stop_hits=SQL_STOP_HITS, punct_hits=SQL_PUNCT_HITS
+    ),
+)
+def q_length_quality_joint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(length band, quality band) -> document count and corpus share.
+    Quality is the q_text_quality_scores formula rounded at 6 BEFORE
+    the x5 floor banding (identical doubles -> identical floors);
+    length bands are pure integer division."""
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    t = F.col("text")
+    base = docs.select(
+        n_words(t).alias("n_tokens"),
+        match_count(F.lower(t), STOPWORD_RE).alias("stop_hits"),
+        match_count(t, PUNCT_RE).alias("punct_hits"),
+        F.length(t).alias("n_chars"),
+    )
+    stop_ratio = F.col("stop_hits") * 1.0 / F.col("n_tokens")
+    punct_ratio = F.col("punct_hits") * 1.0 / F.col("n_chars")
+    q = F.round(
+        F.least(F.lit(1.0), F.col("n_tokens") / 200.0) * 0.4
+        + stop_ratio * 0.4
+        + (1.0 - punct_ratio) * 0.2,
+        6,
+    )
+    scored = base.select(
+        F.least(
+            F.expr(f"n_tokens DIV {LEN_BAND_WORDS}"), F.lit(7).cast("long")
+        ).alias("len_band"),
+        F.least(F.floor(q * 5).cast("long"), F.lit(4).cast("long")).alias("q_band"),
+    )
+    tot = scored.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        scored.groupBy("len_band", "q_band")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "len_band",
+            "q_band",
+            "n_docs",
+            F.round(F.col("n_docs") * 1.0 / F.col("n"), 6)
+            .cast("double")
+            .alias("corpus_share"),
+        )
+        .orderBy("len_band", "q_band")
+    )
