@@ -3,11 +3,11 @@ embedding columns — the curation layer between the single-modality
 pillars (``queries/video.py``/``queries/audio.py`` decode one modality
 each; nothing before this module related two modalities).
 
-Three oracle-gated queries, all on the r7-established synthesis
-contract (every image parameter is a closed-form integer function of
+Six oracle-gated queries, all on the r7-established synthesis
+contract (every media parameter is a closed-form integer function of
 ``doc_id``, mirrored verbatim in the SQL oracle, and the Spark arm
-runs the REAL codec path — ``operators/multimodal._decode_bmp`` — so
-a decode bug anywhere flips the value hash):
+runs the REAL codec path — BMP parser, stdlib ``wave``, the ISO-BMFF
+box parser — so a decode bug anywhere flips the value hash):
 
 - ``q_image_caption_audit``: per image-bearing document, REAL
   BMP decode (geometry, flip-sensitive top/bottom pixel sums) joined
@@ -22,6 +22,12 @@ a decode bug anywhere flips the value hash):
   a 4-component image signature (row-phase pixel sums from the real
   decode) against a 4-pool projection of the document's text
   embedding, cosine per pair, aggregated per embedding label.
+- ``q_audio_caption_sync``: WAV round-trip x caption word stats —
+  the speech-rate adequacy audit of an ASR-pair pipeline.
+- ``q_video_caption_density``: ISO-BMFF parse x caption word stats —
+  frame rate and caption density per video second.
+- ``q_crossmodal_retrieval_recall``: image-to-caption retrieval
+  recall@1/@5 + MRR over the whole corpus, count-rank (no sort).
 
 Reference scope: the reference dispatches uploads by extension and
 never opens payloads (/root/reference/backend/etl_pipeline.py:30-60);
@@ -475,4 +481,251 @@ def q_audio_caption_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rate_band"),
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q5: video-caption density audit (video x text).
+# Video contract shared with queries/video.py / operators/mp4_synth:
+# documents with doc_id % VID_MOD == 0 carry a two-track MP4 whose
+# video track has n1 = 8 + d%5 samples at delta1 = 20 + (d%3)*5 ticks
+# plus n2 = 10 + d%7 at delta2 = 40 + (d%4)*5 (timescale 1000), so the
+# movie duration is (n1*delta1 + n2*delta2)/1000 s exactly.
+# ---------------------------------------------------------------------------
+VID_MOD = 7
+
+_DENSITY_ORACLE = f"""
+WITH vid AS (
+    SELECT doc_id,
+           8 + doc_id % 5 AS n1, 20 + (doc_id % 3) * 5 AS d1,
+           10 + doc_id % 7 AS n2, 40 + (doc_id % 4) * 5 AS d2,
+           text
+    FROM documents WHERE doc_id % {VID_MOD} = 0
+)
+SELECT doc_id,
+       CAST(n1 + n2 AS BIGINT) AS n_frames,
+       CAST(ROUND((n1 * d1 + n2 * d2) / 1000.0, 6) AS DOUBLE) AS duration_sec,
+       CAST(ROUND((n1 + n2) * 1000.0 / (n1 * d1 + n2 * d2), 6) AS DOUBLE)
+           AS fps,
+       {_SQL_CAPTION_WORDS} AS n_words,
+       CAST(ROUND({_SQL_CAPTION_WORDS} * 1000.0 / (n1 * d1 + n2 * d2), 6)
+            AS DOUBLE) AS words_per_video_sec,
+       CAST(({_SQL_CAPTION_WORDS} * 1000) // (n1 * d1 + n2 * d2) AS BIGINT)
+           AS density_band
+FROM vid ORDER BY doc_id
+"""
+
+
+@register("q_video_caption_density", oracle=_DENSITY_ORACLE)
+def q_video_caption_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per video-caption pair: REAL ISO-BMFF parse (movie duration and
+    video-track sample count off the actual box layout) joined to the
+    caption's word count — frame rate, caption density per video
+    second, and an integer-division density band. The fifth
+    cross-modal audit: video x text."""
+    from etl_pipeline_project_auraverse_spark.operators.mp4_meta import (
+        video_metadata,
+    )
+    from etl_pipeline_project_auraverse_spark.operators.mp4_synth import (
+        synthesize_mp4_column,
+    )
+
+    docs = parallelize(
+        load_table(spark, sf_dir, "documents").filter(
+            (F.col("doc_id") % VID_MOD) == 0
+        )
+    )
+    meta = (
+        video_metadata(synthesize_mp4_column(docs.select("doc_id")))
+        .filter(F.col("handler") == "vide")
+        .select(
+            "doc_id",
+            F.col("n_samples").cast("long").alias("n_frames"),
+            "duration_sec",
+        )
+    )
+    nw = F.size(words(F.col("text"))).cast("long")
+    caption = docs.select("doc_id", nw.alias("n_words"))
+    # exact tick arithmetic: duration_sec is a 3-decimal double, so
+    # 1000*duration recovers the integer tick count without float
+    # division hazards at the band edge
+    ticks = F.round(F.col("duration_sec") * 1000).cast("long")
+    return (
+        meta.join(caption, "doc_id")
+        .select(
+            "doc_id",
+            "n_frames",
+            "duration_sec",
+            F.round(F.col("n_frames") * 1000.0 / ticks, 6)
+            .cast("double")
+            .alias("fps"),
+            "n_words",
+            F.round(F.col("n_words") * 1000.0 / ticks, 6)
+            .cast("double")
+            .alias("words_per_video_sec"),
+            F.expr("(n_words * 1000)").cast("long").alias("_num"),
+            ticks.alias("_ticks"),
+        )
+        .withColumn(
+            "density_band", F.expr("_num DIV _ticks").cast("long")
+        )
+        .drop("_num", "_ticks")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q6: cross-modal retrieval recall — the CLIP-style eval: does the
+# image signature retrieve ITS OWN caption's embedding from the whole
+# corpus? Rank is computed BY COUNTING strictly-better candidates
+# (sim > self_sim, ties broken toward smaller vec_id), never by
+# sorting: a bounded broadcast query set x one linear corpus scan +
+# one per-query aggregate — no window over a corpus-sized partition,
+# so the plan survives any corpus size.
+# ---------------------------------------------------------------------------
+CM_QUERY_MOD = 48  # query images: doc_id % 48 == 0 (subset of IMG_MOD)
+
+
+def _sql_pooled_for(prefix: str) -> str:
+    pools = []
+    for p in range(N_POOL):
+        terms = " + ".join(
+            f"CAST({prefix}embedding[{16 * p + j + 1}] AS DOUBLE)" for j in range(16)
+        )
+        pools.append(f"({terms})")
+    return "[" + ", ".join(pools) + "]"
+
+
+_RETRIEVAL_ORACLE = f"""
+WITH idx AS (SELECT unnest(range({_MAX_PIX})) AS i),
+img AS (
+    SELECT doc_id, {_W} AS w, {_H} AS h FROM documents
+    WHERE doc_id % {CM_QUERY_MOD} = 0
+),
+pix AS (
+    SELECT img.doc_id,
+           (img.doc_id * 31 + idx.i * 7) % 256 AS v,
+           ((idx.i // img.w) % {N_POOL}) AS phase
+    FROM img CROSS JOIN idx WHERE idx.i < img.w * img.h
+),
+sig AS (
+    SELECT doc_id,
+           [CAST(SUM(CASE WHEN phase = 0 THEN v ELSE 0 END) AS DOUBLE),
+            CAST(SUM(CASE WHEN phase = 1 THEN v ELSE 0 END) AS DOUBLE),
+            CAST(SUM(CASE WHEN phase = 2 THEN v ELSE 0 END) AS DOUBLE),
+            CAST(SUM(CASE WHEN phase = 3 THEN v ELSE 0 END) AS DOUBLE)] AS u
+    FROM pix GROUP BY doc_id
+),
+pooled AS (SELECT vec_id, {_sql_pooled_for('')} AS t FROM embeddings),
+scored AS (
+    SELECT s.doc_id AS query_id, p.vec_id AS cand_id,
+           {sql_cosine('s.u', 'p.t', dims=N_POOL)} AS sim
+    FROM sig s CROSS JOIN pooled p
+),
+own AS (
+    SELECT query_id, sim AS self_sim FROM scored WHERE cand_id = query_id
+),
+ranks AS (
+    SELECT s.query_id,
+           1 + COUNT(CASE WHEN s.sim > o.self_sim
+                          OR (s.sim = o.self_sim AND s.cand_id < s.query_id)
+                     THEN 1 END) AS self_rank
+    FROM scored s JOIN own o USING (query_id)
+    WHERE s.cand_id <> s.query_id
+    GROUP BY s.query_id
+)
+SELECT COUNT(*) AS n_queries,
+       CAST(ROUND(COUNT(CASE WHEN self_rank = 1 THEN 1 END) * 1.0
+                  / COUNT(*), 6) AS DOUBLE) AS recall_at_1,
+       CAST(ROUND(COUNT(CASE WHEN self_rank <= 5 THEN 1 END) * 1.0
+                  / COUNT(*), 6) AS DOUBLE) AS recall_at_5,
+       CAST(ROUND(CAST(SUM(CAST(ROUND(1.0 / self_rank, 6) AS DECIMAL(25,6)))
+                       AS DOUBLE) / COUNT(*), 6) AS DOUBLE) AS mrr
+FROM ranks
+"""
+
+
+@register("q_crossmodal_retrieval_recall", oracle=_RETRIEVAL_ORACLE)
+def q_crossmodal_retrieval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-to-caption retrieval over the whole embedding corpus:
+    recall@1/@5 and MRR of each query image's own caption, with the
+    self rank computed by counting better candidates (count-rank, no
+    corpus-sized sort). Signatures follow the Q3 stripe/pool contract,
+    so the REAL decode stays on the hashed path."""
+    import numpy as np
+
+    from etl_pipeline_project_auraverse_spark.operators.multimodal import (
+        synth_bmp_bytes,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w0, h0 = 8 + (d % 5) * 4, 6 + (d % 4) * 3
+                _, h, gray = _decoded_gray(synth_bmp_bytes(d, w0, h0))
+                g = gray.astype(np.int64)
+                rows.append(
+                    (d, [float(g[p::N_POOL].sum()) for p in range(N_POOL)])
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "u"])
+
+    queries = parallelize(
+        load_table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % CM_QUERY_MOD) == 0)
+        .select("doc_id")
+    )
+    sig = queries.mapInPandas(run, schema="doc_id long, u array<double>").select(
+        F.col("doc_id").alias("query_id"), "u"
+    )
+    pooled_components = [
+        sum(
+            (F.col("embedding")[16 * p + j].cast("double") for j in range(1, 16)),
+            F.col("embedding")[16 * p].cast("double"),
+        )
+        for p in range(N_POOL)
+    ]
+    pooled = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("cand_id"), F.array(*pooled_components).alias("t")
+    )
+    scored = pooled.crossJoin(F.broadcast(sig)).select(
+        "query_id", "cand_id", cosine(F.col("u"), F.col("t")).alias("sim")
+    )
+    from etl_pipeline_project_auraverse_spark.queries._util import persist_tracked
+
+    scored = persist_tracked(scored)
+    own = scored.filter(F.col("cand_id") == F.col("query_id")).select(
+        "query_id", F.col("sim").alias("self_sim")
+    )
+    better = (
+        F.col("sim") > F.col("self_sim")
+    ) | ((F.col("sim") == F.col("self_sim")) & (F.col("cand_id") < F.col("query_id")))
+    ranks = (
+        scored.filter(F.col("cand_id") != F.col("query_id"))
+        .join(F.broadcast(own), "query_id")
+        .groupBy("query_id")
+        .agg((F.lit(1) + F.count(F.when(better, 1))).alias("self_rank"))
+    )
+    return ranks.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(
+            F.count(F.when(F.col("self_rank") == 1, 1)) * 1.0 / F.count(F.lit(1)), 6
+        )
+        .cast("double")
+        .alias("recall_at_1"),
+        F.round(
+            F.count(F.when(F.col("self_rank") <= 5, 1)) * 1.0 / F.count(F.lit(1)), 6
+        )
+        .cast("double")
+        .alias("recall_at_5"),
+        F.round(
+            F.sum(
+                F.round(F.lit(1.0) / F.col("self_rank"), 6).cast("decimal(25,6)")
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        )
+        .cast("double")
+        .alias("mrr"),
     )
