@@ -75,14 +75,16 @@ ORACLE: dict[str, str] = {}
 # r5 names through q_scalar_math_functions stay in-sample; the 13
 # after them (q_topk_orders_by_price, q10, q13, q14, q18, q02, q07,
 # q09, q12, q15, q17, q19, q21) are displaced to r11.
-# NEXT ROUND (r11): front-pin anything newly registered, then the
-# displaced r5 names above plus the 11 r5-attested entries that never
-# fit r10 (q11_important_parts, q16_supplier_part_relation,
-# q20_promotion_suppliers, q_fulfillment_latency,
-# q_supplier_hhi_by_nation, q_repeat_purchase_timing,
-# q_customer_quartile_migration, q_chi2_priority_segment,
-# q_range_join_purchase_context, q_tfidf_top_terms,
-# q_vocab_top_trigrams), then fill by age from ATTESTATION.json.
+# Round 11 executes that plan (r10 verdict ask #3): the 11 queries NEW
+# in r11 lead (six cross-modal audits — image-caption, image-dup x
+# caption diversity, CLIP stripe alignment, audio sync, video density,
+# retrieval recall — plus Zipf fit, per-doc perplexity filter,
+# temperature sampling, k-center seeding, length x quality census),
+# then the ENTIRE 26-name r5 tranche (the oldest attestations after
+# the r10 fold), then the 13 oldest r6 names — exactly 50 slots.
+# NEXT ROUND (r12): front-pin anything newly registered, then the
+# remaining 37 r6-attested names (q_benford_price_digits onward in
+# registry order), then fill by age from ATTESTATION.json.
 _MODULES = [
     "etl_pipeline_project_auraverse_spark.queries.relational",
     "etl_pipeline_project_auraverse_spark.queries.tpch_extra",
@@ -140,59 +142,20 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # module-import order after these. Names that don't resolve are
 # ignored so the list can't break registration.
 _FRONT = [
-    # --- NEW / newly-oracle-backed in r10 ---
-    "q_winnowing_fingerprints",
-    "q_source_similarity_minhash",
-    "q_domain_reweight_step",
-    "q_filter_attribution",
-    "q_embedding_outlier_maha",
-    "q_global_shuffle_order",
-    "q_kneser_ney_crossentropy",
-    "q_hard_negative_mining",
-    "q_padding_waste_by_context",
-    "q_cdc_chunking_stats",
-    "q_dedup_band_geometry_sweep",
-    "q_dedup_keep_policy_impact",
-    "q_split_leakage_audit",
-    "q_heavy_hitter_tokens",
-    "q_oov_rate_by_source",
-    "q_bpe_token_stats",
-    "q_cross_source_ngram_overlap",
-    "q_unigram_crossentropy_by_source",
-    "q_vocab_coverage_topk",
-    "q_doc_length_band_filter",
-    "q_knn_label_consistency",
-    "q_stream_twin_interval_join",
-    "q_decontam_bloom_prefilter",
-    # --- deferred r4 tranche (last green r4) ---
-    "q_text_token_counts",
-    "q_text_top_sources",
-    "q_user_first_last_event",
-    "q_user_funnel",
-    "q_window_analytics_battery",
-    # --- age refresh: oldest 39 of the r5-attested block ---
-    "q01_pricing_summary",
-    "q06_forecast_revenue",
-    "q03_shipping_priority",
-    "q05_local_supplier_revenue",
-    "q04_late_ship_priority",
-    "q_top_customers_by_revenue",
-    "q_semi_customers_with_urgent_orders",
-    "q_anti_customers_without_recent_orders",
-    "q_revenue_by_part_type",
-    "q_window_top_parts_per_brand",
-    "q_window_running_customer_spend",
-    "q_window_order_gaps",
-    "q_window_moving_avg_price",
-    "q_above_nation_avg_balance",
-    "q_rollup_status_priority",
-    "q_cube_returnflag_linestatus",
-    "q_grouping_sets_order_stats",
-    "q_set_ops_nation_roles",
-    "q_pivot_priority_by_status",
-    "q_distinct_nation_segments",
-    "q_conditional_agg_segments",
-    "q_scalar_string_functions",
+    # --- NEW in r11: the cross-modal pillar + training-data ops ---
+    "q_image_caption_audit",
+    "q_image_dup_caption_diversity",
+    "q_clip_stripe_alignment",
+    "q_audio_caption_sync",
+    "q_video_caption_density",
+    "q_crossmodal_retrieval_recall",
+    "q_zipf_fit_by_source",
+    "q_doc_perplexity_filter",
+    "q_temperature_sampling_alloc",
+    "q_kcenter_seed_selection",
+    "q_length_quality_joint",
+    # --- age refresh: the full r5 tranche (last green r5 per
+    # ATTESTATION.json after the r10 fold — the registry's oldest) ---
     "q_scalar_date_functions",
     "q_scalar_math_functions",
     "q_topk_orders_by_price",
@@ -208,6 +171,32 @@ _FRONT = [
     "q17_small_quantity_revenue",
     "q19_discounted_revenue",
     "q21_suppliers_kept_waiting",
+    "q11_important_parts",
+    "q16_supplier_part_relation",
+    "q20_promotion_suppliers",
+    "q_fulfillment_latency",
+    "q_supplier_hhi_by_nation",
+    "q_repeat_purchase_timing",
+    "q_customer_quartile_migration",
+    "q_chi2_priority_segment",
+    "q_range_join_purchase_context",
+    "q_tfidf_top_terms",
+    "q_vocab_top_trigrams",
+    # --- age refresh: the 13 oldest of the r6 tranche (registry
+    # order); the remaining 37 r6 names lead the r12 rotation ---
+    "q22_dormant_wealthy_customers",
+    "q08_market_share",
+    "q_embedding_sq8_recall",
+    "q_embedding_intrinsic_dim",
+    "q_dsir_importance_weights",
+    "q_pagerank_copurchase",
+    "q_triangle_copurchase",
+    "q_bfs_copurchase_hops",
+    "q_cdc_latest_order_state",
+    "q_winsorized_price_stats",
+    "q_equidepth_histogram_price",
+    "q_mad_outlier_prices",
+    "q_heavy_hitter_parts",
 ]
 
 
