@@ -75,15 +75,16 @@ ORACLE: dict[str, str] = {}
 # r5 names through q_scalar_math_functions stay in-sample; the 13
 # after them (q_topk_orders_by_price, q10, q13, q14, q18, q02, q07,
 # q09, q12, q15, q17, q19, q21) are displaced to r11.
-# Round 11 executes that plan (r10 verdict ask #3): the 11 queries NEW
+# Round 11 executes that plan (r10 verdict ask #3): the 12 queries NEW
 # in r11 lead (six cross-modal audits — image-caption, image-dup x
 # caption diversity, CLIP stripe alignment, audio sync, video density,
 # retrieval recall — plus Zipf fit, per-doc perplexity filter,
-# temperature sampling, k-center seeding, length x quality census),
-# then the ENTIRE 26-name r5 tranche (the oldest attestations after
-# the r10 fold), then the 13 oldest r6 names — exactly 50 slots.
+# temperature sampling, k-center seeding, length x quality census,
+# truncation loss), then the ENTIRE 26-name r5 tranche (the oldest
+# attestations after the r10 fold), then the 12 oldest r6 names —
+# exactly 50 slots.
 # NEXT ROUND (r12): front-pin anything newly registered, then the
-# remaining 37 r6-attested names (q_benford_price_digits onward in
+# remaining 38 r6-attested names (q_heavy_hitter_parts onward in
 # registry order), then fill by age from ATTESTATION.json.
 _MODULES = [
     "etl_pipeline_project_auraverse_spark.queries.relational",
@@ -154,6 +155,7 @@ _FRONT = [
     "q_temperature_sampling_alloc",
     "q_kcenter_seed_selection",
     "q_length_quality_joint",
+    "q_truncation_loss_by_context",
     # --- age refresh: the full r5 tranche (last green r5 per
     # ATTESTATION.json after the r10 fold — the registry's oldest) ---
     "q_scalar_date_functions",
@@ -196,7 +198,6 @@ _FRONT = [
     "q_winsorized_price_stats",
     "q_equidepth_histogram_price",
     "q_mad_outlier_prices",
-    "q_heavy_hitter_parts",
 ]
 
 

@@ -311,3 +311,74 @@ def q_cdc_chunking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Truncation loss by context length — the TRUNCATE-policy complement
+# to q_padding_waste_by_context (that query chunks documents onto the
+# token grid and measures padding; this one cuts each document at the
+# context boundary and measures what the cut discards). Together they
+# quantify both sides of the chunk-vs-truncate decision at each
+# candidate context length.
+#
+# Scale: one projection exploded by |PAD_CONTEXTS| (map-side), one
+# tiny groupBy — integer token arithmetic end to end.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_truncation_loss_by_context",
+    oracle=f"""
+    WITH per_doc AS (
+        SELECT c.context,
+               CAST(CEIL(length(text) / 4.0) AS BIGINT) AS toks
+        FROM documents
+        CROSS JOIN (SELECT unnest([{", ".join(str(c) for c in PAD_CONTEXTS)}]) AS context) c
+    ),
+    cells AS (
+        SELECT context,
+               COUNT(*) AS n_docs,
+               COUNT(CASE WHEN toks > context THEN 1 END) AS n_truncated,
+               CAST(SUM(toks) AS BIGINT) AS total_tokens,
+               CAST(SUM(LEAST(toks, context)) AS BIGINT) AS kept_tokens
+        FROM per_doc GROUP BY context
+    )
+    SELECT CAST(context AS BIGINT) AS context, n_docs,
+           CAST(n_truncated AS BIGINT) AS n_truncated,
+           total_tokens, kept_tokens,
+           CAST(total_tokens - kept_tokens AS BIGINT) AS lost_tokens,
+           CAST(ROUND((total_tokens - kept_tokens) * 1.0 / total_tokens, 6)
+                AS DOUBLE) AS loss_frac
+    FROM cells
+    ORDER BY context
+    """,
+)
+def q_truncation_loss_by_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens discarded when each document is truncated (not chunked)
+    at each candidate context length, plus the truncated-document
+    count — the other half of the context-length sizing study."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.ceil(F.length("text") / 4.0).cast("long")
+    per_doc = docs.select(
+        toks.alias("toks"),
+        F.explode(F.array(*[F.lit(c) for c in PAD_CONTEXTS])).alias("context"),
+    )
+    kept = F.least(F.col("toks"), F.col("context").cast("long"))
+    cells = per_doc.groupBy("context").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("toks") > F.col("context"), 1)).alias("n_truncated"),
+        F.sum("toks").alias("total_tokens"),
+        F.sum(kept).alias("kept_tokens"),
+    )
+    lost = F.col("total_tokens") - F.col("kept_tokens")
+    return cells.select(
+        F.col("context").cast("long").alias("context"),
+        "n_docs",
+        F.col("n_truncated").cast("long").alias("n_truncated"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        F.col("kept_tokens").cast("long").alias("kept_tokens"),
+        lost.cast("long").alias("lost_tokens"),
+        F.round(lost * 1.0 / F.col("total_tokens"), 6)
+        .cast("double")
+        .alias("loss_frac"),
+    ).orderBy("context")
