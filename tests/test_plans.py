@@ -575,3 +575,29 @@ def test_band_sweep_buckets_are_capped():
     assert "_cap_band_buckets(" in src
     sql = ORACLE["q_dedup_band_geometry_sweep"]
     assert sql.count(f"WHERE _bn <= {BAND_BUCKET_CAP}") == len(BAND_SWEEP_CONFIGS)
+
+
+def test_retrieval_recall_is_count_rank(q):
+    """Cross-modal retrieval must rank by COUNTING better candidates,
+    never by sorting a corpus-sized partition: no Window operator in
+    the plan, and the bounded query side must ride as a broadcast."""
+    plan = PI.physical_plan(q("q_crossmodal_retrieval_recall"))
+    assert "Window" not in plan, plan[:1200]
+    assert "BroadcastExchange" in plan
+
+
+def test_zipf_topk_is_shard_bounded(q):
+    """The per-source top-R must run the sharded local rank BEFORE the
+    global per-source rank, so no task ever sorts a full source
+    vocabulary: two Window operators, the first partitioned on the
+    shard column."""
+    plan = PI.physical_plan(q("q_zipf_fit_by_source"))
+    assert plan.count("Window") >= 2
+    assert "shard" in plan
+
+
+def test_kcenter_rounds_are_driver_assembled(q):
+    """The k-center result is a bounded driver-assembled trajectory
+    (the band-sweep/MMR idiom) — a local relation, not a join DAG."""
+    plan = PI.physical_plan(q("q_kcenter_seed_selection"))
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan
