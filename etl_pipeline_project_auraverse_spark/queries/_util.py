@@ -148,3 +148,42 @@ def round_half_up(x: float, digits: int) -> float:
     return float(
         decimal.Decimal(repr(x)).quantize(q, rounding=decimal.ROUND_HALF_UP)
     )
+
+
+def np_block_cosine(C, Q, digits: int = 6):
+    """Blocked cosine score matrix C(m x d) vs Q(k x d) matching the
+    engines' fold semantics bit-for-bit.
+
+    The naive ``np.round(C @ Q.T / ...)`` twin has TWO divergences from
+    the ``F.aggregate`` / DuckDB ``list_sum`` cosine both arms of every
+    recall/top-k query use: (1) BLAS matmul and ``ndarray.sum`` use
+    pairwise/blocked accumulation, not the engines' left-to-right fold,
+    so a dot can differ in the last ulp; (2) ``np.round`` is
+    half-to-even where DuckDB's ``ROUND`` is half-away-from-zero — a
+    cosine within an ulp of a 6dp boundary could round apart and flip a
+    top-k choice. Here dots AND squared norms accumulate dimension by
+    dimension starting from 0.0 (0.0 + x == x exactly, so the order is
+    identical to the engines' fold), and rounding compares the EXACT
+    fractional part of |x| * 10^digits against 0.5 (the difference of a
+    double and its floor is exactly representable, so the tie test
+    cannot be perturbed the way ``floor(y + 0.5)`` can) — half away
+    from zero on the same double the engines round. Cost vs BLAS: d
+    vectorized outer-product adds instead of one GEMM — identical
+    FLOPs, ~2-3x wall on these bounded blocks, irrelevant next to the
+    correctness contract."""
+    import numpy as np
+
+    m, d = C.shape
+    k = Q.shape[0]
+    S = np.zeros((m, k))
+    cn = np.zeros(m)
+    qn = np.zeros(k)
+    for j in range(d):
+        S += C[:, j, None] * Q[None, :, j]
+        cn += C[:, j] * C[:, j]
+        qn += Q[:, j] * Q[:, j]
+    S /= np.sqrt(cn)[:, None] * np.sqrt(qn)[None, :]
+    p = 10.0**digits
+    ys = np.abs(S) * p
+    fl = np.floor(ys)
+    return np.copysign(fl + (ys - fl >= 0.5), S) / p

@@ -1733,9 +1733,17 @@ def q_logreg_auc_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         acc[0] += r["cnt"]
         acc[1] += r["c1"]
         acc[2] += r["sp"]  # decimal.Decimal: exact re-aggregation
-    auc = round_half_up(
-        (float(r2sum) - float(n1) * (float(n1) + 1)) / (2 * float(n1) * float(n2)),
-        6,
+    # single-class guard: with n1 == 0 or n2 == 0 the rank-sum AUC is
+    # undefined — degrade to a null AUC (the pre-fusion Spark plan's
+    # behavior) instead of a driver-side ZeroDivisionError
+    auc = (
+        round_half_up(
+            (float(r2sum) - float(n1) * (float(n1) + 1))
+            / (2 * float(n1) * float(n2)),
+            6,
+        )
+        if n1 and n2
+        else None
     )
     out = [
         (
@@ -1755,7 +1763,7 @@ def q_logreg_auc_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("n_pos", LongType(), False),
             StructField("mean_pred", DoubleType(), False),
             StructField("frac_pos", DoubleType(), False),
-            StructField("auc", DoubleType(), False),
+            StructField("auc", DoubleType(), True),  # null when single-class
         ]
     )
     return spark.createDataFrame(out, schema)

@@ -1002,16 +1002,22 @@ def q_embedding_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qid = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
     Q = np.array([list(r["embedding"]) for r in q_rows], dtype=np.float64)
-    qn = np.sqrt((Q * Q).sum(axis=1))
 
     def block_top2(batches):
+        from etl_pipeline_project_auraverse_spark.queries._util import (
+            np_block_cosine,
+        )
+
         for pdf in batches:
             if pdf.empty:
                 continue
             cid = pdf["vec_id"].to_numpy(dtype=np.int64)
             C = np.array([list(e) for e in pdf["embedding"]], dtype=np.float64)
-            cn = np.sqrt((C * C).sum(axis=1))
-            S = np.round((C @ Q.T) / (cn[:, None] * qn[None, :]), 6)
+            # fold-order accumulation + half-away 6dp rounding: the
+            # exact doubles the F.aggregate arm and the DuckDB oracle
+            # produce, so a boundary cosine can't round apart (np.round
+            # is half-to-even over a BLAS-ordered sum — close, not equal)
+            S = np_block_cosine(C, Q)
             out = []
             for j in range(len(qid)):
                 mask = cid != qid[j]  # self-pair exclusion
@@ -1600,20 +1606,22 @@ def q_knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qid = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
     Q = np.array([list(r["embedding"]) for r in q_rows], dtype=np.float64)
-    qn = np.sqrt((Q * Q).sum(axis=1))
     q_labels = [(int(r["vec_id"]), int(r["label"])) for r in q_rows]
 
     def block_nn(batches):
+        from etl_pipeline_project_auraverse_spark.queries._util import (
+            np_block_cosine,
+        )
+
         for pdf in batches:
             if pdf.empty:
                 continue
             cid = pdf["vec_id"].to_numpy(dtype=np.int64)
             clab = pdf["label"].to_numpy()
             C = np.array([list(e) for e in pdf["embedding"]], dtype=np.float64)
-            cn = np.sqrt((C * C).sum(axis=1))
-            # block score matrix + the SAME 6dp rounding the fold path
-            # and the oracle apply, so rank order can't drift on ties
-            S = np.round((C @ Q.T) / (cn[:, None] * qn[None, :]), 6)
+            # block score matrix with the engines' EXACT fold order and
+            # half-away 6dp rounding, so rank order can't drift on ties
+            S = np_block_cosine(C, Q)
             out = []
             for j in range(len(qid)):
                 mask = cid != qid[j]  # self-pair exclusion

@@ -542,6 +542,12 @@ def q_customer_quartile_migration(spark: SparkSession, sf_dir: str) -> DataFrame
     }
 
     def quart(rev, bounds_row):
+        if bounds_row is None:
+            # a half with ZERO non-null revenues has no bounds row; by
+            # construction every customer's rev is null in that half, so
+            # the whole column is the inactive quartile (the old
+            # per-half plan degraded the same way via its left join)
+            return F.lit(0)
         return (
             F.when(rev.isNull(), 0)
             .when(rev <= F.lit(bounds_row["q1"]), 1)
@@ -551,8 +557,8 @@ def q_customer_quartile_migration(spark: SparkSession, sf_dir: str) -> DataFrame
         )
 
     assigned = halves.select(
-        quart(F.col("rev1"), b[1]).cast("long").alias("from_quartile"),
-        quart(F.col("rev2"), b[2]).cast("long").alias("to_quartile"),
+        quart(F.col("rev1"), b.get(1)).cast("long").alias("from_quartile"),
+        quart(F.col("rev2"), b.get(2)).cast("long").alias("to_quartile"),
     )
     return (
         assigned.groupBy("from_quartile", "to_quartile")
