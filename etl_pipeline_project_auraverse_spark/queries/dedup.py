@@ -302,28 +302,35 @@ MH_B = [15487469, 32452867, 49979693, 67867979, 86028157, 104395303, 122949829, 
 N_MH = 8
 N_BANDS = 4
 
-# Per-(band, key) occupancy cap — the LSH skew bound. A band bucket of
-# m documents yields m^2/2 candidate pairs in the self-join, so one
-# boilerplate megacluster (m = 10^6 near-identical docs sharing a band
-# key, routine at 100 TB of web text) would alone emit 5*10^11 pairs.
-# Keeping only the BAND_BUCKET_CAP smallest doc_ids per bucket
-# (deterministic; mirrored exactly in every oracle — the DF_CAP idiom)
-# bounds any bucket's contribution at BAND_BUCKET_CAP^2/2 pairs while
-# leaving realistic buckets untouched. Pair COVERAGE beyond the cap is
-# the connected-components pass's job: clustering needs connectivity,
-# not every pair, and 64 members of a megacluster keep it connected.
+# Per-(band, key) occupancy bound — the LSH skew defense. A band bucket
+# of m documents yields m^2/2 candidate pairs in a naive self-join, so
+# one boilerplate megacluster (m = 10^6 near-identical docs sharing a
+# band key, routine at 100 TB of web text) would alone emit 5*10^11
+# pairs. Candidate generation therefore splits every bucket:
+#   - the BAND_BUCKET_CAP smallest doc_ids pair ALL-WAYS (<= CAP^2/2
+#     pairs — the dense core that carries the pair-level statistics),
+#   - every member BEYOND the cap emits ONE star edge to the bucket
+#     representative (the bucket's min doc_id), keeping the whole
+#     bucket connected at linear cost.
+# Per-bucket output is CAP*(CAP-1)/2 + (m - CAP) — linear in m, never
+# quadratic — and no document can lose all its pairs (a cap that DROPS
+# beyond-cap members orphans megacluster duplicates as singletons and
+# silently breaks connected-components recovery; that was round 11's
+# defect). Deterministic and mirrored exactly in every oracle.
 BAND_BUCKET_CAP = 64
 
 
 def _cap_band_buckets(bands: DataFrame, *part_cols: str) -> DataFrame:
-    """Keep the ``BAND_BUCKET_CAP`` smallest doc_ids per band bucket.
+    """Keep the ``BAND_BUCKET_CAP`` smallest doc_ids per band bucket —
+    the dense-core side of :func:`band_candidate_pairs`, and the
+    OLD-corpus index bound for incremental dedup (where the probing
+    side must stay uncapped so every new document keeps its band rows).
 
-    The row_number window hashes on the same bucket key the candidate
-    self-join shuffles on, so the exchange is shared/reused — the cap
-    costs an in-partition sort (linear-ish in bucket size), never an
-    extra pass over the corpus. Compare: an uncapped megacluster
-    bucket is quadratic in the JOIN, which no amount of partitioning
-    fixes."""
+    The row_number filter compiles to WindowGroupLimit — a PARTIAL
+    map-side top-K before the shuffle plus a final one after — so the
+    cap costs an in-partition partial sort, never an extra pass over
+    the corpus. Compare: an uncapped megacluster bucket is quadratic in
+    the JOIN, which no amount of partitioning fixes."""
     from pyspark.sql.window import Window as W
 
     w = W.partitionBy(*[F.col(c) for c in part_cols]).orderBy("doc_id")
@@ -332,6 +339,53 @@ def _cap_band_buckets(bands: DataFrame, *part_cols: str) -> DataFrame:
         .filter(F.col("_bn") <= BAND_BUCKET_CAP)
         .drop("_bn")
     )
+
+
+def band_candidate_pairs(
+    bands: DataFrame,
+    part_cols: tuple = ("band", "key"),
+    carry: tuple = (),
+) -> DataFrame:
+    """Skew-bounded candidate pairs from an (uncapped) band table.
+
+    Dense core: all pairs among each bucket's ``BAND_BUCKET_CAP``
+    smallest doc_ids (the self-join side rides WindowGroupLimit, so the
+    quadratic work is capped map-side). Star edges: every beyond-cap
+    member pairs with the bucket REPRESENTATIVE (the bucket's min
+    doc_id) — one row per member, linear in bucket size — so a
+    megacluster stays fully connected for the components pass instead
+    of shedding its tail as false singletons. ``doc_a < doc_b`` holds
+    in every row (the representative IS the bucket minimum). The star
+    branch computes row_number + first_value in one Window node over
+    the same bucket-key sort. Output is DISTINCT across bands; ``carry``
+    columns (a subset of ``part_cols``) pass through."""
+    from pyspark.sql.window import Window as W
+
+    head = _cap_band_buckets(bands, *part_cols)
+    cond = F.col("x.doc_id") < F.col("y.doc_id")
+    for c in part_cols:
+        cond = (F.col(f"x.{c}") == F.col(f"y.{c}")) & cond
+    pair = (
+        head.alias("x")
+        .join(head.alias("y"), cond)
+        .select(
+            *[F.col(f"x.{c}").alias(c) for c in carry],
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+        )
+    )
+    w = W.partitionBy(*[F.col(c) for c in part_cols]).orderBy("doc_id")
+    star = (
+        bands.withColumn("_bn", F.row_number().over(w))
+        .withColumn("_rep", F.first("doc_id").over(w))
+        .filter(F.col("_bn") > BAND_BUCKET_CAP)
+        .select(
+            *carry,
+            F.col("_rep").alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+        )
+    )
+    return pair.unionByName(star).distinct()
 
 
 def _sql_cap_bands(raw: str, extra_cols: str = "") -> str:
@@ -346,6 +400,39 @@ def _sql_cap_bands(raw: str, extra_cols: str = "") -> str:
                                       ORDER BY doc_id) AS _bn
             FROM ({raw})
         ) WHERE _bn <= {BAND_BUCKET_CAP}"""
+
+
+def _sql_band_bucketed(raw: str, extra_cols: str = "") -> str:
+    """bands CTE body: every band row annotated with its bucket rank
+    (``_bn``, by doc_id) and the bucket representative (``_rep`` = min
+    doc_id) — the DuckDB twin of the Window branches in
+    :func:`band_candidate_pairs`."""
+    cols = f"doc_id, band, key{extra_cols}"
+    part = f"band, key{extra_cols}"
+    return f"""
+        SELECT {cols},
+               ROW_NUMBER() OVER (PARTITION BY {part}
+                                  ORDER BY doc_id) AS _bn,
+               MIN(doc_id) OVER (PARTITION BY {part}) AS _rep
+        FROM ({raw})"""
+
+
+def _sql_band_cand(bands_name: str, a: str = "doc_a", b: str = "doc_b") -> str:
+    """cand CTE body over a :func:`_sql_band_bucketed` CTE: dense core
+    (all pairs among ``_bn <= CAP``) plus star edges (``_rep``, member)
+    for every ``_bn > CAP`` row — the twin of
+    :func:`band_candidate_pairs`."""
+    return f"""
+        SELECT DISTINCT {a}, {b} FROM (
+            SELECT x.doc_id AS {a}, y.doc_id AS {b}
+            FROM {bands_name} x JOIN {bands_name} y
+              ON x.band = y.band AND x.key = y.key
+             AND x.doc_id < y.doc_id
+             AND x._bn <= {BAND_BUCKET_CAP} AND y._bn <= {BAND_BUCKET_CAP}
+            UNION ALL
+            SELECT _rep AS {a}, doc_id AS {b}
+            FROM {bands_name} WHERE _bn > {BAND_BUCKET_CAP}
+        )"""
 
 
 def minhash_sketch_bands(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -387,7 +474,10 @@ def minhash_sketch_bands(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     bands = sketch.select("doc_id", F.explode(band_structs).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
-    return sketch, _cap_band_buckets(bands, "band", "key")
+    # RAW band rows: consumers apply their own skew bound — pairwise
+    # consumers via band_candidate_pairs (dense core + star edges),
+    # incremental dedup by capping only the old-corpus index side
+    return sketch, bands
 
 
 def _sql_minhash_cte() -> str:
@@ -407,7 +497,7 @@ def _sql_minhash_cte() -> str:
         FROM sh GROUP BY doc_id
     ),
     bands AS (
-        {_sql_cap_bands(bands)}
+        {_sql_band_bucketed(bands)}
     )"""
 
 
@@ -417,9 +507,7 @@ def _sql_minhash_cte() -> str:
     WITH {SQL_SHINGLE_CTE},
     {_sql_minhash_cte()},
     cand AS (
-        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-        FROM bands x JOIN bands y
-          ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+        {_sql_band_cand("bands")}
     ),
     inter AS (
         SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
@@ -459,17 +547,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     sketch, bands = minhash_sketch_bands(docs)
-    cand = (
-        bands.alias("x")
-        .join(
-            bands.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.key") == F.col("y.key"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = band_candidate_pairs(bands)
     sa = sketch.select(
         F.col("doc_id").alias("doc_a"),
         F.col("hs").alias("hs_a"),
@@ -827,7 +905,7 @@ def _mh_recall_oracle() -> str:
     mins = ",\n               ".join(
         f"MIN(({MH_A[i]} * h + {MH_B[i]}) % {MH_P}) AS mh{i}" for i in range(N_MH)
     )
-    bands = _sql_cap_bands(
+    bands = _sql_band_bucketed(
         "\n        UNION ALL ".join(
             f"SELECT doc_id, {b} AS band, CAST(mh{2*b} AS VARCHAR) || ',' || "
             f"CAST(mh{2*b+1} AS VARCHAR) AS key FROM mhc"
@@ -860,9 +938,7 @@ def _mh_recall_oracle() -> str:
         {bands}
     ),
     cand AS (
-        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-        FROM bands x JOIN bands y
-          ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+        {_sql_band_cand("bands")}
     ),
     th AS (SELECT unnest([{taus}]) AS tau)
     SELECT th.tau,
@@ -911,25 +987,10 @@ def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(N_BANDS)
         ]
     )
-    bands = _cap_band_buckets(
-        mhc.select("doc_id", F.explode(band_structs).alias("bk")).select(
-            "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-        ),
-        "band",
-        "key",
+    bands = mhc.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
-    cand = (
-        bands.alias("x")
-        .join(
-            bands.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.key") == F.col("y.key"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
-        .withColumn("caught", F.lit(1))
-    )
+    cand = band_candidate_pairs(bands).withColumn("caught", F.lit(1))
     th = spark.createDataFrame([(t,) for t in MH_RECALL_TAUS], "tau double")
     return (
         truth.join(F.broadcast(th), F.col("jac") >= F.col("tau"))
@@ -964,12 +1025,19 @@ INC_DUP_J = 0.5
     oracle=f"""
     WITH {SQL_SHINGLE_CTE},
     {_sql_minhash_cte()},
+    old_index AS (
+        SELECT doc_id, band, key FROM (
+            SELECT doc_id, band, key,
+                   ROW_NUMBER() OVER (PARTITION BY band, key
+                                      ORDER BY doc_id) AS _obn
+            FROM bands WHERE doc_id % {INC_NEW_MOD} <> {INC_NEW_REM}
+        ) WHERE _obn <= {BAND_BUCKET_CAP}
+    ),
     cand AS (
         SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS old_id
-        FROM bands x JOIN bands y
+        FROM bands x JOIN old_index y
           ON x.band = y.band AND x.key = y.key
         WHERE x.doc_id % {INC_NEW_MOD} = {INC_NEW_REM}
-          AND y.doc_id % {INC_NEW_MOD} <> {INC_NEW_REM}
     ),
     inter AS (
         SELECT c.new_id, c.old_id, COUNT(*) AS n_common
@@ -1011,17 +1079,25 @@ def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     index, its best-matching existing document by exact Jaccard over
     the carried sketch arrays, and a keep/drop verdict. Only new x old
     band pairs are generated — the increment joins the index, the
-    corpus never re-pairs with itself."""
+    corpus never re-pairs with itself.
+
+    Skew bound: only the OLD-corpus index side is capped (the
+    ``BAND_BUCKET_CAP`` smallest old doc_ids per bucket — a bounded
+    standing index, exactly what a real pipeline materializes); the
+    NEW side always probes with every band row, so a new-batch
+    duplicate can never lose its verdict to the cap. Per-bucket join
+    fan-out is |new in bucket| x CAP — linear in the increment."""
     from pyspark.sql.window import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
     sketch, bands = minhash_sketch_bands(docs)
     is_new = (F.col("doc_id") % INC_NEW_MOD) == INC_NEW_REM
+    old_index = _cap_band_buckets(bands.filter(~is_new), "band", "key")
     cand = (
         bands.filter(is_new)
         .alias("x")
         .join(
-            bands.filter(~is_new).alias("y"),
+            old_index.alias("y"),
             (F.col("x.band") == F.col("y.band"))
             & (F.col("x.key") == F.col("y.key")),
         )
@@ -1210,9 +1286,7 @@ CONTAIN_T = 0.8
     WITH {SQL_SHINGLE_CTE},
     {_sql_minhash_cte()},
     cand AS (
-        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-        FROM bands x JOIN bands y
-          ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+        {_sql_band_cand("bands")}
     ),
     inter AS (
         SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
@@ -1245,17 +1319,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     misses."""
     docs = load_table(spark, sf_dir, "documents")
     sketch, bands = minhash_sketch_bands(docs)
-    cand = (
-        bands.alias("x")
-        .join(
-            bands.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.key") == F.col("y.key"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = band_candidate_pairs(bands)
     sa = sketch.select(
         F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"),
         F.col("n").alias("n_a"),
@@ -1905,12 +1969,10 @@ def _band_sweep_oracle() -> str:
         parts.append(
             f"""
     bands_r{r} AS (
-        {_sql_cap_bands(selects)}
+        {_sql_band_bucketed(selects)}
     ),
     cand_r{r} AS (
-        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-        FROM bands_r{r} x JOIN bands_r{r} y
-          ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+        {_sql_band_cand(f"bands_r{r}")}
     ),
     stat_r{r} AS (
         SELECT {r} AS rows_per_band, {b} AS n_bands,
@@ -1998,32 +2060,16 @@ def q_dedup_band_geometry_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             for band in range(b)
         ]
     )
-    bands = _cap_band_buckets(
-        mhc.select("doc_id", F.explode(band_structs).alias("bk")).select(
-            "doc_id",
-            F.col("bk.cfg").alias("cfg"),
-            F.col("bk.band").alias("band"),
-            F.col("bk.key").alias("key"),
-        ),
-        "cfg",
-        "band",
-        "key",
+    bands = mhc.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id",
+        F.col("bk.cfg").alias("cfg"),
+        F.col("bk.band").alias("band"),
+        F.col("bk.key").alias("key"),
     )
     cand = persist_tracked(  # counted per cfg AND joined against truth
-        bands.alias("x")
-        .join(
-            bands.alias("y"),
-            (F.col("x.cfg") == F.col("y.cfg"))
-            & (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.key") == F.col("y.key"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        band_candidate_pairs(
+            bands, part_cols=("cfg", "band", "key"), carry=("cfg",)
         )
-        .select(
-            F.col("x.cfg").alias("cfg"),
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-        )
-        .distinct()
     )
     # driver-fused assembly (the MMR idiom): the three aggregates are
     # |configs|-row tables — collect them and emit the 3-row result

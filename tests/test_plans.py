@@ -537,31 +537,39 @@ def test_lsh_band_buckets_are_capped_in_plan(q):
     """Every band-bucket join consumer must carry the occupancy cap IN
     THE PLAN: a row_number group-limit (Spark compiles the rank filter
     to WindowGroupLimit — a PARTIAL map-side limit before the shuffle
-    plus a final one after) bounding each (band, key) bucket at
-    BAND_BUCKET_CAP members, so a boilerplate megacluster can never
-    make the candidate self-join quadratic."""
+    plus a final one after) bounding each (band, key) bucket's
+    SELF-JOIN side at BAND_BUCKET_CAP members, so a boilerplate
+    megacluster can never make the candidate join quadratic. The
+    pairwise consumers must ALSO carry the star-edge branch (_rep =
+    bucket representative) so beyond-cap members keep connectivity."""
     from etl_pipeline_project_auraverse_spark.queries.dedup import BAND_BUCKET_CAP
 
-    for name in (
-        "q_dedup_minhash_lsh",
-        "q_dedup_containment",
-        "q_dedup_minhash_recall",
-        "q_dedup_incremental_minhash",
+    for name, has_star in (
+        ("q_dedup_minhash_lsh", True),
+        ("q_dedup_containment", True),
+        ("q_dedup_minhash_recall", True),
+        # incremental caps only its OLD-corpus index side; the probing
+        # new side is uncapped by design (no star branch)
+        ("q_dedup_incremental_minhash", False),
     ):
         plan = PI.physical_plan(q(name))
         assert f"row_number(), {BAND_BUCKET_CAP}, Partial" in plan, (
             f"{name}: band bucket cap missing its map-side group limit"
         )
         assert "_bn" in plan, f"{name}: band bucket cap filter missing"
+        assert ("_rep" in plan) == has_star, (
+            f"{name}: star-edge branch {'missing' if has_star else 'unexpected'}"
+        )
 
 
 def test_band_sweep_buckets_are_capped():
     """q_dedup_band_geometry_sweep is driver-fused (its returned frame
     is an assembled local result), so the band join never appears in
     the RESULT's plan — lint the wiring instead: the Spark arm must
-    route its tagged band table through _cap_band_buckets, and the
-    oracle must carry the mirrored ROW_NUMBER cap in every geometry's
-    bands CTE."""
+    route its tagged band table through band_candidate_pairs (dense
+    core + star edges), and the oracle must carry the mirrored cap
+    conditions — two `_bn <=` join guards and one `_bn >` star filter
+    — in every geometry's cand CTE."""
     import inspect as _inspect
 
     from etl_pipeline_project_auraverse_spark.queries import ORACLE
@@ -572,9 +580,10 @@ def test_band_sweep_buckets_are_capped():
     )
 
     src = _inspect.getsource(q_dedup_band_geometry_sweep)
-    assert "_cap_band_buckets(" in src
+    assert "band_candidate_pairs(" in src
     sql = ORACLE["q_dedup_band_geometry_sweep"]
-    assert sql.count(f"WHERE _bn <= {BAND_BUCKET_CAP}") == len(BAND_SWEEP_CONFIGS)
+    assert sql.count(f"_bn <= {BAND_BUCKET_CAP}") == 2 * len(BAND_SWEEP_CONFIGS)
+    assert sql.count(f"_bn > {BAND_BUCKET_CAP}") == len(BAND_SWEEP_CONFIGS)
 
 
 def test_retrieval_recall_is_count_rank(q):

@@ -10,12 +10,13 @@ asserted here on a deliberately skewed fixture:
   representation (index AND sizes), capping any shingle's pair
   contribution at DF_CAP^2 while true near-dups (built from rare
   shingles) still surface.
-- MinHash/LSH band join: band buckets are capped at BAND_BUCKET_CAP
-  members (the smallest doc_ids — deterministic, mirrored in the
-  oracle), so a megacluster bucket contributes at most CAP^2/2 pairs
-  instead of m^2/2. Pair COVERAGE beyond the cap is the
-  connected-components pass's job — 64 members of a megacluster keep
-  it connected; clustering needs connectivity, not every pair.
+- MinHash/LSH band join: per bucket, the BAND_BUCKET_CAP smallest
+  doc_ids pair all-ways (the dense core) and every member BEYOND the
+  cap emits one star edge to the bucket representative (the bucket's
+  min doc_id) — CAP^2/2 + (m - CAP) pairs total, linear in m, with NO
+  member orphaned: connected-components recovery sees the whole
+  megacluster as one component (a cap that simply drops beyond-cap
+  members silently returns megacluster duplicates as singletons).
 """
 
 from __future__ import annotations
@@ -92,12 +93,14 @@ def test_jaccard_on_skewed_corpus_finds_only_true_dups(spark, skewed_dir):
     assert pairs[(2000, 2001)] == round(8 / 9, 6)
 
 
-def test_hot_band_bucket_pair_output_is_capped(spark, tmp_path):
+def test_hot_band_bucket_pair_output_is_linear_and_connected(spark, tmp_path):
     """300 byte-identical docs form one hot band bucket (same key in
-    all 4 bands). The bucket cap must bound the pair output at
-    CAP*(CAP-1)/2 — the BAND_BUCKET_CAP smallest doc_ids, a
-    deterministic choice the oracle mirrors — instead of the m^2/2
-    blow-up, and every emitted pair is still a true duplicate."""
+    all 4 bands). Candidate generation must emit the dense core —
+    CAP*(CAP-1)/2 pairs among the BAND_BUCKET_CAP smallest doc_ids —
+    plus exactly one star edge per beyond-cap member to the bucket
+    representative: CAP^2/2 + (m - CAP) total, linear in m instead of
+    the m^2/2 blow-up, with EVERY member present (no silent recall
+    collapse) and the whole megacluster one connected component."""
     from etl_pipeline_project_auraverse_spark.queries.dedup import BAND_BUCKET_CAP
 
     m = 300
@@ -109,14 +112,19 @@ def test_hot_band_bucket_pair_output_is_capped(spark, tmp_path):
     _write_documents(spark, d, texts)
     rows = QUERIES["q_dedup_minhash_lsh"](spark, d).collect()
     cap = BAND_BUCKET_CAP
-    assert len(rows) == cap * (cap - 1) // 2, len(rows)
+    assert len(rows) == cap * (cap - 1) // 2 + (m - cap), len(rows)
     assert all(r["jaccard"] == 1.0 and r["n_matching_minhashes"] == 8 for r in rows)
-    # deterministic survivor set: the cap keeps the smallest doc_ids
+    # NO member orphaned: all m duplicates appear in at least one pair
     members = {r["doc_a"] for r in rows} | {r["doc_b"] for r in rows}
-    assert members == set(range(cap)), sorted(members)[:70]
-    # the capped megacluster core stays CONNECTED — cluster recovery
-    # through connected components still sees one component
-    parent = list(range(cap))
+    assert members == set(range(m)), (len(members), sorted(members)[:5])
+    # linearity: every beyond-cap member rides ONE star edge to the
+    # bucket representative (min doc_id = 0), never a pairwise fan-out
+    star = [r for r in rows if r["doc_b"] >= cap]
+    assert len(star) == m - cap
+    assert all(r["doc_a"] == 0 for r in star)
+    # the megacluster stays CONNECTED — cluster recovery through
+    # connected components sees ONE component covering all m docs
+    parent = list(range(m))
 
     def find(x):
         while parent[x] != x:
@@ -126,9 +134,39 @@ def test_hot_band_bucket_pair_output_is_capped(spark, tmp_path):
 
     for r in rows:
         parent[find(r["doc_a"])] = find(r["doc_b"])
-    assert len({find(i) for i in range(cap)}) == 1
+    assert len({find(i) for i in range(m)}) == 1
     # the runtime defense for residual hot-key probe work
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_incremental_dedup_new_side_never_capped(spark, tmp_path):
+    """A megacluster whose duplicates span the new/old batch split:
+    every NEW-batch duplicate must still get is_dup=TRUE even when the
+    bucket overflows BAND_BUCKET_CAP — only the OLD-corpus index side
+    is capped, so new docs always probe (the r11 symmetric cap evicted
+    new docs from their own buckets and silently returned FALSE)."""
+    from etl_pipeline_project_auraverse_spark.queries.dedup import (
+        BAND_BUCKET_CAP,
+        INC_NEW_MOD,
+        INC_NEW_REM,
+    )
+
+    m = 300  # >> CAP; doc_ids 0..299, so 60 land in the new batch
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    texts = [text] * m
+    d = str(tmp_path)
+    _write_documents(spark, d, texts)
+    rows = {r["new_id"]: r for r in QUERIES["q_dedup_incremental_minhash"](spark, d).collect()}
+    new_ids = [i for i in range(m) if i % INC_NEW_MOD == INC_NEW_REM]
+    assert len(new_ids) > BAND_BUCKET_CAP / INC_NEW_MOD  # bucket genuinely hot
+    assert set(rows) == set(new_ids)
+    # EVERY new duplicate is caught, including ids far beyond the cap
+    assert all(rows[i]["is_dup"] for i in new_ids), [
+        i for i in new_ids if not rows[i]["is_dup"]
+    ][:5]
+    assert all(rows[i]["best_jaccard"] == 1.0 for i in new_ids)
+    # the candidate fan-out per new doc is bounded by the old-index cap
+    assert all(rows[i]["n_candidates"] <= BAND_BUCKET_CAP for i in new_ids)
 
 
 def test_reservoir_skew_prefilter_bounds_window_input(spark, tmp_path):
