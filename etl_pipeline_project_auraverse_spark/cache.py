@@ -163,6 +163,44 @@ def memo_snapshot_path(spark: SparkSession, name: str, corpus_key: str) -> str:
 # enough and keeps repeated getOrCreate calls free).
 _GC_SEEN: set = set()
 
+_OWNER_FILE = "_OWNER"  # driver PID of the session that owns an app dir
+
+
+def _mark_owner(snapshot_path: str) -> None:
+    """Record this driver's PID in the app-level snapshot dir so the GC
+    can tell a LIVE owner from a finished one (directory age cannot: a
+    full parity run exceeds an hour while its early-written snapshots
+    go stale-by-mtime, and a session re-materializing a memo after a
+    cache sweep re-reads those very parquet files)."""
+    import os
+
+    local = (
+        snapshot_path[len("file:") :]
+        if snapshot_path.startswith("file:")
+        else snapshot_path
+    )
+    app_dir = os.path.dirname(local.rstrip("/"))
+    try:
+        os.makedirs(app_dir, exist_ok=True)
+        with open(os.path.join(app_dir, _OWNER_FILE), "w") as f:
+            f.write(str(os.getpid()))
+    except OSError:
+        pass  # bookkeeping must never mask the session's real work
+
+
+def _pid_alive(pid: int) -> bool:
+    import os
+
+    try:
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else
+    except OSError:
+        return True  # unknown — err on the safe side, keep the dir
+
 
 def gc_memo_snapshots(spark: SparkSession) -> list[str]:
     """Remove memo-snapshot directories left by SUPERSEDED sessions.
@@ -172,11 +210,18 @@ def gc_memo_snapshots(spark: SparkSession) -> list[str]:
     session's snapshots are dead weight that accumulates across
     bench/parity/test sessions (measured: 126 MB over ~10 historical
     app dirs after one round's cycle). Runs once per application at
-    session start; never touches the live application's directory, and
-    skips directories modified within the last hour so a CONCURRENT
-    session (a parity run starting mid-bench) cannot lose its live
-    snapshots — a one-hour-stale dir belongs to a finished session.
-    Returns the removed directory names (for tests/telemetry)."""
+    session start and never touches the live application's directory.
+
+    Liveness is gated on the OWNING DRIVER PROCESS, not directory age:
+    each app dir carries an ``_OWNER`` file with the driver PID
+    (written by :func:`memo_table`); a dir whose owner is still running
+    is skipped no matter how old (a >1 h parity session keeps reading
+    snapshots it wrote in its first minutes — the age heuristic deleted
+    them out from under it), and a dir whose owner is gone is removed
+    immediately. Dirs without an owner file (pre-owner-file layouts,
+    interrupted writes) fall back to the old >1 h-mtime rule so a
+    concurrent just-started session can't lose its directory. Returns
+    the removed directory names (for tests/telemetry)."""
     import os
     import shutil
     import time
@@ -199,9 +244,21 @@ def gc_memo_snapshots(spark: SparkSession) -> list[str]:
             continue
         p = os.path.join(base, d)
         try:
-            if os.path.isdir(p) and os.path.getmtime(p) < cutoff:
-                shutil.rmtree(p)
-                removed.append(d)
+            if not os.path.isdir(p):
+                continue
+            owner = None
+            try:
+                with open(os.path.join(p, _OWNER_FILE)) as f:
+                    owner = int(f.read().strip())
+            except (OSError, ValueError):
+                owner = None
+            if owner is not None:
+                if _pid_alive(owner):
+                    continue  # live session — never remove, however old
+            elif os.path.getmtime(p) >= cutoff:
+                continue  # unowned but fresh — may be a starting session
+            shutil.rmtree(p)
+            removed.append(d)
         except OSError:
             pass  # cleanup must never mask the session's real work
     return removed
@@ -229,6 +286,7 @@ def memo_table(
     plan from base tables.
     """
     key = (spark.sparkContext.applicationId, corpus_key, subkey)
+    _mark_owner(snapshot_path)  # liveness marker for gc_memo_snapshots
     hit = memo.get(key)
     if hit is not None:
         lvl = hit.storageLevel

@@ -188,3 +188,67 @@ def test_superseded_snapshot_gc_bounds_warehouse(spark, tmp_path):
     assert C.gc_memo_snapshots(spark) == []
     os.rmdir(stale)
     os.rmdir(fresh)
+
+
+def test_snapshot_gc_is_gated_on_owner_liveness(spark, tmp_path):
+    """A >1h-stale dir whose _OWNER process is STILL RUNNING must
+    survive the GC (a long parity session keeps re-reading snapshots it
+    wrote in its first minutes), while a FRESH dir whose owner is gone
+    is removed immediately — liveness, not age, decides."""
+    import os
+    import subprocess
+    import sys
+    import time
+
+    from etl_pipeline_project_auraverse_spark import cache as C
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    root = wh[len("file:"):] if wh.startswith("file:") else wh
+    base = os.path.join(root.rstrip("/"), "memo_snapshots")
+    app = spark.sparkContext.applicationId
+
+    live_owned = os.path.join(base, "local-0000000000011")
+    dead_owned = os.path.join(base, "local-0000000000012")
+    os.makedirs(live_owned, exist_ok=True)
+    os.makedirs(dead_owned, exist_ok=True)
+    # live owner: this very test process; dir made ancient on purpose
+    with open(os.path.join(live_owned, C._OWNER_FILE), "w") as f:
+        f.write(str(os.getpid()))
+    old = time.time() - 7200
+    os.utime(live_owned, (old, old))
+    # dead owner: a child that has already exited (PID guaranteed dead
+    # after wait); dir left FRESH on purpose
+    p = subprocess.Popen([sys.executable, "-c", "pass"])
+    p.wait()
+    with open(os.path.join(dead_owned, C._OWNER_FILE), "w") as f:
+        f.write(str(p.pid))
+
+    C._GC_SEEN.discard(app)
+    removed = C.gc_memo_snapshots(spark)
+    assert "local-0000000000012" in removed, "dead-owner dir must go"
+    assert not os.path.exists(dead_owned)
+    assert os.path.exists(live_owned), (
+        "a dir owned by a RUNNING process must survive however stale"
+    )
+    os.remove(os.path.join(live_owned, C._OWNER_FILE))
+    os.rmdir(live_owned)
+
+
+def test_memo_table_marks_owner(spark, sf_dir):
+    """Any memo build/fetch must leave the app dir owner-marked so a
+    concurrent session's GC can see this session is alive."""
+    import os
+
+    import etl_pipeline_project_auraverse_spark.queries.dedup as dedup
+    from etl_pipeline_project_auraverse_spark import cache as C
+
+    dedup.capped_pair_stats(spark, sf_dir)  # any memoized table works
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    root = wh[len("file:"):] if wh.startswith("file:") else wh
+    app_dir = os.path.join(
+        root.rstrip("/"), "memo_snapshots", spark.sparkContext.applicationId
+    )
+    marker = os.path.join(app_dir, C._OWNER_FILE)
+    assert os.path.exists(marker)
+    with open(marker) as f:
+        assert int(f.read().strip()) == os.getpid()
