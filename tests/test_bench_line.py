@@ -57,3 +57,22 @@ def test_core_subset_and_headline_count() -> None:
     assert len(bench.HEADLINE) == 50, (
         "headline is budgeted at 50 entries; grow the sweep, not this"
     )
+
+
+def test_window_retry_policy() -> None:
+    """The headline self-defense thresholds and best-attempt choice
+    (r11 verdict ask #1): >1% steal or >10 suspects means dirty; the
+    kept attempt has the fewest suspects, steal breaking ties."""
+    assert bench.window_clean(0.009, 10)
+    assert not bench.window_clean(0.0302, 2), "r11's destroyed window"
+    assert not bench.window_clean(0.005, 19), "suspect blowout alone trips"
+    assert bench.window_clean(None, 0), "no /proc/stat platform is clean"
+    assert bench.HEADLINE_MAX_ATTEMPTS >= 2, "must actually retry"
+
+    a = {"suspect": ["x"] * 12, "steal": 0.002, "timings": {}}
+    b = {"suspect": ["x"] * 3, "steal": 0.03, "timings": {}}
+    c = {"suspect": ["x"] * 3, "steal": 0.004, "timings": {}}
+    assert bench.cleanest_attempt([a, b, c]) is c
+    assert bench.cleanest_attempt([a, b]) is b, "suspects outrank steal"
+    d = {"suspect": [], "steal": None, "timings": {}}
+    assert bench.cleanest_attempt([c, d]) is d
