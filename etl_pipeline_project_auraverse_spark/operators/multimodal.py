@@ -231,6 +231,202 @@ def resize_images(df: DataFrame, max_side: int = 4) -> DataFrame:
     return df.mapInPandas(run, schema=THUMB_DDL)
 
 
+# ---------------------------------------------------------------------------
+# Independent spec-side payload writers (r11 verdict ask #3): each
+# builds a REAL container straight from the format specification with
+# ONLY the stdlib — deliberately sharing no code with the production
+# decoders in png_codec/jpeg_codec/gif_codec — so an oracle-gated query
+# that decodes these payloads attests the decoder against the SPEC, not
+# against a matched encoder bug. Pixels follow the synth_bmp_bytes
+# closed-form contract: v(y, x) = (doc_id*31 + (y*w + x)*7) % 256,
+# mirrored verbatim in the DuckDB oracles.
+# ---------------------------------------------------------------------------
+
+
+def synth_png_bytes(doc_id: int, width: int = 8, height: int = 6) -> bytes:
+    """A real 8-bit grayscale PNG whose row FILTERS cycle through all
+    five spec types (filter of row y = (doc_id + y) % 5), forward-
+    filtered here with plain integer math — a decoder with any fault in
+    Sub/Up/Average/Paeth reconstruction changes the pixels and fails
+    the oracle hash."""
+    import zlib
+
+    def v(y: int, x: int) -> int:
+        return (doc_id * 31 + (y * width + x) * 7) % 256
+
+    def paeth(a: int, b: int, c: int) -> int:
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    raw_prev = [0] * width
+    scanlines = bytearray()
+    for y in range(height):
+        raw = [v(y, x) for x in range(width)]
+        f = (doc_id + y) % 5
+        scanlines.append(f)
+        for x in range(width):
+            left = raw[x - 1] if x else 0
+            up = raw_prev[x]
+            ul = raw_prev[x - 1] if x else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = left
+            elif f == 2:
+                pred = up
+            elif f == 3:
+                pred = (left + up) // 2
+            else:
+                pred = paeth(left, up, ul)
+            scanlines.append((raw[x] - pred) % 256)
+        raw_prev = raw
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(scanlines)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def synth_jpeg_dc_bytes(
+    doc_id: int, w_blocks: int = 2, h_blocks: int = 2, q0: int = 16
+) -> bytes:
+    """A real baseline grayscale JPEG of ``w_blocks x h_blocks`` 8x8
+    blocks, each carrying ONLY a DC coefficient — so the decode is
+    EXACT (the IDCT of a DC-only block is flat: pixel =
+    dc*q0/8 + 128, an integer at q0=16), yet the full SOI/DQT/SOF0/
+    DHT/SOS parse, canonical-Huffman decode, differential-DC chain,
+    byte unstuffing and IDCT path all execute. Block b (raster order)
+    has dc_b = ((doc_id*7 + b*13) % 128) - 64. Custom (non-Annex-K)
+    Huffman tables: 12 DC categories at length 5, EOB alone at
+    length 2 — a decoder that assumes the standard tables fails."""
+    dc_bits = [0, 0, 0, 0, 12] + [0] * 11  # 12 categories, all length 5
+    dc_vals = list(range(12))
+    ac_bits = [0, 1] + [0] * 14  # EOB alone at length 2 (code 00)
+    ac_vals = [0x00]
+
+    def canonical(bits, vals):
+        codes, code, k = {}, 0, 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                codes[vals[k]] = (ln, code)
+                code += 1
+                k += 1
+            code <<= 1
+        return codes
+
+    dc_codes, ac_codes = canonical(dc_bits, dc_vals), canonical(ac_bits, ac_vals)
+
+    out_bits = bytearray()
+    acc = nbits = 0
+
+    def write(value: int, n: int) -> None:
+        nonlocal acc, nbits
+        for i in range(n - 1, -1, -1):
+            acc = (acc << 1) | ((value >> i) & 1)
+            nbits += 1
+            if nbits == 8:
+                out_bits.append(acc)
+                if acc == 0xFF:  # byte stuffing per T.81
+                    out_bits.append(0x00)
+                acc = 0
+                nbits = 0
+
+    pred = 0
+    for b in range(w_blocks * h_blocks):
+        dc = ((doc_id * 7 + b * 13) % 128) - 64
+        diff = dc - pred
+        pred = dc
+        t = 0 if diff == 0 else abs(diff).bit_length()
+        ln, code = dc_codes[t]
+        write(code, ln)
+        if t:
+            write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        ln, code = ac_codes[0x00]  # EOB: every AC coefficient is zero
+        write(code, ln)
+    while nbits:  # pad with 1s per T.81
+        write(1, 1)
+
+    w_px, h_px = w_blocks * 8, h_blocks * 8
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0]) + bytes([q0] * 64)
+    sof = struct.pack(">BHHB", 8, h_px, w_px, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    dht = bytearray()
+    for tc, bits, vals in ((0, dc_bits, dc_vals), (1, ac_bits, ac_vals)):
+        dht.append(tc << 4)
+        dht += bytes(bits)
+        dht += bytes(vals)
+    out += b"\xff\xc4" + struct.pack(">H", len(dht) + 2) + dht
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    out += bytes(out_bits) + b"\xff\xd9"
+    return bytes(out)
+
+
+def synth_gif_interlaced_bytes(doc_id: int, width: int = 8, height: int = 6) -> bytes:
+    """A real INTERLACED GIF89a (grayscale 256-entry palette,
+    palette[i] = (i, i, i)): rows are stored in Adam-less GIF interlace
+    order (passes 0/8, 4/8, 2/4, 1/2) and the pixel stream is a valid
+    LZW encoding built from literal codes with periodic CLEAR resets
+    (table never outgrows 9-bit codes on either side) — a decoder that
+    misorders interlace passes or mishandles CLEAR/width bookkeeping
+    scrambles the rows and fails the oracle hash."""
+
+    def v(y: int, x: int) -> int:
+        return (doc_id * 31 + (y * width + x) * 7) % 256
+
+    rows = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):  # GIF interlace
+        rows.extend(range(start, height, step))
+    indices = [v(y, x) for y in rows for x in range(width)]
+
+    CLEAR, EOI, WIDTH = 256, 257, 9
+    codes = [CLEAR]
+    for i, px in enumerate(indices):
+        if i and i % 128 == 0:
+            codes.append(CLEAR)  # reset before the table needs 10 bits
+        codes.append(px)
+    codes.append(EOI)
+    data = bytearray()
+    acc = nbits = 0
+    for c in codes:  # GIF LZW packs LSB-first
+        acc |= c << nbits
+        nbits += WIDTH
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(acc & 0xFF)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)  # 256-color GCT
+    for i in range(256):
+        out += bytes((i, i, i))
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0x40)  # interlaced
+    out.append(8)  # LZW minimum code size
+    for off in range(0, len(data), 255):
+        block = data[off : off + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 AUDIO_DDL = (
     "doc_id long, sample_rate int, n_channels int, n_samples long, "
     "duration_sec double, rms double, peak int"

@@ -112,6 +112,7 @@ _MODULES = [
     "etl_pipeline_project_auraverse_spark.queries.video",
     "etl_pipeline_project_auraverse_spark.queries.audio",
     "etl_pipeline_project_auraverse_spark.queries.crossmodal",
+    "etl_pipeline_project_auraverse_spark.queries.image_codecs",
 ]
 
 
