@@ -183,6 +183,27 @@ def np_block_cosine(C, Q, digits: int = 6):
         cn += C[:, j] * C[:, j]
         qn += Q[:, j] * Q[:, j]
     S /= np.sqrt(cn)[:, None] * np.sqrt(qn)[None, :]
+    return _np_round_half_away(S, digits)
+
+
+def np_block_dot(C, Q, digits: int = 6):
+    """Blocked inner-product matrix with the same fold-exact contract
+    as :func:`np_block_cosine` (left-assoc accumulation from 0.0,
+    half-away-from-zero rounding) — the twin of the engines' rounded
+    ``dot`` for exact-IP truth arms (PQ approximates inner product, so
+    its recall oracle ranks by dot, not cosine)."""
+    import numpy as np
+
+    m, d = C.shape
+    S = np.zeros((m, Q.shape[0]))
+    for j in range(d):
+        S += C[:, j, None] * Q[None, :, j]
+    return _np_round_half_away(S, digits)
+
+
+def _np_round_half_away(S, digits: int):
+    import numpy as np
+
     p = 10.0**digits
     ys = np.abs(S) * p
     fl = np.floor(ys)

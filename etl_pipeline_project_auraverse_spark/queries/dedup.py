@@ -1686,30 +1686,24 @@ def q_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    from etl_pipeline_project_auraverse_spark.operators.kmeans import (
-        _assign,
-        _update,
-    )
+    from etl_pipeline_project_auraverse_spark.operators.kmeans import _assign
     from etl_pipeline_project_auraverse_spark.queries._util import (
         np_block_cosine,
         round_half_up,
     )
+    from etl_pipeline_project_auraverse_spark.queries.pq import (
+        trained_centroids_local,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # the exact kmeans_fit chain (same _assign/_update arithmetic and
-    # lowest-vec_id seeding) WITHOUT the training loop's convergence
-    # probes — inertia collects and change-count joins are attestation
-    # for q_kmeans_train_two_iter, dead weight here; one lazy plan,
-    # one action (measured 3.9 -> ~2 s at sf0.1, values identical)
-    seeds = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.transform(
-            F.col("embedding"), lambda x: F.round(x.cast("double"), 6)
-        ).alias("centroid"),
+    # iteration-SEMDEDUP_KM_ITERS assignment = one _assign against the
+    # (iters-1)-level centroids from the memoized Lloyd chain (exact
+    # kmeans_fit arithmetic, no convergence probes; shared with the
+    # IVF-trained search, which continues the same chain one level on)
+    c_prev = trained_centroids_local(
+        spark, emb, sf_dir, 8, SEMDEDUP_KM_ITERS - 1
     )
-    assign = _assign(emb, seeds)
-    for _ in range(SEMDEDUP_KM_ITERS - 1):
-        assign = _assign(emb, _update(assign))
+    assign = _assign(emb, c_prev)
 
     def prune(pdf):
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)

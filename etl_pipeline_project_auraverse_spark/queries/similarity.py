@@ -353,6 +353,57 @@ def _ivf_sides(spark: SparkSession, sf_dir: str):
     return emb, qprobe, blocked
 
 
+def gemm_partial_topk(
+    emb: "DataFrame", q_rows, k: int, score: str = "cosine"
+) -> "DataFrame":
+    """Exact-truth-arm accelerator (r11 verdict ask #5): per-partition
+    partial top-k of a bounded query set against the corpus, scored by
+    ONE fold-exact vectorized block per Arrow batch (np_block_cosine /
+    np_block_dot — the engines' left-assoc accumulation and half-away
+    6dp rounding, so values are hash-identical to the interpreted
+    ``F.aggregate`` fold it replaces; measured ~3x cheaper, the
+    q_embedding_intrinsic_dim idiom). Returns (query_id, cand_id,
+    score_col) with at most k rows per (partition, query); the caller's
+    global top-k window then ranks <= k * partitions * |q_rows|
+    survivor rows — lossless, since every global top-k candidate is
+    inside its own partition's per-query top-k. Self-pairs excluded.
+    ``score``: "cosine" or "dot" (PQ approximates inner product)."""
+    import numpy as np
+    import pandas as pd
+
+    qid = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    Q = np.array([list(r["embedding"]) for r in q_rows], dtype=np.float64)
+    col_name = "cos_sim" if score == "cosine" else "ip"
+
+    def block_topk(batches):
+        from etl_pipeline_project_auraverse_spark.queries._util import (
+            np_block_cosine,
+            np_block_dot,
+        )
+
+        fn = np_block_cosine if score == "cosine" else np_block_dot
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            C = np.array([list(e) for e in pdf["embedding"]], dtype=np.float64)
+            S = fn(C, Q)
+            out = []
+            for j in range(len(qid)):
+                mask = cid != qid[j]  # self-pair exclusion
+                if not mask.any():
+                    continue
+                col, ids = S[mask, j], cid[mask]
+                order = np.lexsort((ids, -col))  # score desc, cand_id asc
+                for b in order[:k]:
+                    out.append((int(qid[j]), int(ids[b]), float(col[b])))
+            yield pd.DataFrame(out, columns=["query_id", "cand_id", col_name])
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        block_topk, schema=f"query_id long, cand_id long, {col_name} double"
+    )
+
+
 @register(
     "q_ann_ivf_cosine",
     oracle=f"""
@@ -470,20 +521,23 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts (total hits / (n_queries * k)), so the value hashes
     identically across engines — no decimal-average machinery needed."""
     emb, qprobe, blocked = _ivf_sides(spark, sf_dir)
-    qset = F.broadcast(emb.filter(F.col("vec_id") < IVF_QUERY_MAX))
+    # exact truth arm: blocked-GEMM partial top-k (bounded driver-held
+    # query set, fold-exact scores) instead of the interpreted per-pair
+    # F.aggregate broadcast NLJ — values identical, ~3x cheaper
+    q_rows = sorted(
+        emb.filter(F.col("vec_id") < IVF_QUERY_MAX)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
     w_exact = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "cand_id")
     exact = (
-        qset.alias("q")
-        .join(emb.alias("c"), F.col("q.vec_id") != F.col("c.vec_id"))
-        .select(
-            F.col("q.vec_id").alias("query_id"),
-            F.col("c.vec_id").alias("cand_id"),
-            cosine(F.col("q.embedding"), F.col("c.embedding")).alias("cos_sim"),
-        )
+        gemm_partial_topk(emb, q_rows, IVF_TOP_K, score="cosine")
         .withColumn("rank", F.row_number().over(w_exact))
         .filter(F.col("rank") <= IVF_TOP_K)
         .select("query_id", "cand_id")
     )
+    n_queries = len(q_rows)
     ivf_pairs = qprobe.alias("q").join(
         blocked.alias("c"),
         (F.col("q.centroid_id") == F.col("c.centroid_id"))
@@ -510,17 +564,15 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("nprobe")
         .agg(F.count("*").alias("total_hits"))
     )
-    nq = F.broadcast(qset.agg(F.count("*").alias("n_queries")))
     return (
         levels.join(hits, "nprobe", "left")
-        .crossJoin(nq)
         .select(
             "nprobe",
-            "n_queries",
+            F.lit(n_queries).cast("long").alias("n_queries"),
             F.coalesce(F.col("total_hits"), F.lit(0)).cast("long").alias("total_hits"),
             (
                 F.coalesce(F.col("total_hits"), F.lit(0)).cast("double")
-                / (F.col("n_queries") * IVF_TOP_K)
+                / F.lit(float(n_queries * IVF_TOP_K))
             ).alias("recall_at_k"),
         )
         .orderBy("nprobe")
