@@ -83,9 +83,20 @@ ORACLE: dict[str, str] = {}
 # truncation loss), then the ENTIRE 26-name r5 tranche (the oldest
 # attestations after the r10 fold), then the 12 oldest r6 names —
 # exactly 50 slots.
-# NEXT ROUND (r12): front-pin anything newly registered, then the
-# remaining 38 r6-attested names (q_heavy_hitter_parts onward in
-# registry order), then fill by age from ATTESTATION.json.
+# Round 12 executes that plan (r11 verdict ask #2): the FOUR queries
+# new in r12 lead (SemDeDup over trained k-means clusters, plus the
+# three real-decoder oracle gates — PNG all-filters, DC-only baseline
+# JPEG, interlaced GIF), then the ENTIRE remaining 38-name r6 tranche
+# (the registry's oldest attestations after the r11 fold — and it
+# happens to re-attest q_ann_pq_recall / q_ann_ivf_trained /
+# q_ann_ivfadc_recall, whose truth arms were GEMM-ported this round),
+# then the 8 oldest r7 names (which include q_dedup_containment,
+# whose band-candidate generation changed this round) — exactly 50
+# slots.
+# NEXT ROUND (r13): front-pin anything newly registered, then the
+# remaining 42 r7-attested names (q_dedup_tfidf_cosine onward in
+# registry order minus the 8 attested in r12), then fill by age from
+# ATTESTATION.json.
 _MODULES = [
     "etl_pipeline_project_auraverse_spark.queries.relational",
     "etl_pipeline_project_auraverse_spark.queries.tpch_extra",
@@ -144,61 +155,62 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # module-import order after these. Names that don't resolve are
 # ignored so the list can't break registration.
 _FRONT = [
-    # --- NEW in r11: the cross-modal pillar + training-data ops ---
-    "q_image_caption_audit",
-    "q_image_dup_caption_diversity",
-    "q_clip_stripe_alignment",
-    "q_audio_caption_sync",
-    "q_video_caption_density",
-    "q_crossmodal_retrieval_recall",
-    "q_zipf_fit_by_source",
-    "q_doc_perplexity_filter",
-    "q_temperature_sampling_alloc",
-    "q_kcenter_seed_selection",
-    "q_length_quality_joint",
-    "q_truncation_loss_by_context",
-    # --- age refresh: the full r5 tranche (last green r5 per
-    # ATTESTATION.json after the r10 fold — the registry's oldest) ---
-    "q_scalar_date_functions",
-    "q_scalar_math_functions",
-    "q_topk_orders_by_price",
-    "q10_returned_item_customers",
-    "q13_customer_order_distribution",
-    "q14_promo_revenue_share",
-    "q18_large_volume_orders",
-    "q02_min_cost_supplier",
-    "q07_volume_shipping",
-    "q09_profit_by_nation",
-    "q12_ship_delay_priority",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q19_discounted_revenue",
-    "q21_suppliers_kept_waiting",
-    "q11_important_parts",
-    "q16_supplier_part_relation",
-    "q20_promotion_suppliers",
-    "q_fulfillment_latency",
-    "q_supplier_hhi_by_nation",
-    "q_repeat_purchase_timing",
-    "q_customer_quartile_migration",
-    "q_chi2_priority_segment",
-    "q_range_join_purchase_context",
-    "q_tfidf_top_terms",
-    "q_vocab_top_trigrams",
-    # --- age refresh: the 13 oldest of the r6 tranche (registry
-    # order); the remaining 37 r6 names lead the r12 rotation ---
-    "q22_dormant_wealthy_customers",
-    "q08_market_share",
-    "q_embedding_sq8_recall",
-    "q_embedding_intrinsic_dim",
-    "q_dsir_importance_weights",
-    "q_pagerank_copurchase",
-    "q_triangle_copurchase",
-    "q_bfs_copurchase_hops",
-    "q_cdc_latest_order_state",
-    "q_winsorized_price_stats",
-    "q_equidepth_histogram_price",
-    "q_mad_outlier_prices",
+    # --- NEW in r12: SemDeDup + the three real-decoder oracle gates ---
+    "q_semdedup_clusters",
+    "q_png_filter_decode_audit",
+    "q_jpeg_dc_block_audit",
+    "q_gif_interlace_decode_audit",
+    # --- age refresh: the ENTIRE remaining r6 tranche (last green r6
+    # per ATTESTATION.json after the r11 fold — the registry's oldest;
+    # registry order) ---
+    "q_ann_pq_topk",
+    "q_ann_pq_recall",
+    "q_ann_ivfadc_topk",
+    "q_kmeans_lloyd_step",
+    "q_ann_ivf_trained",
+    "q_ann_ivfadc_recall",
+    "q_pca_power_iteration",
+    "q_kmeans_train_two_iter",
+    "q_heavy_hitter_parts",
+    "q_benford_price_digits",
+    "q_corr_matrix_lineitem",
+    "q_revenue_concentration_deciles",
+    "q_revenue_trend_by_segment",
+    "q_price_round_number_bias",
+    "q_spearman_corr_lineitem",
+    "q_ks_price_by_returnflag",
+    "q_mwu_quantity_by_returnflag",
+    "q_chi2_returnflag_linestatus",
+    "q_doc_chunks_overlap",
+    "q_chunk_dedup_crossdoc",
+    "q_zorder_order_cells",
+    "q_hll_distinct_users",
+    "q_hll_rolling_7d_users",
+    "q_bloom_prune_orders",
+    "q_cms_part_frequencies",
+    "q_column_stats_lineitem",
+    "q_hll_overlap_event_types",
+    "q_dq_orders_report",
+    "q_dq_lineitem_report",
+    "q_dedup_word_spans",
+    "q_event_type_transitions",
+    "q_rolling_median_daily_revenue",
+    "q_sample_stratified_proportional",
+    "q_daily_users_new_returning",
+    "q_text_char_entropy",
+    "q_event_sliding_windows",
+    "q_bm25_search",
+    "q_pii_scrub_stats",
+    # --- age refresh: the 8 oldest r7 names (registry order); the
+    # remaining 42 r7 names lead the r13 rotation ---
+    "q_cohort_retention",
+    "q_rfm_segmentation",
+    "q_fuzzy_name_matches",
+    "q_skyline_parts_per_brand",
+    "q_dedup_prefix_filter_jaccard",
+    "q_dedup_containment",
+    "q_dedup_tfidf_cosine",
+    "q_dedup_semantic_prune",
 ]
 
 
