@@ -530,9 +530,14 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect(),
         key=lambda r: r["vec_id"],
     )
+    from etl_pipeline_project_auraverse_spark.queries._util import parallelize
+
     w_exact = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "cand_id")
+    # parallelize the corpus side: a small single-file embeddings scan
+    # arrives as ONE partition and would run the whole GEMM arm on one
+    # core
     exact = (
-        gemm_partial_topk(emb, q_rows, IVF_TOP_K, score="cosine")
+        gemm_partial_topk(parallelize(emb), q_rows, IVF_TOP_K, score="cosine")
         .withColumn("rank", F.row_number().over(w_exact))
         .filter(F.col("rank") <= IVF_TOP_K)
         .select("query_id", "cand_id")
