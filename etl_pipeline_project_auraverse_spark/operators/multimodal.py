@@ -427,6 +427,111 @@ def synth_gif_interlaced_bytes(doc_id: int, width: int = 8, height: int = 6) -> 
     return bytes(out)
 
 
+def synth_tiff_packbits_bytes(
+    doc_id: int, width: int = 8, height: int = 6
+) -> bytes:
+    """A real baseline TIFF exercising four decoder obligations at
+    once: BIG-endian (``MM``) byte order, PackBits (32773) compression
+    encoded here straight from the spec's run/literal rules,
+    multi-strip organisation (RowsPerStrip = 2), and
+    PhotometricInterpretation 0 (WhiteIsZero) — the stored samples are
+    the INVERTED pixels, so a decoder that forgets the inversion (or
+    mis-assembles strips, or reads the IFD little-endian) produces the
+    wrong closed-form sums.
+
+    Pixels follow the shared contract EXCEPT every third row (y % 3 ==
+    2), which is CONSTANT at its first pixel's value — without runs the
+    gradient formula would make PackBits all-literals and leave the
+    decoder's run branch unexercised."""
+
+    def v(y: int, x: int) -> int:
+        if y % 3 == 2:
+            return (doc_id * 31 + (y * width) * 7) % 256
+        return (doc_id * 31 + (y * width + x) * 7) % 256
+
+    def packbits(data: bytes) -> bytes:
+        out = bytearray()
+        i = 0
+        while i < len(data):
+            run = 1
+            while (
+                run < 128
+                and i + run < len(data)
+                and data[i + run] == data[i]
+            ):
+                run += 1
+            if run >= 3:
+                out += bytes(((257 - run) & 0xFF, data[i]))
+                i += run
+                continue
+            lit_start = i
+            i += run
+            while i < len(data) and i - lit_start < 128:
+                nxt = 1
+                while (
+                    nxt < 3 and i + nxt < len(data) and data[i + nxt] == data[i]
+                ):
+                    nxt += 1
+                if nxt >= 3:
+                    break
+                i += 1
+            out.append(i - lit_start - 1)
+            out += data[lit_start:i]
+        return bytes(out)
+
+    rows_per_strip = 2
+    strips = []
+    for y0 in range(0, height, rows_per_strip):
+        rows = bytes(
+            255 - v(y, x)  # WhiteIsZero: store inverted
+            for y in range(y0, min(y0 + rows_per_strip, height))
+            for x in range(width)
+        )
+        strips.append(packbits(rows))
+
+    n = len(strips)
+    bo = ">"
+    data_start = 8
+    offsets = []
+    pos = data_start
+    for s in strips:
+        offsets.append(pos)
+        pos += len(s)
+    # external arrays (strip offsets + byte counts) when n > 1
+    off_array_pos = pos
+    cnt_array_pos = off_array_pos + 4 * n
+    ifd_pos = cnt_array_pos + 4 * n
+
+    def entry(tag: int, typ: int, count: int, value: int) -> bytes:
+        if typ == 3:  # SHORT packs left-justified in the 4-byte field
+            return struct.pack(bo + "HHIHH", tag, typ, count, value, 0)
+        return struct.pack(bo + "HHII", tag, typ, count, value)
+
+    entries = [
+        entry(256, 3, 1, width),
+        entry(257, 3, 1, height),
+        entry(258, 3, 1, 8),
+        entry(259, 3, 1, 32773),  # PackBits
+        entry(262, 3, 1, 0),  # WhiteIsZero
+        entry(273, 4, n, off_array_pos),
+        entry(277, 3, 1, 1),
+        entry(278, 3, 1, rows_per_strip),
+        entry(279, 4, n, cnt_array_pos),
+    ]
+    out = bytearray(struct.pack(bo + "2sHI", b"MM", 42, ifd_pos))
+    for s in strips:
+        out += s
+    for o in offsets:
+        out += struct.pack(bo + "I", o)
+    for s in strips:
+        out += struct.pack(bo + "I", len(s))
+    out += struct.pack(bo + "H", len(entries))
+    for e in entries:
+        out += e
+    out += struct.pack(bo + "I", 0)
+    return bytes(out)
+
+
 AUDIO_DDL = (
     "doc_id long, sample_rate int, n_channels int, n_samples long, "
     "duration_sec double, rms double, peak int"

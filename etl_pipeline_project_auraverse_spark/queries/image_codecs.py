@@ -1,14 +1,15 @@
 """Oracle gates for the real from-scratch image DECODERS (r11 verdict
-ask #3): before this module the PNG/JPEG/GIF codecs (~1,500 LoC) were
+ask #3): before this module the PNG/JPEG/GIF/TIFF codecs (~1,500 LoC)
+were
 unit-tested only — no driver row ever executed them, so a regression
-could ship while every CORRECTNESS gate stayed green. Three
+could ship while every CORRECTNESS gate stayed green. Four
 crossmodal-style queries now decode REAL payloads through the
 production seam (``operators/multimodal._decode_image_bytes``), with
 every pixel a closed-form integer function of ``doc_id`` mirrored
 verbatim in the DuckDB oracle — any decode fault flips a value hash.
 
 The payload writers (``operators/multimodal.synth_{png,jpeg_dc,gif_
-interlaced}_bytes``) are INDEPENDENT spec-side implementations sharing
+interlaced,tiff_packbits}_bytes``) are INDEPENDENT spec-side implementations sharing
 no code with the decoders, so the gates attest spec conformance, not
 encoder/decoder co-bugs:
 
@@ -288,6 +289,87 @@ SELECT img.doc_id,
 FROM img JOIN sums s USING (doc_id)
 ORDER BY doc_id
 """
+
+
+_TIFF_ORACLE = f"""
+WITH idx AS (SELECT unnest(range({_MAX_PIX})) AS i),
+img AS (
+    SELECT doc_id, {_W} AS w, {_H} AS h, text FROM documents
+    WHERE doc_id % 3 = 2
+),
+pix AS (
+    -- shared pixel contract, except every third row is CONSTANT at
+    -- its first pixel (gives PackBits real runs to decode)
+    SELECT img.doc_id, img.w, img.h,
+           CASE WHEN (idx.i // img.w) % 3 = 2
+                THEN (img.doc_id * 31 + ((idx.i // img.w) * img.w) * 7) % 256
+                ELSE (img.doc_id * 31 + idx.i * 7) % 256 END AS v,
+           (idx.i // img.w) AS y
+    FROM img CROSS JOIN idx WHERE idx.i < img.w * img.h
+),
+sums AS (
+    SELECT doc_id,
+           CAST(SUM(v) AS BIGINT) AS total_sum,
+           CAST(SUM(CASE WHEN y % 2 = 1 THEN v ELSE 0 END) AS BIGINT)
+               AS odd_row_sum
+    FROM pix GROUP BY doc_id
+)
+SELECT img.doc_id,
+       CAST(img.w AS INTEGER) AS width,
+       CAST(img.h AS INTEGER) AS height,
+       s.total_sum, s.odd_row_sum,
+       {_SQL_N_WORDS} AS n_words
+FROM img JOIN sums s USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@register("q_tiff_packbits_decode_audit", oracle=_TIFF_ORACLE)
+def q_tiff_packbits_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per TIFF-bearing document: REAL decode through the from-scratch
+    baseline TIFF codec of a payload exercising four obligations at
+    once — BIG-endian IFD parse, PackBits runs AND literals (every
+    third pixel row is constant), multi-strip assembly (RowsPerStrip =
+    2), and WhiteIsZero inversion (samples are stored inverted) — gated
+    on total and odd-row pixel sums. Shares the %3 == 2 doc slice with
+    the JPEG audit, so those documents are attested through two
+    unrelated codecs."""
+    import numpy as np
+
+    from etl_pipeline_project_auraverse_spark.operators.multimodal import (
+        synth_tiff_packbits_bytes,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w0, h0 = 8 + (d % 5) * 4, 6 + (d % 4) * 3
+                w, h, _c, g = _decoded_plane(
+                    synth_tiff_packbits_bytes(d, w0, h0)
+                )
+                g = g.astype(np.int64)
+                rows.append((d, w, h, int(g.sum()), int(g[1::2].sum())))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "total_sum", "odd_row_sum"],
+            )
+
+    img = _slice_docs(spark, sf_dir, 2)
+    facts = img.select("doc_id").mapInPandas(
+        run,
+        schema="doc_id long, width int, height int, total_sum long, odd_row_sum long",
+    )
+    nw = F.size(words(F.col("text"))).cast("long")
+    caption = img.select("doc_id", nw.alias("n_words"))
+    return (
+        facts.join(caption, "doc_id")
+        .select(
+            "doc_id", "width", "height", "total_sum", "odd_row_sum", "n_words"
+        )
+        .orderBy("doc_id")
+    )
 
 
 @register("q_gif_interlace_decode_audit", oracle=_GIF_ORACLE)

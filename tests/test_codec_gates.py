@@ -14,6 +14,7 @@ from etl_pipeline_project_auraverse_spark.operators.multimodal import (
     synth_gif_interlaced_bytes,
     synth_jpeg_dc_bytes,
     synth_png_bytes,
+    synth_tiff_packbits_bytes,
 )
 
 
@@ -56,6 +57,57 @@ def test_gif_interlaced_decodes_closed_form(d):
     want = _expected(d, w0, h0)
     for ch in range(3):
         assert np.array_equal(g[:, :, ch], want), (d, ch)
+
+
+def _expected_tiff(doc_id: int, w: int, h: int) -> np.ndarray:
+    """The TIFF payload's pixel contract: the shared formula, except
+    every third row is constant at its first pixel (PackBits runs)."""
+    out = _expected(doc_id, w, h)
+    for y in range(2, h, 3):
+        out[y, :] = (doc_id * 31 + (y * w) * 7) % 256
+    return out
+
+
+@pytest.mark.parametrize("d", [0, 1, 7, 123, 999, 4242])
+def test_tiff_packbits_decodes_closed_form(d):
+    """Big-endian IFD + PackBits runs/literals + multi-strip assembly
+    + WhiteIsZero inversion, all recovered exactly."""
+    w0, h0 = 8 + (d % 5) * 4, 6 + (d % 4) * 3
+    buf = synth_tiff_packbits_bytes(d, w0, h0)
+    assert buf[:2] == b"MM"  # genuinely big-endian
+    w, h, c, rows = _decode_image_bytes(buf)
+    assert (w, h, c) == (w0, h0, 1)
+    assert np.array_equal(
+        rows.reshape(h, w).astype(np.int64), _expected_tiff(d, w0, h0)
+    )
+
+
+def test_tiff_payload_exercises_packbits_run_branch(monkeypatch):
+    """The constant rows must genuinely produce PackBits REPEAT codes
+    (negative header bytes) — without them the run-decode branch of
+    _unpackbits never executes and the gate under-attests."""
+    import etl_pipeline_project_auraverse_spark.operators.tiff_codec as tc
+
+    seen = {"runs": 0, "lits": 0}
+    orig = tc._unpackbits
+
+    def spy(data: bytes, expected: int) -> bytes:
+        i = 0
+        while i < len(data):
+            n = data[i]
+            if n > 128:
+                seen["runs"] += 1
+                i += 2
+            elif n < 128:
+                seen["lits"] += 1
+                i += 2 + n
+            else:
+                i += 1
+        return orig(data, expected)
+
+    monkeypatch.setattr(tc, "_unpackbits", spy)
+    _decode_image_bytes(synth_tiff_packbits_bytes(123, 12, 9))
+    assert seen["runs"] > 0 and seen["lits"] > 0
 
 
 def test_spec_writers_cross_agree_with_production_encoders():
