@@ -377,6 +377,94 @@ def synth_jpeg_dc_bytes(
     return bytes(out)
 
 
+def synth_jpeg_progressive_dc_bytes(
+    doc_id: int, w_blocks: int = 2, h_blocks: int = 2, q0: int = 16
+) -> bytes:
+    """A real PROGRESSIVE (SOF2) grayscale JPEG of DC-only blocks in
+    TWO scans — DC-first at Al=1 (successive-approximation: the
+    arithmetic-shifted ``dc >> 1`` values, differentially Huffman-coded)
+    and DC-refinement at Ah=1/Al=0 (one raw ``dc & 1`` bit per block) —
+    so the Annex-G progressive machinery (scan dispatch, coefficient
+    accumulation across scans, the refinement bit path) executes while
+    the decode stays integer-exact (flat pixel = 2*dc + 128 at q0=16;
+    ``(dc >> 1) << 1 | (dc & 1)`` reconstructs dc exactly for negatives
+    too under two's complement). Block b (raster) has
+    dc_b = ((doc_id*11 + b*17) % 128) - 64."""
+    dc_bits = [0, 0, 0, 0, 12] + [0] * 11
+    dc_vals = list(range(12))
+
+    def canonical(bits, vals):
+        codes, code, k = {}, 0, 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                codes[vals[k]] = (ln, code)
+                code += 1
+                k += 1
+            code <<= 1
+        return codes
+
+    dc_codes = canonical(dc_bits, dc_vals)
+
+    def bitstream() -> tuple[bytearray, list]:
+        out = bytearray()
+        state = [0, 0]  # acc, nbits
+
+        def write(value: int, n: int) -> None:
+            for i in range(n - 1, -1, -1):
+                state[0] = (state[0] << 1) | ((value >> i) & 1)
+                state[1] += 1
+                if state[1] == 8:
+                    out.append(state[0])
+                    if state[0] == 0xFF:
+                        out.append(0x00)
+                    state[0] = 0
+                    state[1] = 0
+
+        def flush() -> None:
+            while state[1]:
+                write(1, 1)
+
+        return out, [write, flush]
+
+    dcs = [
+        ((doc_id * 11 + b * 17) % 128) - 64 for b in range(w_blocks * h_blocks)
+    ]
+    s1, (w1, f1) = bitstream()
+    pred = 0
+    for dc in dcs:
+        shifted = dc >> 1  # arithmetic shift per T.81 G.1.2.1
+        diff = shifted - pred
+        pred = shifted
+        t = 0 if diff == 0 else abs(diff).bit_length()
+        ln, code = dc_codes[t]
+        w1(code, ln)
+        if t:
+            w1(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    f1()
+    s2, (w2, f2) = bitstream()
+    for dc in dcs:
+        w2(dc & 1, 1)  # raw refinement bit, no Huffman
+    f2()
+
+    w_px, h_px = w_blocks * 8, h_blocks * 8
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0]) + bytes([q0] * 64)
+    sof = struct.pack(">BHHB", 8, h_px, w_px, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof  # SOF2
+    dht = bytearray([0])  # DC class 0, id 0 (AC tables unused in DC scans)
+    dht += bytes(dc_bits)
+    dht += bytes(dc_vals)
+    out += b"\xff\xc4" + struct.pack(">H", len(dht) + 2) + dht
+    sos1 = bytes([1, 1, 0x00, 0, 0, 0x01])  # DC first, Al=1
+    out += b"\xff\xda" + struct.pack(">H", len(sos1) + 2) + sos1
+    out += bytes(s1)
+    sos2 = bytes([1, 1, 0x00, 0, 0, 0x10])  # DC refine, Ah=1, Al=0
+    out += b"\xff\xda" + struct.pack(">H", len(sos2) + 2) + sos2
+    out += bytes(s2)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def synth_gif_interlaced_bytes(doc_id: int, width: int = 8, height: int = 6) -> bytes:
     """A real INTERLACED GIF89a (grayscale 256-entry palette,
     palette[i] = (i, i, i)): rows are stored in Adam-less GIF interlace

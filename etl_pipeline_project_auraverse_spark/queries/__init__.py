@@ -83,21 +83,21 @@ ORACLE: dict[str, str] = {}
 # truncation loss), then the ENTIRE 26-name r5 tranche (the oldest
 # attestations after the r10 fold), then the 12 oldest r6 names —
 # exactly 50 slots.
-# Round 12 executes that plan (r11 verdict ask #2): the FIVE queries
+# Round 12 executes that plan (r11 verdict ask #2): the SIX queries
 # new in r12 lead (SemDeDup over trained k-means clusters, plus the
-# four real-decoder oracle gates — PNG all-filters, DC-only baseline
-# JPEG, interlaced GIF, big-endian PackBits TIFF), then the ENTIRE
-# remaining 38-name r6 tranche (the registry's oldest attestations
-# after the r11 fold — and it happens to re-attest q_ann_pq_recall /
-# q_ann_ivf_trained / q_ann_ivfadc_recall, whose truth arms were
-# GEMM-ported this round), then the 8 oldest r7 names (which include
-# q_dedup_containment, whose band-candidate generation changed this
-# round) — 51 pinned, so the ~50-slot sample ends at
-# q_dedup_tfidf_cosine and q_dedup_semantic_prune rolls to r13.
+# five real-decoder oracle gates — PNG all-filters, DC-only baseline
+# JPEG, two-scan progressive JPEG, interlaced GIF, big-endian PackBits
+# TIFF), then the ENTIRE remaining 38-name r6 tranche (the registry's
+# oldest attestations after the r11 fold — and it happens to re-attest
+# q_ann_pq_recall / q_ann_ivf_trained / q_ann_ivfadc_recall, whose
+# truth arms were GEMM-ported this round), then the 8 oldest r7 names
+# (which include q_dedup_containment, whose band-candidate generation
+# changed this round) — 52 pinned, so the ~50-slot sample ends at
+# q_dedup_containment and the last two r7 pins roll to r13.
 # NEXT ROUND (r13): front-pin anything newly registered, then the
-# remaining 43 r7-attested names (q_dedup_semantic_prune plus
-# everything after it in registry order), then fill by age from
-# ATTESTATION.json.
+# remaining 44 r7-attested names (q_dedup_tfidf_cosine and
+# q_dedup_semantic_prune, plus everything after them in registry
+# order), then fill by age from ATTESTATION.json.
 _MODULES = [
     "etl_pipeline_project_auraverse_spark.queries.relational",
     "etl_pipeline_project_auraverse_spark.queries.tpch_extra",
@@ -156,10 +156,11 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # module-import order after these. Names that don't resolve are
 # ignored so the list can't break registration.
 _FRONT = [
-    # --- NEW in r12: SemDeDup + the four real-decoder oracle gates ---
+    # --- NEW in r12: SemDeDup + the five real-decoder oracle gates ---
     "q_semdedup_clusters",
     "q_png_filter_decode_audit",
     "q_jpeg_dc_block_audit",
+    "q_jpeg_progressive_dc_audit",
     "q_gif_interlace_decode_audit",
     "q_tiff_packbits_decode_audit",
     # --- age refresh: the ENTIRE remaining r6 tranche (last green r6

@@ -2,14 +2,14 @@
 ask #3): before this module the PNG/JPEG/GIF/TIFF codecs (~1,500 LoC)
 were
 unit-tested only — no driver row ever executed them, so a regression
-could ship while every CORRECTNESS gate stayed green. Four
+could ship while every CORRECTNESS gate stayed green. Five
 crossmodal-style queries now decode REAL payloads through the
 production seam (``operators/multimodal._decode_image_bytes``), with
 every pixel a closed-form integer function of ``doc_id`` mirrored
 verbatim in the DuckDB oracle — any decode fault flips a value hash.
 
 The payload writers (``operators/multimodal.synth_{png,jpeg_dc,gif_
-interlaced,tiff_packbits}_bytes``) are INDEPENDENT spec-side implementations sharing
+interlaced,tiff_packbits,jpeg_progressive_dc}_bytes``) are INDEPENDENT spec-side implementations sharing
 no code with the decoders, so the gates attest spec conformance, not
 encoder/decoder co-bugs:
 
@@ -22,6 +22,10 @@ encoder/decoder co-bugs:
   the decode integer-exact (pixel = 2*dc + 128 at q0=16) so JPEG's
   lossiness never blurs the oracle; a block-position-weighted checksum
   catches MCU-order faults.
+- ``q_jpeg_progressive_dc_audit``: the same integer-exact gating shape
+  through the PROGRESSIVE (SOF2) path — two DC successive-
+  approximation scans, so the Annex-G scan dispatch, cross-scan
+  coefficient accumulation and raw refinement bits are in the hash.
 - ``q_gif_interlace_decode_audit``: an interlaced GIF89a whose LZW
   stream is literal codes with periodic CLEARs — LZW bookkeeping and
   the interlace-pass reordering are in the hash (odd-row sums flip if
@@ -289,6 +293,96 @@ SELECT img.doc_id,
 FROM img JOIN sums s USING (doc_id)
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG: two-scan DC successive approximation.
+# ---------------------------------------------------------------------------
+_PJPG_ORACLE = f"""
+WITH bidx AS (SELECT unnest(range({_JPG_NB})) AS b),
+img AS (
+    SELECT doc_id, 1 + (doc_id % 3) AS wb, 1 + (doc_id % 2) AS hb, text
+    FROM documents WHERE doc_id % 3 = 0
+),
+blocks AS (
+    SELECT img.doc_id, img.wb, img.hb, bidx.b,
+           2 * (((img.doc_id * 11 + bidx.b * 17) % 128) - 64) + 128 AS p
+    FROM img CROSS JOIN bidx WHERE bidx.b < img.wb * img.hb
+),
+sums AS (
+    SELECT doc_id,
+           CAST(64 * SUM(p) AS BIGINT) AS pixel_sum,
+           CAST(SUM((b + 1) * p) AS BIGINT) AS dc_position_checksum
+    FROM blocks GROUP BY doc_id
+)
+SELECT img.doc_id,
+       CAST(img.wb * 8 AS INTEGER) AS width,
+       CAST(img.hb * 8 AS INTEGER) AS height,
+       CAST(img.wb * img.hb AS BIGINT) AS n_blocks,
+       s.pixel_sum, s.dc_position_checksum,
+       {_SQL_N_WORDS} AS n_words
+FROM img JOIN sums s USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@register("q_jpeg_progressive_dc_audit", oracle=_PJPG_ORACLE)
+def q_jpeg_progressive_dc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document: REAL decode through the from-scratch PROGRESSIVE
+    (SOF2) JPEG path — two DC successive-approximation scans (Al=1
+    first pass, Ah=1/Al=0 raw-bit refinement), so the Annex-G scan
+    dispatch, cross-scan coefficient accumulation and refinement-bit
+    machinery are all inside the hash while the decode stays
+    integer-exact (DC-only blocks). Same gating shape as the baseline
+    q_jpeg_dc_block_audit but a DIFFERENT dc formula and doc slice, so
+    the two JPEG entropy paths are attested independently."""
+    import numpy as np
+
+    from etl_pipeline_project_auraverse_spark.operators.multimodal import (
+        synth_jpeg_progressive_dc_bytes,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                wb, hb = 1 + d % 3, 1 + d % 2
+                w, h, _c, g = _decoded_plane(
+                    synth_jpeg_progressive_dc_bytes(d, wb, hb)
+                )
+                g = g.astype(np.int64)
+                checksum = 0
+                for b in range(wb * hb):
+                    by, bx = b // wb, b % wb
+                    checksum += (b + 1) * int(g[by * 8, bx * 8])
+                rows.append((d, w, h, wb * hb, int(g.sum()), checksum))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_blocks",
+                    "pixel_sum", "dc_position_checksum",
+                ],
+            )
+
+    img = _slice_docs(spark, sf_dir, 0)
+    facts = img.select("doc_id").mapInPandas(
+        run,
+        schema=(
+            "doc_id long, width int, height int, n_blocks long, "
+            "pixel_sum long, dc_position_checksum long"
+        ),
+    )
+    nw = F.size(words(F.col("text"))).cast("long")
+    caption = img.select("doc_id", nw.alias("n_words"))
+    return (
+        facts.join(caption, "doc_id")
+        .select(
+            "doc_id", "width", "height", "n_blocks",
+            "pixel_sum", "dc_position_checksum", "n_words",
+        )
+        .orderBy("doc_id")
+    )
 
 
 _TIFF_ORACLE = f"""

@@ -13,6 +13,7 @@ from etl_pipeline_project_auraverse_spark.operators.multimodal import (
     _decode_image_bytes,
     synth_gif_interlaced_bytes,
     synth_jpeg_dc_bytes,
+    synth_jpeg_progressive_dc_bytes,
     synth_png_bytes,
     synth_tiff_packbits_bytes,
 )
@@ -57,6 +58,41 @@ def test_gif_interlaced_decodes_closed_form(d):
     want = _expected(d, w0, h0)
     for ch in range(3):
         assert np.array_equal(g[:, :, ch], want), (d, ch)
+
+
+@pytest.mark.parametrize("d", [0, 1, 7, 123, 999, 4242])
+def test_jpeg_progressive_dc_decodes_integer_exact(d):
+    """Two-scan DC successive approximation ((dc >> 1) then the raw
+    low bit) reconstructs every block exactly, negatives included."""
+    wb, hb = 1 + d % 3, 1 + d % 2
+    buf = synth_jpeg_progressive_dc_bytes(d, wb, hb)
+    assert b"\xff\xc2" in buf  # genuinely SOF2 (progressive)
+    w, h, c, rows = _decode_image_bytes(buf)
+    assert (w, h, c) == (wb * 8, hb * 8, 1)
+    g = rows.reshape(h, w).astype(np.int64)
+    for b in range(wb * hb):
+        dc = ((d * 11 + b * 17) % 128) - 64
+        by, bx = b // wb, b % wb
+        blk = g[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+        assert np.all(blk == 2 * dc + 128), (d, b)
+
+
+def test_jpeg_progressive_refinement_bit_matters():
+    """Dropping the refinement scan must CHANGE odd-DC blocks — proof
+    the gate actually attests the Ah=1 refinement path rather than
+    passing on the first scan alone."""
+    d = 1  # dc_0 = ((11) % 128) - 64 = -53 (odd) -> refinement flips it
+    buf = synth_jpeg_progressive_dc_bytes(d, 1, 1)
+    # truncate at the second SOS (refinement scan) and close with EOI
+    second_sos = buf.index(b"\xff\xda", buf.index(b"\xff\xda") + 2)
+    truncated = buf[:second_sos] + b"\xff\xd9"
+    _, _, _, full = _decode_image_bytes(buf)
+    _, _, _, part = _decode_image_bytes(truncated)
+    dc = ((d * 11) % 128) - 64
+    assert dc % 2 != 0, "fixture must have an odd DC"
+    assert np.all(full == 2 * dc + 128)
+    assert np.all(part == 2 * (dc >> 1) * 2 + 128)  # Al=1 approximation
+    assert not np.array_equal(full, part)
 
 
 def _expected_tiff(doc_id: int, w: int, h: int) -> np.ndarray:
