@@ -532,18 +532,18 @@ def _sql_minhash_cte() -> str:
     """,
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shuffle-free sketching: the whole per-document sketch (distinct
-    shingle-hash array, its size, 8 minhashes) is ONE map-side
-    projection — ``array_distinct`` dedups within the row,
-    ``array_min(transform(...))`` computes each minhash, no explode and
-    no groupBy. The only shuffles are the band self-join and the final
-    candidate joins, and exact intersections come from
-    ``array_intersect`` on the sketch arrays carried with the
+    """One-pass sketching (see :func:`minhash_sketch_bands`: explode →
+    one partial-aggregated groupBy builds the distinct shingle set and
+    all 8 minhashes together), then skew-bounded candidates via
+    :func:`band_candidate_pairs` (dense core + star edges — no bucket
+    is ever quadratic, no member is ever orphaned). Exact intersections
+    come from ``array_intersect`` on the sketch arrays carried with the
     candidates (no inverted-index re-join). This is the shape that
-    scales: sketching 100 TB of documents is embarrassingly parallel.
+    scales: sketching 100 TB of documents is one aggregation, and every
+    downstream join is equi-keyed with bounded per-key fan-out.
 
-    The DuckDB oracle states the same semantics relationally
-    (explode → DISTINCT → GROUP BY) — values are identical.
+    The DuckDB oracle states the same semantics relationally — values
+    are identical.
     """
     docs = load_table(spark, sf_dir, "documents")
     sketch, bands = minhash_sketch_bands(docs)

@@ -997,9 +997,9 @@ def q_embedding_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of each point's second to first nearest-neighbor distance —
 # d = 1 / mean(ln(r2/r1)). High-dimensional uniform noise pushes the
 # estimate toward the ambient dimension; structured data sits far
-# lower. Exact arm over a bounded sample (broadcast NLJ, the
-# measurement pattern); distances derive from rounded cosines on the
-# unit sphere (r = sqrt(2 - 2 cos)), log ratios rounded then
+# lower. Exact arm over a bounded sample (blocked-GEMM partial top-2,
+# the measurement pattern); distances derive from rounded cosines on
+# the unit sphere (r = sqrt(2 - 2 cos)), log ratios rounded then
 # decimal-summed.
 # ---------------------------------------------------------------------------
 TWO_NN_SAMPLES = 50
