@@ -166,13 +166,31 @@ _GC_SEEN: set = set()
 _OWNER_FILE = "_OWNER"  # driver PID of the session that owns an app dir
 
 
+def _proc_start_time(pid: int):
+    """The process's kernel start time (clock ticks since boot, field
+    22 of ``/proc/<pid>/stat``) — the canonical PID-reuse discriminator
+    on Linux. ``None`` where /proc is unavailable (non-Linux) or the
+    process is gone."""
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as f:
+            stat = f.read()
+        # comm (field 2) may contain spaces/parens — parse after the
+        # LAST ')' per proc(5)
+        return int(stat.rsplit(b")", 1)[1].split()[19])
+    except (OSError, IndexError, ValueError):
+        return None
+
+
 def _mark_owner(snapshot_path: str) -> None:
-    """Record this driver's PID in the app-level snapshot dir so the GC
-    can tell a LIVE owner from a finished one (directory age cannot: a
-    full parity run exceeds an hour while its early-written snapshots
-    go stale-by-mtime, and a session re-materializing a memo after a
-    cache sweep re-reads those very parquet files)."""
+    """Record this driver's PID — plus hostname and kernel start time,
+    so the GC can detect PID reuse and foreign-host owners — in the
+    app-level snapshot dir. Liveness, not directory age, is what the
+    GC keys on (age cannot work: a full parity run exceeds an hour
+    while its early-written snapshots go stale-by-mtime, and a session
+    re-materializing a memo after a cache sweep re-reads those very
+    parquet files)."""
     import os
+    import socket
 
     local = (
         snapshot_path[len("file:") :]
@@ -180,10 +198,12 @@ def _mark_owner(snapshot_path: str) -> None:
         else snapshot_path
     )
     app_dir = os.path.dirname(local.rstrip("/"))
+    pid = os.getpid()
+    start = _proc_start_time(pid)
     try:
         os.makedirs(app_dir, exist_ok=True)
         with open(os.path.join(app_dir, _OWNER_FILE), "w") as f:
-            f.write(str(os.getpid()))
+            f.write(f"{pid} {socket.gethostname()} {'' if start is None else start}")
     except OSError:
         pass  # bookkeeping must never mask the session's real work
 
@@ -202,6 +222,35 @@ def _pid_alive(pid: int) -> bool:
         return True  # unknown — err on the safe side, keep the dir
 
 
+def _owner_state(owner_path: str) -> str:
+    """Classify an ``_OWNER`` file: ``"live"`` (skip the dir),
+    ``"dead"`` (remove immediately), or ``"unknown"`` (fall back to the
+    1 h mtime rule — missing/corrupt file, foreign-host owner whose
+    liveness this host cannot probe, or a PID-reuse suspect whose
+    start time doesn't match the recorded one)."""
+    import socket
+
+    try:
+        with open(owner_path) as f:
+            parts = f.read().split()
+        pid = int(parts[0])
+    except (OSError, IndexError, ValueError):
+        return "unknown"
+    host = parts[1] if len(parts) > 1 else socket.gethostname()
+    if host != socket.gethostname():
+        # a warehouse shared across hosts: a foreign PID existing (or
+        # not) locally says nothing about the remote driver
+        return "unknown"
+    if not _pid_alive(pid):
+        return "dead"
+    rec_start = int(parts[2]) if len(parts) > 2 and parts[2] else None
+    if rec_start is not None:
+        cur_start = _proc_start_time(pid)
+        if cur_start is not None and cur_start != rec_start:
+            return "unknown"  # PID recycled — the recorded owner is gone
+    return "live"
+
+
 def gc_memo_snapshots(spark: SparkSession) -> list[str]:
     """Remove memo-snapshot directories left by SUPERSEDED sessions.
 
@@ -217,11 +266,13 @@ def gc_memo_snapshots(spark: SparkSession) -> list[str]:
     (written by :func:`memo_table`); a dir whose owner is still running
     is skipped no matter how old (a >1 h parity session keeps reading
     snapshots it wrote in its first minutes — the age heuristic deleted
-    them out from under it), and a dir whose owner is gone is removed
-    immediately. Dirs without an owner file (pre-owner-file layouts,
-    interrupted writes) fall back to the old >1 h-mtime rule so a
-    concurrent just-started session can't lose its directory. Returns
-    the removed directory names (for tests/telemetry)."""
+    them out from under it), and a dir whose owner is provably gone
+    (same host, PID dead or kernel start time mismatched = recycled) is
+    removed immediately. Everything else — no owner file, a corrupt
+    one, or a FOREIGN-HOST owner whose liveness this host cannot probe
+    — falls back to the >1 h-mtime rule so a concurrent just-started or
+    remote session can't lose its directory. Returns the removed
+    directory names (for tests/telemetry)."""
     import os
     import shutil
     import time
@@ -246,17 +297,14 @@ def gc_memo_snapshots(spark: SparkSession) -> list[str]:
         try:
             if not os.path.isdir(p):
                 continue
-            owner = None
-            try:
-                with open(os.path.join(p, _OWNER_FILE)) as f:
-                    owner = int(f.read().strip())
-            except (OSError, ValueError):
-                owner = None
-            if owner is not None:
-                if _pid_alive(owner):
-                    continue  # live session — never remove, however old
-            elif os.path.getmtime(p) >= cutoff:
-                continue  # unowned but fresh — may be a starting session
+            state = _owner_state(os.path.join(p, _OWNER_FILE))
+            if state == "live":
+                continue  # live same-host session — never remove, however old
+            if state == "unknown" and os.path.getmtime(p) >= cutoff:
+                # unowned / foreign-host / PID-recycled dirs get the 1 h
+                # age grace instead of immediate removal — a live remote
+                # driver's PID not existing locally proves nothing
+                continue
             shutil.rmtree(p)
             removed.append(d)
         except OSError:

@@ -585,10 +585,18 @@ def synth_tiff_packbits_bytes(
     for s in strips:
         offsets.append(pos)
         pos += len(s)
-    # external arrays (strip offsets + byte counts) when n > 1
-    off_array_pos = pos
-    cnt_array_pos = off_array_pos + 4 * n
-    ifd_pos = cnt_array_pos + 4 * n
+    # external arrays (strip offsets + byte counts) when n > 1; a
+    # count-1 LONG value MUST be stored inline in the 4-byte value
+    # field per TIFF 6.0 §2 ("Value/Offset"), so the single-strip case
+    # (height <= rows_per_strip) writes no external arrays at all
+    if n == 1:
+        off_array_pos = offsets[0]
+        cnt_array_pos = len(strips[0])
+        ifd_pos = pos
+    else:
+        off_array_pos = pos
+        cnt_array_pos = off_array_pos + 4 * n
+        ifd_pos = cnt_array_pos + 4 * n
 
     def entry(tag: int, typ: int, count: int, value: int) -> bytes:
         if typ == 3:  # SHORT packs left-justified in the 4-byte field
@@ -609,10 +617,11 @@ def synth_tiff_packbits_bytes(
     out = bytearray(struct.pack(bo + "2sHI", b"MM", 42, ifd_pos))
     for s in strips:
         out += s
-    for o in offsets:
-        out += struct.pack(bo + "I", o)
-    for s in strips:
-        out += struct.pack(bo + "I", len(s))
+    if n > 1:
+        for o in offsets:
+            out += struct.pack(bo + "I", o)
+        for s in strips:
+            out += struct.pack(bo + "I", len(s))
     out += struct.pack(bo + "H", len(entries))
     for e in entries:
         out += e
@@ -647,35 +656,232 @@ def synth_wav_bytes(
     return bio.getvalue()
 
 
+# ---------------------------------------------------------------------------
+# WAV audio codec seam: from-scratch RIFF container parse + sample
+# decode for PCM16 (tag 1), G.711 mu-law (tag 7) and IMA-ADPCM
+# (tag 0x11). The stdlib ``wave`` module refuses every non-PCM format
+# tag, so the compressed paths are necessarily from-scratch; PCM16
+# goes through the same parser so ONE seam carries all audio decode
+# (the _decode_image_bytes pattern). Spec sources are public: RIFF/
+# WAVE container layout (Microsoft/IBM Multimedia Programming
+# Interface 1.0), G.711 mu-law expansion (ITU-T G.711, the classic
+# public-domain Sun g711.c formulation), IMA-ADPCM step/index tables
+# (IMA Digital Audio Focus and Technical Working Groups, "Recommended
+# Practices for Enhancing Digital Audio Compatibility", rev 3.00).
+# ---------------------------------------------------------------------------
+
+# IMA-ADPCM quantizer step table (89 entries) and index-adaptation
+# table — fixed by the IMA spec, shared by every conforming decoder.
+_IMA_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+)
+_IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _mulaw_expand(codes: np.ndarray) -> np.ndarray:
+    """G.711 mu-law 8-bit code -> linear int16 (vectorized): complement,
+    split into sign/segment/mantissa, rebuild the magnitude with the
+    0x84 bias. Both zero codes (0xFF and 0x7F) decode to 0."""
+    u = (~codes.astype(np.int32)) & 0xFF
+    mag = ((((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)) - 0x84
+    return np.where(u & 0x80, -mag, mag).astype(np.int16)
+
+
+def _ima_adpcm_decode(
+    data: bytes, nch: int, block_align: int, fact_samples: int | None
+) -> np.ndarray:
+    """IMA-ADPCM (WAV format tag 0x11) -> linear int16. Per block: a
+    4-byte header (int16 LE predictor — which IS the block's first
+    output sample in the WAV convention — plus uint8 step index), then
+    packed 4-bit nibbles, LOW nibble first. Each nibble: diff from the
+    current step via the spec's shift cascade, predictor clamp to
+    int16, step-index adapt via _IMA_INDEX_TABLE with clamp to
+    [0, 88]."""
+    if nch != 1:
+        raise NotImplementedError("IMA-ADPCM: mono payloads only")
+    if block_align < 5:
+        raise NotImplementedError("IMA-ADPCM: block align too small")
+    out: list[int] = []
+    for b0 in range(0, len(data) - len(data) % block_align, block_align):
+        blk = data[b0 : b0 + block_align]
+        pred = struct.unpack("<h", blk[0:2])[0]
+        index = blk[2]
+        if index > 88:
+            raise NotImplementedError("IMA-ADPCM: step index out of range")
+        out.append(pred)
+        for byte in blk[4:]:
+            for nib in (byte & 0x0F, byte >> 4):
+                step = _IMA_STEP_TABLE[index]
+                diff = step >> 3
+                if nib & 1:
+                    diff += step >> 2
+                if nib & 2:
+                    diff += step >> 1
+                if nib & 4:
+                    diff += step
+                pred = pred - diff if nib & 8 else pred + diff
+                pred = max(-32768, min(32767, pred))
+                index = max(0, min(88, index + _IMA_INDEX_TABLE[nib & 7]))
+                out.append(pred)
+    samples = np.array(out, dtype=np.int16)
+    if fact_samples is not None:
+        samples = samples[:fact_samples]
+    return samples
+
+
+def _decode_audio_bytes(buf: bytes) -> tuple[int, int, np.ndarray]:
+    """From-scratch WAV decode -> (sample_rate, n_channels, interleaved
+    int16 samples). Walks the RIFF chunk list (word-aligned), reads
+    ``fmt ``/``fact``/``data``, and dispatches on the format tag.
+    Unsupported containers/tags raise ``NotImplementedError`` (the
+    quarantine seam, same policy as ``_decode_image_bytes``)."""
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE payload")
+    fmt = data = None
+    fact_samples = None
+    pos = 12
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        size = struct.unpack("<I", buf[pos + 4 : pos + 8])[0]
+        body = buf[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        elif cid == b"fact" and len(body) >= 4:
+            fact_samples = struct.unpack("<I", body[:4])[0]
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if fmt is None or len(fmt) < 16 or data is None:
+        raise NotImplementedError("WAV: missing fmt/data chunk")
+    tag, nch, sr, _brate, balign, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if nch < 1 or sr < 1:
+        raise NotImplementedError("WAV: degenerate fmt header")
+    if tag == 1 and bits == 16:
+        samples = np.frombuffer(data[: len(data) - len(data) % 2], dtype="<i2")
+    elif tag == 7 and bits == 8:  # G.711 mu-law
+        samples = _mulaw_expand(np.frombuffer(data, dtype=np.uint8))
+        if fact_samples is not None:
+            samples = samples[: fact_samples * nch]
+    elif tag == 0x11 and bits == 4:  # IMA-ADPCM
+        samples = _ima_adpcm_decode(data, nch, balign, fact_samples)
+    else:
+        raise NotImplementedError(f"WAV: format tag {tag}/{bits}-bit unsupported")
+    return int(sr), int(nch), samples
+
+
+def _wav_container(
+    tag: int,
+    nch: int,
+    sample_rate: int,
+    bits: int,
+    block_align: int,
+    data: bytes,
+    fact_samples: int | None = None,
+    extra: bytes = b"",
+) -> bytes:
+    """Spec-side RIFF/WAVE writer (shared by the synth payload writers,
+    NOT by the decoder — independence is what makes the codec gates
+    attest spec conformance rather than encoder/decoder co-bugs)."""
+    byte_rate = sample_rate * block_align
+    fmt = struct.pack(
+        "<HHIIHH", tag, nch, sample_rate, byte_rate, block_align, bits
+    )
+    if tag != 1:
+        fmt += struct.pack("<H", len(extra)) + extra  # cbSize extension
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if len(fmt) & 1:
+        chunks += b"\x00"
+    if fact_samples is not None:
+        chunks += b"fact" + struct.pack("<II", 4, fact_samples)
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def synth_mulaw_wav_bytes(
+    doc_id: int, n_samples: int, sample_rate: int = 8000
+) -> bytes:
+    """A real G.711 mu-law WAV (format tag 7) whose code stream is the
+    closed form c_i = (doc_id*13 + i*7) % 256 — every one of the 256
+    mu-law codes appears across docs, so the full expansion domain is
+    inside the oracle-gated decode."""
+    codes = bytes((doc_id * 13 + i * 7) % 256 for i in range(n_samples))
+    return _wav_container(7, 1, sample_rate, 8, 1, codes, fact_samples=n_samples)
+
+
+# IMA-ADPCM gate payload geometry (mirrored in the SQL oracle):
+# 2 blocks x (4-byte header + 32 data bytes = 64 nibbles) = 65 samples
+# per block. The fixed nibble pattern [4, 0, 3, 12, 8, 11] keeps the
+# step index oscillating s -> s+2 -> s+1 (net 0 per period, range
+# [4, 9] for s in [4, 7]) so the step-table adaptation is exercised in
+# BOTH directions while every decoded sample stays a closed-form
+# window-sum the oracle can recompute; the second half of the period
+# is the sign-flipped first half, putting the sign nibbles on the
+# gated path too.
+IMA_GATE_BLOCKS = 2
+IMA_GATE_BLOCK_ALIGN = 36
+IMA_GATE_SAMPLES_PER_BLOCK = (IMA_GATE_BLOCK_ALIGN - 4) * 2 + 1
+_IMA_GATE_NIBBLES = (4, 0, 3, 12, 8, 11)
+
+
+def ima_gate_header(doc_id: int, b: int) -> tuple[int, int]:
+    """(initial predictor, initial step index) for gate block ``b`` —
+    the closed form shared with the SQL oracle."""
+    return ((doc_id * 31 + b * 101) % 4001) - 2000, 4 + (doc_id + b) % 4
+
+
+def synth_ima_adpcm_wav_bytes(doc_id: int, sample_rate: int = 8000) -> bytes:
+    """A real IMA-ADPCM WAV (format tag 0x11, mono, 2 blocks) with the
+    gate's fixed nibble pattern and per-block closed-form headers."""
+    data = bytearray()
+    for b in range(IMA_GATE_BLOCKS):
+        pred0, s = ima_gate_header(doc_id, b)
+        data += struct.pack("<hBB", pred0, s, 0)
+        n_nibbles = (IMA_GATE_BLOCK_ALIGN - 4) * 2
+        for j0 in range(0, n_nibbles, 2):
+            lo = _IMA_GATE_NIBBLES[j0 % 6]
+            hi = _IMA_GATE_NIBBLES[(j0 + 1) % 6]
+            data.append(lo | (hi << 4))
+    total = IMA_GATE_BLOCKS * IMA_GATE_SAMPLES_PER_BLOCK
+    return _wav_container(
+        0x11,
+        1,
+        sample_rate,
+        4,
+        IMA_GATE_BLOCK_ALIGN,
+        bytes(data),
+        fact_samples=total,
+        extra=struct.pack("<H", IMA_GATE_SAMPLES_PER_BLOCK),
+    )
+
+
 def decode_audio(df: DataFrame) -> DataFrame:
-    """REAL audio decode for PCM WAV via the stdlib ``wave`` module:
+    """REAL audio decode through the from-scratch WAV codec seam
+    (:func:`_decode_audio_bytes` — PCM16, G.711 mu-law, IMA-ADPCM):
     per-clip sample rate, channel count, duration, RMS and peak
-    amplitude — the features an audio-quality filter keys on. Non-WAV
-    payloads (mp3/flac/...) are skipped as corrupt (codec seam, same
-    policy as decode_images)."""
+    amplitude — the features an audio-quality filter keys on.
+    Undecodable payloads (mp3/flac/...) are skipped as corrupt (codec
+    seam, same policy as decode_images)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import io
-        import wave
-
         for pdf in batches:
             rows = []
             for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
                 buf = bytes(content)
-                if not buf.startswith(b"RIFF"):
-                    continue
                 try:
-                    with wave.open(io.BytesIO(buf), "rb") as w:
-                        sr = w.getframerate()
-                        nch = w.getnchannels()
-                        nframes = w.getnframes()
-                        width = w.getsampwidth()
-                        raw = w.readframes(nframes)
-                except Exception:
+                    sr, nch, raw = _decode_audio_bytes(buf)
+                except NotImplementedError:
                     continue
-                if width != 2:
-                    continue  # PCM16 only
-                samples = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+                nframes = len(raw) // nch
+                samples = raw.astype(np.float64)
                 rms = float(np.sqrt((samples**2).mean())) if len(samples) else 0.0
                 peak = int(np.abs(samples).max()) if len(samples) else 0
                 rows.append(

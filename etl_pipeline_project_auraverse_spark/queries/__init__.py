@@ -94,10 +94,19 @@ ORACLE: dict[str, str] = {}
 # (which include q_dedup_containment, whose band-candidate generation
 # changed this round) — 52 pinned, so the ~50-slot sample ends at
 # q_dedup_containment and the last two r7 pins roll to r13.
-# NEXT ROUND (r13): front-pin anything newly registered, then the
-# remaining 44 r7-attested names (q_dedup_tfidf_cosine and
-# q_dedup_semantic_prune, plus everything after them in registry
-# order), then fill by age from ATTESTATION.json.
+# Round 13 executes that plan (r12 verdict ask #1): the TWO queries
+# new in r13 lead (the audio codec gates — G.711 mu-law and IMA-ADPCM
+# WAV decode, r12 ask #5), then the ENTIRE remaining 44-name r7
+# tranche (the registry's oldest attestations after the r12 fold;
+# registry order), then q_ann_lsh_recall — not an age pick but the
+# round's one materially CHANGED query (its exact truth arm moved to
+# the blocked-GEMM idiom per r12 ask #3), pinned so the driver itself
+# attests the change rather than leaving it parity-only — then the 3
+# oldest r8 names: exactly 50 slots.
+# NEXT ROUND (r14): front-pin anything newly registered, then the
+# remaining 47 r8-attested names (q_bpe_apply_fixed_merges and
+# everything after it in registry order), then fill by age from
+# ATTESTATION.json.
 _MODULES = [
     "etl_pipeline_project_auraverse_spark.queries.relational",
     "etl_pipeline_project_auraverse_spark.queries.tpch_extra",
@@ -125,6 +134,7 @@ _MODULES = [
     "etl_pipeline_project_auraverse_spark.queries.audio",
     "etl_pipeline_project_auraverse_spark.queries.crossmodal",
     "etl_pipeline_project_auraverse_spark.queries.image_codecs",
+    "etl_pipeline_project_auraverse_spark.queries.audio_codecs",
 ]
 
 
@@ -156,64 +166,63 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # module-import order after these. Names that don't resolve are
 # ignored so the list can't break registration.
 _FRONT = [
-    # --- NEW in r12: SemDeDup + the five real-decoder oracle gates ---
-    "q_semdedup_clusters",
-    "q_png_filter_decode_audit",
-    "q_jpeg_dc_block_audit",
-    "q_jpeg_progressive_dc_audit",
-    "q_gif_interlace_decode_audit",
-    "q_tiff_packbits_decode_audit",
-    # --- age refresh: the ENTIRE remaining r6 tranche (last green r6
-    # per ATTESTATION.json after the r11 fold — the registry's oldest;
+    # --- NEW in r13: the audio codec gates (r12 verdict ask #5) ---
+    "q_wav_mulaw_decode_audit",
+    "q_wav_ima_adpcm_decode_audit",
+    # --- age refresh: the ENTIRE remaining r7 tranche (last green r7
+    # per ATTESTATION.json after the r12 fold — the registry's oldest;
     # registry order) ---
-    "q_ann_pq_topk",
-    "q_ann_pq_recall",
-    "q_ann_ivfadc_topk",
-    "q_kmeans_lloyd_step",
-    "q_ann_ivf_trained",
-    "q_ann_ivfadc_recall",
-    "q_pca_power_iteration",
-    "q_kmeans_train_two_iter",
-    "q_heavy_hitter_parts",
-    "q_benford_price_digits",
-    "q_corr_matrix_lineitem",
-    "q_revenue_concentration_deciles",
-    "q_revenue_trend_by_segment",
-    "q_price_round_number_bias",
-    "q_spearman_corr_lineitem",
-    "q_ks_price_by_returnflag",
-    "q_mwu_quantity_by_returnflag",
-    "q_chi2_returnflag_linestatus",
-    "q_doc_chunks_overlap",
-    "q_chunk_dedup_crossdoc",
-    "q_zorder_order_cells",
-    "q_hll_distinct_users",
-    "q_hll_rolling_7d_users",
-    "q_bloom_prune_orders",
-    "q_cms_part_frequencies",
-    "q_column_stats_lineitem",
-    "q_hll_overlap_event_types",
-    "q_dq_orders_report",
-    "q_dq_lineitem_report",
-    "q_dedup_word_spans",
-    "q_event_type_transitions",
-    "q_rolling_median_daily_revenue",
-    "q_sample_stratified_proportional",
-    "q_daily_users_new_returning",
-    "q_text_char_entropy",
-    "q_event_sliding_windows",
-    "q_bm25_search",
-    "q_pii_scrub_stats",
-    # --- age refresh: the 8 oldest r7 names (registry order); the
-    # remaining 42 r7 names lead the r13 rotation ---
-    "q_cohort_retention",
-    "q_rfm_segmentation",
-    "q_fuzzy_name_matches",
-    "q_skyline_parts_per_brand",
-    "q_dedup_prefix_filter_jaccard",
-    "q_dedup_containment",
     "q_dedup_tfidf_cosine",
     "q_dedup_semantic_prune",
+    "q_ann_ivfadc_residual_topk",
+    "q_logreg_train_two_iter",
+    "q_zipf_word_fit",
+    "q_collocations_pmi",
+    "q_source_lang_jsd",
+    "q_text_nfc_cleanup",
+    "q_rake_keywords",
+    "q_split_drift_psi",
+    "q_bigram_perplexity",
+    "q_source_ngram_novelty",
+    "q_quantile_normalize_sources",
+    "q_asof_view_tolerance",
+    "q_salted_event_type_stats",
+    "q_kaplan_meier_customer_lifetime",
+    "q_ewma_daily_revenue",
+    "q_stream_twin_tumbling_counts",
+    "q_stream_twin_sessionization",
+    "q_item_item_cosine",
+    "q_part_affinity_lift",
+    "q_shortest_path_costs",
+    "q_lpa_communities",
+    "q_als_user_step",
+    "q_theilsen_revenue_trend",
+    "q_jackknife_mean_price",
+    "q_gini_customer_revenue",
+    "q_kendall_tau_quantity_discount",
+    "q_welch_ttest_price_returnflag",
+    "q_anova_totalprice_by_segment",
+    "q_bootstrap_poisson_mean_price",
+    "q_wasserstein_price_by_returnflag",
+    "q_hilbert_order_cells",
+    "q_layout_pruning_compare",
+    "q_kanonymity_customer",
+    "q_ldiversity_order_priority",
+    "q_event_gap_percentiles",
+    "q_bot_like_users",
+    "q_daily_autocorr_lag1",
+    "q_retention_day_n",
+    "q_event_fano_factor",
+    "q_funnel_view_click_purchase",
+    "q_markov_stationary_events",
+    "q_event_trigrams",
+    # --- changed this round (truth arm -> blocked GEMM, r12 ask #3):
+    # pinned so the driver attests the change, not just local parity ---
+    "q_ann_lsh_recall",
+    # --- age refresh fill: the 3 oldest r8 names (registry order) ---
+    "q_unpivot_lineitem_measures",
+    "q_map_functions_per_order",
+    "q_null_semantics_battery",
 ]
 
 

@@ -1700,8 +1700,13 @@ def q_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (iters-1)-level centroids from the memoized Lloyd chain (exact
     # kmeans_fit arithmetic, no convergence probes; shared with the
     # IVF-trained search, which continues the same chain one level on)
+    # k MUST be IVT_K: the oracle's _sql_lloyd_chain seeds its c0 CTE
+    # from `vec_id < IVT_K`, so a literal here would silently break
+    # parity if IVT_K ever changed
+    from etl_pipeline_project_auraverse_spark.queries.pq import IVT_K
+
     c_prev = trained_centroids_local(
-        spark, emb, sf_dir, 8, SEMDEDUP_KM_ITERS - 1
+        spark, emb, sf_dir, IVT_K, SEMDEDUP_KM_ITERS - 1
     )
     assign = _assign(emb, c_prev)
 

@@ -371,9 +371,16 @@ def gemm_partial_topk(
     import numpy as np
     import pandas as pd
 
+    col_name = "cos_sim" if score == "cosine" else "ip"
+    if not q_rows:
+        # empty query set: Q would build as a 1-D empty ndarray and the
+        # (n, 1, d) broadcast inside np_block_* would IndexError — the
+        # exact result is simply no rows
+        return emb.sparkSession.createDataFrame(
+            [], schema=f"query_id long, cand_id long, {col_name} double"
+        )
     qid = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
     Q = np.array([list(r["embedding"]) for r in q_rows], dtype=np.float64)
-    col_name = "cos_sim" if score == "cosine" else "ip"
 
     def block_topk(batches):
         from etl_pipeline_project_auraverse_spark.queries._util import (
@@ -702,15 +709,21 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.join(_lsh_buckets(emb), "vec_id").select("vec_id", "embedding", "bucket")
     )
     qset = F.broadcast(sig.filter(F.col("vec_id") < LSH_RECALL_QUERY_MAX))
+    # exact truth arm: blocked-GEMM partial top-k (the q_ann_ivf_recall
+    # idiom, r12 verdict ask #3) — bounded driver-held query set scored
+    # by fold-exact np_block_cosine instead of the interpreted per-pair
+    # F.aggregate broadcast NLJ; values identical by construction
+    q_rows = sorted(
+        emb.filter(F.col("vec_id") < LSH_RECALL_QUERY_MAX)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    from etl_pipeline_project_auraverse_spark.queries._util import parallelize
+
     w_exact = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "cand_id")
     exact = (
-        qset.alias("q")
-        .join(emb.alias("c"), F.col("q.vec_id") != F.col("c.vec_id"))
-        .select(
-            F.col("q.vec_id").alias("query_id"),
-            F.col("c.vec_id").alias("cand_id"),
-            cosine(F.col("q.embedding"), F.col("c.embedding")).alias("cos_sim"),
-        )
+        gemm_partial_topk(parallelize(emb), q_rows, LSH_TOP_K, score="cosine")
         .withColumn("rank", F.row_number().over(w_exact))
         .filter(F.col("rank") <= LSH_TOP_K)
         .select("query_id", "cand_id")
@@ -759,21 +772,20 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("probe_hamming")
         .agg(F.count("*").alias("total_hits"))
     )
-    nq = F.broadcast(qset.agg(F.count("*").alias("n_queries")))
+    n_queries = len(q_rows)
     return (
         levels.join(hits, "probe_hamming", "left")
-        .crossJoin(nq)
         .select(
             "probe_hamming",
             F.when(F.col("probe_hamming") == 0, 1)
             .otherwise(9)
             .cast("long")
             .alias("n_buckets_probed"),
-            "n_queries",
+            F.lit(n_queries).cast("long").alias("n_queries"),
             F.coalesce(F.col("total_hits"), F.lit(0)).cast("long").alias("total_hits"),
             (
                 F.coalesce(F.col("total_hits"), F.lit(0)).cast("double")
-                / (F.col("n_queries") * LSH_TOP_K)
+                / F.lit(float(n_queries * LSH_TOP_K))
             ).alias("recall_at_k"),
         )
         .orderBy("probe_hamming")

@@ -251,4 +251,61 @@ def test_memo_table_marks_owner(spark, sf_dir):
     marker = os.path.join(app_dir, C._OWNER_FILE)
     assert os.path.exists(marker)
     with open(marker) as f:
-        assert int(f.read().strip()) == os.getpid()
+        parts = f.read().split()
+    import socket
+
+    assert int(parts[0]) == os.getpid()
+    assert parts[1] == socket.gethostname()
+    # on Linux the kernel start time must round-trip (PID-reuse guard)
+    if len(parts) > 2:
+        assert int(parts[2]) == C._proc_start_time(os.getpid())
+
+
+def test_snapshot_gc_foreign_host_and_pid_reuse_get_age_grace(spark):
+    """Owner files from ANOTHER HOST (whose PID liveness this host
+    cannot probe) and recycled-PID owners (start-time mismatch) must
+    fall back to the 1h mtime rule — fresh dirs survive, ancient ones
+    go — never the immediate removal a provably-dead local owner gets."""
+    import os
+    import time
+
+    from etl_pipeline_project_auraverse_spark import cache as C
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    root = wh[len("file:"):] if wh.startswith("file:") else wh
+    base = os.path.join(root.rstrip("/"), "memo_snapshots")
+    app = spark.sparkContext.applicationId
+
+    old = time.time() - 7200
+    dirs = {}
+    # foreign-host owner, live-looking PID, FRESH dir -> keep
+    # foreign-host owner, ANCIENT dir -> remove (mtime fallback)
+    # recycled PID (this process's PID, wrong start time), ANCIENT -> remove
+    specs = {
+        "local-0000000000021": (f"{os.getpid()} other-host 123", None),
+        "local-0000000000022": (f"{os.getpid()} other-host 123", old),
+        "local-0000000000023": (f"{os.getpid()} {__import__('socket').gethostname()} 1", old),
+    }
+    for name, (owner, mtime) in specs.items():
+        p = os.path.join(base, name)
+        os.makedirs(p, exist_ok=True)
+        with open(os.path.join(p, C._OWNER_FILE), "w") as f:
+            f.write(owner)
+        if mtime is not None:
+            os.utime(p, (mtime, mtime))
+        dirs[name] = p
+
+    C._GC_SEEN.discard(app)
+    removed = C.gc_memo_snapshots(spark)
+    assert "local-0000000000021" not in removed and os.path.exists(
+        dirs["local-0000000000021"]
+    ), "fresh foreign-host dir must get the age grace"
+    assert "local-0000000000022" in removed, "ancient foreign-host dir goes by age"
+    if C._proc_start_time(os.getpid()) is not None:
+        assert "local-0000000000023" in removed, (
+            "ancient recycled-PID dir goes by age despite a live PID"
+        )
+    for p in dirs.values():
+        if os.path.exists(p):
+            os.remove(os.path.join(p, C._OWNER_FILE))
+            os.rmdir(p)
