@@ -373,13 +373,38 @@ def main() -> None:
     # headline timings — compare against the calibration block).
     # --headline-only skips it for quick iteration loops.
     all_timings: dict[str, float] = {}
+    sweep_suspects: list[str] = []
+    sweep_retried: dict[str, list[float]] = {}
     if "--headline-only" not in sys.argv:
+        # r12 verdict ask #4: the sweep self-adjudicates the way the
+        # headline does, per query — each entry samples its own
+        # /proc/stat steal window and a dirty one (>1% steal) re-runs
+        # up to twice, keeping the min. Raw per-attempt timings for
+        # every retried entry land in BENCH_SWEEP.json's adjudication
+        # block so single-run scheduler scatter can't masquerade as a
+        # round-over-round regression (r12 spent its perf audit
+        # disproving 8 phantom sweep blips that run1 had to refute).
         for name in ORACLE:
             fn = QUERIES[name]
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).collect()
-            all_timings[name] = round(time.perf_counter() - t0, 4)
+            runs: list[float] = []
+            dirty = False
+            while len(runs) < 3:
+                spark.catalog.clearCache()
+                q0 = _read_proc_stat()
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).collect()
+                runs.append(time.perf_counter() - t0)
+                q1 = _read_proc_stat()
+                q_steal = None
+                if q0 and q1 and q1[1] > q0[1]:
+                    q_steal = (q1[0] - q0[0]) / (q1[1] - q0[1])
+                if q_steal is None or q_steal <= 0.01:
+                    break
+                dirty = True
+            if dirty:
+                sweep_suspects.append(name)
+                sweep_retried[name] = [round(r, 4) for r in runs]
+            all_timings[name] = round(min(runs), 4)
         # Min-of-2 for the slowest ~20 sweep entries (r7 verdict ask
         # #4): single-run timings on this VM move >1.5x round-over-
         # round with byte-identical plans (r7's worst: 1.85s -> 5.51s
@@ -435,9 +460,11 @@ def main() -> None:
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).collect()
-            all_timings[name] = round(
-                min(all_timings[name], time.perf_counter() - t0), 4
-            )
+            second = round(time.perf_counter() - t0, 4)
+            # raw pair into the adjudication block: the kept value is
+            # the min, but a reader comparing rounds can see both runs
+            sweep_retried.setdefault(name, [all_timings[name]]).append(second)
+            all_timings[name] = round(min(all_timings[name], second), 4)
         calibrations.append(_calibrate(spark))
 
     # Exact vs t-digest order statistics, measured (not asserted): the
@@ -536,6 +563,18 @@ def main() -> None:
             "n_queries": len(all_timings),
             "sf": sf,
             "tdigest_vs_exact": tdigest_vs_exact,
+            # self-adjudication telemetry (r12 verdict ask #4): which
+            # entries saw >1% steal in their own window (each got up to
+            # 2 retries), and every retried/retimed entry's RAW runs —
+            # the kept figure in "queries" is the min of its runs, so
+            # single-run scatter is visible instead of masquerading as
+            # a regression.
+            "adjudication": {
+                "steal_suspects": sorted(set(sweep_suspects)),
+                "retried_runs": {
+                    n: sweep_retried[n] for n in sorted(sweep_retried)
+                },
+            },
             "queries": all_timings,
         }
         sweep_path = Path(__file__).resolve().parent / "BENCH_SWEEP.json"
@@ -566,6 +605,13 @@ def main() -> None:
                     }
                     for a in attempts
                 ],
+                # which attempt the final line carries (0-based): later
+                # attempts run on a warmer JVM, so readers comparing
+                # across rounds can discount warm-JIT minima. Lives
+                # HERE, not the final line — adding it there would put
+                # the worst-case render at exactly the 1800-char limit
+                # (tests/test_bench_line.py).
+                "chosen_attempt": attempts.index(best),
                 "retry_exhausted": retry_exhausted,
                 "run_steal_frac": run_steal,
                 "sweep": {

@@ -201,6 +201,23 @@ def np_block_dot(C, Q, digits: int = 6):
     return _np_round_half_away(S, digits)
 
 
+def np_block_sqdist(C, Q, digits: int = 6):
+    """Blocked squared-L2 distance matrix C(m x d) vs Q(k x d) with the
+    same fold-exact contract as :func:`np_block_cosine`: per-pair sums
+    accumulate dimension by dimension from 0.0 (the engines'
+    ``F.aggregate`` / ``list_sum`` left-assoc fold over the zipped
+    squared diffs), rounded half-away-from-zero — the twin of the
+    rounded d2 both arms of the k-center / k-means family compare."""
+    import numpy as np
+
+    m, d = C.shape
+    S = np.zeros((m, Q.shape[0]))
+    for j in range(d):
+        diff = C[:, j, None] - Q[None, :, j]
+        S += diff * diff
+    return _np_round_half_away(S, digits)
+
+
 def _np_round_half_away(S, digits: int):
     import numpy as np
 

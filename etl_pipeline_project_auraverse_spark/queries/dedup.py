@@ -2207,29 +2207,32 @@ def q_dedup_band_geometry_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bk.band").alias("band"),
         F.col("bk.key").alias("key"),
     )
-    cand = persist_tracked(  # counted per cfg AND joined against truth
-        band_candidate_pairs(
-            bands, part_cols=("cfg", "band", "key"), carry=("cfg",)
-        )
+    cand = band_candidate_pairs(
+        bands, part_cols=("cfg", "band", "key"), carry=("cfg",)
     )
-    # driver-fused assembly (the MMR idiom): the three aggregates are
-    # |configs|-row tables — collect them and emit the 3-row result
-    # directly instead of spending three broadcast-join jobs on it
+    # driver-fused assembly (the MMR idiom): candidate count and truth
+    # hits come out of ONE scan of the candidate pairs — a broadcast
+    # LEFT join against the (small, thresholded) truth set with a
+    # conditional count — instead of two separate jobs over a persisted
+    # cand (r12 ask #6: this query was one of the last two ~3 s sweep
+    # residents; the fuse drops a full materialize + rescan)
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
     from etl_pipeline_project_auraverse_spark.queries._util import round_half_up
 
-    ncand = {
-        r["cfg"]: r["n"]
-        for r in cand.groupBy("cfg").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    caught = {
-        r["cfg"]: r["n"]
-        for r in cand.join(tr, ["doc_a", "doc_b"])
+    hit = F.broadcast(tr.withColumn("__hit", F.lit(1)))
+    stats = {
+        r["cfg"]: (r["n_cand"], r["n_caught"])
+        for r in cand.join(hit, ["doc_a", "doc_b"], "left")
         .groupBy("cfg")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cand"),
+            F.count("__hit").alias("n_caught"),
+        )
         .collect()
     }
+    ncand = {cfg: v[0] for cfg, v in stats.items()}
+    caught = {cfg: v[1] for cfg, v in stats.items()}
     n_true = tr.count()
     rows = []
     for r, b in BAND_SWEEP_CONFIGS:
