@@ -694,6 +694,19 @@ def _mulaw_expand(codes: np.ndarray) -> np.ndarray:
     return np.where(u & 0x80, -mag, mag).astype(np.int16)
 
 
+def _alaw_expand(codes: np.ndarray) -> np.ndarray:
+    """G.711 A-law 8-bit code -> linear int16 (vectorized): toggle the
+    even bits (the spec's 0x55 transmission inversion), then rebuild
+    segment 0 as mant*16 + 8 and segments 1-7 as (mant*16 + 0x108)
+    shifted by seg-1. Sign bit SET means positive in A-law (the
+    opposite of mu-law's complemented stream). Max magnitude 32256."""
+    u = codes.astype(np.int32) ^ 0x55
+    seg = (u >> 4) & 0x07
+    mant = (u & 0x0F) << 4
+    mag = np.where(seg == 0, mant + 8, (mant + 0x108) << np.maximum(seg - 1, 0))
+    return np.where(u & 0x80, mag, -mag).astype(np.int16)
+
+
 def _ima_adpcm_decode(
     data: bytes, nch: int, block_align: int, fact_samples: int | None
 ) -> np.ndarray:
@@ -769,6 +782,10 @@ def _decode_audio_bytes(buf: bytes) -> tuple[int, int, np.ndarray]:
         samples = _mulaw_expand(np.frombuffer(data, dtype=np.uint8))
         if fact_samples is not None:
             samples = samples[: fact_samples * nch]
+    elif tag == 6 and bits == 8:  # G.711 A-law
+        samples = _alaw_expand(np.frombuffer(data, dtype=np.uint8))
+        if fact_samples is not None:
+            samples = samples[: fact_samples * nch]
     elif tag == 0x11 and bits == 4:  # IMA-ADPCM
         samples = _ima_adpcm_decode(data, nch, balign, fact_samples)
     else:
@@ -815,6 +832,16 @@ def synth_mulaw_wav_bytes(
     inside the oracle-gated decode."""
     codes = bytes((doc_id * 13 + i * 7) % 256 for i in range(n_samples))
     return _wav_container(7, 1, sample_rate, 8, 1, codes, fact_samples=n_samples)
+
+
+def synth_alaw_wav_bytes(
+    doc_id: int, n_samples: int, sample_rate: int = 8000
+) -> bytes:
+    """A real G.711 A-law WAV (format tag 6) with the closed-form code
+    stream c_i = (doc_id*19 + i*11) % 256 — the mu-law gate's sibling
+    payload, covering all 256 A-law codes across docs."""
+    codes = bytes((doc_id * 19 + i * 11) % 256 for i in range(n_samples))
+    return _wav_container(6, 1, sample_rate, 8, 1, codes, fact_samples=n_samples)
 
 
 # IMA-ADPCM gate payload geometry (mirrored in the SQL oracle):

@@ -94,19 +94,22 @@ ORACLE: dict[str, str] = {}
 # (which include q_dedup_containment, whose band-candidate generation
 # changed this round) — 52 pinned, so the ~50-slot sample ends at
 # q_dedup_containment and the last two r7 pins roll to r13.
-# Round 13 executes that plan (r12 verdict ask #1): the TWO queries
-# new in r13 lead (the audio codec gates — G.711 mu-law and IMA-ADPCM
-# WAV decode, r12 ask #5), then the ENTIRE remaining 44-name r7
-# tranche (the registry's oldest attestations after the r12 fold;
-# registry order), then q_ann_lsh_recall — not an age pick but the
-# round's one materially CHANGED query (its exact truth arm moved to
-# the blocked-GEMM idiom per r12 ask #3), pinned so the driver itself
-# attests the change rather than leaving it parity-only — then the 3
-# oldest r8 names: exactly 50 slots.
+# Round 13 executes that plan (r12 verdict ask #1): the THREE queries
+# new in r13 lead (the audio codec gates — G.711 mu-law, G.711 A-law
+# and IMA-ADPCM WAV decode, r12 ask #5), then the ENTIRE remaining
+# 44-name r7 tranche (the registry's oldest attestations after the
+# r12 fold; registry order), then q_ann_lsh_recall — not an age pick
+# but the round's one materially CHANGED query (its exact truth arm
+# moved to the blocked-GEMM idiom per r12 ask #3), pinned so the
+# driver itself attests the change rather than leaving it parity-only
+# — then the 3 oldest r8 names. 51 pinned, so the ~50-slot sample
+# ends at q_map_functions_per_order and the last r8 age fill
+# (q_null_semantics_battery — sf0.1-re-verified this round in
+# PARITY_SF01_r13.log regardless) rolls to r14, the r12 precedent.
 # NEXT ROUND (r14): front-pin anything newly registered, then the
-# remaining 47 r8-attested names (q_bpe_apply_fixed_merges and
-# everything after it in registry order), then fill by age from
-# ATTESTATION.json.
+# remaining 47 r8-attested names (q_null_semantics_battery, then
+# q_bpe_apply_fixed_merges and everything after it in registry
+# order), then fill by age from ATTESTATION.json.
 _MODULES = [
     "etl_pipeline_project_auraverse_spark.queries.relational",
     "etl_pipeline_project_auraverse_spark.queries.tpch_extra",
@@ -168,6 +171,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 _FRONT = [
     # --- NEW in r13: the audio codec gates (r12 verdict ask #5) ---
     "q_wav_mulaw_decode_audit",
+    "q_wav_alaw_decode_audit",
     "q_wav_ima_adpcm_decode_audit",
     # --- age refresh: the ENTIRE remaining r7 tranche (last green r7
     # per ATTESTATION.json after the r12 fold — the registry's oldest;

@@ -16,6 +16,10 @@ recomputes arithmetically:
   itself (complement, segment shift, 0x84 bias) in integer SQL. Gated
   on sample sum, absolute sum, position-weighted checksum (catches
   reordering the plain sum can't) and peak.
+- ``q_wav_alaw_decode_audit``: the same gate shape through G.711's
+  OTHER half — A-law (format tag 6), whose 0x55 even-bit toggle,
+  seg-0 special case and inverted sign convention are a distinct
+  expansion path mirrored independently in the oracle.
 - ``q_wav_ima_adpcm_decode_audit``: 2-block payload with per-block
   closed-form (predictor, step index) headers and a fixed nibble
   pattern that drives the step index UP and DOWN each period without
@@ -144,6 +148,116 @@ def q_wav_mulaw_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     clip = parallelize(
         load_table(spark, sf_dir, "documents").filter(
             (F.col("doc_id") % _MULAW_MOD) == 1
+        )
+    )
+    facts = clip.select("doc_id").mapInPandas(
+        run,
+        schema=(
+            "doc_id long, n_samples long, sample_sum long, sum_abs long, "
+            "position_checksum long, peak long"
+        ),
+    )
+    nw = F.size(words(F.col("text"))).cast("long")
+    caption = clip.select("doc_id", nw.alias("n_words"))
+    return (
+        facts.join(caption, "doc_id")
+        .select(
+            "doc_id", "n_samples", "sample_sum", "sum_abs",
+            "position_checksum", "peak", "n_words",
+        )
+        .orderBy("doc_id")
+    )
+
+
+# A-law clip length contract: n = 88 + doc_id % 61 samples (<= 148)
+_ALAW_MAX_N = 88 + 60
+_ALAW_MOD = 5  # doc slice doc_id % 5 == 3
+
+_ALAW_ORACLE = f"""
+WITH idx AS (SELECT unnest(range({_ALAW_MAX_N})) AS i),
+clip AS (
+    SELECT doc_id, 88 + doc_id % 61 AS n, text FROM documents
+    WHERE doc_id % {_ALAW_MOD} = 3
+),
+-- u = stored code with the spec's 0x55 even-bit toggle undone
+s AS (
+    SELECT c.doc_id, idx.i,
+           xor((c.doc_id * 19 + idx.i * 11) % 256, 85) AS u
+    FROM clip c CROSS JOIN idx WHERE idx.i < c.n
+),
+-- ITU-T G.711 A-law expansion: seg 0 -> mant*16 + 8, seg >= 1 ->
+-- (mant*16 + 264) << (seg - 1); sign bit SET means positive
+dec AS (
+    SELECT doc_id, i,
+           (CASE WHEN u >= 128 THEN 1 ELSE -1 END) *
+           (CASE WHEN (u // 16) % 8 = 0 THEN (u % 16) * 16 + 8
+                 ELSE ((u % 16) * 16 + 264) * (1 << ((u // 16) % 8 - 1))
+            END) AS v
+    FROM s
+),
+sums AS (
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(v) AS BIGINT) AS sample_sum,
+           CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+           CAST(SUM((i + 1) * v) AS BIGINT) AS position_checksum,
+           CAST(MAX(ABS(v)) AS BIGINT) AS peak
+    FROM dec GROUP BY doc_id
+)
+SELECT c.doc_id, s.n_samples, s.sample_sum, s.sum_abs,
+       s.position_checksum, s.peak,
+       {_SQL_N_WORDS} AS n_words
+FROM clip c JOIN sums s USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@register("q_wav_alaw_decode_audit", oracle=_ALAW_ORACLE)
+def q_wav_alaw_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per A-law-bearing document: REAL decode through the from-scratch
+    WAV codec seam of a G.711 A-law payload (format tag 6) — the
+    mu-law gate's sibling, with the OPPOSITE sign convention and the
+    0x55 even-bit toggle instead of a complement, so the two G.711
+    expansion paths are attested independently. Same integer-exact
+    gate shape: sample sums, position-weighted checksum, peak, all
+    recomputed arithmetically by the oracle."""
+    import numpy as np
+
+    from etl_pipeline_project_auraverse_spark.operators.multimodal import (
+        _decode_audio_bytes,
+        synth_alaw_wav_bytes,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 88 + d % 61
+                _sr, _nch, s = _decode_audio_bytes(synth_alaw_wav_bytes(d, n))
+                v = s.astype(np.int64)
+                i = np.arange(len(v), dtype=np.int64)
+                rows.append(
+                    (
+                        d,
+                        len(v),
+                        int(v.sum()),
+                        int(np.abs(v).sum()),
+                        int(((i + 1) * v).sum()),
+                        int(np.abs(v).max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "sample_sum", "sum_abs",
+                    "position_checksum", "peak",
+                ],
+            )
+
+    clip = parallelize(
+        load_table(spark, sf_dir, "documents").filter(
+            (F.col("doc_id") % _ALAW_MOD) == 3
         )
     )
     facts = clip.select("doc_id").mapInPandas(

@@ -78,6 +78,65 @@ def test_mulaw_wav_decodes_closed_form():
 
 
 # ---------------------------------------------------------------------------
+# A-law
+# ---------------------------------------------------------------------------
+
+
+def test_alaw_known_itu_values():
+    from etl_pipeline_project_auraverse_spark.operators.multimodal import (
+        _alaw_expand,
+    )
+
+    # endpoints of the published G.711 A-law decode table
+    codes = np.array([0xD5, 0x55, 0xAA, 0x2A], dtype=np.uint8)
+    assert _alaw_expand(codes).tolist() == [8, -8, 32256, -32256]
+
+
+_ALAW_SEG_END = [0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF]
+
+
+def _alaw_encode_spec(x: int) -> int:
+    """Test-local spec-side A-law encoder (13-bit segment search) — no
+    shared code or tables with the production expansion."""
+    p = x >> 3  # 16 -> 13 bit, arithmetic shift
+    if p >= 0:
+        mask = 0xD5
+    else:
+        mask = 0x55
+        p = -p - 1
+    seg = next((i for i, e in enumerate(_ALAW_SEG_END) if p <= e), 8)
+    if seg >= 8:
+        return 0x7F ^ mask
+    aval = seg << 4
+    aval |= (p >> 1) & 0xF if seg < 2 else (p >> seg) & 0xF
+    return aval ^ mask
+
+
+def test_alaw_expand_encode_roundtrip_all_codes():
+    from etl_pipeline_project_auraverse_spark.operators.multimodal import (
+        _alaw_expand,
+    )
+
+    codes = np.arange(256, dtype=np.uint8)
+    lin = _alaw_expand(codes)
+    assert [_alaw_encode_spec(int(v)) for v in lin] == codes.tolist()
+
+
+def test_alaw_wav_decodes_closed_form():
+    from etl_pipeline_project_auraverse_spark.operators.multimodal import (
+        _alaw_expand,
+        synth_alaw_wav_bytes,
+    )
+
+    for d in (0, 1, 7, 123, 999):
+        n = 88 + d % 61
+        sr, nch, s = _decode_audio_bytes(synth_alaw_wav_bytes(d, n))
+        assert (sr, nch, len(s)) == (8000, 1, n)
+        codes = np.array([(d * 19 + i * 11) % 256 for i in range(n)], dtype=np.uint8)
+        assert np.array_equal(s, _alaw_expand(codes))
+
+
+# ---------------------------------------------------------------------------
 # IMA-ADPCM
 # ---------------------------------------------------------------------------
 
