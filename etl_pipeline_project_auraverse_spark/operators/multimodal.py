@@ -1013,34 +1013,25 @@ AUDIO_FRAME_DDL = (
 def audio_frame_features(
     df: DataFrame, frame_ms: int = 25, silence_rms: float = 500.0
 ) -> DataFrame:
-    """Per-frame audio features over PCM16 WAV payloads: windowed RMS
+    """Per-frame audio features over WAV payloads (PCM16, G.711
+    mu-law/A-law, IMA-ADPCM — the full codec seam): windowed RMS
     energy, zero-crossing rate, and a silence flag — the VAD /
     silence-trimming front end of an audio training-data pipeline
     (one output row per ``frame_ms`` window, the explode shape a
     spectrogram stage consumes). Vectorized numpy inside Arrow-batched
-    ``mapInPandas``; non-WAV payloads fall into the same quarantine
-    policy as :func:`decode_audio`."""
+    ``mapInPandas``; undecodable payloads fall into the same
+    quarantine policy as :func:`decode_audio`."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import io
-        import wave
-
         for pdf in batches:
             rows = []
             for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
                 buf = bytes(content)
-                if not buf.startswith(b"RIFF"):
-                    continue
                 try:
-                    with wave.open(io.BytesIO(buf), "rb") as w:
-                        sr = w.getframerate()
-                        width = w.getsampwidth()
-                        raw = w.readframes(w.getnframes())
-                except Exception:
+                    sr, _nch, raw = _decode_audio_bytes(buf)
+                except NotImplementedError:
                     continue
-                if width != 2 or sr <= 0:
-                    continue
-                samples = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+                samples = raw.astype(np.float64)
                 hop = max(1, sr * frame_ms // 1000)
                 n_frames = max(1, -(-len(samples) // hop))
                 for fi in range(n_frames):
