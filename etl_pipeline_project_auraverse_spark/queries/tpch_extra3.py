@@ -253,10 +253,16 @@ def q_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # min-ship BEFORE the join: the per-order aggregate commutes with
+    # the orderkey equi-join, so pre-aggregating lineitem gets map-side
+    # partial combine on a 2-column projection and the join then moves
+    # |orders| rows instead of |lineitem| — same rows out (inner join
+    # keeps exactly the orders that have lineitems either way)
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("first_ship")
+    )
     per_order = (
-        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
-        .agg(F.min("l_shipdate").alias("first_ship"))
+        orders.join(first_ship, F.col("l_orderkey") == F.col("o_orderkey"))
         .select(
             "o_orderpriority",
             F.datediff(F.col("first_ship"), F.col("o_orderdate"))
