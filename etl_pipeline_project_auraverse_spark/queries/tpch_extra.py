@@ -147,11 +147,20 @@ QTY_THRESHOLD = 120
 def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
-        .groupBy("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    # per-order quantity BEFORE the join: the aggregate commutes with
+    # the orderkey equi-join (orders are unique per key), so lineitem
+    # combines map-side on a 2-column projection and the join moves
+    # order-count rows — at cluster scale the shuffle no longer
+    # carries lineitem multiplicity
+    qty = (
+        li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").cast("double").alias("total_qty"))
-        .filter(F.col("total_qty") > QTY_THRESHOLD)
+        .filter(F.col("total_qty") > QTY_THRESHOLD)  # HAVING, pre-join
+    )
+    return (
+        orders.join(qty, orders["o_orderkey"] == qty["l_orderkey"])
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice",
+                "total_qty")
         .orderBy(F.col("total_qty").desc(), "o_orderkey")
     )
 
