@@ -610,3 +610,38 @@ def test_kcenter_rounds_are_driver_assembled(q):
     (the band-sweep/MMR idiom) — a local relation, not a join DAG."""
     plan = PI.physical_plan(q("q_kcenter_seed_selection"))
     assert "ExistingRDD" in plan or "LocalTableScan" in plan
+
+
+def test_q18_preaggregates_lineitem_below_the_join(q):
+    """The large-volume-orders aggregate must sit BELOW the orderkey
+    join (r13): lineitem combines map-side on a 2-column projection
+    (partial_sum before the exchange) and the HAVING threshold filters
+    the aggregate BEFORE the join — so the shuffle never carries
+    lineitem multiplicity. A regression to join-then-aggregate drops
+    the partial_sum below the join and widens the lineitem scan."""
+    plan = PI.physical_plan(q("q18_large_volume_orders"))
+    assert "partial_sum(l_quantity" in plan, plan[:1500]
+    # column pruning: the lineitem scan reads exactly (orderkey, qty)
+    assert "struct<l_orderkey:bigint,l_quantity:double>" in plan
+    # the HAVING filter applies to the aggregate output, pre-join
+    agg_pos = plan.index("partial_sum")
+    filt_pos = plan.index("total_qty")
+    assert filt_pos < agg_pos  # filter sits above the agg, below the join
+
+
+def test_fulfillment_preaggregates_min_ship_below_the_join():
+    """Same contract for the fulfillment-latency per-order min — but
+    its returned frame is driver-assembled by the exact-percentile
+    operator (ExistingRDD), so the join DAG isn't in the result plan;
+    lint the wiring instead: lineitem must be grouped to its per-order
+    min BEFORE the orders join appears in the source."""
+    import inspect as _inspect
+
+    from etl_pipeline_project_auraverse_spark.queries.tpch_extra3 import (
+        q_fulfillment_latency,
+    )
+
+    src = _inspect.getsource(q_fulfillment_latency)
+    gb = src.index('li.groupBy("l_orderkey")')
+    join = src.index("orders.join(first_ship")
+    assert gb < join, "per-order min must pre-aggregate lineitem"
