@@ -263,6 +263,89 @@ def _fused_small_group_path(
     return spark.createDataFrame(out_rows, out_schema)
 
 
+def value_counts_percentiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    percentiles: Sequence[float],
+    names: Sequence[str] | None = None,
+    count_name: str = "n_rows",
+) -> DataFrame:
+    """Exact interpolated percentiles for BOUNDED-DOMAIN values in ONE
+    map-side-combinable aggregate (guide §2.3 "aggregate before you
+    shuffle" taken to its limit: the shuffle carries |groups| ×
+    |distinct values| partial counts, never rows).
+
+    Use ONLY when the value domain is bounded by something other than
+    the data volume — day-granularity datediffs (domain = the calendar
+    span), small-integer codes, enum-like measures. The whole
+    ``groupBy(group, value).count()`` result is collected, so a domain
+    that grows with the corpus (prices, revenues, float measures)
+    belongs in :func:`exact_group_percentiles` /
+    :func:`hist_group_percentiles` instead.
+
+    Bit-identical to those operators (and to Spark ``percentile`` /
+    DuckDB ``quantile_cont``): same ``pos = p·(n−1)`` rank arithmetic,
+    same ``v_lo + frac·(v_hi − v_lo)`` IEEE interpolation on the
+    float()-converted rank-neighbor values, nulls ignored, all-null
+    groups omitted. Replaces the fused small-group plan's TWO jobs
+    (range-shuffle cell count + rank/fetch pass over the persisted
+    shuffle) with ONE unpersisted aggregate."""
+    import math
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    if names is None:
+        names = [f"p{int(p * 100)}" for p in percentiles]
+    spark = df.sparkSession
+    g, v = group_col, value_col
+
+    hist = (
+        df.select(g, v)
+        .where(F.col(v).isNotNull())
+        .groupBy(g, v)
+        .agg(F.count("*").alias("__c"))
+        .collect()
+    )
+    by_g: dict = {}
+    for r in hist:
+        by_g.setdefault(r[g], []).append((r[v], r["__c"]))
+
+    g_type = df.schema[g].dataType
+    out_schema = StructType(
+        [StructField(g, g_type), StructField(count_name, LongType(), False)]
+        + [StructField(name, DoubleType()) for name in names]
+    )
+    if not by_g:
+        return spark.createDataFrame([], out_schema)
+
+    out_rows = []
+    for gval in sorted(by_g, key=str):
+        vcs = sorted(by_g[gval])
+        n = sum(c for _, c in vcs)
+        # cumulative counts once; each rank resolves by bisect
+        cums = []
+        cum = 0
+        for _, c in vcs:
+            cum += c
+            cums.append(cum)
+
+        def val_at(rank: int) -> float:
+            from bisect import bisect_left
+
+            return float(vcs[bisect_left(cums, rank)][0])
+
+        row: list = [gval, n]
+        for p in percentiles:
+            pos = float(p) * float(n - 1)
+            lo, hi = int(math.floor(pos)) + 1, int(math.ceil(pos)) + 1
+            frac = pos - math.floor(pos)
+            vlo, vhi = val_at(lo), val_at(hi)
+            row.append(vlo + frac * (vhi - vlo))
+        out_rows.append(tuple(row))
+    return spark.createDataFrame(out_rows, out_schema)
+
+
 def weighted_median(
     df: DataFrame,
     group_col: str,

@@ -204,26 +204,28 @@ def ks_2sample(df: DataFrame, value_col: str, flag_col: str) -> DataFrame:
         dtab.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
     )
     c = ordered_prefix_sums(dtab, "p", ["c1", "c2"])
-    j = persist_tracked(
-        c.crossJoin(F.broadcast(tot)).select(
-            "p",
-            "n1",
-            "n2",
-            F.abs(
-                _dec(F.col("cum_c1")) * _dec(F.col("n2"))
-                - _dec(F.col("cum_c2")) * _dec(F.col("n1"))
-            ).alias("diff"),
-        )
+    j = c.crossJoin(F.broadcast(tot)).select(
+        "p",
+        F.abs(
+            _dec(F.col("cum_c1")) * _dec(F.col("n2"))
+            - _dec(F.col("cum_c2")) * _dec(F.col("n1"))
+        ).alias("diff"),
     )
-    m = j.agg(F.max("diff").alias("dmax"))
-    am = (
+    # max AND argmax in ONE top-1 pass (r14): the sup row's diff IS the
+    # max, so the old two-job pair (agg(max) + orderBy().limit(1)) over
+    # a persisted intermediate collapses to a single TakeOrdered job
+    # and the persist disappears. Ties resolve to the smallest value —
+    # identical to the old argmax ordering.
+    top = (
         j.orderBy(F.col("diff").desc(), F.col("p").asc())
         .limit(1)
-        .select(F.col("p").cast("double").alias("ks_at_value"))
+        .select(
+            F.col("diff").alias("dmax"),
+            F.col("p").cast("double").alias("ks_at_value"),
+        )
     )
     return (
-        tot.crossJoin(F.broadcast(m))
-        .crossJoin(F.broadcast(am))
+        tot.crossJoin(F.broadcast(top))
         .select(
             F.col("n1").cast("long").alias("n_a"),
             F.col("n2").cast("long").alias("n_b"),

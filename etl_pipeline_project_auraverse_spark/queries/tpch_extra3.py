@@ -248,7 +248,7 @@ def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact p50/p90 order-to-first-shipment latency per priority."""
     from etl_pipeline_project_auraverse_spark.operators.order_stats import (
-        exact_group_percentiles,
+        value_counts_percentiles,
     )
 
     orders = load_table(spark, sf_dir, "orders")
@@ -270,9 +270,14 @@ def q_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lat_days"),
         )
     )
-    pct = exact_group_percentiles(
+    # lat_days is a day-granularity datediff — its domain is the
+    # calendar span, never the row count — so the percentile machinery
+    # collapses to ONE map-side-combinable value-histogram aggregate
+    # (r14: replaces the range-shuffle + persisted rank/fetch pair;
+    # same rank arithmetic, bit-identical values)
+    pct = value_counts_percentiles(
         per_order, "o_orderpriority", "lat_days", [0.5, 0.9],
-        names=["p50", "p90"], count_name="n_orders", n_groups_hint=5,
+        names=["p50", "p90"], count_name="n_orders",
     )
     return (
         pct.select(
@@ -392,42 +397,79 @@ def q_supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_repeat_purchase_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-to-second-order gap: exact p50/p90 days among repeat
-    customers and the never-returned (censored) fraction."""
+    customers and the never-returned (censored) fraction.
+
+    r14: gap_days is a day-granularity datediff (calendar-bounded
+    domain), so ONE ``groupBy(gap_days).count()`` value histogram —
+    with the null group standing in for the censored customers — feeds
+    counts, censored fraction AND both exact percentiles driver-side.
+    Replaces the separate counts aggregate + range-shuffle percentile
+    pair (3 jobs + a persist) with a single map-side-combinable job;
+    rank arithmetic, interpolation and rounding (``round_half_up`` is
+    the driver twin of ``F.round``) are bit-identical."""
+    import math
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
     from pyspark.sql.window import Window as W
 
-    from etl_pipeline_project_auraverse_spark.operators.order_stats import (
-        exact_group_percentiles,
-    )
+    from etl_pipeline_project_auraverse_spark.queries._util import round_half_up
 
     orders = load_table(spark, sf_dir, "orders")
+    # first→second gap in ONE window pass: row_number and lead share
+    # the same window spec (one sort, one Window exec), and the rn=1
+    # row's lead(o_orderdate) IS the second order's date — the old
+    # firsts⟕seconds self-join recomputed the ranked subtree twice
     w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    ranked = orders.withColumn("rn", F.row_number().over(w))
-    firsts = ranked.filter("rn = 1").select("o_custkey", F.col("o_orderdate").alias("d1"))
-    seconds = ranked.filter("rn = 2").select("o_custkey", F.col("o_orderdate").alias("d2"))
-    gaps = firsts.join(seconds, "o_custkey", "left").select(
-        "o_custkey", F.datediff("d2", "d1").cast("long").alias("gap_days")
+    gaps = (
+        orders.select("o_custkey", "o_orderdate", "o_orderkey")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("d2", F.lead("o_orderdate").over(w))
+        .filter("rn = 1")
+        .select(F.datediff("d2", "o_orderdate").cast("long").alias("gap_days"))
     )
-    counts = gaps.agg(
-        F.count(F.lit(1)).alias("n_customers"),
-        F.count("gap_days").alias("n_repeaters"),
-        F.round(
-            F.count(F.when(F.col("gap_days").isNull(), 1)) * 1.0
-            / F.count(F.lit(1)),
-            6,
-        )
-        .cast("double")
-        .alias("censored_fraction"),
+    hist = gaps.groupBy("gap_days").agg(F.count("*").alias("c")).collect()
+    n_customers = sum(r["c"] for r in hist)
+    n_censored = sum(r["c"] for r in hist if r["gap_days"] is None)
+    vcs = sorted((r["gap_days"], r["c"]) for r in hist if r["gap_days"] is not None)
+    n = n_customers - n_censored
+    cums, cum = [], 0
+    for _, c in vcs:
+        cum += c
+        cums.append(cum)
+
+    def pctl(p: float):
+        from bisect import bisect_left
+
+        if n == 0:
+            return None
+        pos = p * float(n - 1)
+        lo, hi = int(math.floor(pos)) + 1, int(math.ceil(pos)) + 1
+        vlo = float(vcs[bisect_left(cums, lo)][0])
+        vhi = float(vcs[bisect_left(cums, hi)][0])
+        return round_half_up(vlo + (pos - math.floor(pos)) * (vhi - vlo), 4)
+
+    schema = StructType(
+        [
+            StructField("n_customers", LongType(), False),
+            StructField("n_repeaters", LongType(), False),
+            StructField("censored_fraction", DoubleType()),
+            StructField("p50_days", DoubleType()),
+            StructField("p90_days", DoubleType()),
+        ]
     )
-    pct = exact_group_percentiles(
-        gaps.withColumn("__g", F.lit("all")), "__g", "gap_days", [0.5, 0.9],
-        names=["p50", "p90"], n_groups_hint=1,
-    ).select(
-        F.round("p50", 4).cast("double").alias("p50_days"),
-        F.round("p90", 4).cast("double").alias("p90_days"),
+    row = (
+        n_customers,
+        n,
+        round_half_up(n_censored * 1.0 / n_customers, 6) if n_customers else None,
+        pctl(0.5),
+        pctl(0.9),
     )
-    return counts.crossJoin(F.broadcast(pct)).select(
-        "n_customers", "n_repeaters", "censored_fraction", "p50_days", "p90_days"
-    )
+    return spark.createDataFrame([row], schema)
 
 
 # ---------------------------------------------------------------------------
