@@ -756,29 +756,56 @@ def _emb_dedup_oracle() -> str:
 
 @register("q_dedup_embedding_cosine", oracle=_emb_dedup_oracle())
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14: the within-block pair generation moved from a blocked
+    SELF-JOIN with an interpreted per-pair ``F.aggregate`` cosine (two
+    shuffles of the persisted block table + ~|block|²/2 interpreted
+    folds) to the q_semdedup_clusters idiom — ONE applyInPandas task
+    per centroid block scoring the whole block as a vectorized
+    ``np_block_cosine`` matrix (the fold-exact 6dp twin of the Column
+    cosine). The only shuffle is the assignment groupBy; per-task
+    state is O(block²) with blocks bounded by the corpus-scaled K."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_pipeline_project_auraverse_spark.queries._util import np_block_cosine
     from etl_pipeline_project_auraverse_spark.queries.similarity import (
         centroid_assignments,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    blocked = persist_tracked(  # both sides of the within-block self-join
-        emb.join(centroid_assignments(emb).select("vec_id", "centroid_id"), "vec_id")
+    blocked = emb.join(
+        centroid_assignments(emb).select("vec_id", "centroid_id"), "vec_id"
     )
-    a, b = blocked.alias("a"), blocked.alias("b")
-    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["vec_a", "vec_b", "centroid_id", "cos_sim"]
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(columns=cols)
+        cid = int(pdf["centroid_id"].iloc[0])
+        vid = pdf["vec_id"].to_numpy(dtype=np.int64)
+        C = np.array([list(e) for e in pdf["embedding"]], dtype=np.float64)
+        S = np_block_cosine(C, C)  # fold-exact 6dp cosines
+        iu, ju = np.triu_indices(n, 1)  # vid sorted asc => vec_a < vec_b
+        keep = S[iu, ju] >= EMB_DEDUP_THRESHOLD
+        return pd.DataFrame(
+            {
+                "vec_a": vid[iu[keep]],
+                "vec_b": vid[ju[keep]],
+                "centroid_id": np.full(int(keep.sum()), cid, dtype=np.int64),
+                "cos_sim": S[iu[keep], ju[keep]],
+            },
+            columns=cols,
+        )
+
     return (
-        a.join(
-            b,
-            (F.col("a.centroid_id") == F.col("b.centroid_id"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        blocked.select("vec_id", "centroid_id", "embedding")
+        .groupBy("centroid_id")
+        .applyInPandas(
+            block_pairs,
+            schema="vec_a bigint, vec_b bigint, centroid_id bigint, cos_sim double",
         )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.centroid_id").alias("centroid_id"),
-            cos.alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= EMB_DEDUP_THRESHOLD)
         .orderBy("vec_a", "vec_b")
     )
 
@@ -1580,41 +1607,60 @@ def _semdedup_oracle() -> str:
 @register("q_dedup_semantic_prune", oracle=_semdedup_oracle())
 def q_dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup keep/prune decision per vector: pruned iff a lower-id
-    vector in the same centroid block is within cosine >= eps."""
+    vector in the same centroid block is within cosine >= eps.
+
+    r14: same move as q_dedup_embedding_cosine — the blocked self-join
+    + per-pair interpreted cosine + groupBy(max) + left join back
+    became ONE applyInPandas task per centroid block (the
+    q_semdedup_clusters idiom): each block's lower-triangular
+    ``np_block_cosine`` column maxima ARE the per-vector nn_sim, so
+    the whole decision assembles inside the block task with the
+    assignment groupBy as the only shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_pipeline_project_auraverse_spark.queries._util import np_block_cosine
     from etl_pipeline_project_auraverse_spark.queries.similarity import (
         centroid_assignments,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    blocked = persist_tracked(  # both sides of the within-block self-join
-        emb.join(
-            centroid_assignments(emb).select("vec_id", "centroid_id"), "vec_id"
-        )
+    blocked = emb.join(
+        centroid_assignments(emb).select("vec_id", "centroid_id"), "vec_id"
     )
-    a, b = blocked.alias("a"), blocked.alias("b")
-    nn = (
-        a.join(
-            b,
-            (F.col("a.centroid_id") == F.col("b.centroid_id"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+
+    def block_prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["vec_id", "centroid_id", "lower_nn_sim", "pruned"]
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        n = len(pdf)
+        cid = int(pdf["centroid_id"].iloc[0])
+        vid = pdf["vec_id"].to_numpy(dtype=np.int64)
+        if n == 1:
+            return pd.DataFrame(
+                {"vec_id": vid, "centroid_id": [cid],
+                 "lower_nn_sim": [None], "pruned": [False]},
+                columns=cols,
+            )
+        C = np.array([list(e) for e in pdf["embedding"]], dtype=np.float64)
+        S = np_block_cosine(C, C)  # fold-exact 6dp cosines
+        # column j's lower-id neighbors are rows 0..j-1 (sorted asc)
+        nn = [S[:j, j].max() if j else None for j in range(n)]
+        return pd.DataFrame(
+            {
+                "vec_id": vid,
+                "centroid_id": np.full(n, cid, dtype=np.int64),
+                "lower_nn_sim": nn,
+                "pruned": [v is not None and v >= SEMDEDUP_EPS for v in nn],
+            },
+            columns=cols,
         )
-        .groupBy(F.col("b.vec_id").alias("vec_id"))
-        .agg(
-            F.max(
-                cosine(F.col("a.embedding"), F.col("b.embedding"))
-            ).alias("nn_sim")
-        )
-    )
+
     return (
-        blocked.select("vec_id", "centroid_id")
-        .join(nn, "vec_id", "left")
-        .select(
-            "vec_id",
-            "centroid_id",
-            F.col("nn_sim").cast("double").alias("lower_nn_sim"),
-            F.coalesce(
-                F.col("nn_sim") >= SEMDEDUP_EPS, F.lit(False)
-            ).alias("pruned"),
+        blocked.select("vec_id", "centroid_id", "embedding")
+        .groupBy("centroid_id")
+        .applyInPandas(
+            block_prune,
+            schema="vec_id bigint, centroid_id bigint, lower_nn_sim double, pruned boolean",
         )
         .orderBy("vec_id")
     )

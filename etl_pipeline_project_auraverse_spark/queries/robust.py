@@ -95,14 +95,24 @@ def q_winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     clamped = F.least(
         F.greatest(F.col("l_extendedprice"), case_map(0)), case_map(1)
     )
+    # the bounds are pure functions of the group key, so they project
+    # AFTER the aggregate (r14) — the old plan carried two first()
+    # aggregates whose nested-CASE arguments were evaluated per row on
+    # both aggregation sides
     return (
         li.groupBy("l_returnflag")
         .agg(
             F.count("*").alias("n_rows"),
             dec_avg("l_extendedprice", 4).alias("raw_mean"),
             dec_avg(clamped, 4).alias("winsorized_mean"),
-            F.round(F.first(case_map(0)), 4).cast("double").alias("lo_bound"),
-            F.round(F.first(case_map(1)), 4).cast("double").alias("hi_bound"),
+        )
+        .select(
+            "l_returnflag",
+            "n_rows",
+            "raw_mean",
+            "winsorized_mean",
+            F.round(case_map(0), 4).cast("double").alias("lo_bound"),
+            F.round(case_map(1), 4).cast("double").alias("hi_bound"),
         )
         .orderBy("l_returnflag")
     )

@@ -190,43 +190,100 @@ N_CENTROIDS_MIN = 32
 CENTROID_TARGET_BLOCK = 500
 
 
+# Deepest probe depth any consumer asks of the shared scoring pass
+# (IVF_NPROBE = IVFADC_NPROBE = 3 today); the scorer only emits the
+# top-P blocks per vector, so per-row output is O(P), never O(K).
+CENTROID_TOP_P = 8
+
+
 def _centroid_scored(emb: DataFrame) -> DataFrame:
-    """(vec_id, centroid_id, cos_to_centroid, rn): every vector scored
-    against the K broadcast seeds, ranked per vector by rounded cosine
-    (seed-id tiebreak). Shared by single-assignment (rn=1) and
-    multi-probe (rn<=P) consumers so both derive from ONE scoring pass.
-    K derives from the corpus count as a lazy 1-row broadcast (no
-    driver-side collect)."""
-    k_row = emb.agg(
-        F.greatest(
-            F.lit(N_CENTROIDS_MIN),
-            F.ceil(F.count("*") / F.lit(float(CENTROID_TARGET_BLOCK))),
-        ).alias("__k")
+    """(vec_id, centroid_id, cos_to_centroid, rn <= CENTROID_TOP_P):
+    every vector scored against the K seeds, ranked per vector by
+    rounded cosine (seed-id tiebreak). Shared by single-assignment
+    (rn=1) and multi-probe (rn<=P) consumers so both derive from ONE
+    scoring pass.
+
+    r14: the n×K crossJoin of interpreted ``F.aggregate`` cosines + a
+    per-vector rank window (an n×K-row intermediate and a shuffle)
+    became ONE Arrow-batched map pass — ``np_block_cosine`` is the
+    fold-exact rounded twin of the Column cosine (left-assoc
+    accumulation from 0.0, half-away 6dp rounding; the same helper
+    every attested GEMM truth arm rides), scored against seed chunks
+    with a running per-row top-P merge, so per-task memory is
+    O(batch × chunk), never O(n × K). Tie-break inside the merge is
+    (cos desc, centroid_id asc) — exactly the old row_number order.
+    K still derives from the corpus count (a metadata-only aggregate
+    under parquet aggregate pushdown); the K seed vectors are
+    driver-collected, the same driver burden the old broadcast build
+    already paid."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    n = emb.count()
+    k = max(N_CENTROIDS_MIN, math.ceil(n / float(CENTROID_TARGET_BLOCK)))
+    seed_rows = sorted(
+        emb.filter(F.col("vec_id") < k).select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
     )
-    seeds = F.broadcast(
-        emb.crossJoin(F.broadcast(k_row))
-        .filter(F.col("vec_id") < F.col("__k"))
-        .select(
-            F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("seed_emb")
+    sid = np.array([r["vec_id"] for r in seed_rows], dtype=np.int64)
+    Q = (
+        np.array([list(r["embedding"]) for r in seed_rows], dtype=np.float64)
+        if seed_rows
+        else np.zeros((0, 1))
+    )
+    p = min(CENTROID_TOP_P, len(sid))
+    chunk = 4096  # seeds per scoring block: caps the m×chunk score matrix
+
+    def score_topp(batches):
+        from etl_pipeline_project_auraverse_spark.queries._util import (
+            np_block_cosine,
         )
+
+        cols = ["vec_id", "centroid_id", "cos_to_centroid", "rn"]
+        for pdf in batches:
+            if pdf.empty or p == 0:
+                continue
+            vid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            C = np.array([list(e) for e in pdf["embedding"]], dtype=np.float64)
+            m = len(vid)
+            best_s = np.full((m, 0), 0.0)
+            best_i = np.full((m, 0), 0, dtype=np.int64)
+            for c0 in range(0, len(sid), chunk):
+                S = np_block_cosine(C, Q[c0 : c0 + chunk])
+                cand_s = np.concatenate([best_s, S], axis=1)
+                cand_i = np.concatenate(
+                    [best_i, np.broadcast_to(sid[c0 : c0 + chunk], S.shape)],
+                    axis=1,
+                )
+                # exact running top-p: sort by (cos desc, id asc), keep p
+                order = np.lexsort((cand_i, -cand_s), axis=1)[:, :p]
+                rows = np.arange(m)[:, None]
+                best_s = cand_s[rows, order]
+                best_i = cand_i[rows, order]
+            width = best_s.shape[1]
+            out = pd.DataFrame(
+                {
+                    "vec_id": np.repeat(vid, width),
+                    "centroid_id": best_i.ravel(),
+                    "cos_to_centroid": best_s.ravel(),
+                    "rn": np.tile(np.arange(1, width + 1, dtype=np.int32), m),
+                }
+            )
+            yield out[cols]
+
+    scored = emb.select("vec_id", "embedding").mapInPandas(
+        score_topp,
+        schema="vec_id long, centroid_id long, cos_to_centroid double, rn int",
     )
-    scored = (
-        emb.select("vec_id", "embedding")
-        .crossJoin(seeds)
-        .select(
-            "vec_id",
-            "centroid_id",
-            cosine(F.col("embedding"), F.col("seed_emb")).alias("cos_to_centroid"),
-        )
-    )
-    w = W.partitionBy("vec_id").orderBy(F.col("cos_to_centroid").desc(), "centroid_id")
     # persisted: assignments, probes, residual codes, LUTs, and block
-    # dots ALL hang off this one n×K scoring pass — Spark's cache
-    # manager matches the canonicalized plan, so the repeated
+    # dots ALL hang off this one scoring pass — Spark's cache manager
+    # matches the canonicalized plan, so the repeated
     # centroid_probes()/centroid_assignments() calls inside one query
-    # share a single cached copy instead of re-running the cross-join
-    # cosines and the rank shuffle per consumer
-    return persist_tracked(scored.withColumn("rn", F.row_number().over(w)))
+    # share a single cached copy instead of re-running the scorer per
+    # consumer
+    return persist_tracked(scored)
 
 
 def centroid_assignments(emb: DataFrame) -> DataFrame:
@@ -241,6 +298,10 @@ def centroid_probes(emb: DataFrame, nprobe: int) -> DataFrame:
     """(vec_id, centroid_id, cos_to_centroid, probe_rank): the top-P
     centroid blocks per vector. probe_rank=1 is the home block; the
     query side of a multi-probe IVF search joins on all P."""
+    assert nprobe <= CENTROID_TOP_P, (
+        f"centroid_probes(nprobe={nprobe}) exceeds the shared scorer's "
+        f"CENTROID_TOP_P={CENTROID_TOP_P}; raise the constant"
+    )
     return (
         _centroid_scored(emb)
         .filter(F.col("rn") <= nprobe)

@@ -203,17 +203,17 @@ def test_q22_is_one_lazy_dag(q):
 
 
 def test_embedding_dedup_blocks_are_equi_joined(q):
-    """Centroid-blocked dedup: the pair join must be hash/sort-merge on
-    centroid_id, never an all-pairs product over the corpus."""
+    """Centroid-blocked dedup: pairs must be generated inside per-block
+    tasks (r14: one applyInPandas task per centroid block running the
+    vectorized fold-exact cosine matrix), never an all-pairs product
+    over the corpus; the assignment attach stays an equi-join."""
     plan = PI.physical_plan(q("q_dedup_embedding_cosine"))
     assert "CartesianProduct" not in plan
-    # the only BNLs allowed are constant-size broadcasts inside the
-    # centroid assignment — the K-seed set and the 1-row corpus-count
-    # aggregate that derives K — each printed once per self-join side
-    assert plan.count("BroadcastNestedLoopJoin") <= 4
-    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
-        "BroadcastHashJoin" in plan
-    ), "pair generation must be an equi-join on centroid_id"
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FlatMapGroupsInPandas" in plan, "per-block vectorized pair scoring"
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or (
+        "ShuffledHashJoin" in plan
+    ), "assignment attach must be an equi-join on vec_id"
 
 
 def test_caches_released_between_queries(spark, q):
