@@ -196,9 +196,15 @@ def ks_2sample(df: DataFrame, value_col: str, flag_col: str) -> DataFrame:
     taken over integer cross-multiplied cumulative counts, so max and
     argmax are deterministic; division to double happens once.
     """
-    dtab = df.groupBy(F.col(value_col).alias("p")).agg(
-        F.sum(flag_col).alias("c1"),
-        (F.count(F.lit(1)) - F.sum(flag_col)).alias("c2"),
+    # persisted (r14): dtab feeds BOTH the totals aggregate and the
+    # prefix-sum range shuffle — without the cache the value-grouped
+    # scan+aggregate ran twice (once under the tot broadcast job, once
+    # materializing the prefix shuffle)
+    dtab = persist_tracked(
+        df.groupBy(F.col(value_col).alias("p")).agg(
+            F.sum(flag_col).alias("c1"),
+            (F.count(F.lit(1)) - F.sum(flag_col)).alias("c2"),
+        )
     )
     tot = persist_tracked(
         dtab.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))

@@ -1076,7 +1076,22 @@ def q_jackknife_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     over {JK_BUCKETS} deterministic hash buckets."""
     from etl_pipeline_project_auraverse_spark.functions.text import h28
 
+    import decimal
+    import math
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from etl_pipeline_project_auraverse_spark.queries._util import round_half_up
+
     li = load_table(spark, sf_dir, "lineitem")
+    # r14: everything downstream of `per` is arithmetic over a
+    # JK_BUCKETS-row table, but the old tot/reps/agg/ss chain of lazy
+    # persists recomputed the full scan+md5 pass twice (per itself was
+    # never cached) and paid four tiny-table jobs for a 1-row result.
+    # Collect the bounded bucket table once and assemble driver-side
+    # with the exact engine twins: dec6() is cast(double AS
+    # decimal(25,6)) (repr-based HALF_UP, same as Spark/DuckDB) and
+    # round_half_up() is F.round on doubles.
     per = (
         li.select(
             (
@@ -1091,57 +1106,39 @@ def q_jackknife_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("bucket")
         .agg(F.count("*").alias("n_b"), dec_sum("v", 2).alias("s_b"))
+        .collect()
     )
-    tot = persist_tracked(
-        per.agg(
-            F.sum("n_b").alias("n"),
-            F.sum(F.col("s_b").cast(DEC)).cast("double").alias("s"),
+
+    def dec6(x: float) -> decimal.Decimal:
+        return decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
         )
+
+    schema = StructType(
+        [
+            StructField("n_rows", LongType()),
+            StructField("mean_price", DoubleType()),
+            StructField("jackknife_se", DoubleType()),
+        ]
     )
-    reps = persist_tracked(
-        per.crossJoin(F.broadcast(tot)).select(
-            "bucket",
-            F.round(
-                (F.col("s") - F.col("s_b")) / (F.col("n") - F.col("n_b")), 6
-            ).alias("rep_mean"),
-        )
+    if not per:
+        return spark.createDataFrame([(None, None, None)], schema)
+    n = sum(r["n_b"] for r in per)
+    s = float(sum(dec6(r["s_b"]) for r in per))
+    reps = [
+        round_half_up((s - r["s_b"]) / (n - r["n_b"]), 6) for r in per
+    ]
+    nb = len(reps)
+    rep_bar = round_half_up(float(sum(dec6(rm) for rm in reps)) / nb, 6)
+    ss = float(
+        sum(dec6(round_half_up((rm - rep_bar) * (rm - rep_bar), 6)) for rm in reps)
     )
-    agg = reps.agg(
-        F.count(F.lit(1)).alias("nb"),
-        F.round(
-            F.sum(F.col("rep_mean").cast(DEC)).cast("double") / F.count(F.lit(1)),
-            6,
-        ).alias("rep_bar"),
+    row = (
+        n,
+        round_half_up(s / n, 6),
+        round_half_up(math.sqrt((nb - 1.0) / nb * ss), 6),
     )
-    ss = (
-        reps.crossJoin(F.broadcast(agg))
-        .agg(
-            F.sum(
-                F.round(
-                    (F.col("rep_mean") - F.col("rep_bar"))
-                    * (F.col("rep_mean") - F.col("rep_bar")),
-                    6,
-                ).cast(DEC)
-            )
-            .cast("double")
-            .alias("ss")
-        )
-    )
-    return (
-        tot.crossJoin(F.broadcast(agg))
-        .crossJoin(F.broadcast(ss))
-        .select(
-            F.col("n").alias("n_rows"),
-            F.round(F.col("s") / F.col("n"), 6).cast("double").alias(
-                "mean_price"
-            ),
-            F.round(
-                F.sqrt((F.col("nb") - 1.0) / F.col("nb") * F.col("ss")), 6
-            )
-            .cast("double")
-            .alias("jackknife_se"),
-        )
-    )
+    return spark.createDataFrame([row], schema)
 
 
 # ---------------------------------------------------------------------------

@@ -481,9 +481,12 @@ def q_cms_part_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # the build hashes every row x D with the portable md5 engine —
     # spread the small single-file scan across cores first (projected
-    # to the key column so the shuffle moves one BIGINT per row)
-    li = parallelize(
-        load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    # to the key column so the shuffle moves one BIGINT per row).
+    # persisted (r14): the projected key column feeds BOTH the sketch
+    # build and the exact-count aggregate; without the cache the scan +
+    # round-robin shuffle ran twice
+    li = persist_tracked(
+        parallelize(load_table(spark, sf_dir, "lineitem").select("l_partkey"))
     )
     sketch = cms_build(li, "l_partkey", CMS_D, CMS_W, engine="md5")
     keys = li.groupBy(F.col("l_partkey").alias("key")).agg(
