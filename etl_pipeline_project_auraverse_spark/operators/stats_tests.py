@@ -63,8 +63,22 @@ def spearman(df: DataFrame, cols: list[str]) -> DataFrame:
     offsets (the ``operators/ranks.py`` two-level scheme, fused into
     the row stream instead of joined back). Sufficient statistics in
     DECIMAL(19,0) products (exact past 10^12 rows), Pearson assembly
-    in doubles. Lineitem's four measures run in 4 jobs total where the
-    join formulation took ~10 (measured 6-7 s -> ~2.5 s at sf0.1).
+    in doubles.
+
+    r14: when at most ONE column is high-cardinality (the common shape
+    — one continuous measure among enum-like ones) every sufficient
+    statistic collapses onto the big column's DISTINCT-VALUE aggregate
+    via the Σc·rank2 identity (the same move ``mann_whitney`` /
+    ``roc_auc`` use): rank2_big is a function of the value alone
+    (2·cum − cnt + 1 from the two-level prefix sum), so
+    Σ r2_big·r2_small = Σ_v r2_big(v)·S_small(v) with
+    S_small(v) = Σ_rows r2_small accumulated in the same value-grouped
+    aggregate, and all small-only statistics are exact integer folds of
+    the joint histogram on the driver. The full-frame range shuffle,
+    both Sort+Window passes, and the 15-decimal-product row aggregate
+    disappear (guide §2.3/§2.4); per-row work drops to |small| literal
+    map lookups. Falls back to the row-level scheme when two or more
+    columns are high-cardinality or the joint histogram is too wide.
     """
     from collections import defaultdict
 
@@ -86,7 +100,14 @@ def spearman(df: DataFrame, cols: list[str]) -> DataFrame:
     # with partial nulls get rank-after-listwise-deletion semantics
     # (scipy's `spearmanr(nan_policy='omit')` pairwise analogue does
     # the same per-pair).
-    base = persist_tracked(df.na.drop(subset=cols).select(*cols))
+    # NOT persisted: the three consumers (cardinality sketch, joint
+    # histogram, value-grouped aggregate) each re-scan the 4-column
+    # parquet projection — cheaper than a cache round-trip locally and
+    # the only sane posture at 100 TB (guide §5: cache only when
+    # recompute costs more than the memory pressure it creates). The
+    # row-level fallback path persists its own copy below because it
+    # iterates per big column.
+    base = df.na.drop(subset=cols).select(*cols)
     # Path decision only — both paths are exact for ANY cardinality
     # (the literal map is built from the actual groupBy; the limit just
     # bounds map-expression size), so a single-pass HLL estimate
@@ -106,13 +127,15 @@ def spearman(df: DataFrame, cols: list[str]) -> DataFrame:
     big = [c for c in cols if nd[c] > _LITERAL_RANK_LIMIT]
 
     rank_expr: dict = {}
+    joint_cells = None  # collected joint histogram rows (small cols)
     if small:
         joint_card = 1
         for c in small:
             joint_card *= max(nd[c], 1)
         counts: dict[str, dict] = {c: defaultdict(int) for c in small}
         if joint_card <= _JOINT_HIST_LIMIT:
-            for r in base.groupBy(*small).count().collect():
+            joint_cells = base.groupBy(*small).count().collect()
+            for r in joint_cells:
                 for c in small:
                     counts[c][r[c]] += r["count"]
         else:  # marginals too wide jointly — one tiny job per column
@@ -124,7 +147,12 @@ def spearman(df: DataFrame, cols: list[str]) -> DataFrame:
                 F.create_map(*_rank2_dict(dict(counts[c]))), F.col(c)
             )
 
-    cur = base
+    if len(big) <= 1 and small and joint_cells is not None:
+        return _spearman_value_grouped(
+            base, cols, pairs, big, small, counts, joint_cells, rank_expr
+        )
+
+    cur = persist_tracked(base)
     for c in big:
         # Same-valued rows always share a range partition (Spark's
         # RangePartitioner sends equal keys to one partition), so the
@@ -165,8 +193,20 @@ def spearman(df: DataFrame, cols: list[str]) -> DataFrame:
         aggs.append(F.sum(d(c) * d(c)).alias(f"q_{c}"))
     for x, y in pairs:
         aggs.append(F.sum(d(x) * d(y)).alias(f"p_{x}_{y}"))
-    s = persist_tracked(f.agg(*aggs))
-    out = None
+    return _spearman_assemble(f.agg(*aggs), pairs)
+
+
+def _spearman_assemble(s: DataFrame, pairs: list[tuple]) -> DataFrame:
+    """Shared Pearson-on-ranks assembly over the 1-row sufficient-
+    statistics frame ``s`` (columns n, s_c, q_c, p_x_y): identical
+    double arithmetic regardless of which plan produced the sums.
+
+    One explode projection instead of a |pairs|-way union of selects:
+    the union's branches each re-read the (1-row) aggregate subtree —
+    under a lazy persist they raced and recomputed the whole upstream
+    once per pair — while a single projection computes the aggregate
+    exactly once with no cache at all."""
+    structs = []
     for x, y in pairs:
         n = F.col("n")
         num = n * F.col(f"p_{x}_{y}").cast("double") - (
@@ -178,13 +218,128 @@ def spearman(df: DataFrame, cols: list[str]) -> DataFrame:
         dy = n * F.col(f"q_{y}").cast("double") - (
             F.col(f"s_{y}").cast("double") * F.col(f"s_{y}").cast("double")
         )
-        row = s.select(
-            F.lit(x).alias("col_x"),
-            F.lit(y).alias("col_y"),
-            F.round(num / F.sqrt(dx * dy), 6).cast("double").alias("rho"),
+        structs.append(
+            F.struct(
+                F.lit(x).alias("col_x"),
+                F.lit(y).alias("col_y"),
+                F.round(num / F.sqrt(dx * dy), 6).cast("double").alias("rho"),
+            )
         )
-        out = row if out is None else out.unionByName(row)
-    return out.orderBy("col_x", "col_y")
+    return (
+        s.select(F.explode(F.array(*structs)).alias("__t"))
+        .select("__t.*")
+        .orderBy("col_x", "col_y")
+    )
+
+
+def _spearman_value_grouped(
+    base: DataFrame,
+    cols: list[str],
+    pairs: list[tuple],
+    big: list[str],
+    small: list[str],
+    counts: dict,
+    joint_cells: list,
+    rank_expr: dict,
+) -> DataFrame:
+    """Spearman sufficient statistics with ≤ 1 high-cardinality column.
+
+    Small-only statistics are exact integer folds of the collected
+    joint histogram (Python ints — no overflow ceiling, no Spark job).
+    Statistics touching the big column ride ONE value-grouped aggregate
+    of the big column: per distinct value v the aggregate carries the
+    row count and S_c(v) = Σ rank2_small, the two-level prefix sum
+    turns the counts into rank2_big(v) = 2·cum − cnt + 1, and a final
+    tiny aggregate over the distinct-value table (never the raw rows)
+    forms Σ cnt·r2, Σ cnt·r2² and Σ r2·S_c in DECIMAL — the same
+    integer-exact values the row-level plan sums, bit-identical by
+    construction. The 1-row frame then feeds the shared assembly with
+    driver-side integers attached as DECIMAL(38,0) literals.
+    """
+    # rank2 maps as plain ints: rank2(v) = 2·(rows below) + cnt + 1
+    r2map: dict[str, dict] = {}
+    for c in small:
+        m, cum = {}, 0
+        for v in sorted(counts[c]):
+            cnt = counts[c][v]
+            m[v] = 2 * cum + cnt + 1
+            cum += cnt
+        r2map[c] = m
+
+    n_total = sum(r["count"] for r in joint_cells)
+    lits: dict[str, int] = {}
+    for c in small:
+        lits[f"s_{c}"] = sum(
+            counts[c][v] * r2 for v, r2 in r2map[c].items()
+        )
+        lits[f"q_{c}"] = sum(
+            counts[c][v] * r2 * r2 for v, r2 in r2map[c].items()
+        )
+    for x, y in pairs:
+        if x in small and y in small:
+            lits[f"p_{x}_{y}"] = sum(
+                r["count"] * r2map[x][r[x]] * r2map[y][r[y]]
+                for r in joint_cells
+            )
+
+    def lit38(val: int) -> F.Column:
+        return F.lit(str(val)).cast("decimal(38,0)")
+
+    if not big:
+        spark = base.sparkSession
+        s = spark.range(1).select(
+            F.lit(n_total).alias("n"),
+            *[lit38(v).alias(k) for k, v in lits.items()],
+        )
+        return _spearman_assemble(s, pairs)
+
+    b = big[0]
+    # S_c(v) = Σ rank2_small accumulates as a hi/lo LONG pair instead
+    # of one DECIMAL sum: decimal aggregation buffers cost ~2x the
+    # whole-stage-codegen long path on the full-row aggregate
+    # (measured: 1.15 s -> 0.63 s for this stage at sf0.1). Exactness:
+    # rank2 ≤ 2n+1, so Σ(rank2 >> 20) ≤ n·(2n+1)/2^20 and
+    # Σ(rank2 & 0xFFFFF) ≤ n·2^20 — both under the BIGINT ceiling up
+    # to n ≈ 2·10^12 rows, same order as the decimal(29,0) headroom
+    # the row-level plan relies on; reconstruction 2^20·Σhi + Σlo is
+    # exact DECIMAL on the distinct-value table only.
+    _SHIFT = 20
+    _MASK = (1 << _SHIFT) - 1
+
+    def _hilo(c: str) -> list[Column]:
+        r2 = rank_expr[c].cast("long")
+        return [
+            F.sum(F.shiftright(r2, _SHIFT)).alias(f"__Shi_{c}"),
+            F.sum(r2.bitwiseAND(F.lit(_MASK))).alias(f"__Slo_{c}"),
+        ]
+
+    gt = base.groupBy(b).agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        *[e for c in small for e in _hilo(c)],
+    )
+    ct = ordered_prefix_sums(gt, b, ["__cnt"])
+    r2b = _dec(2 * F.col("cum___cnt") - F.col("__cnt") + 1)
+    cntd = _dec(F.col("__cnt"))
+
+    def _S(c: str) -> Column:
+        return (
+            _dec(F.col(f"__Shi_{c}")) * F.lit(1 << _SHIFT)
+            + F.col(f"__Slo_{c}")
+        ).cast("decimal(38,0)")
+
+    aggs = [
+        F.sum("__cnt").alias("n"),
+        F.sum(cntd * r2b).alias(f"s_{b}"),
+        F.sum(cntd * r2b * r2b).alias(f"q_{b}"),
+    ]
+    for x, y in pairs:
+        if x == b or y == b:
+            other = y if x == b else x
+            aggs.append(F.sum(r2b * _S(other)).alias(f"p_{x}_{y}"))
+    s = ct.agg(*aggs).select(
+        "*", *[lit38(v).alias(k) for k, v in lits.items()]
+    )
+    return _spearman_assemble(s, pairs)
 
 
 def ks_2sample(df: DataFrame, value_col: str, flag_col: str) -> DataFrame:
