@@ -54,41 +54,63 @@ def _profile_spark(table: str, cols: list[tuple[str, str]]):
         vc = vals.groupBy("col_name", "v").agg(F.count("*").alias("cnt"))
 
         v, cnt = F.col("v"), F.col("cnt")
-        # examples = 3 smallest distinct values. Ranking the grouped vc
-        # rows (spillable sort window, nulls last) and collecting only
-        # rank ≤ 3 keeps the aggregation buffer ≤ 3 elements, instead of
-        # buffering a column's whole distinct set in one
-        # ObjectHashAggregate buffer (the 100-TB killer). The window
-        # pre-partitions by col_name, so the profile aggregate below
-        # needs no further shuffle: one scan, two shuffles total.
-        w_ex = Window.partitionBy("col_name").orderBy(F.col("v").asc_nulls_last())
+        # examples = 3 smallest distinct values, via SALTED two-level
+        # aggregation (guide §2.5): the old plan clustered the whole
+        # distinct-value table by col_name alone — |columns| single-task
+        # sort/aggregate funnels doing all the regex classification and
+        # the example ranking at parallelism 6. Salting the value layer
+        # by hash(v) keeps every per-value computation (type-class
+        # regexes, per-salt top-3 window, partial sums) |columns|×SALT
+        # wide; the final merge aggregates |columns|×SALT tiny partial
+        # rows. Ranking per (col, salt) and collecting only rank ≤ 3
+        # still bounds every aggregation buffer at 3 elements (the
+        # 100-TB contract the old window enforced); the global 3
+        # smallest are exactly the 3 smallest of the per-salt top-3
+        # union because salts partition the distinct values.
+        N_SALT = 32
+        vc = vc.withColumn("__salt", F.pmod(F.xxhash64("v"), F.lit(N_SALT)))
+        w_ex = Window.partitionBy("col_name", "__salt").orderBy(
+            F.col("v").asc_nulls_last()
+        )
         vc = vc.withColumn("__rn", F.row_number().over(w_ex))
         example_of = F.when((F.col("__rn") <= 3) & v.isNotNull(), v)
         nn = lambda expr: F.sum(F.when(expr, cnt).otherwise(0))  # noqa: E731
-        n_rows = F.sum(cnt)
-        n_nulls = nn(v.isNull())
-        n_nonnull = nn(v.isNotNull())
-        n_int = nn(v.rlike(INT_RE))
-        n_float = nn(v.rlike(FLOAT_RE))
-        n_bool = nn(F.lower(v).isin("true", "false"))
-        n_date = nn(v.rlike(DATE_RE))
-        n_str = n_nonnull - n_int - n_float - n_bool - n_date
-        prof = vc.groupBy("col_name").agg(
-            n_rows.cast("long").alias("n_rows"),
-            n_nulls.cast("long").alias("n_nulls"),
-            F.count(F.when(v.isNotNull(), 1)).cast("long").alias("n_distinct"),
+        part = vc.groupBy("col_name", "__salt").agg(
+            F.sum(cnt).alias("p_rows"),
+            nn(v.isNull()).alias("p_nulls"),
+            F.count(F.when(v.isNotNull(), 1)).alias("p_distinct"),
+            nn(v.isNotNull()).alias("p_nn"),
+            nn(v.rlike(INT_RE)).alias("p_i"),
+            nn(v.rlike(FLOAT_RE)).alias("p_f"),
+            nn(F.lower(v).isin("true", "false")).alias("p_b"),
+            nn(v.rlike(DATE_RE)).alias("p_d"),
+            F.max(F.when(v.isNotNull(), cnt)).alias("p_maxcnt"),
+            F.array_sort(F.collect_list(example_of)).alias("p_ex"),
+        )
+        n_nonnull = F.sum("p_nn")
+        n_str = (
+            n_nonnull
+            - F.sum("p_i") - F.sum("p_f") - F.sum("p_b") - F.sum("p_d")
+        )
+        prof = part.groupBy("col_name").agg(
+            F.sum("p_rows").cast("long").alias("n_rows"),
+            F.sum("p_nulls").cast("long").alias("n_nulls"),
+            F.sum("p_distinct").cast("long").alias("n_distinct"),
             n_nonnull.cast("long").alias("_nn"),
-            n_int.cast("long").alias("_i"),
-            n_float.cast("long").alias("_f"),
-            n_bool.cast("long").alias("_b"),
-            n_date.cast("long").alias("_d"),
+            F.sum("p_i").cast("long").alias("_i"),
+            F.sum("p_f").cast("long").alias("_f"),
+            F.sum("p_b").cast("long").alias("_b"),
+            F.sum("p_d").cast("long").alias("_d"),
             n_str.cast("long").alias("_s"),
-            F.round(F.max(F.when(v.isNotNull(), cnt)) * 1.0 / n_nonnull, 6)
+            F.round(F.max("p_maxcnt") * 1.0 / n_nonnull, 6)
             .cast("double")
             .alias("confidence"),
-            F.concat_ws(",", F.array_sort(F.collect_list(example_of))).alias(
-                "examples"
-            ),
+            F.concat_ws(
+                ",",
+                F.slice(
+                    F.array_sort(F.flatten(F.collect_list("p_ex"))), 1, 3
+                ),
+            ).alias("examples"),
         )
         i, f_, b, d, s = (F.col(c) for c in ["_i", "_f", "_b", "_d", "_s"])
         inferred = (
