@@ -313,6 +313,7 @@ def q_percentiles_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     pct = hist_group_percentiles(
         li, "l_returnflag", "l_extendedprice", [0.5, 0.9, 0.99], ["p50", "p90", "p99"],
+        persist=False,
         bounds=parquet_column_bounds(sf_dir, "lineitem", "l_extendedprice"),
     )
     return pct.select(
