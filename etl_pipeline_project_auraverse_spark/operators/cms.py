@@ -50,17 +50,32 @@ def cms_build(
     depth: int = 4,
     width: int = 2048,
     engine: str = "xxhash64",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """(d, bucket, c) counts — D*W rows regardless of key cardinality.
     One explode(depth) + one bounded groupBy; partial aggregation
-    makes the shuffle carry at most D*W rows per task."""
+    makes the shuffle carry at most D*W rows per task.
+
+    ``weight_col``: build from pre-aggregated (key, count) rows instead
+    of raw observations — c(d, b) = Σ weights of keys hashing to b is
+    identical to counting the underlying rows, but hashes each DISTINCT
+    key once per depth instead of each observation (the caller that
+    already has the key histogram pays |keys|·D hashes, not N·D)."""
     d_col = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d")
+    w_expr = F.col("__w") if weight_col else F.lit(1)
+    proj = [F.col(key_col).alias("key")] + (
+        [F.col(weight_col).alias("__w")] if weight_col else []
+    )
     return (
-        df.select(F.col(key_col).alias("key"))
-        .select("key", d_col)
-        .select("d", _bucket(F.col("key"), F.col("d"), width, engine).alias("bucket"))
+        df.select(*proj)
+        .select("*", d_col)
+        .select(
+            "d",
+            _bucket(F.col("key"), F.col("d"), width, engine).alias("bucket"),
+            w_expr.alias("__w"),
+        )
         .groupBy("d", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("__w").alias("c"))
     )
 
 

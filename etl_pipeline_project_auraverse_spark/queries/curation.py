@@ -1300,7 +1300,7 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    hashed = persist_tracked(  # feeds doc-level counts AND bucket stats
+    hashed = (
         parallelize(docs)
         .select("doc_id", "lang", w.alias("w"))
         .select(
@@ -1314,13 +1314,23 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             (h28(F.col("g")) % DSIR_BUCKETS).alias("bucket"),
         )
     )
-    doc_buckets = hashed.groupBy("doc_id", "bucket").agg(
-        F.count("*").alias("n")
+    # r14: the exploded gram stream is aggregated ONCE — bucket_stats
+    # folds out of doc_buckets (lang is functionally dependent on
+    # doc_id, so raw_n = Σ n and tgt_n = Σ n over target-lang docs are
+    # identical to counting the raw rows), so the big hashed table is
+    # neither persisted nor scanned twice; only the doc×bucket partial
+    # counts are cached for the stats pass + the scoring join.
+    doc_buckets = persist_tracked(
+        hashed.groupBy("doc_id", "bucket").agg(
+            F.count("*").alias("n"), F.max("lang").alias("lang")
+        )
     )
-    bucket_stats = hashed.groupBy("bucket").agg(
-        F.count("*").alias("raw_n"),
-        F.count(
-            F.when(F.col("lang") == DSIR_TARGET_LANG, F.lit(1))
+    bucket_stats = doc_buckets.groupBy("bucket").agg(
+        F.sum("n").alias("raw_n"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("n")).otherwise(
+                F.lit(0)
+            )
         ).alias("tgt_n"),
     )
     totals = bucket_stats.agg(

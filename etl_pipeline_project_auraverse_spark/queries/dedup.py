@@ -1235,9 +1235,16 @@ def q_dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .withColumn("__n", F.count("*").over(W.partitionBy("doc_id")))
     )
-    prefix = ranked.filter(
-        F.col("__rk") <= F.col("__n") - F.ceil(F.lit(PF_J) * F.col("__n")) + 1
-    ).select("doc_id", "h", "__n")
+    # persisted (r14): both sides of the candidate self-join consume
+    # the prefix — without the cache the whole two-exchange window
+    # tower (df count over h, rank + size over doc_id) executed twice,
+    # once per join side (plan before: the tower appears duplicated
+    # under the join; after: one tower + two InMemoryTableScans)
+    prefix = persist_tracked(
+        ranked.filter(
+            F.col("__rk") <= F.col("__n") - F.ceil(F.lit(PF_J) * F.col("__n")) + 1
+        ).select("doc_id", "h", "__n")
+    )
     # PPJoin length filter IN the candidate join: J >= t forces
     # n_common >= t·max(n_a, n_b) and n_common <= min(n_a, n_b), so
     # size-incompatible pairs (t·max > min) can never qualify — prune
@@ -1926,24 +1933,35 @@ def q_cross_source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     between sources (containment catches a small feed embedded in a
     big one, which Jaccard hides)."""
     docs = load_table(spark, sf_dir, "documents")
-    src_sh = persist_tracked(
+    # r14: inverted-index pair generation — ONE h-keyed aggregate
+    # builds the per-shingle source set (collect_set dedups, its state
+    # bounded by |sources|), then pairs explode map-side from the
+    # sorted set (the copurchase-basket pattern) and sizes explode the
+    # same cached rows. The old plan shuffled the distinct (source, h)
+    # table three more times (the distinct itself + both sides of the
+    # h self-join); results are identical — n_common(a,b) counts the
+    # shingles whose source set contains both, n(a) the sets containing
+    # a.
+    hs = persist_tracked(
         shingle_index(spark, sf_dir)
         .join(docs.select("doc_id", "source"), "doc_id")
-        .select("source", "h")
-        .distinct()
-    )  # feeds sizes + both sides of the pair join
-    sz = src_sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("h")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+    )  # feeds sizes + the pair explode
+    sz = (
+        hs.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     pairs = (
-        src_sh.alias("a")
-        .join(
-            src_sh.alias("b"),
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.source") < F.col("b.source")),
+        hs.select(F.posexplode("srcs").alias("i", "source_a"), "srcs")
+        .select(
+            "source_a",
+            F.explode(
+                F.expr("slice(srcs, i + 2, size(srcs) - i - 1)")
+            ).alias("source_b"),
         )
-        .groupBy(
-            F.col("a.source").alias("source_a"),
-            F.col("b.source").alias("source_b"),
-        )
+        .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     return (
@@ -2053,21 +2071,38 @@ def q_source_similarity_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash signature estimate (the sketch a 100 TB corpus would
     actually compare)."""
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    shs = persist_tracked(  # feeds sizes + signature + self-join (2x)
+    # r14: ONE h-keyed aggregate replaces the distinct + h self-join
+    # (inverted-index pair generation, same rewrite as
+    # q_cross_source_ngram_overlap): per-shingle source sets dedup via
+    # collect_set (state bounded by |sources|), the exact-intersection
+    # pairs explode map-side from the sorted set, and the (source, h)
+    # rows the signature needs explode back out of the same cached
+    # table.
+    hs = persist_tracked(
         shingle_index(spark, sf_dir)
         .join(src, "doc_id")
-        .select("source", "h")
-        .distinct()
+        .groupBy("h")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+    )  # feeds the signature/size aggregate + the pair explode
+    shs = hs.select(F.explode("srcs").alias("source"), "h")
+    # sizes and the 8 signature slots share ONE source-grouped
+    # aggregate (they were two separate full passes + shuffles); the
+    # fused |sources|-row result is persisted because it feeds both
+    # sides of the broadcast cross-pairing AND the two size lookups
+    # below.
+    stats = persist_tracked(
+        shs.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.min(
+                    (F.lit(MH_A[i]) * F.col("h") + F.lit(MH_B[i])) % F.lit(MH_P)
+                ).alias(f"mh{i}")
+                for i in range(N_MH)
+            ],
+        )
     )
-    sizes = shs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    sig = shs.groupBy("source").agg(
-        *[
-            F.min((F.lit(MH_A[i]) * F.col("h") + F.lit(MH_B[i])) % F.lit(MH_P)).alias(
-                f"mh{i}"
-            )
-            for i in range(N_MH)
-        ]
-    )
+    sizes = stats.select("source", "n")
+    sig = stats.select("source", *[f"mh{i}" for i in range(N_MH)])
     a, b = sig.alias("a"), sig.alias("b")
     n_agree = sum(
         F.when(F.col(f"a.mh{i}") == F.col(f"b.mh{i}"), 1).otherwise(0)
@@ -2083,14 +2118,14 @@ def q_source_similarity_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     inter = (
-        shs.alias("x")
-        .join(
-            shs.alias("y"),
-            (F.col("x.h") == F.col("y.h")) & (F.col("x.source") < F.col("y.source")),
+        hs.select(F.posexplode("srcs").alias("i", "source_a"), "srcs")
+        .select(
+            "source_a",
+            F.explode(
+                F.expr("slice(srcs, i + 2, size(srcs) - i - 1)")
+            ).alias("source_b"),
         )
-        .groupBy(
-            F.col("x.source").alias("source_a"), F.col("y.source").alias("source_b")
-        )
+        .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     n_common = F.coalesce(F.col("n_common"), F.lit(0))

@@ -13,7 +13,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
@@ -832,29 +832,39 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "as (metric, value)"
         ),
     )
-    bounds = exact_group_percentiles(
-        melted, "metric", "value", [0.25, 0.5, 0.75], names=["p25", "p50", "p75"],
-        n_groups_hint=4,
-    ).select("metric", "p25", "p50", "p75")
-    score = (
-        F.lit(1)
-        + (F.col("value") > F.col("p25")).cast("int")
-        + (F.col("value") > F.col("p50")).cast("int")
-        + (F.col("value") > F.col("p75")).cast("int")
-    )
-    scores = (
-        melted.join(F.broadcast(bounds), "metric")
-        .groupBy("o_custkey")
-        .agg(
-            *[
-                F.max(F.when(F.col("metric") == m, score)).alias(f"{m}_score")
-                for m in ("r", "f", "m")
-            ]
+    b = {
+        r["metric"]: r
+        for r in exact_group_percentiles(
+            melted, "metric", "value", [0.25, 0.5, 0.75],
+            names=["p25", "p50", "p75"], n_groups_hint=4,
+        ).collect()
+    }
+
+    # r14: the nine bounds are a bounded 3-row fetch, so inline them as
+    # literals and score straight off the persisted per-customer table —
+    # the old melt → broadcast-join → per-customer re-aggregate → join
+    # back to cust spent two |customers| shuffles re-deriving a table we
+    # already had (same comparisons, same score arithmetic; the
+    # quartile-migration precedent).
+    def score(value: Column, metric: str) -> Column:
+        row = b.get(metric)
+        if row is None:  # empty orders: cust is empty, expression unused
+            return F.lit(1)
+        return (
+            F.lit(1)
+            + (value > F.lit(row["p25"])).cast("int")
+            + (value > F.lit(row["p50"])).cast("int")
+            + (value > F.lit(row["p75"])).cast("int")
         )
+
+    scored = cust.select(
+        score(F.col("recency"), "r").alias("r_score"),
+        score(F.col("frequency"), "f").alias("f_score"),
+        score(F.col("monetary"), "m").alias("m_score"),
+        "monetary",
     )
     return (
-        scores.join(cust.select("o_custkey", "monetary"), "o_custkey")
-        .groupBy("r_score", "f_score", "m_score")
+        scored.groupBy("r_score", "f_score", "m_score")
         .agg(
             F.count("*").alias("n_customers"),
             F.round(

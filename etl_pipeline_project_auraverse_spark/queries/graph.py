@@ -962,41 +962,56 @@ def q_hits_supply_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fact table; each half-iteration is a join + groupBy on graph
     keys (broadcast 1-row totals), so the shape survives 100× data."""
     li = load_table(spark, sf_dir, "lineitem")
+    # r14: each normalization total is a closed form over the PREVIOUS
+    # layer's sufficient statistics, so the per-round "materialize raw,
+    # collect its sum" job disappears:
+    #   Σ araw₁ = H0·Σw = H0·|lineitem|          (metadata-cheap count)
+    #   Σ hraw  = Σₑ a(p)·w = Σₚ a(p)·wsum(p),   wsum(p) = araw₁(p) div H0
+    #   Σ araw₂ = Σₑ h(s)·w = Σₛ h(s)·wsum(s)    (wsum(s) rides h1's agg)
+    # All integer-exact (araw₁ = H0·wsum exactly), so every divisor is
+    # bit-identical to the oracle's SUM(...) // 1e6. The final authority
+    # layer fuses straight into the top-20 job with no persist.
+    n_rows = li.count()
     e = persist_tracked(
         li.groupBy(
             F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
         ).agg(F.count("*").alias("w"))
     )
 
-    def norm(raw: DataFrame, col: str) -> DataFrame:
-        # 1-scalar model state: collect the total and re-inject it as a
-        # literal — Catalyst constant-folds the divisor, where a 1-row
-        # broadcast-join costs a separate exchange job per iteration
-        raw = persist_tracked(raw)
-        tot = int(raw.agg(F.sum(col)).first()[0])
-        return raw.select(
-            *[c for c in raw.columns if c != col],
-            F.expr(
-                f"{col} div {max(tot // 1_000_000, 1)}"
-            ).alias(col.replace("raw", "")),
-        )
+    d_a1 = max((HITS_H0 * n_rows) // 1_000_000, 1)
+    a1raw = persist_tracked(
+        e.groupBy("p").agg(F.sum(F.lit(HITS_H0) * F.col("w")).alias("araw"))
+    )
+    a1 = a1raw.select("p", F.expr(f"araw div {d_a1}").alias("a"))
+    tot_h = int(
+        a1raw.agg(
+            F.sum(F.expr(f"(araw div {d_a1}) * (araw div {HITS_H0})"))
+        ).first()[0]
+        or 0
+    )
 
-    a1 = norm(
-        e.groupBy("p").agg(F.sum(F.lit(HITS_H0) * F.col("w")).alias("araw")),
-        "araw",
+    d_h1 = max(tot_h // 1_000_000, 1)
+    h1 = persist_tracked(
+        e.join(a1, "p")
+        .groupBy("s")
+        .agg(
+            F.sum(F.col("a") * F.col("w")).alias("hraw"),
+            F.sum("w").alias("wsum_s"),
+        )
+        .select(
+            "s", F.expr(f"hraw div {d_h1}").alias("h"), "wsum_s"
+        )
     )
-    h1 = norm(
-        e.join(a1, "p").groupBy("s").agg(F.sum(F.col("a") * F.col("w")).alias("hraw")),
-        "hraw",
-    )
-    a2 = norm(
-        e.join(h1, "s").groupBy("p").agg(F.sum(F.col("h") * F.col("w")).alias("araw")),
-        "araw",
-    )
+    tot_a2 = int(h1.agg(F.sum(F.col("h") * F.col("wsum_s"))).first()[0] or 0)
+
+    d_a2 = max(tot_a2 // 1_000_000, 1)
     return (
-        a2.select(
+        e.join(h1.select("s", "h"), "s")
+        .groupBy("p")
+        .agg(F.sum(F.col("h") * F.col("w")).alias("araw"))
+        .select(
             F.col("p").cast("long").alias("part_key"),
-            F.col("a").cast("long").alias("authority"),
+            F.expr(f"araw div {d_a2}").cast("long").alias("authority"),
         )
         .orderBy(F.col("authority").desc(), "part_key")
         .limit(HITS_TOP)

@@ -878,20 +878,34 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal direction after {PCA_ITERS} exact power
     iterations (64 components + the Rayleigh-scale norm)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    v = [(d, 1.0 if d == 0 else 0.0) for d in range(PQ_DIMS)]
-    spark_v = spark.createDataFrame(v, "dim int, v double")
-    nrm_last = None
+    # r14: v is 64 bounded scalars, so carry it between iterations as a
+    # collected literal array instead of a DataFrame — every iteration
+    # is then a FLAT two-pass plan (score aggregate, u aggregate) over
+    # the scan instead of the old lineage that nested each iteration's
+    # explode→join(v)→groupBy→join(scores)→groupBy chain inside the
+    # next. v_lit indexes via element_at (constant-folded), so the dim
+    # broadcast join disappears; scores (|vecs| rows) broadcast into
+    # the u pass. Sum/round arithmetic is unchanged — decimal sums are
+    # exactly associative, so values stay bit-identical. (A zip_with/
+    # aggregate HOF fold was tried first: the interpreted decimal fold
+    # ran ~1 ms/row — hash-aggregate decimal sums are the fast exact
+    # path.)
+    comps = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "x")
+    ).select("vec_id", "dim", F.col("x").cast("double").alias("x"))
+    v: list[float] = [1.0 if d == 0 else 0.0 for d in range(PQ_DIMS)]
+    u = None
     for _ in range(PCA_ITERS):
-        comps = emb.select(
-            "vec_id", F.posexplode("embedding").alias("dim", "x")
-        ).select("vec_id", "dim", F.col("x").cast("double").alias("x"))
+        v_lit = F.array(*[F.lit(float(x)) for x in v])
         scores = (
-            comps.join(F.broadcast(spark_v), "dim")
-            .groupBy("vec_id")
+            comps.groupBy("vec_id")
             .agg(
                 F.round(
                     F.sum(
-                        F.round(F.col("x") * F.col("v"), 6).cast("decimal(25,6)")
+                        F.round(
+                            F.col("x") * F.element_at(v_lit, F.col("dim") + 1),
+                            6,
+                        ).cast("decimal(25,6)")
                     ),
                     6,
                 )
@@ -899,12 +913,14 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("score")
             )
         )
-        u = (
-            comps.join(scores, "vec_id")
+        u = persist_tracked(
+            comps.join(F.broadcast(scores), "vec_id")
             .groupBy("dim")
             .agg(
                 F.sum(
-                    F.round(F.col("x") * F.col("score"), 6).cast("decimal(25,6)")
+                    F.round(F.col("x") * F.col("score"), 6).cast(
+                        "decimal(25,6)"
+                    )
                 )
                 .cast("double")
                 .alias("u")
@@ -915,9 +931,17 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             u.crossJoin(F.broadcast(nrm))
             .select("dim", F.round(F.col("u") / F.col("nrm"), 6).alias("v"))
         )
-        nrm_last = nrm
+        rows = {r["dim"]: r["v"] for r in spark_v.collect()}
+        v = [rows[d] for d in range(PQ_DIMS)]
+    assert u is not None
+    nrm_last = u.agg(
+        F.round(F.sqrt(F.sum(F.col("u") * F.col("u"))), 6).alias("nrm")
+    )
+    final_v = spark.createDataFrame(
+        [(d, v[d]) for d in range(PQ_DIMS)], "dim int, v double"
+    )
     return (
-        spark_v.crossJoin(F.broadcast(nrm_last))
+        final_v.crossJoin(F.broadcast(nrm_last))
         .select(
             "dim",
             F.col("v").alias("component"),

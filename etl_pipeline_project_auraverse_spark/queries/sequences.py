@@ -600,7 +600,11 @@ def q_event_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gaps = (
+    # persisted (r14): the order-statistics operator's range shuffle
+    # SAMPLES its input to pick bounds before shuffling it, so an
+    # unpersisted gaps table pays the per-user lag window twice (once
+    # for the sample, once for the real exchange)
+    gaps = persist_tracked(
         ev.select(
             "event_type",
             F.round(

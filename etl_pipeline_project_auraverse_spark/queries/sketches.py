@@ -28,7 +28,6 @@ from pyspark.sql import functions as F
 
 from etl_pipeline_project_auraverse_spark.queries import register
 from etl_pipeline_project_auraverse_spark.queries._util import (
-    parallelize,
     persist_tracked,
 )
 from etl_pipeline_project_auraverse_spark.session import load_table
@@ -479,18 +478,21 @@ def q_cms_part_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         cms_probe,
     )
 
-    # the build hashes every row x D with the portable md5 engine —
-    # spread the small single-file scan across cores first (projected
-    # to the key column so the shuffle moves one BIGINT per row).
-    # persisted (r14): the projected key column feeds BOTH the sketch
-    # build and the exact-count aggregate; without the cache the scan +
-    # round-robin shuffle ran twice
-    li = persist_tracked(
-        parallelize(load_table(spark, sf_dir, "lineitem").select("l_partkey"))
+    # r14: aggregate the fact table to the key histogram FIRST, then
+    # build the sketch FROM the histogram (cms_build weight_col) —
+    # c(d, b) = Σ n_exact over keys hashing to b is identical to
+    # counting raw observations, but the md5 engine now hashes
+    # |keys|·D values instead of N·D (at sf0.1: 0.8M vs 2.4M md5s; at
+    # 100 TB the sketch build rides the same groupBy the probe needs
+    # anyway). The histogram is persisted: it feeds the sketch build
+    # and the probe.
+    keys = persist_tracked(
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n_exact"))
     )
-    sketch = cms_build(li, "l_partkey", CMS_D, CMS_W, engine="md5")
-    keys = li.groupBy(F.col("l_partkey").alias("key")).agg(
-        F.count(F.lit(1)).alias("n_exact")
+    sketch = cms_build(
+        keys, "key", CMS_D, CMS_W, engine="md5", weight_col="n_exact"
     )
     est = cms_probe(sketch, keys, "key", CMS_D, CMS_W, engine="md5")
     return est.select(

@@ -8,7 +8,7 @@ subset used is interpreted identically by Java regex and RE2.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_pipeline_project_auraverse_spark.functions.text import (
@@ -1669,7 +1669,6 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document winnowed fingerprint census: number of k-gram
     hashes, number of SELECTED (winnowed) fingerprints, and how many of
     those are shared with at least one other document."""
-    from pyspark.sql.window import Window as W
     from etl_pipeline_project_auraverse_spark.functions.text import h28
 
     docs = parallelize(load_table(spark, sf_dir, "documents"))
@@ -1681,16 +1680,36 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("toks") >= WINNOW_K,
         F.transform(F.sequence(F.lit(0), F.size("toks") - WINNOW_K), gram),
     ).otherwise(F.array().cast("array<string>"))
-    g = toks.select("doc_id", F.posexplode(grams).alias("pos", "s")).select(
-        "doc_id", "pos", h28(F.col("s")).alias("h")
-    )
-    w_win = W.partitionBy("doc_id").orderBy("pos").rowsBetween(-(WINNOW_W - 1), 0)
-    sel = (
-        g.withColumn("fp", F.min("h").over(w_win))
-        .filter(F.col("pos") >= WINNOW_W - 1)
-        .select("doc_id", "fp")
-        .distinct()
-    )
+    # r14: the winnow is per-document and order-local, so compute it
+    # entirely map-side with array higher-order functions — hash array,
+    # sliding array_min per window position, array_distinct — and
+    # explode only the SELECTED fingerprints. The old plan exploded
+    # every gram, paid a doc_id exchange + sort for the running-min
+    # window, and a second exchange for the distinct; the selected set
+    # (density ~2/(W+1)) is all that ever leaves the scan task now.
+    # Same fp values: min over the same W-hash windows, same h28.
+    # The hash array is LET-BOUND via flatten(transform(array(hs), f)):
+    # referencing it as a plain nested expression lets the optimizer
+    # inline it into every window lambda, recomputing every md5 per
+    # window position — O(n²) hashes per document (measured: 300-gram
+    # docs ran 400× slower). As a lambda variable it is evaluated once.
+    hs = F.transform(grams, lambda s: h28(s))
+
+    def _winnow(hsv: Column) -> Column:
+        return F.when(
+            F.size(hsv) >= WINNOW_W,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(WINNOW_W - 1), F.size(hsv) - 1),
+                    lambda i: F.array_min(
+                        F.slice(hsv, i - F.lit(WINNOW_W - 2), F.lit(WINNOW_W))
+                    ),
+                )
+            ),
+        ).otherwise(F.array().cast("array<long>"))
+
+    sel_arr = F.flatten(F.transform(F.array(hs), _winnow))
+    sel = toks.select("doc_id", F.explode(sel_arr).alias("fp"))
     sel = persist_tracked(sel)  # feeds the shared census AND the per-doc join
     shared = (
         sel.groupBy("fp")

@@ -61,6 +61,25 @@ def test_engines_agree_on_heavy_hitters(spark):
     assert tops["xxhash64"] == tops["md5"]
 
 
+@pytest.mark.parametrize("engine", ["xxhash64", "md5"])
+def test_weighted_build_matches_raw_build(spark, engine):
+    # building from the (key, count) histogram must produce the exact
+    # same sketch as building from the raw observation rows
+    df = _zipf_df(spark)
+    hist = df.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+    raw = {
+        (r["d"], r["bucket"]): r["c"]
+        for r in cms_build(df, "key", D, W, engine=engine).collect()
+    }
+    weighted = {
+        (r["d"], r["bucket"]): r["c"]
+        for r in cms_build(
+            hist, "key", D, W, engine=engine, weight_col="n"
+        ).collect()
+    }
+    assert raw == weighted
+
+
 def test_unknown_engine_rejected(spark):
     df = _zipf_df(spark, rows=10)
     with pytest.raises(ValueError, match="unknown CMS hash engine"):
