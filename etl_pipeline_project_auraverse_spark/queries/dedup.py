@@ -689,8 +689,8 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("simhash: document exceeds 2^21 token occurrences")
         ).cast("long"),
     ).otherwise(unpacked)
-    # sig feeds block generation (both sides of the self-join) plus the
-    # two verify joins — persist, and explode blocks in one pass
+    # sig feeds both sides of the block self-join — persist, and
+    # explode blocks in one pass
     sig = persist_tracked(bitsums.select("doc_id", simhash.alias("simhash")))
     mask = (1 << SH_BLOCK_BITS) - 1
     block_structs = F.array(
@@ -702,10 +702,22 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(SH_BLOCKS)
         ]
     )
-    blocks = sig.select("doc_id", F.explode(block_structs).alias("bv")).select(
-        "doc_id", F.col("bv.blk").alias("blk"), F.col("bv.val").alias("val")
+    # r14: carry the 8-byte simhash THROUGH the block join so the
+    # hamming filter runs on the raw join output, BEFORE the distinct.
+    # Hot block values make the candidate set quadratic in the bucket
+    # size (sf0.1: 757k candidate pairs from 5k docs), and the old plan
+    # shuffled every one of them for the pair distinct and then joined
+    # sig back twice; hamming<=3 survivors are ~1% of that, so the
+    # distinct now exchanges only true matches and both verify joins
+    # disappear. Same result set: any hamming<=3 pair shares a block
+    # (pigeonhole), the filter is the same bit_count, and the distinct
+    # still collapses pairs that agree on several blocks.
+    blocks = sig.select(
+        "doc_id", "simhash", F.explode(block_structs).alias("bv")
+    ).select(
+        "doc_id", "simhash", F.col("bv.blk").alias("blk"), F.col("bv.val").alias("val")
     )
-    cand = (
+    return (
         blocks.alias("x")
         .join(
             blocks.alias("y"),
@@ -713,14 +725,17 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("x.val") == F.col("y.val"))
             & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .filter(
+            F.expr("bit_count(x.simhash ^ y.simhash)") <= SH_MAX_HAMMING
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("simhash_a"),
+            F.col("y.simhash").alias("simhash_b"),
+        )
         .distinct()
-    )
-    return (
-        cand.join(sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("simhash_a")), "doc_a")
-        .join(sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("simhash_b")), "doc_b")
         .withColumn("hamming", F.expr("bit_count(simhash_a ^ simhash_b)").cast("long"))
-        .filter(F.col("hamming") <= SH_MAX_HAMMING)
         .select("doc_a", "doc_b", "simhash_a", "simhash_b", "hamming")
         .orderBy("doc_a", "doc_b")
     )
