@@ -349,33 +349,19 @@ def band_candidate_pairs(
     """Skew-bounded candidate pairs from an (uncapped) band table.
 
     Dense core: all pairs among each bucket's ``BAND_BUCKET_CAP``
-    smallest doc_ids. Star edges: every beyond-cap member pairs with
-    the bucket REPRESENTATIVE (the bucket's min doc_id) — one row per
-    member, linear in bucket size — so a megacluster stays fully
-    connected for the components pass instead of shedding its tail as
-    false singletons. ``doc_a < doc_b`` holds in every row (the
-    representative IS the bucket minimum). Output is DISTINCT across
-    bands; ``carry`` columns (a subset of ``part_cols``) pass through.
-
-    r14: ONE window pass annotates rank + representative over the
-    bucket-key sort and is PERSISTED — the dense core's two self-join
-    sides and the star branch read the same materialized rows, where
-    the old plan re-derived the whole upstream (sketch aggregate +
-    window tower) three times (the oracle twin `_sql_band_bucketed` /
-    `_sql_band_cand` always had this one-annotated-CTE shape). The
-    star branch's full-bucket window already annotated every row, so
-    fusing the head cap into the same node adds no per-task state —
-    it only forgoes the head-only WindowGroupLimit shortcut, which
-    never applied to the star side anyway."""
+    smallest doc_ids (the self-join side rides WindowGroupLimit, so the
+    quadratic work is capped map-side). Star edges: every beyond-cap
+    member pairs with the bucket REPRESENTATIVE (the bucket's min
+    doc_id) — one row per member, linear in bucket size — so a
+    megacluster stays fully connected for the components pass instead
+    of shedding its tail as false singletons. ``doc_a < doc_b`` holds
+    in every row (the representative IS the bucket minimum). The star
+    branch computes row_number + first_value in one Window node over
+    the same bucket-key sort. Output is DISTINCT across bands; ``carry``
+    columns (a subset of ``part_cols``) pass through."""
     from pyspark.sql.window import Window as W
 
-    w = W.partitionBy(*[F.col(c) for c in part_cols]).orderBy("doc_id")
-    ann = persist_tracked(
-        bands.withColumn("_bn", F.row_number().over(w)).withColumn(
-            "_rep", F.first("doc_id").over(w)
-        )
-    )
-    head = ann.filter(F.col("_bn") <= BAND_BUCKET_CAP)
+    head = _cap_band_buckets(bands, *part_cols)
     cond = F.col("x.doc_id") < F.col("y.doc_id")
     for c in part_cols:
         cond = (F.col(f"x.{c}") == F.col(f"y.{c}")) & cond
@@ -388,10 +374,16 @@ def band_candidate_pairs(
             F.col("y.doc_id").alias("doc_b"),
         )
     )
-    star = ann.filter(F.col("_bn") > BAND_BUCKET_CAP).select(
-        *carry,
-        F.col("_rep").alias("doc_a"),
-        F.col("doc_id").alias("doc_b"),
+    w = W.partitionBy(*[F.col(c) for c in part_cols]).orderBy("doc_id")
+    star = (
+        bands.withColumn("_bn", F.row_number().over(w))
+        .withColumn("_rep", F.first("doc_id").over(w))
+        .filter(F.col("_bn") > BAND_BUCKET_CAP)
+        .select(
+            *carry,
+            F.col("_rep").alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+        )
     )
     return pair.unionByName(star).distinct()
 
