@@ -130,6 +130,49 @@ def register_checkpoint_ids(spark: SparkSession, ids: Iterable[int]) -> None:
 # the lost cache and re-persist on next use.
 _LIVE_MEMOS: list = []
 
+# Every dict ever handed to memo_table(), so cold_reset() can empty the
+# owners too (release_memos alone leaves the dicts pointing at released
+# DataFrames, which the getters would eagerly re-persist from their
+# snapshots — warm, not cold). Extra driver-value memos (e.g. the pq
+# trained-centroid rows) register a clearer callback here as well.
+_MEMO_DICTS: list = []
+_MEMO_CLEARERS: list = []
+
+
+def register_memo_clearer(fn) -> None:
+    """Register a zero-arg callback that drops a module's driver-side
+    memo state (used by cold_reset)."""
+    _MEMO_CLEARERS.append(fn)
+
+
+def cold_reset(spark: SparkSession) -> None:
+    """Return the engine to a COLD-index state: unpersist every memo,
+    empty every memo dict, run registered clearers, and delete this
+    application's memo-snapshot directory — the next memoized query
+    pays the full index build, exactly like a fresh driver process.
+    Measurement hook only (the bench's cold-index stat); never called
+    on a query path."""
+    import shutil
+
+    release_memos()
+    for d in _MEMO_DICTS:
+        d.clear()
+    for fn in _MEMO_CLEARERS:
+        try:
+            fn()
+        except Exception:
+            pass
+    try:
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        if wh.startswith("file:"):
+            wh = wh[len("file:"):]
+        app = spark.sparkContext.applicationId
+        shutil.rmtree(
+            f"{wh.rstrip('/')}/memo_snapshots/{app}", ignore_errors=True
+        )
+    except Exception:
+        pass
+
 
 def track_memo(df):
     """Register a memoized persisted DataFrame for explicit release."""
@@ -334,6 +377,8 @@ def memo_table(
     plan from base tables.
     """
     key = (spark.sparkContext.applicationId, corpus_key, subkey)
+    if all(d is not memo for d in _MEMO_DICTS):
+        _MEMO_DICTS.append(memo)
     _mark_owner(snapshot_path)  # liveness marker for gc_memo_snapshots
     hit = memo.get(key)
     if hit is not None:

@@ -58,6 +58,14 @@ from etl_pipeline_project_auraverse_spark.session import load_table
 # assign+update instead of re-running the whole chain.
 _TRAINED_CENT_MEMO: dict = {}
 
+# cold_reset (the bench's cold-index stat) must drop the driver-value
+# memos too, not just the memo_table DataFrames.
+from etl_pipeline_project_auraverse_spark.cache import (  # noqa: E402
+    register_memo_clearer,
+)
+
+register_memo_clearer(_TRAINED_CENT_MEMO.clear)
+
 
 def trained_centroids_local(
     spark: SparkSession, emb: DataFrame, sf_dir: str, k: int, iters: int
@@ -1550,6 +1558,8 @@ def _logreg_z_of(w: dict[str, float]):
 
 
 _LOGREG_W_MEMO: dict = {}  # (appId, sf_dir) -> (w1, w2); exact floats
+
+register_memo_clearer(_LOGREG_W_MEMO.clear)
 
 
 def _logreg_fit(spark: SparkSession, sf_dir: str):
