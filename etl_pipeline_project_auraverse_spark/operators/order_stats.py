@@ -449,6 +449,167 @@ def weighted_median(
     )
 
 
+def weighted_median_hist(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    count_name: str = "total_weight",
+    out_name: str = "weighted_median",
+) -> DataFrame:
+    """Exact lower weighted median per group WITHOUT any data shuffle —
+    :func:`weighted_median`'s crossing semantics (smallest value v with
+    ``2*cum(v) >= total`` over BIGINT-cast weights) through
+    :func:`hist_group_percentiles`'s iterative histogram refinement.
+
+    Each pass is one map-side-combinable ``groupBy(group, bucket)``
+    aggregate of (weight sum, row count, actual min/max value) over the
+    column-pruned scan; the driver narrows each group's crossing point
+    to one bucket per pass and a final filtered fetch resolves the
+    exact value from ≤ HIST_FETCH_CAP rows. The range shuffle of the
+    full (group, value, weight) stream — plus its sampling pass and
+    the persisted shuffle output — disappears (guide §2.4).
+
+    Same output shape and contract as :func:`weighted_median`: one row
+    per group with a positive total, ``out_name`` in the value column's
+    own dtype; zero/negative-total groups are omitted.
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark = df.sparkSession
+    g, v = group_col, value_col
+    rows = df.select(
+        g, v, F.col(weight_col).cast("long").alias("__w")
+    ).where(F.col(v).isNotNull())
+
+    stat_rows = rows.groupBy(g).agg(
+        F.sum("__w").alias("__tot"),
+        F.count("*").alias("__n"),
+        F.min(v).alias("__lo"),
+        F.max(v).alias("__hi"),
+    ).collect()
+    g_type = df.schema[g].dataType
+    out_schema = StructType(
+        [
+            StructField(g, g_type),
+            StructField(count_name, LongType(), False),
+            StructField(out_name, df.schema[v].dataType),
+        ]
+    )
+    totals = {r[g]: r["__tot"] for r in stat_rows if (r["__tot"] or 0) > 0}
+    if not totals:
+        return spark.createDataFrame([], out_schema)
+
+    # state per group: [lo_val, hi_val, weight_below_interval,
+    # rows_in_interval]; target = first cum weight >= (tot+1)//2
+    target = {gv: (tot + 1) // 2 for gv, tot in totals.items()}
+    state = {
+        r[g]: [r["__lo"], r["__hi"], 0, r["__n"]]
+        for r in stat_rows
+        if r[g] in totals
+    }
+    resolved: dict = {}
+
+    def _probe_df(pending: dict) -> DataFrame:
+        from pyspark.sql.types import DoubleType
+
+        rows_ = [
+            (
+                i,
+                gv,
+                float(st[0]),
+                float(st[1]),
+                (float(st[1]) - float(st[0])) / HIST_BUCKETS,
+            )
+            for i, (gv, st) in enumerate(pending.items())
+        ]
+        return spark.createDataFrame(
+            rows_,
+            StructType(
+                [
+                    StructField("__probe", LongType(), False),
+                    StructField(g, g_type),
+                    StructField("__plo", DoubleType(), False),
+                    StructField("__phi", DoubleType(), False),
+                    StructField("__bw", DoubleType(), False),
+                ]
+            ),
+        )
+
+    for _ in range(8):
+        pending: dict = {}
+        for gv, st in state.items():
+            if gv in resolved:
+                continue
+            if st[0] == st[1]:  # single-valued interval: done
+                resolved[gv] = st[0]
+                continue
+            if st[3] <= HIST_FETCH_CAP:
+                continue  # small enough for the exact fetch pass
+            pending[gv] = st
+        if not pending:
+            break
+        probes = _probe_df(pending)
+        bucket = F.least(
+            F.floor((F.col(v) - F.col("__plo")) / F.col("__bw")),
+            F.lit(HIST_BUCKETS - 1),
+        ).cast("long")
+        hist = (
+            rows.join(F.broadcast(probes), g)
+            .filter(F.col(v).between(F.col("__plo"), F.col("__phi")))
+            .groupBy("__probe", bucket.alias("__b"))
+            .agg(
+                F.sum("__w").alias("__wc"),
+                F.count("*").alias("__c"),
+                F.min(v).alias("__bmin"),
+                F.max(v).alias("__bmax"),
+            )
+            .collect()
+        )
+        by_probe: dict = {}
+        for r in hist:
+            by_probe.setdefault(r["__probe"], []).append(r)
+        for i, gv in enumerate(pending):
+            st = state[gv]
+            cum = st[2]
+            for b in sorted(by_probe.get(i, []), key=lambda r: r["__b"]):
+                if cum + b["__wc"] >= target[gv]:
+                    state[gv] = [b["__bmin"], b["__bmax"], cum, b["__c"]]
+                    break
+                cum += b["__wc"]
+
+    fetch_pending = {
+        gv: st for gv, st in state.items() if gv not in resolved
+    }
+    if fetch_pending:
+        probes = _probe_df(fetch_pending)
+        got = (
+            rows.join(F.broadcast(probes), g)
+            .filter(F.col(v).between(F.col("__plo"), F.col("__phi")))
+            .select("__probe", v, "__w")
+            .collect()
+        )
+        vals_by_probe: dict = {}
+        for r in got:
+            vals_by_probe.setdefault(r["__probe"], []).append((r[v], r["__w"]))
+        for i, gv in enumerate(fetch_pending):
+            cum = state[gv][2]
+            for val, w in sorted(vals_by_probe.get(i, [])):
+                cum += w
+                if cum >= target[gv]:
+                    resolved[gv] = val
+                    break
+
+    return spark.createDataFrame(
+        [
+            (gv, totals[gv], resolved[gv])
+            for gv in sorted(totals, key=str)
+            if gv in resolved
+        ],
+        out_schema,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Shuffle-free exact percentiles: iterative histogram refinement.
 # ---------------------------------------------------------------------------

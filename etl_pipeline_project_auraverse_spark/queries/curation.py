@@ -1473,22 +1473,36 @@ def q_hrw_shard_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_source_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marginal distinct-3-gram contribution of every source under the
-    fixed lexicographic acquisition order."""
+    fixed lexicographic acquisition order.
+
+    r15 (guide §2.3/§2.4, the r14 cross_source_ngram_overlap inverted-
+    index pattern): ONE h-keyed aggregate builds each shingle's sorted
+    source set (collect_set partial state bounded by |sources|, deduped
+    map-side), and both readouts fall out of it map-side — first_source
+    is element 0 of the sorted set, each member source counts the
+    shingle once via posexplode-free explode, and the final per-source
+    aggregate is |sources| rows. Replaces the old three-exchange plan
+    (distinct (source,h) pairs, groupBy(h) first-seen, h-keyed join
+    back + groupBy(source)) and its persisted pair table with one big
+    exchange and no cache."""
     from etl_pipeline_project_auraverse_spark.functions.text import shingles
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = persist_tracked(  # feeds first-seen AND the per-source readout
+    srcs = (
         parallelize(docs)
         .select(
             "source",
             F.explode(shingles(F.trim(F.col("text")))).alias("s"),
         )
         .select("source", h28(F.col("s")).alias("h"))
-        .distinct()
+        .groupBy("h")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
     )
-    first_seen = sh.groupBy("h").agg(F.min("source").alias("first_source"))
     return (
-        sh.join(first_seen, "h")
+        srcs.select(
+            F.col("srcs")[0].alias("first_source"),
+            F.explode("srcs").alias("source"),
+        )
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_distinct_ngrams"),
@@ -2564,16 +2578,29 @@ def q_kneser_ney_crossentropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<struct<ctx:string,nxt:string>>"))
-    bg = persist_tracked(  # feeds three count tables AND the scoring joins
+    bg = persist_tracked(  # feeds the c2 count table AND the scoring joins
         toks.select("source", F.explode(grams).alias("g")).select(
             "source", F.col("g.ctx").alias("ctx"), F.col("g.nxt").alias("nxt")
         )
     )
-    c2 = bg.groupBy("ctx", "nxt").agg(F.count(F.lit(1)).alias("c2"))
-    s1 = bg.groupBy("ctx").agg(
-        F.count(F.lit(1)).alias("c1"), F.countDistinct("nxt").alias("n1f")
+    # r15 (guide §2.3): the continuation counts n1f/n1b are exact folds
+    # of c2 — its rows ARE the distinct (ctx, nxt) pairs — so s1/s2
+    # derive from the persisted c2 table (count/sum per ctx or nxt)
+    # instead of running two countDistinct EXPAND aggregates over the
+    # full exploded bigram stream (each doubled the stream's shuffle
+    # input). c1 = Σ c2 per ctx equals COUNT(*) over bg per ctx.
+    # (A full aggregate-first variant — groupBy(source, ctx, nxt) and
+    # weighting every sum by the multiplicity — was measured SLOWER at
+    # sf0.1: 2.08 → 2.55 s solo min-of-5; the extra exchange +
+    # materialized cache cost more than the joins it shrank. Reverted;
+    # decision recorded in OPTIMIZATION_r15.md.)
+    c2 = persist_tracked(  # feeds s1, s2, tt AND the scoring joins
+        bg.groupBy("ctx", "nxt").agg(F.count(F.lit(1)).alias("c2"))
     )
-    s2 = bg.groupBy("nxt").agg(F.countDistinct("ctx").alias("n1b"))
+    s1 = c2.groupBy("ctx").agg(
+        F.sum("c2").alias("c1"), F.count(F.lit(1)).alias("n1f")
+    )
+    s2 = c2.groupBy("nxt").agg(F.count(F.lit(1)).alias("n1b"))
     tt = c2.agg(F.count(F.lit(1)).alias("t"))
     term = F.round(
         F.log2(

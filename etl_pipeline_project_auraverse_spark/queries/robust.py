@@ -718,6 +718,11 @@ def q_revenue_concentration_deciles(spark: SparkSession, sf_dir: str) -> DataFra
     """Decile Lorenz curve of per-customer revenue: share and
     cumulative share of total revenue held by each revenue decile."""
     orders = load_table(spark, sf_dir, "orders")
+    # NOT persisted (r15, measured): the duplicated cust subtrees in
+    # this one plan share their shuffle via ReusedExchange, so a cache
+    # only adds materialization cost (solo min-of-5: 1.92 s unpersisted
+    # vs 2.31 s persisted). The operator's internal range-shuffle
+    # sampling is the one true re-execution and it samples, not scans.
     cust = orders.groupBy("o_custkey").agg(
         dec_sum("o_totalprice", 2).alias("rev")
     )
@@ -1985,12 +1990,15 @@ def q_weighted_median_price_by_flag(
     """Lower weighted median of extended price per return flag, with
     line quantity as the weight (2*cum >= total semantics — the
     smallest price at which half the shipped units are covered).
-    Delegates to ``operators/order_stats.weighted_median``."""
+    Delegates to ``operators/order_stats.weighted_median_hist`` (r15:
+    the shuffle-free histogram-refinement twin of ``weighted_median``
+    — same crossing semantics, no range shuffle of the row stream;
+    guide §2.4)."""
     from etl_pipeline_project_auraverse_spark.operators.order_stats import (
-        weighted_median,
+        weighted_median_hist,
     )
 
-    return weighted_median(
+    return weighted_median_hist(
         load_table(spark, sf_dir, "lineitem"),
         "l_returnflag",
         "l_extendedprice",

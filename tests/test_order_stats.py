@@ -221,6 +221,61 @@ def test_weighted_median_property(spark):
 
 
 # ---------------------------------------------------------------------------
+# weighted_median_hist (r15): the shuffle-free histogram-refinement
+# twin must match the range-shuffle operator and the local reference on
+# every shape — including with the fetch cap forced tiny so the
+# histogram refinement loop (not just the direct fetch) is exercised.
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("case", ["uniform", "ties", "odd_even", "one_row"])
+@pytest.mark.parametrize("fetch_cap", [None, 8])
+def test_weighted_median_hist_matches_reference(
+    spark, case, fetch_cap, monkeypatch
+):
+    from etl_pipeline_project_auraverse_spark.operators import order_stats
+
+    if fetch_cap is not None:
+        monkeypatch.setattr(order_stats, "HIST_FETCH_CAP", fetch_cap)
+
+    rng = random.Random(7)
+    if case == "uniform":
+        rows = [
+            (f"g{i % 3}", rng.uniform(0, 100), rng.randint(1, 9))
+            for i in range(1500)
+        ]
+    elif case == "ties":  # many repeated values, crossing lands on a tie run
+        rows = [
+            (f"g{i % 2}", float(rng.randint(0, 5)), rng.randint(1, 4))
+            for i in range(800)
+        ]
+    elif case == "odd_even":
+        rows = [("odd", 1.0, 1), ("odd", 2.0, 1), ("odd", 3.0, 1),
+                ("even", 1.0, 2), ("even", 5.0, 2)]
+    else:
+        rows = [("solo", 42.5, 3)]
+    df = spark.createDataFrame(rows, "g string, v double, w long")
+    got = {
+        r["g"]: (r["total_weight"], r["weighted_median"])
+        for r in order_stats.weighted_median_hist(df, "g", "v", "w").collect()
+    }
+    assert got == _wmed_reference(rows)
+
+
+def test_weighted_median_hist_empty_and_schema(spark):
+    from etl_pipeline_project_auraverse_spark.operators.order_stats import (
+        weighted_median_hist,
+    )
+
+    df = spark.createDataFrame([("a", 1.0, 1)], "g string, v double, w long")
+    empty = weighted_median_hist(
+        df.where(F.col("v").isNull() & F.col("v").isNotNull()), "g", "v", "w"
+    )
+    assert empty.collect() == []
+    assert [f.name for f in empty.schema.fields] == [
+        "g", "total_weight", "weighted_median",
+    ]
+
+
+# ---------------------------------------------------------------------------
 # hist_group_percentiles: the shuffle-free histogram-refinement path
 # must be value-identical to the range-shuffle operator (and therefore
 # to F.percentile / quantile_cont) on every distribution shape,
