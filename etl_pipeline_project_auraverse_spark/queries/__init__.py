@@ -110,6 +110,13 @@ ORACLE: dict[str, str] = {}
 # remaining 47 r8-attested names (q_null_semantics_battery, then
 # q_bpe_apply_fixed_merges and everything after it in registry
 # order), then fill by age from ATTESTATION.json.
+# Round 15 (r14 verdict ask #3): the optimization rounds changed ~35
+# query paths and the r14 sample covered almost none of them, so the
+# rotation pins the full r14+r15 touched set first (35 names), then
+# fills the remaining slots with the oldest r8-attested names. The
+# r8 tranche continues next round (q_source_diversity_by_lang onward).
+# NEXT ROUND (r16): front-pin anything newly changed, then continue
+# the r8-attested fill by age from ATTESTATION.json.
 _MODULES = [
     "etl_pipeline_project_auraverse_spark.queries.relational",
     "etl_pipeline_project_auraverse_spark.queries.tpch_extra",
@@ -169,64 +176,64 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # module-import order after these. Names that don't resolve are
 # ignored so the list can't break registration.
 _FRONT = [
-    # --- NEW in r13: the audio codec gates (r12 verdict ask #5) ---
-    "q_wav_mulaw_decode_audit",
-    "q_wav_alaw_decode_audit",
-    "q_wav_ima_adpcm_decode_audit",
-    # --- age refresh: the ENTIRE remaining r7 tranche (last green r7
-    # per ATTESTATION.json after the r12 fold — the registry's oldest;
-    # registry order) ---
-    "q_dedup_tfidf_cosine",
-    "q_dedup_semantic_prune",
-    "q_ann_ivfadc_residual_topk",
-    "q_logreg_train_two_iter",
-    "q_zipf_word_fit",
-    "q_collocations_pmi",
-    "q_source_lang_jsd",
-    "q_text_nfc_cleanup",
-    "q_rake_keywords",
-    "q_split_drift_psi",
-    "q_bigram_perplexity",
+    # Round 15 rotation (r14 verdict ask #3): the r14 correctness
+    # sample covered almost none of the optimization rounds' touched
+    # queries, so EVERY query r14/r15 changed is pinned first — the
+    # driver itself attests the rewrites instead of local parity alone.
+    # --- changed in r15 (band-cap fix + this round's rewrites) ---
+    "q_dedup_minhash_lsh",
+    "q_dedup_containment",
+    "q_dedup_minhash_recall",
+    "q_dedup_band_geometry_sweep",
+    "q_dedup_simhash",
     "q_source_ngram_novelty",
-    "q_quantile_normalize_sources",
-    "q_asof_view_tolerance",
-    "q_salted_event_type_stats",
-    "q_kaplan_meier_customer_lifetime",
-    "q_ewma_daily_revenue",
-    "q_stream_twin_tumbling_counts",
-    "q_stream_twin_sessionization",
-    "q_item_item_cosine",
-    "q_part_affinity_lift",
-    "q_shortest_path_costs",
-    "q_lpa_communities",
+    "q_kneser_ney_crossentropy",
+    "q_weighted_median_price_by_flag",
+    # --- changed in r14 (optimization round 1), not sampled since ---
+    "q_spearman_corr_lineitem",
+    "q_profile_orders_schema",
+    "q_profile_documents_schema",
+    "q_mad_outlier_prices",
+    "q_percentiles_by_returnflag",
+    "q_winsorized_price_stats",
+    "q_equidepth_histogram_price",
+    "q_pca_power_iteration",
+    "q_hits_supply_graph",
+    "q_cross_source_ngram_overlap",
+    "q_source_similarity_minhash",
+    "q_dedup_prefix_filter_jaccard",
+    "q_dsir_importance_weights",
+    "q_winnowing_fingerprints",
+    "q_cms_part_frequencies",
+    "q_rfm_segmentation",
+    "q_fulfillment_latency",
+    "q_repeat_purchase_timing",
+    "q_ks_price_by_returnflag",
+    "q_ann_ivf_cosine",
+    "q_ann_ivf_recall",
+    "q_embedding_centroid_blocks",
+    "q_dedup_embedding_cosine",
+    "q_dedup_semantic_prune",
     "q_als_user_step",
-    "q_theilsen_revenue_trend",
-    "q_jackknife_mean_price",
-    "q_gini_customer_revenue",
-    "q_kendall_tau_quantity_discount",
-    "q_welch_ttest_price_returnflag",
-    "q_anova_totalprice_by_segment",
-    "q_bootstrap_poisson_mean_price",
-    "q_wasserstein_price_by_returnflag",
-    "q_hilbert_order_cells",
-    "q_layout_pruning_compare",
-    "q_kanonymity_customer",
-    "q_ldiversity_order_priority",
     "q_event_gap_percentiles",
-    "q_bot_like_users",
-    "q_daily_autocorr_lag1",
-    "q_retention_day_n",
-    "q_event_fano_factor",
-    "q_funnel_view_click_purchase",
-    "q_markov_stationary_events",
-    "q_event_trigrams",
-    # --- changed this round (truth arm -> blocked GEMM, r12 ask #3):
-    # pinned so the driver attests the change, not just local parity ---
-    "q_ann_lsh_recall",
-    # --- age refresh fill: the 3 oldest r8 names (registry order) ---
-    "q_unpivot_lineitem_measures",
-    "q_map_functions_per_order",
+    "q_jackknife_mean_price",
+    # --- age refresh fill: the oldest r8-attested names (registry
+    # order per ATTESTATION.json after the r14 fold) ---
     "q_null_semantics_battery",
+    "q_bpe_apply_fixed_merges",
+    "q_mmr_rerank",
+    "q_embedding_silhouette_lite",
+    "q_ann_matryoshka_recall",
+    "q_dedup_incremental_minhash",
+    "q_dedup_cluster_sizes",
+    "q_ann_ivfadc_residual_recall",
+    "q_logreg_auc_calibration",
+    "q_quality_logistic_scores",
+    "q_sample_quality_weighted",
+    "q_sample_weighted_aes",
+    "q_corpus_datacard",
+    "q_text_lexical_diversity",
+    "q_lang_source_mutual_info",
 ]
 
 
